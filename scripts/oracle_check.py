@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: for each SparkEntry query,
+compare the Verify parquet dump against the oracle SQL run in DuckDB over the
+same tables. Usage: oracle_check.py <sfDir> <verifyOutDir>
+(Dev-harness only -- the library itself has no python dependency.)"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+fail = 0
+names = sorted(d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d)))
+for name in names:
+    files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+    if not files:
+        print(f"FAIL {name}: no parquet output"); fail += 1; continue
+    got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+    if name not in oracle:
+        print(f"ok   {name}: rows-only ({len(got)} rows)")
+        if len(got) == 0:
+            print(f"WARN {name}: zero rows"); continue
+        continue
+    try:
+        exp = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql error: {e}"); fail += 1; continue
+    # driver semantics: sort columns by name, then compare values
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+        fail += 1; continue
+    gs = got.sort_values(list(got.columns)).reset_index(drop=True)
+    es = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    if len(gs) != len(es):
+        print(f"FAIL {name}: rows {len(gs)} != {len(es)}"); fail += 1; continue
+    try:
+        pd.testing.assert_frame_equal(gs, es, check_dtype=False,
+                                      check_exact=True)
+        print(f"ok   {name}: {len(gs)} rows exact-match")
+    except AssertionError as e:
+        print(f"FAIL {name}: value mismatch\n{str(e)[:800]}")
+        fail += 1
+print(f"{'PASS' if fail == 0 else 'FAIL'}: {len(names) - fail}/{len(names)}")
+sys.exit(1 if fail else 0)

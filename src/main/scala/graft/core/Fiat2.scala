@@ -1,0 +1,135 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-level helpers realizing the reference's value semantics
+  * (mit-plv/fiat2) on Spark, per SURVEY.md §1.5.
+  *
+  * Conventions:
+  *  - Records = `StructType` with fields pre-sorted by name, mirroring
+  *    `record_sort` (fiat2/src/fiat2/Interpret.v:334-335). This makes Spark's
+  *    lexicographic struct comparison coincide with fiat2's `record_compare`
+  *    (fiat2/src/fiat2/Value.v:106-107).
+  *  - Options = nullable columns (fiat2/src/fiat2/Language.v:10).
+  *  - Sets (nested) = sorted deduplicated arrays (fiat2/src/fiat2/Interpret.v:126-135).
+  *  - Bags (nested) = sorted arrays of (value, count) structs
+  *    (fiat2/src/fiat2/Interpret.v:112-124).
+  *  - Dicts = sorted arrays of (key, value) structs — NOT MapType, which Spark
+  *    forbids in `=`/`groupBy`/`orderBy` (fiat2/src/fiat2/Value.v:492-497).
+  *
+  * All helpers compose built-in `org.apache.spark.sql.functions` so the whole
+  * expression tree stays inside whole-stage codegen.
+  */
+object Fiat2 {
+
+  // ---------------------------------------------------------------------------
+  // Integer arithmetic with fiat2 (Coq Z) semantics.
+  // ---------------------------------------------------------------------------
+
+  /** Euclidean-style modulo with the sign of the DIVISOR — Coq `Z.modulo`
+    * (fiat2/src/fiat2/Interpret.v:150). Differs from Spark/Java `%`, which
+    * takes the sign of the dividend. `((a % b) + b) % b` flips the sign in
+    * pure long arithmetic (codegen'd, no UDF).
+    */
+  def emod(a: Column, b: Column): Column = ((a % b) + b) % b
+
+  /** Floor division — Coq `Z.div` (fiat2/src/fiat2/Interpret.v:147). Differs
+    * from Spark/Java truncation toward zero. `a - emod(a,b)` is exactly
+    * divisible by `b`, so integral `div` (truncating) gives the floor result
+    * exactly, with no double-precision round-trip.
+    */
+  def ediv(a: Column, b: Column): Column =
+    call_function("div", a - emod(a, b), b)
+
+  // ---------------------------------------------------------------------------
+  // Records (name-sorted structs).
+  // ---------------------------------------------------------------------------
+
+  /** Build a record struct with fields sorted by name (fiat2 `record_sort`,
+    * fiat2/src/fiat2/Interpret.v:334-335). Duplicate field names are rejected
+    * eagerly, mirroring `record_wf` (fiat2/src/fiat2/Value.v:485-490).
+    */
+  def record(fields: (String, Column)*): Column = {
+    require(fields.map(_._1).distinct.size == fields.size,
+      s"duplicate record fields in ${fields.map(_._1)}")
+    struct(fields.sortBy(_._1).map { case (n, c) => c.as(n) }: _*)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Options (nullable columns).
+  // ---------------------------------------------------------------------------
+
+  /** fiat2 `EOptMatch` (fiat2/src/fiat2/Interpret.v:340-345):
+    * `match e with None => none | Some x => some x end`.
+    */
+  def optMatch(e: Column, none: Column, some: Column => Column): Column =
+    when(e.isNull, none).otherwise(some(e))
+
+  // ---------------------------------------------------------------------------
+  // Sets and bags as nested canonical arrays.
+  // ---------------------------------------------------------------------------
+
+  /** `TList → TSet` on a nested array: sorted + deduplicated, fiat2
+    * `list_to_set` (fiat2/src/fiat2/Interpret.v:126-135). */
+  def setOfArray(arr: Column): Column = array_sort(array_distinct(arr))
+
+  /** Sorted-insert preserving set canonical form (fiat2 `set_insert`). */
+  def setInsert(arr: Column, v: Column): Column =
+    array_sort(array_union(arr, array(v)))
+
+  /** `TList → TBag` on a nested array: sorted (value, count) pairs, fiat2
+    * `list_to_bag` (fiat2/src/fiat2/Interpret.v:112-124). Quadratic in the
+    * array length — intended for small nested collections only; top-level
+    * bags are plain DataFrames (Spark's native multiset).
+    */
+  def bagOfArray(arr: Column): Column =
+    transform(
+      array_sort(array_distinct(arr)),
+      v => struct(v.as("value"),
+        size(filter(arr, x => x === v)).cast("long").as("count")))
+
+  // ---------------------------------------------------------------------------
+  // Dicts as sorted (key, value) entry arrays.
+  // ---------------------------------------------------------------------------
+
+  /** Canonicalize an entries array: sort by key (fiat2 `dict_wf`,
+    * fiat2/src/fiat2/Value.v:492-497). Assumes keys already unique. */
+  def dictCanon(entries: Column): Column = array_sort(entries)
+
+  /** Dict lookup → option (null when absent), fiat2 `dict_lookup`
+    * (fiat2/src/fiat2/Interpret.v:92-110). `get` (0-based) returns null
+    * out-of-bounds even under ANSI mode.
+    */
+  def dictLookup(dict: Column, key: Column): Column =
+    get(filter(dict, e => e("key") === key), lit(0))("value")
+
+  /** Dict insert-or-overwrite, fiat2 `dict_insert`
+    * (fiat2/src/fiat2/Interpret.v:92-110). */
+  def dictInsert(dict: Column, key: Column, value: Column): Column =
+    array_sort(concat(
+      filter(dict, e => e("key") =!= key),
+      array(struct(key.as("key"), value.as("value")))))
+
+  /** Dict delete, fiat2 `dict_delete`. */
+  def dictDelete(dict: Column, key: Column): Column =
+    filter(dict, e => e("key") =!= key)
+
+  /** Fold over dict entries in sorted (= stored) order, fiat2 `EDictFold`
+    * (fiat2/src/fiat2/Interpret.v:346-350). */
+  def dictFold(dict: Column, init: Column,
+      step: (Column, Column) => Column): Column =
+    aggregate(dict, init, (acc, e) => step(acc, e))
+
+  // ---------------------------------------------------------------------------
+  // Ranges.
+  // ---------------------------------------------------------------------------
+
+  /** `[lo, hi)` as an array — fiat2 `ORange` (fiat2/src/fiat2/Interpret.v:80-90).
+    * fiat2 returns [] when hi <= lo; Spark `sequence` would count DOWN, so
+    * guard explicitly.
+    */
+  def rangeList(lo: Column, hi: Column): Column =
+    when(hi <= lo, array().cast("array<long>"))
+      .otherwise(sequence(lo, hi - 1))
+}
