@@ -8,7 +8,9 @@ object SparkEntry {
 
   /** Every module contributes GraftQuery entries (Spark plan + oracle SQL). */
   def allQueries: Seq[GraftQuery] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.Scalars.queries ++
+      operators.Collections.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -54,6 +54,78 @@ object Relational {
           $"s_nationkey" === $"n_nationkey")
         .select($"s_name".as("emp_name"), $"n_name".as("dept_name"))
     },
+    // EFilter with a multi-conjunct predicate (fiat2/src/fiat2/Interpret.v:369-404)
+    // — both conjuncts reach the parquet scan as PushedFilters.
+    GraftQuery.sql("q_filter",
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .filter($"l_quantity" > 45 && $"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Generalized θ-join: equi-conjunct + inequality
+    // (fiat2/src/fiat2/Interpret.v:405-466). Catalyst extracts the equi-key
+    // and evaluates the inequality as a residual join condition.
+    GraftQuery.sql("q_theta_join",
+      """SELECT n1.n_regionkey AS rk, COUNT(*) AS n_pairs
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey
+        | AND n1.n_nationkey < n2.n_nationkey
+        |GROUP BY n1.n_regionkey ORDER BY rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val n1 = Tables.load(s, dir, "nation").alias("n1")
+      val n2 = Tables.load(s, dir, "nation").alias("n2")
+      n1.join(n2,
+        $"n1.n_regionkey" === $"n2.n_regionkey" &&
+          $"n1.n_nationkey" < $"n2.n_nationkey")
+        .groupBy($"n1.n_regionkey".as("rk"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("rk")
+    },
+
+    // EACFold AGSum + AGCount over the whole table as a bag
+    // (fiat2/src/fiat2/Interpret.v:212-216,320-326).
+    GraftQuery.sql("q_agg_sum_count",
+      """SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  COUNT(*) AS n FROM lineitem""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .agg(sum(dec($"l_quantity")).cast("double").as("total_qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // EACIFold AGMin/AGMax — TOption result, None (null) on empty set
+    // (fiat2/src/fiat2/Interpret.v:218-238): min_over_empty is null per group.
+    GraftQuery.sql("q_agg_min_max",
+      """SELECT p_brand, MIN(p_size) AS min_size,
+        |  CAST(MAX(p_retailprice) AS DOUBLE) AS max_price,
+        |  MIN(CASE WHEN p_size > 100 THEN p_size END) AS min_over_empty
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "part").groupBy($"p_brand")
+        .agg(min($"p_size").as("min_size"),
+          max($"p_retailprice").cast("double").as("max_price"),
+          min(when($"p_size" > 100, $"p_size")).as("min_over_empty"))
+        .orderBy("p_brand")
+    },
+
+    // group-by as dict-index construction: TDict key (TBag row) sizes + sums
+    // (fiat2/src/fiat2/DictIndexImpl.v:25-33).
+    GraftQuery.sql("q_groupby_bags",
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "customer").groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"c_acctbal")).cast("double").as("bal"))
+        .orderBy("c_nationkey")
+    },
   )
 
   /** Flagship: the Ex_Employee join end-to-end on the smallest SF. */
