@@ -10,7 +10,8 @@ object SparkEntry {
   def allQueries: Seq[GraftQuery] =
     operators.Relational.queries ++
       operators.Scalars.queries ++
-      operators.Collections.queries
+      operators.Collections.queries ++
+      operators.Workloads.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -10,8 +10,22 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS), which Spark's reader rejects by
+      // default; read it as epoch-nanos LongType and let callers derive a
+      // microsecond timestamp via tsCol.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Microsecond TimestampType from the epoch-nanos long `ts` of events —
+    * floor to µs, matching DuckDB's ns→µs truncation. */
+  def tsCol(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.call_function("div", nanos,
+        org.apache.spark.sql.functions.lit(1000L)))
 
   /** Register every table as a temp view so queries can also be authored in
     * SQL (mirrors the driver's DuckDB oracle environment). */

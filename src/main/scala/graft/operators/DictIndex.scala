@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's signature capability: a hash index on an attribute that
+  * rewrites `filter(tbl, row.attr == k)` scans into point lookups
+  * (fiat2/src/fiat2/DictIndexImpl.v:25-33, eq_filter_to_lookup_head at
+  * :374-389). In Spark the equivalent physical design is a DataFrame
+  * hash-partitioned by the key and cached: every subsequent lookup filter
+  * touches only the one in-memory partition that can hold the key (partition
+  * filters on the cached RDD), instead of rescanning the source. At cluster
+  * scale the same shape is `bucketBy(attr)` on a persisted table.
+  */
+final class DictIndex private (val keyed: DataFrame, keyCol: String) {
+
+  /** Point lookup — fiat2 `OLookup` on the index dict. */
+  def lookup(key: Any): DataFrame = keyed.filter(col(keyCol) === lit(key))
+
+  /** Batched point lookups (one job instead of K). */
+  def lookupMany(keys: Seq[Any]): DataFrame =
+    keyed.filter(col(keyCol).isin(keys: _*))
+
+  def unpersist(): Unit = keyed.unpersist()
+}
+
+object DictIndex {
+  /** Build = one shuffle by the key + cache; amortized over many lookups,
+    * exactly the trade the reference's `transf_to_idx` makes
+    * (fiat2/src/fiat2/IndexTransf.v:797-803). */
+  def build(df: DataFrame, keyCol: String, partitions: Int = 32): DictIndex = {
+    val keyed = df.repartition(partitions, col(keyCol)).cache()
+    new DictIndex(keyed, keyCol)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained aggregates — the reference's SumAgg/MinAgg
+  * materialized views (fiat2/src/fiat2/SumAgg.v:150-155 `cons_to_add_head`,
+  * fiat2/src/fiat2/MinAgg.v:150-161 `cons_to_min_head`): on insert, update the
+  * aggregate in O(1) instead of re-scanning. Here the "inserts" are
+  * micro-batches; each batch contributes a PARTIAL aggregate (map-side
+  * combined, one tiny collect) that merges into driver-held state. Only
+  * associative+commutative merges are allowed — the same restriction the
+  * reference imposes via its AC/ACI fold classes
+  * (fiat2/src/fiat2/TypeSystem.v:203-210).
+  */
+object Ivm {
+
+  /** Running exact-decimal sum + count state. */
+  final case class SumState(sum: java.math.BigDecimal, count: Long) {
+    def merge(batchSum: java.math.BigDecimal, batchCount: Long): SumState =
+      SumState(if (batchSum == null) sum else sum.add(batchSum),
+        count + batchCount)
+  }
+
+  /** Fold micro-batches into a sum/count, never re-scanning a prior batch. */
+  def incrementalSum(batches: Seq[DataFrame], valueCol: Column): SumState =
+    batches.foldLeft(SumState(java.math.BigDecimal.ZERO, 0L)) { (st, b) =>
+      val row = b.agg(
+        sum(valueCol.cast("decimal(28,2)")).as("s"),
+        count(lit(1)).as("c")).head()
+      st.merge(row.getDecimal(0), row.getLong(1))
+    }
+
+  /** Fold micro-batches into a running min (assoc+comm+idempotent, so
+    * re-delivered rows are harmless — fiat2's ACI class). */
+  def incrementalMin(batches: Seq[DataFrame], valueCol: Column): Option[Double] =
+    batches.foldLeft(Option.empty[Double]) { (st, b) =>
+      val v: Option[Double] = Option(b.agg(min(valueCol.cast("double")))
+        .head().get(0)).map(_.asInstanceOf[Double])
+      (st.toSeq ++ v.toSeq).reduceOption((a: Double, b: Double) => math.min(a, b))
+    }
+
+  /** Split a table into deterministic micro-batches by a modulus — stands in
+    * for the reference's CForeach-over-events arrival order
+    * (fiat2/src/fiat2/Ex_Sum.v:30). */
+  def microBatches(df: DataFrame, idCol: Column, n: Int): Seq[DataFrame] =
+    (0 until n).map(i => df.filter(pmod(idCol, lit(n)) === i))
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{GraftQuery, Tables}
+import graft.plans.Graph
+
+/** The reference's end-to-end example workloads (SURVEY.md §5), re-expressed
+  * over the TPC-H-ish tables: Ex_Orders (point lookup + aggregates), Ex_Sum
+  * (incremental sum), MinAgg (incremental min), Ex_Family (multi-hop
+  * self-join), Ex_Triangle (triple self-join with inequality), Ex_BFS
+  * (iterative frontier), Ex_Survey (join + rollup).
+  */
+object Workloads {
+  private val D = DecimalType(18, 2)
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(D)
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // Ex_Orders (fiat2/src/fiat2/Ex_Orders.v:54-120): per-customer point
+    // lookup + materialized sum/min aggregates. The o_custkey predicate is
+    // pushed to the parquet scan.
+    GraftQuery.sql("q_orders_lookup",
+      """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+        |  CAST(MIN(o_totalprice) AS DOUBLE) AS min_order,
+        |  COUNT(*) AS n_orders
+        |FROM orders WHERE o_custkey = 7""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders").filter($"o_custkey" === 7)
+        .agg(sum(dec($"o_totalprice")).cast("double").as("total_spent"),
+          min($"o_totalprice").cast("double").as("min_order"),
+          count(lit(1)).as("n_orders"))
+    },
+
+    // Dict index (fiat2/src/fiat2/DictIndexImpl.v:374-389): build a keyed
+    // cached index on events.user_id, then serve batched point lookups from
+    // it instead of rescanning the source.
+    GraftQuery.sql("q_dict_index_lookup",
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events WHERE user_id IN (1, 2, 3)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val idx = DictIndex.build(Tables.load(s, dir, "events"), "user_id")
+      val out = idx.lookupMany(Seq(1L, 2L, 3L))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"value")).cast("double").as("total"))
+        .orderBy("user_id")
+      out
+    },
+
+    // Ex_Sum IVM (fiat2/src/fiat2/SumAgg.v:150-155): events arrive in 10
+    // micro-batches; the sum/count merges partial aggregates per batch —
+    // no batch is ever re-scanned.
+    GraftQuery.sql("q_sum_ivm",
+      """SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  COUNT(*) AS n_events FROM events""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val events = Tables.load(s, dir, "events")
+      val st = Ivm.incrementalSum(
+        Ivm.microBatches(events, $"event_id", 10), $"value")
+      Seq((st.sum.doubleValue, st.count)).toDF("total_value", "n_events")
+    },
+
+    // MinAgg IVM (fiat2/src/fiat2/MinAgg.v:150-161): running min over the
+    // same micro-batches (ACI merge — idempotent under replay).
+    GraftQuery.sql("q_min_ivm",
+      "SELECT CAST(MIN(value) AS DOUBLE) AS min_value FROM events") { (s, dir) =>
+      import s.implicits._
+      val events = Tables.load(s, dir, "events")
+      val m = Ivm.incrementalMin(
+        Ivm.microBatches(events, $"event_id", 10), $"value")
+      Seq(m).toDF("min_value")
+    },
+
+    // Ex_Family (fiat2/src/fiat2/Ex_Family.v:74-86): grandchildren = two-hop
+    // join customer → orders → parts; shuffle join on the shared key.
+    GraftQuery.sql("q_family_2hop",
+      """SELECT o_custkey AS grandparent, COUNT(DISTINCT l_partkey) AS n_grandchildren
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY grandparent""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey".as("grandparent"))
+        .agg(countDistinct($"l_partkey").as("n_grandchildren"))
+        .orderBy("grandparent")
+    },
+
+    // Ex_Triangle (fiat2/src/fiat2/Ex_Triangle.v:99-111): triangle count by
+    // triple self-join with ordering predicate a<b<c on a bounded synthetic
+    // graph (keys mod 100 — node count fixed at any scale factor).
+    GraftQuery.sql("q_triangle",
+      """WITH e AS (SELECT DISTINCT l_orderkey % 100 AS a, l_partkey % 100 AS b
+        |           FROM lineitem WHERE l_orderkey % 100 < l_partkey % 100)
+        |SELECT COUNT(*) AS n_triangles
+        |FROM e e1, e e2, e e3
+        |WHERE e1.b = e2.a AND e1.a = e3.a AND e2.b = e3.b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "lineitem")
+        .select(($"l_orderkey" % 100).as("a"), ($"l_partkey" % 100).as("b"))
+        .filter($"a" < $"b").distinct().cache()
+      val e1 = e.select($"a".as("x"), $"b".as("y"))
+      val e2 = e.select($"a".as("y2"), $"b".as("z"))
+      val e3 = e.select($"a".as("x3"), $"b".as("z3"))
+      e1.join(e2, $"y" === $"y2")
+        .join(e3, $"x" === $"x3" && $"z" === $"z3")
+        .agg(count(lit(1)).as("n_triangles"))
+    },
+
+    // Ex_BFS (fiat2/src/fiat2/Ex_BFS.v:89-101): min-depth BFS from node 0 on
+    // the symmetrized mod-100 graph; oracle = recursive CTE.
+    GraftQuery.sql("q_bfs",
+      """WITH RECURSIVE
+        |  e AS (SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst FROM lineitem),
+        |  sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |  bfs AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+        |          UNION
+        |          SELECT sym.dst, d + 1 FROM bfs JOIN sym ON bfs.node = sym.src
+        |          WHERE d < 8)
+        |SELECT node, MIN(d) AS depth FROM bfs GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val edges = Tables.load(s, dir, "lineitem")
+        .select(($"l_orderkey" % 100).as("src"), ($"l_partkey" % 100).as("dst"))
+        .distinct()
+      Graph.bfs(Graph.symmetrize(edges), 0L).orderBy("node")
+    },
+
+    // Ex_Survey (fiat2/src/fiat2/Ex_Survey.v:30-38): star join customer →
+    // nation → region with rollup; both dimensions broadcast.
+    GraftQuery.sql("q_survey_rollup",
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.load(s, dir, "region")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec($"c_acctbal")).cast("double").as("total_bal"))
+        .orderBy("r_name")
+    },
+  )
+}

@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph algorithms over edge tables. The reference models graphs as edge
+  * tables and BFS as an imperative frontier loop mutating tables
+  * (fiat2/src/fiat2/Ex_BFS.v:42-101); here each iteration is a distributed
+  * join, with `localCheckpoint` truncating lineage so plan size stays O(1) in
+  * the number of iterations — essential for deep graphs at cluster scale.
+  */
+object Graph {
+
+  /** Make an edge set symmetric: (a,b) ∪ (b,a). Columns: src, dst. */
+  def symmetrize(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Min-depth BFS from `source`. Returns (node, depth), one row per node
+    * reachable from the source. Frontier-at-depth-d joins the edge table,
+    * anti-joins the visited set, repeats until the frontier is empty. The
+    * edge table is cached once; at cluster scale it should be pre-partitioned
+    * by src so every iteration's join reuses the same partitioning.
+    */
+  def bfs(symEdges: DataFrame, source: Long, maxIter: Int = 100): DataFrame = {
+    val spark = symEdges.sparkSession
+    import spark.implicits._
+    val edges = symEdges.toDF("src", "dst").cache()
+    var visited = Seq((source, 0L)).toDF("node", "depth").cache()
+    var frontier = visited
+    var depth = 0L
+    var done = false
+    while (!done && depth < maxIter) {
+      depth += 1
+      val next = frontier.join(edges, $"node" === $"src")
+        .select($"dst".as("node")).distinct()
+        .join(visited.select($"node".as("seen")), $"node" === $"seen", "left_anti")
+        .select($"node", lit(depth).as("depth"))
+        .localCheckpoint() // cut lineage; also decides emptiness below
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    edges.unpersist()
+    visited
+  }
+}
