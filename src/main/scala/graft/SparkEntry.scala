@@ -11,7 +11,12 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Scalars.queries ++
       operators.Collections.queries ++
-      operators.Workloads.queries
+      operators.Workloads.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.Multimodal.queries ++
+      streaming.StreamAgg.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GraftQuery, Tables}
+
+/** Deduplication for training-data pipelines: exact (hash group-by), n-gram
+  * Jaccard (shingle join), MinHash+LSH (shingle → minhash → band → bucket
+  * join), and SimHash (bit-vote fingerprint + banded hamming join).
+  *
+  * Scale notes: the exact and LSH paths shuffle by hash/bucket keys and never
+  * materialize the n² pair space — the shape that survives 100 TB. The plain
+  * shingle join (q_dedup_ngram_jaccard) is the exact baseline; at cluster
+  * scale hot shingles need a frequency cap (drop shingles appearing in > F
+  * docs — they only connect non-near-duplicates), which is what MinHash bands
+  * replace it with here.
+  */
+object Dedup {
+
+  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val idx = when(size(t) >= 3, sequence(lit(0), size(t) - 3))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col("doc_id"), explode(array_distinct(
+      transform(idx, i => concat_ws(" ", get(t, i), get(t, i + 1), get(t, i + 2)))))
+      .as("s"))
+  }
+
+  /** Exact Jaccard over candidate pairs (a < b) that share ≥1 shingle. */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("a"), col("s"))
+      .join(sh.select(col("doc_id").as("b"), col("s")), "s")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+  }
+
+  val minhashPerms = 16
+  val minhashBands = 4 // 4 rows per band
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // Exact dedup: hash-groupBy on content digest; keep the smallest doc_id.
+    GraftQuery.sql("q_dedup_exact",
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .groupBy(md5($"text"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select($"keep_id", $"n_copies")
+        .orderBy("keep_id")
+    },
+
+    // Exact n-gram Jaccard near-dup pairs (threshold 0.5 cleanly separates
+    // the planted near-duplicates from the ~0.0 noise floor).
+    GraftQuery.sql("q_dedup_ngram_jaccard",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a, b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val sh = shingles(Tables.load(s, dir, "documents"))
+      jaccardPairs(sh).filter(col("jaccard") >= 0.5).orderBy("a", "b")
+    },
+
+    // MinHash + LSH: per-doc signature = min over shingles of xxhash64(seed_i,
+    // shingle) for 16 seeds; 4 bands of 4 rows bucket-joined; candidates then
+    // verified with exact Jaccard. Only bucket-mates ever pair up — no n².
+    GraftQuery.rowsOnly("q_dedup_minhash") { (s, dir) =>
+      import s.implicits._
+      val sh = shingles(Tables.load(s, dir, "documents")).cache()
+      val sigExprs = (0 until minhashPerms)
+        .map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      val sigs = sh.groupBy($"doc_id")
+        .agg(sigExprs.head, sigExprs.tail: _*)
+      val rowsPerBand = minhashPerms / minhashBands
+      val bands = (0 until minhashBands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+        sigs.select($"doc_id", lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      }.reduce(_ union _)
+      val cands = bands.select($"doc_id".as("a"), $"band", $"bh")
+        .join(bands.select($"doc_id".as("b"), $"band", $"bh"), Seq("band", "bh"))
+        .filter($"a" < $"b").select($"a", $"b").distinct()
+      jaccardPairs(sh).join(cands, Seq("a", "b"))
+        .filter($"jaccard" >= 0.5).orderBy("a", "b")
+    },
+
+    // SimHash: 64-bit fingerprint by per-bit vote over token hashes; banded
+    // by 4×16-bit chunks so only chunk-equal pairs are hamming-checked.
+    GraftQuery.rowsOnly("q_dedup_simhash") { (s, dir) =>
+      import s.implicits._
+      val tok = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(toks($"text")).as("w"))
+        .select($"doc_id", xxhash64($"w").as("h"))
+      val bitVotes = (0 until 64).map(j =>
+        sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          .as(s"b$j"))
+      val sim = tok.groupBy($"doc_id")
+        .agg(bitVotes.head, bitVotes.tail: _*)
+        .select($"doc_id",
+          (0 until 64).map(j =>
+            when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+            .reduce(_.bitwiseOR(_)).as("simhash"))
+      val chunks = (0 until 4).map(c => sim.select($"doc_id", lit(c).as("chunk"),
+        shiftright($"simhash", c * 16).bitwiseAND(0xffffL).as("ch")))
+        .reduce(_ union _)
+      val cands = chunks.select($"doc_id".as("a"), $"chunk", $"ch")
+        .join(chunks.select($"doc_id".as("b"), $"chunk", $"ch"), Seq("chunk", "ch"))
+        .filter($"a" < $"b").select($"a", $"b").distinct()
+      cands
+        .join(sim.select($"doc_id".as("a"), $"simhash".as("sa")), "a")
+        .join(sim.select($"doc_id".as("b"), $"simhash".as("sb")), "b")
+        .select($"a", $"b", bit_count($"sa".bitwiseXOR($"sb")).cast("long").as("hamming"))
+        .filter($"hamming" <= 6).orderBy("a", "b")
+    },
+  )
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{GraftQuery, Tables}
+
+/** Similarity search over the embedding column. Brute-force cosine top-k is
+  * the exact baseline (query side broadcast, corpus side never shuffled);
+  * sign-LSH bucketing is the scale path — candidates meet only inside
+  * buckets, so the pair space is bucket-local instead of n².
+  *
+  * All float math is cast to double and folded sequentially (zip_with +
+  * aggregate), which is bit-identical to DuckDB's double-precision
+  * list_cosine_similarity — so even the top-k ORDER is oracle-checkable.
+  */
+object Similarity {
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  private def sumArr(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column =
+    sumArr(zip_with(a, b, (x, y) => x * y))
+
+  /** (vec_id, v, n2) with double vectors and squared norms. */
+  private def corpus(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n2", sumArr(transform(col("v"), x => x * x)))
+
+  /** Deterministic ±1 sign-plane component for (bit j, dim d). */
+  private def planeSign(j: Int, d: Column): Column =
+    when(xxhash64(lit(j), d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
+
+  /** 16-bit sign-LSH bucket of a double vector. */
+  def lshBucket(v: Column): Column =
+    (0 until 16).map { j =>
+      val proj = aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, d) => x * planeSign(j, d)), lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // Per-vector stats through the same sequential folds as the oracle.
+    GraftQuery.sql("q_embed_stats",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS norm2,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sq = transform(asDouble($"embedding"), x => x * x)
+      Tables.load(s, dir, "embeddings").select(
+        $"vec_id",
+        size($"embedding").cast("long").as("dim"),
+        aggregate(slice(sq, lit(2), size(sq) - 1), get(sq, lit(0)),
+          (a, b) => a + b).as("norm2"),
+        size(filter($"embedding", x => x > 0)).cast("long").as("n_pos"))
+        .orderBy("vec_id")
+    },
+
+    // Brute-force cosine top-10 for 5 query vectors: queries broadcast
+    // against the corpus, ranked per query. Exact baseline for ANN.
+    GraftQuery.sql("q_ann_topk",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |en AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en WHERE vec_id < 5),
+        |scored AS (SELECT qid, vec_id,
+        |             list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (a, b) -> a + b)
+        |               / sqrt(qn2 * n2) AS sim
+        |           FROM q, en WHERE vec_id != qid)
+        |SELECT qid, vec_id, sim, CAST(rnk AS BIGINT) AS rnk FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk FROM scored)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = corpus(Tables.load(s, dir, "embeddings"))
+      val q = e.select($"vec_id".as("qid"), $"v".as("qv"), $"n2".as("qn2"))
+        .filter($"qid" < 5)
+      val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (dot($"qv", $"v") / sqrt($"qn2" * $"n2")).as("sim"))
+      scored
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy($"qid")
+            .orderBy($"sim".desc, $"vec_id")).cast("long"))
+        .filter($"rnk" <= 10)
+        .select($"qid", $"vec_id", $"sim", $"rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    // Scale path: sign-LSH bucketing; exact cosine only within buckets, then
+    // near-dup pairs above threshold. Bucket key join — never n² pairs.
+    GraftQuery.rowsOnly("q_ann_lsh_pairs") { (s, dir) =>
+      import s.implicits._
+      val e = corpus(Tables.load(s, dir, "embeddings"))
+        .withColumn("bucket", lshBucket($"v")).cache()
+      val a = e.select($"vec_id".as("a"), $"v".as("va"), $"n2".as("na"), $"bucket")
+      val b = e.select($"vec_id".as("b"), $"v".as("vb"), $"n2".as("nb"), $"bucket")
+      a.join(b, Seq("bucket")).filter($"a" < $"b")
+        .select($"a", $"b", (dot($"va", $"vb") / sqrt($"na" * $"nb")).as("cosine"))
+        .filter($"cosine" >= 0.2)
+        .orderBy("a", "b")
+    },
+
+    // Embedding-cosine near-dup scan of a bounded candidate batch (vec_id <
+    // 500) against the full corpus — the incremental-ingest dedup shape.
+    GraftQuery.rowsOnly("q_dedup_embedding") { (s, dir) =>
+      import s.implicits._
+      val e = corpus(Tables.load(s, dir, "embeddings"))
+      val cand = e.filter($"vec_id" < 500)
+        .select($"vec_id".as("a"), $"v".as("va"), $"n2".as("na"))
+      val scored = e.join(broadcast(cand), $"a" < $"vec_id")
+        .select($"a", $"vec_id".as("b"),
+          (dot($"va", $"v") / sqrt($"na" * $"n2")).as("cosine"))
+      scored.filter($"cosine" >= 0.35).orderBy("a", "b")
+    },
+  )
+}

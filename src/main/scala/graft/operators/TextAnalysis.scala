@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core.{GraftQuery, Tables}
+
+/** Text analysis for training-data pipelines: token counting (whitespace +
+  * BPE-ish regex), quality scoring (punctuation/stopword ratios), language ID
+  * (marker-token scoring), and document fingerprinting (md5 + rolling hash).
+  * Everything is codegen'd Column expressions over `documents`; the DuckDB
+  * oracles spell out the identical computation.
+  */
+object TextAnalysis {
+
+  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Marker vocabularies for language scoring. The synthetic corpus shares
+    * one vocabulary across langs, so these act as a deterministic scoring
+    * demo (the machinery, not a trained model): score = marker hits, argmax
+    * with fixed tie order.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("table", "row", "query", "fast", "value"),
+    "de" -> Seq("spark", "agg", "join", "stream"),
+    "es" -> Seq("data", "column", "part", "scan"),
+    "fr" -> Seq("filter", "merge", "window", "batch"),
+    "zh" -> Seq("key", "hash", "order", "small", "big"))
+
+  private val bpeIsh = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery.sql("q_text_stats",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '$bpeIsh')) AS BIGINT) AS n_subtokens,
+         |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |       w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+         |    / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val t = toks($"text")
+      Tables.load(s, dir, "documents").select(
+        $"doc_id",
+        size(t).cast("long").as("n_tokens"),
+        size(regexp_extract_all(lower($"text"), lit(bpeIsh), lit(0)))
+          .cast("long").as("n_subtokens"),
+        length(regexp_replace($"text", "[^.,;:!?]", "")).cast("long").as("n_punct"),
+        (size(filter(t, w => w.isin(stopwords: _*))).cast("double") / size(t))
+          .as("stop_ratio"))
+        .orderBy("doc_id")
+    },
+
+    GraftQuery.sql("q_lang_id", {
+      val scoreCols = langMarkers.map { case (l, ms) =>
+        s"""CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+           |  w -> w IN (${ms.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_$l""".stripMargin
+      }.mkString(",\n  ")
+      val langs = langMarkers.map(_._1)
+      val pred = langs.init.map { l =>
+        val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $geAll THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+         |  CASE $pred ELSE '${langs.last}' END AS pred_lang
+         |FROM (SELECT doc_id, $scoreCols FROM documents) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = toks($"text")
+      val scored = Tables.load(s, dir, "documents").select(
+        ($"doc_id" +: langMarkers.map { case (l, ms) =>
+          size(filter(t, w => w.isin(ms: _*))).cast("long").as(s"s_$l")
+        }): _*)
+      val langs = langMarkers.map(_._1)
+      val pred = langs.init.foldRight(lit(langs.last)) { (l, els) =>
+        val geAll = langs.filter(_ != l)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(geAll, lit(l)).otherwise(els)
+      }
+      scored.withColumn("pred_lang", pred).orderBy("doc_id")
+    },
+
+    // Fingerprints: md5, first-8-bytes hex, and an order-sensitive rolling
+    // hash folded over the token stream (seeded by the first token's code) —
+    // Spark `aggregate` ≡ DuckDB `list_reduce`, both strict left folds.
+    GraftQuery.sql("q_fingerprint",
+      """SELECT doc_id, md5(text) AS fp_md5,
+        |  upper(hex(encode(substr(text, 1, 8)))) AS head_hex,
+        |  CAST(list_reduce(
+        |    list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                   w -> unicode(w) * 31 + length(w)),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS fp_roll
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val codes = transform(toks($"text"),
+        w => (ascii(w) * 31 + length(w)).cast("long"))
+      Tables.load(s, dir, "documents").select(
+        $"doc_id",
+        md5($"text").as("fp_md5"),
+        upper(hex(encode(substring($"text", 1, 8), "utf-8"))).as("head_hex"),
+        aggregate(slice(codes, lit(2), size(codes) - 1), get(codes, lit(0)),
+          (a, b) => (a * 131 + b) % 1000000007L).as("fp_roll"))
+        .orderBy("doc_id")
+    },
+  )
+}

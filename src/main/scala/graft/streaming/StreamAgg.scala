@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{GraftQuery, Tables}
+
+/** Structured Streaming layer. The reference's streaming idiom is a CForeach
+  * over an event list with incrementally-maintained aggregates
+  * (fiat2/src/fiat2/Ex_Sum.v:30; SURVEY.md §2.10); the idiomatic Spark
+  * equivalent is readStream → windowed stateful aggregation → sink. Here the
+  * finite events parquet drives the stream to completion and the final state
+  * is compared against a batch oracle — the IVM correctness statement.
+  */
+object StreamAgg {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery.sql("q_stream_window",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // Batch read once for the (nanos-as-long) schema, then stream the same
+      // file through a windowed aggregation into an in-memory sink.
+      val schema = Tables.load(s, dir, "events").schema
+      // The file-stream source needs a directory to watch; expose the single
+      // events file through a temp dir (the arrival directory of a real feed).
+      val watchDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+      val link = watchDir.resolve("events.parquet")
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(watchDir.toString)
+      val agg = stream
+        .withColumn("tstamp", Tables.tsCol($"ts"))
+        .groupBy(window($"tstamp", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(18, 2))).cast("double").as("total"))
+        .select($"window.start".as("window_start"), $"event_type", $"n", $"total")
+      val sink = s"graft_stream_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("window_start", "event_type")
+    },
+  )
+}
