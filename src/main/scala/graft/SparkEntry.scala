@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
-      streaming.StreamAgg.queries
+      streaming.StreamAgg.queries ++
+      lang.LangQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,305 @@
+package graft.lang
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Fiat2
+
+/** Compiles `Lang` expressions to Spark plans. Two levels, mirroring the
+  * reference's table/value split (tables are list-of-record globals,
+  * fiat2/src/fiat2/Language.v:214):
+  *
+  *  - value level → `Column` expression trees (codegen'd, never UDFs);
+  *  - table level → `DataFrame` logical plans, so filters/joins/projections
+  *    become relational operators that Catalyst optimizes — the rewrites the
+  *    reference proves by hand (SURVEY.md §4.2) fall out of `PushDownPredicates`,
+  *    `ColumnPruning`, `ReorderJoin`, etc.
+  *
+  * Table DataFrame convention: record elements → one column per (name-sorted)
+  * field; scalar elements → a single column named `value`.
+  */
+object Compiler {
+  import Lang._
+
+  sealed trait Val
+  final case class CV(c: Column) extends Val
+  final case class TV(df: DataFrame) extends Val
+
+  final case class Env(vars: Map[String, Val], store: Map[String, DataFrame],
+      spark: SparkSession) {
+    def bind(x: String, v: Val): Env = copy(vars = vars + (x -> v))
+  }
+
+  def sparkType(t: FType): DataType = t match {
+    case TWord | TInt => LongType
+    case TBool => BooleanType
+    case TString => StringType
+    case TUnit => NullType
+    case TOption(u) => sparkType(u)
+    case TList(u) => ArrayType(sparkType(u))
+    case TBag(u) => ArrayType(sparkType(u))
+    case TSet(u) => ArrayType(sparkType(u))
+    case TDict(k, v) => ArrayType(StructType(Seq(
+      StructField("key", sparkType(k)), StructField("value", sparkType(v)))))
+    case TRecord(fs) => StructType(
+      fs.sortBy(_._1).map { case (n, u) => StructField(n, sparkType(u)) })
+  }
+
+  /** Row variable of a table as a (name-sorted) struct; Catalyst's
+    * SimplifyExtractValueOps collapses `struct(cols).field` back to the
+    * column, so pushdown/pruning still reach the scan. */
+  private def rowStruct(df: DataFrame): Column = {
+    val cols = df.columns.sorted
+    if (cols.sameElements(Array("value"))) df.col("value")
+    else struct(cols.map(c => df.col(c).as(c)): _*)
+  }
+
+  /** Evaluate a row-free scalar expression eagerly (for CIf conditions and
+    * table-length reads — the reference interpreter is equally eager,
+    * fiat2/src/fiat2/Interpret.v:515-518). */
+  def evalScalar(env: Env, c: Column): Any =
+    env.spark.range(1).select(c.as("v")).head().get(0)
+
+  /** Flatten a per-row result expression into table columns. */
+  private def flattenResult(df: DataFrame, res: Column): DataFrame = {
+    val probe = df.select(res.as("__res"))
+    probe.schema.head.dataType match {
+      case st: StructType =>
+        probe.select(st.fieldNames.map(f => col("__res")(f).as(f)): _*)
+      case _ => probe.select(col("__res").as("value"))
+    }
+  }
+
+  private def asCV(v: Val): Column = v match {
+    case CV(c) => c
+    case TV(_) => throw new IllegalArgumentException(
+      "table value where a scalar/nested value was expected")
+  }
+
+  def compile(e: Expr, env: Env): Val = e match {
+    case EVar(x) => env.vars.getOrElse(x,
+      throw new NoSuchElementException(s"unbound variable $x"))
+    case ELoc(x) => TV(env.store.getOrElse(x,
+      throw new NoSuchElementException(s"unbound table $x")))
+
+    case EAtom(a) => CV(a match {
+      case AWord(v) => lit(v)
+      case AInt(v) => lit(v)
+      case ABool(v) => lit(v)
+      case AString(v) => lit(v)
+      case ANil(t) => array().cast(ArrayType(sparkType(t)))
+      case ANone(t) => lit(null).cast(sparkType(t))
+      case AEmptyDict(k, v) => array().cast(sparkType(TDict(k, v)))
+      case AEmptyBag(t) => array().cast(ArrayType(sparkType(t)))
+      case AEmptySet(t) => array().cast(ArrayType(sparkType(t)))
+      case AUnit => lit(null)
+    })
+
+    case EUnop(op, e1) => (op, compile(e1, env)) match {
+      case (OLength, TV(df)) => CV(lit(df.count())) // eager, like the interp
+      case (OLength, CV(c)) => CV(size(c).cast("long"))
+      case (OWNeg | ONeg, v) => CV(-asCV(v))
+      case (ONot, v) => CV(!asCV(v))
+      case (OLengthString, v) => CV(length(asCV(v)).cast("long"))
+      case (OIntToString, v) => CV(asCV(v).cast("string"))
+      case (OSome, v) => CV(asCV(v)) // nullable wrap is a no-op
+    }
+
+    case EBinop(op, e1, e2) => compileBinop(op, e1, e2, env)
+
+    case ETernop(OInsert, d, k, v) =>
+      CV(Fiat2.dictInsert(asCV(compile(d, env)), asCV(compile(k, env)),
+        asCV(compile(v, env))))
+
+    case EIf(c, t, f) => (compile(t, env), compile(f, env)) match {
+      case (CV(tc), CV(fc)) => CV(when(asCV(compile(c, env)), tc).otherwise(fc))
+      case (tv, fv) => // table-valued branches: decide eagerly on the driver
+        if (evalScalar(env, asCV(compile(c, env))).asInstanceOf[Boolean]) tv
+        else fv
+    }
+
+    case ELet(e1, x, e2) => compile(e2, env.bind(x, compile(e1, env)))
+
+    case ERecord(fields) =>
+      CV(Fiat2.record(fields.map { case (n, fe) =>
+        n -> asCV(compile(fe, env)) }: _*))
+
+    case EAccess(r, f) => CV(asCV(compile(r, env))(f))
+
+    case EOptMatch(e1, none, x, some) =>
+      val c = asCV(compile(e1, env))
+      CV(Fiat2.optMatch(c, asCV(compile(none, env)),
+        v => asCV(compile(some, env.bind(x, CV(v))))))
+
+    case EDictFold(d, z, k, v, acc, step) =>
+      CV(aggregate(asCV(compile(d, env)), asCV(compile(z, env)),
+        (a, entry) => asCV(compile(step,
+          env.bind(k, CV(entry("key"))).bind(v, CV(entry("value")))
+            .bind(acc, CV(a))))))
+
+    case ESort(_, l) => compile(l, env) match {
+      case TV(df) => TV(df.orderBy(df.columns.sorted.map(col): _*))
+      case CV(c) => CV(array_sort(c))
+    }
+
+    case EFilter(_, l, x, p) => compile(l, env) match {
+      case TV(df) =>
+        TV(df.filter(asCV(compile(p, env.bind(x, CV(rowStruct(df)))))))
+      case CV(c) =>
+        CV(filter(c, v => asCV(compile(p, env.bind(x, CV(v))))))
+    }
+
+    case EJoin(_, l1, l2, x, y, p, r) =>
+      (compile(l1, env), compile(l2, env)) match {
+        case (TV(d1), TV(d2)) =>
+          val pred = asCV(compile(p,
+            env.bind(x, CV(rowStruct(d1))).bind(y, CV(rowStruct(d2)))))
+          val res = asCV(compile(r,
+            env.bind(x, CV(rowStruct(d1))).bind(y, CV(rowStruct(d2)))))
+          flattenResult(d1.join(d2, pred, "inner"), res)
+          match { case df => TV(df) }
+        case (v1, v2) => // nested-array nested-loop join, fused projection
+          val a1 = asCV(v1); val a2 = asCV(v2)
+          CV(flatten(transform(a1, xv =>
+            transform(
+              filter(a2, yv => asCV(compile(p,
+                env.bind(x, CV(xv)).bind(y, CV(yv))))),
+              yv => asCV(compile(r, env.bind(x, CV(xv)).bind(y, CV(yv))))))))
+      }
+
+    case EProj(_, l, x, r) => compile(l, env) match {
+      case TV(df) =>
+        val res = asCV(compile(r, env.bind(x, CV(rowStruct(df)))))
+        TV(flattenResult(df, res))
+      case CV(c) =>
+        CV(transform(c, v => asCV(compile(r, env.bind(x, CV(v))))))
+    }
+
+    case EFlatmap(_, e1, x, e2) => compile(e1, env) match {
+      case TV(df) =>
+        val body = compile(e2, env.bind(x, CV(rowStruct(df))))
+        body match {
+          case CV(arr) => // per-row list → explode
+            TV(flattenExploded(df, arr))
+          case TV(inner) => // row-independent table body → cross product
+            TV(df.crossJoin(inner))
+        }
+      case CV(c) =>
+        CV(flatten(transform(c,
+          v => asCV(compile(e2, env.bind(x, CV(v)))))))
+    }
+
+    case EFlatmap2(e1, e2, x1, x2, e3) =>
+      // lockstep zip, stopping at the SHORTER list (flat_map2,
+      // fiat2/src/fiat2/Interpret.v:7-11) — zip_with pads with null, so slice
+      // both sides to the common length first.
+      val a1 = asCV(compile(e1, env)); val a2 = asCV(compile(e2, env))
+      val n = least(size(a1), size(a2))
+      CV(flatten(zip_with(slice(a1, lit(1), n), slice(a2, lit(1), n),
+        (v1, v2) => asCV(compile(e3, env.bind(x1, CV(v1)).bind(x2, CV(v2)))))))
+
+    case EFold(l, z, x, acc, step) => compile(l, env) match {
+      case CV(c) =>
+        CV(aggregate(c, asCV(compile(z, env)),
+          (a, v) => asCV(compile(step, env.bind(x, CV(v)).bind(acc, CV(a))))))
+      case TV(df) =>
+        // General fold over a table is inherently sequential (SURVEY.md §7);
+        // localize it: collect to an array literal, then fold as a value.
+        val rows = df.limit(10001).collect()
+        require(rows.length <= 10000,
+          "EFold over a table >10k rows — use EACFold/EACIFold (parallel " +
+            "aggregation) or restructure; a sequential fold cannot scale")
+        val cols = df.columns.sorted
+        val elems = rows.map { row =>
+          if (cols.sameElements(Array("value"))) lit(row.getAs[Any]("value"))
+          else struct(cols.map(c => lit(row.getAs[Any](c)).as(c)): _*)
+        }
+        val arr = if (elems.isEmpty) array().cast(ArrayType(
+          if (cols.sameElements(Array("value"))) df.schema("value").dataType
+          else StructType(cols.map(c => df.schema(c)))))
+        else array(elems.toIndexedSeq: _*)
+        CV(aggregate(arr, asCV(compile(z, env)),
+          (a, v) => asCV(compile(step, env.bind(x, CV(v)).bind(acc, CV(a))))))
+    }
+
+    case EACFold(agg, e1) => (agg, compile(e1, env)) match {
+      case (AGSum, TV(df)) => TV(df.agg(coalesce(sum(col("value")), lit(0L))
+        .as("value")))
+      case (AGCount, TV(df)) => TV(df.agg(count(lit(1)).as("value")))
+      case (AGSum, CV(c)) => CV(aggregate(c, lit(0L), (a, v) => a + v))
+      case (AGCount, CV(c)) => CV(size(c).cast("long"))
+    }
+
+    case EACIFold(agg, e1) => (agg, compile(e1, env)) match {
+      case (AGMin, TV(df)) => TV(df.agg(min(col("value")).as("value")))
+      case (AGMax, TV(df)) => TV(df.agg(max(col("value")).as("value")))
+      case (AGMin, CV(c)) => CV(array_min(c))
+      case (AGMax, CV(c)) => CV(array_max(c))
+    }
+
+    case EBagOf(l) => compile(l, env) match {
+      case TV(df) => TV(df) // DataFrames are bags natively
+      case CV(c) => CV(array_sort(c)) // canonical nested bag
+    }
+    case ESetOf(l) => compile(l, env) match {
+      case TV(df) => TV(df.distinct())
+      case CV(c) => CV(Fiat2.setOfArray(c))
+    }
+  }
+
+  private def flattenExploded(df: DataFrame, arr: Column): DataFrame = {
+    val probe = df.select(explode(arr).as("__elem"))
+    probe.schema.head.dataType match {
+      case st: StructType =>
+        probe.select(st.fieldNames.map(f => col("__elem")(f).as(f)): _*)
+      case _ => probe.select(col("__elem").as("value"))
+    }
+  }
+
+  private def compileBinop(op: Binop, e1: Expr, e2: Expr, env: Env): Val = {
+    lazy val v1 = compile(e1, env)
+    lazy val v2 = compile(e2, env)
+    op match {
+      case OPlus => CV(asCV(v1) + asCV(v2))
+      case OMinus => CV(asCV(v1) - asCV(v2))
+      case OTimes => CV(asCV(v1) * asCV(v2))
+      case ODiv => CV(Fiat2.ediv(asCV(v1), asCV(v2)))
+      case OMod => CV(Fiat2.emod(asCV(v1), asCV(v2)))
+      case OAnd => CV(asCV(v1) && asCV(v2))
+      case OOr => CV(asCV(v1) || asCV(v2))
+      case OConcatString => CV(concat(asCV(v1), asCV(v2)))
+      case OLess => CV(asCV(v1) < asCV(v2))
+      case OEq => CV(asCV(v1) === asCV(v2))
+      case ORange => CV(Fiat2.rangeList(asCV(v1), asCV(v2)))
+      case OLookup => CV(Fiat2.dictLookup(asCV(v1), asCV(v2)))
+      case ODelete => CV(Fiat2.dictDelete(asCV(v1), asCV(v2)))
+      case OConcat => (v1, v2) match {
+        case (TV(d1), TV(d2)) => TV(d1.union(d2))
+        case (a, b) => CV(concat(asCV(a), asCV(b)))
+      }
+      case OCons => (v1, v2) match {
+        case (elem, TV(df)) => TV(consRow(asCV(elem), df))
+        case (a, b) => CV(concat(array(asCV(a)), asCV(b)))
+      }
+      case OBagInsert => (v1, v2) match {
+        case (elem, TV(df)) => TV(consRow(asCV(elem), df))
+        case (a, b) => CV(array_sort(concat(asCV(b), array(asCV(a)))))
+      }
+      case OSetInsert => (v1, v2) match {
+        case (elem, TV(df)) => TV(consRow(asCV(elem), df).distinct())
+        case (a, b) => CV(Fiat2.setInsert(asCV(b), asCV(a)))
+      }
+    }
+  }
+
+  /** fiat2's INSERT: `cons` a record onto a table (SURVEY.md §4.3). */
+  private def consRow(elem: Column, df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cols = df.columns.sorted
+    val one =
+      if (cols.sameElements(Array("value")))
+        spark.range(1).select(elem.as("value"))
+      else spark.range(1).select(cols.map(c => elem(c).as(c)): _*)
+    one.select(df.columns.map(col): _*).union(df)
+  }
+}

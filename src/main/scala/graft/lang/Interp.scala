@@ -1,0 +1,85 @@
+package graft.lang
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-side interpreter for the command layer
+  * (fiat2/src/fiat2/Interpret.v:501-524): commands sequence table mutations;
+  * every table-valued expression inside them compiles to a distributed plan
+  * via `Compiler`. `CForeach` collects the (small) iteration list to the
+  * driver and loops — the reference's event-loop idiom (SURVEY.md §2.11) —
+  * while per-iteration work stays distributed.
+  */
+object Interp {
+  import Lang._
+  import Compiler._
+
+  /** Run a command, returning the final store. */
+  def run(c: Command, env: Env): Env = c match {
+    case CSkip => env
+    case CSeq(c1, c2) => run(c2, run(c1, env))
+
+    case CLet(e, x, body) => // immutable binding (Interpret.v:507-509)
+      val saved = env.vars.get(x)
+      val after = run(body, env.bind(x, compile(e, env)))
+      saved match {
+        case Some(v) => after.bind(x, v)
+        case None => after.copy(vars = after.vars - x)
+      }
+
+    case CLetMut(e, x, body) => // scoped mutable table (Interpret.v:510-513)
+      val saved = env.store.get(x)
+      val init = toDF(compile(e, env), env)
+      val after = run(body, env.copy(store = env.store + (x -> init)))
+      saved match {
+        case Some(df) => after.copy(store = after.store + (x -> df))
+        case None => after.copy(store = after.store - x)
+      }
+
+    case CAssign(x, e) =>
+      env.copy(store = env.store + (x -> toDF(compile(e, env), env)))
+
+    case CIf(e, c1, c2) =>
+      val cond = evalScalar(env, asBoolCol(compile(e, env)))
+        .asInstanceOf[Boolean]
+      run(if (cond) c1 else c2, env)
+
+    case CForeach(e, x, body) => // driver event loop (Interpret.v:519-523)
+      val df = toDF(compile(e, env), env)
+      val cols = df.columns.sorted
+      df.collect().foldLeft(env) { (acc, row) =>
+        val bound =
+          if (cols.sameElements(Array("value")))
+            CV(lit(row.getAs[Any]("value")))
+          else CV(struct(cols.map(c => lit(row.getAs[Any](c)).as(c)): _*))
+        // x is scoped to the body; restore afterwards
+        val after = run(body, acc.bind(x, bound))
+        acc.vars.get(x) match {
+          case Some(v) => after.bind(x, v)
+          case None => after.copy(vars = after.vars - x)
+        }
+      }
+  }
+
+  private def asBoolCol(v: Val) = v match {
+    case CV(c) => c
+    case TV(_) => throw new IllegalArgumentException("table used as condition")
+  }
+
+  /** Materialize an expression result as a table DataFrame. */
+  def toDF(v: Val, env: Env): DataFrame = v match {
+    case TV(df) => df
+    case CV(c) => // array value → table of its elements; scalar → 1-row table
+      val probe = env.spark.range(1).select(c.as("v"))
+      probe.schema.head.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          val ex = probe.select(explode(col("v")).as("__elem"))
+          ex.schema.head.dataType match {
+            case st: org.apache.spark.sql.types.StructType =>
+              ex.select(st.fieldNames.map(f => col("__elem")(f).as(f)): _*)
+            case _ => ex.select(col("__elem").as("value"))
+          }
+        case _ => probe.select(col("v").as("value"))
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.lang
+
+import org.apache.spark.sql.functions._
+import graft.core.{GraftQuery, Tables}
+
+/** End-to-end programs written in the `Lang` AST, compiled by `Compiler` /
+  * run by `Interp`, proving the language layer against the same DuckDB
+  * oracles as the direct DataFrame queries.
+  */
+object LangQueries {
+  import Lang._
+  import Compiler._
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // Ex_Employee (fiat2/src/fiat2/Ex_Employee.v:23-27) as an AST program:
+    // join suppliers to nations, project {emp,dept}, sort.
+    GraftQuery.sql("q_lang_employee",
+      """SELECT s_name AS emp_name, n_name AS dept_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY dept_name, emp_name""".stripMargin) { (s, dir) =>
+      val prog = ESort(LikeList, EJoin(LikeBag,
+        ELoc("supplier"), ELoc("nation"), "e", "d",
+        EBinop(OEq, EAccess(EVar("e"), "s_nationkey"),
+          EAccess(EVar("d"), "n_nationkey")),
+        ERecord(List(
+          "emp_name" -> EAccess(EVar("e"), "s_name"),
+          "dept_name" -> EAccess(EVar("d"), "n_name")))))
+      val env = Env(Map.empty, Map(
+        "supplier" -> Tables.load(s, dir, "supplier"),
+        "nation" -> Tables.load(s, dir, "nation")), s)
+      compile(prog, env).asInstanceOf[TV].df
+    },
+
+    // filter → project → AC-fold sum as an AST program; the filter predicate
+    // reaches the parquet scan through the compiled plan.
+    GraftQuery.sql("q_lang_agg",
+      """SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin) { (s, dir) =>
+      val prog = EACFold(AGSum, EProj(LikeBag,
+        EFilter(LikeBag, ELoc("lineitem"), "l",
+          EBinop(OEq, EAccess(EVar("l"), "l_returnflag"), EAtom(AString("R")))),
+        "l", EAccess(EVar("l"), "l_qty")))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("l_qty"))
+      val env = Env(Map.empty, Map("lineitem" -> li), s)
+      compile(prog, env).asInstanceOf[TV].df
+        .select(col("value").as("total_qty"))
+    },
+
+    // Command layer: CLetMut + CForeach + CAssign/OCons — the reference's
+    // event-loop idiom (fiat2/src/fiat2/Ex_Orders.v:54): for each key in a
+    // literal list, count matching events and cons the result onto an output
+    // table.
+    GraftQuery.sql("q_lang_command",
+      """SELECT CAST(user_id AS BIGINT) AS k, COUNT(*) AS n
+        |FROM events WHERE user_id IN (1, 2, 3)
+        |GROUP BY user_id ORDER BY k""".stripMargin) { (s, dir) =>
+      val keys = List(1L, 2L, 3L).foldRight[Expr](EAtom(ANil(TInt))) {
+        (k, acc) => EBinop(OCons, EAtom(AInt(k)), acc)
+      }
+      val countFor = (k: Expr) => EUnop(OLength,
+        EFilter(LikeBag, ELoc("events"), "ev",
+          EBinop(OEq, EAccess(EVar("ev"), "user_id"), k)))
+      val prog = CLetMut(
+        EAtom(ANil(TRecord.sorted("k" -> TInt, "n" -> TInt))), "out",
+        CSeq(
+          CForeach(keys, "kv",
+            CAssign("out", EBinop(OCons,
+              ERecord(List("k" -> EVar("kv"), "n" -> countFor(EVar("kv")))),
+              ELoc("out")))),
+          CAssign("result", ELoc("out"))))
+      val events = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"))
+      val env = Env(Map.empty, Map("events" -> events), s)
+      Interp.run(prog, env).store("result").orderBy("k")
+    },
+  )
+}

@@ -29,19 +29,43 @@ object Dedup {
       .as("s"))
   }
 
-  /** Exact Jaccard over candidate pairs (a < b) that share ≥1 shingle. */
+  /** Exact Jaccard over candidate pairs (a < b) that share ≥1 shingle.
+    * Pairs are generated WITHIN each shingle's doc-id group (one groupBy
+    * shuffle, pairs emitted map-side after it) instead of a self-join —
+    * the self-join shuffles the posting list twice and was ~4× slower.
+    */
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("a"), col("s"))
-      .join(sh.select(col("doc_id").as("b"), col("s")), "s")
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val ds = col("ds")
+    val combos = flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + 2, size(ds)),
+        y => struct(x.as("a"), y.as("b")))))
+    val inter = sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
+  }
+
+  /** Exact Jaccard for an explicit (small) candidate-pair set: join each side
+    * to the per-doc shingle set, intersect in-memory — never the full pair
+    * space. This is the LSH verification step.
+    */
+  private def jaccardForCandidates(sh: DataFrame, cands: DataFrame): DataFrame = {
+    val docSets = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
+    cands
+      .join(docSets.select(col("doc_id").as("a"), col("ss").as("sa")), "a")
+      .join(docSets.select(col("doc_id").as("b"), col("ss").as("sb")), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          (size(col("sa")) + size(col("sb")) -
+            size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
   }
 
   val minhashPerms = 16
@@ -96,7 +120,7 @@ object Dedup {
       val cands = bands.select($"doc_id".as("a"), $"band", $"bh")
         .join(bands.select($"doc_id".as("b"), $"band", $"bh"), Seq("band", "bh"))
         .filter($"a" < $"b").select($"a", $"b").distinct()
-      jaccardPairs(sh).join(cands, Seq("a", "b"))
+      jaccardForCandidates(sh, cands)
         .filter($"jaccard" >= 0.5).orderBy("a", "b")
     },
 

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lang._
+import graft.lang.Lang._
+import graft.lang.Compiler._
+
+/** Language-layer semantics against hand-computed expectations — the
+  * ScalaCheck-style analog of the reference's per-operator `preserve_sem`
+  * lemmas (SURVEY.md §5).
+  */
+class CompilerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def env = Env(Map.empty, Map.empty, spark)
+  private def evalv(e: Expr): Any =
+    spark.range(1).select(asColumn(compile(e, env)).as("v")).head().get(0)
+  private def asColumn(v: Val) = v.asInstanceOf[CV].c
+  private def listOf(xs: Long*): Expr =
+    xs.foldRight[Expr](EAtom(ANil(TInt)))((x, acc) =>
+      EBinop(OCons, EAtom(AInt(x)), acc))
+
+  test("nested filter/proj/fold over a literal list") {
+    // fold(+) over map(*2) of filter(>2) of [1..5] = (3+4+5)*2 = 24
+    val prog = EFold(
+      EProj(LikeList,
+        EFilter(LikeList, listOf(1, 2, 3, 4, 5), "x",
+          EBinop(OLess, EAtom(AInt(2)), EVar("x"))),
+        "x", EBinop(OTimes, EVar("x"), EAtom(AInt(2)))),
+      EAtom(AInt(0)), "x", "acc", EBinop(OPlus, EVar("acc"), EVar("x")))
+    assert(evalv(prog) === 24L)
+  }
+
+  test("EFlatmap2 stops at the shorter list (Interpret.v:7-11)") {
+    // zip [1,2,3] [10,20] with (x+y) singleton → [11, 22]
+    val prog = EFlatmap2(listOf(1, 2, 3), listOf(10, 20), "x", "y",
+      EBinop(OCons, EBinop(OPlus, EVar("x"), EVar("y")), EAtom(ANil(TInt))))
+    assert(evalv(prog) === Seq(11L, 22L))
+  }
+
+  test("nested join with fused projection (nested-loop semantics)") {
+    // join [1,2] [2,3] on x==y emit x*10+y → [22]
+    val prog = EJoin(LikeList, listOf(1, 2), listOf(2, 3), "x", "y",
+      EBinop(OEq, EVar("x"), EVar("y")),
+      EBinop(OPlus, EBinop(OTimes, EVar("x"), EAtom(AInt(10))), EVar("y")))
+    assert(evalv(prog) === Seq(22L))
+  }
+
+  test("EOptMatch on none/some") {
+    val some = EOptMatch(EUnop(OSome, EAtom(AInt(5))),
+      EAtom(AInt(-1)), "x", EBinop(OPlus, EVar("x"), EAtom(AInt(1))))
+    val none = EOptMatch(EAtom(ANone(TInt)),
+      EAtom(AInt(-1)), "x", EBinop(OPlus, EVar("x"), EAtom(AInt(1))))
+    assert(evalv(some) === 6L)
+    assert(evalv(none) === -1L)
+  }
+
+  test("ESetOf dedups+sorts, EACIFold min/max, EDictFold over entries") {
+    val set = ESetOf(listOf(3, 1, 3, 2, 1))
+    assert(evalv(set) === Seq(1L, 2L, 3L))
+    assert(evalv(EACIFold(AGMin, set)) === 1L)
+    assert(evalv(EACIFold(AGMax, set)) === 3L)
+    assert(evalv(EACIFold(AGMin, EAtom(ANil(TInt)))) === null) // None on empty
+    val dict = ETernop(OInsert,
+      ETernop(OInsert, EAtom(AEmptyDict(TInt, TInt)),
+        EAtom(AInt(1)), EAtom(AInt(10))),
+      EAtom(AInt(2)), EAtom(AInt(20)))
+    val folded = EDictFold(dict, EAtom(AInt(0)), "k", "v", "acc",
+      EBinop(OPlus, EVar("acc"), EBinop(OPlus, EVar("k"), EVar("v"))))
+    assert(evalv(folded) === 33L)
+  }
+
+  test("table-level pipeline: filter/join/proj/sort compile to a DataFrame") {
+    val emp = Seq((1L, "ann", 10L), (2L, "bob", 20L), (3L, "cy", 10L))
+      .toDF("id", "name", "dept")
+    val dep = Seq((10L, "eng"), (20L, "ops")).toDF("did", "dname")
+    val prog = ESort(LikeList, EJoin(LikeBag, ELoc("emp"), ELoc("dep"),
+      "e", "d", EBinop(OEq, EAccess(EVar("e"), "dept"), EAccess(EVar("d"), "did")),
+      ERecord(List("n" -> EAccess(EVar("e"), "name"),
+        "g" -> EAccess(EVar("d"), "dname")))))
+    val out = compile(prog,
+      Env(Map.empty, Map("emp" -> emp, "dep" -> dep), spark))
+      .asInstanceOf[TV].df
+    assert(out.collect().map(r => (r.getString(1), r.getString(0))).toSeq ===
+      Seq(("ann", "eng"), ("cy", "eng"), ("bob", "ops")))
+  }
+
+  test("command layer: CLetMut/CForeach/CAssign accumulate into a table") {
+    val prog = CLetMut(EAtom(ANil(TInt)), "out",
+      CSeq(
+        CForeach(EBinop(ORange, EAtom(AInt(0)), EAtom(AInt(4))), "i",
+          CAssign("out", EBinop(OCons,
+            EBinop(OTimes, EVar("i"), EVar("i")), ELoc("out")))),
+        CAssign("result", ELoc("out"))))
+    val out = Interp.run(prog, Env(Map.empty, Map.empty, spark))
+      .store("result")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 4L, 9L))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.plans.Graph
+import graft.operators.{Dedup, DictIndex, Ivm}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("BFS computes exact min-depths on a known graph") {
+    // path 0-1-2-3 plus shortcut 0-2; node 9 unreachable
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (8L, 9L))
+      .toDF("src", "dst")
+    val got = Graph.bfs(Graph.symmetrize(edges), 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("minhash-LSH recall >= 0.8 vs exact jaccard pairs") {
+    val exact = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_dedup_minhash")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH+verify must not produce false positives")
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.8,
+        s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("incremental sum/min equal their full-scan counterparts") {
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+    val batches = Ivm.microBatches(events, $"event_id", 7)
+    val st = Ivm.incrementalSum(batches, $"value")
+    val full = events.agg(
+      sum($"value".cast("decimal(28,2)")), count(lit(1))).head()
+    assert(st.sum === full.getDecimal(0))
+    assert(st.count === full.getLong(1))
+    val mn = Ivm.incrementalMin(batches, $"value")
+    assert(mn.contains(
+      events.agg(min($"value".cast("double"))).head().getDouble(0)))
+  }
+
+  test("dict index lookups equal direct filters") {
+    val orders = Tables.load(spark, TestSpark.sfDir, "orders")
+    val idx = DictIndex.build(orders, "o_custkey", partitions = 4)
+    val viaIdx = idx.lookup(7L).agg(count(lit(1))).head().getLong(0)
+    val direct = orders.filter($"o_custkey" === 7L).count()
+    assert(viaIdx === direct)
+    idx.unpersist()
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
