@@ -9,6 +9,7 @@ object SparkEntry {
   /** Every module contributes GraftQuery entries (Spark plan + oracle SQL). */
   def allQueries: Seq[GraftQuery] =
     operators.Relational.queries ++
+      operators.Indexes.queries ++
       operators.Scalars.queries ++
       operators.Collections.queries ++
       operators.Workloads.queries ++

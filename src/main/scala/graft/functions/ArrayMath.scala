@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for embedding math. A strict left-to-right
+  * primitive-array loop inside whole-stage codegen: no per-element lambda
+  * dispatch, no boxing — ~an order of magnitude over `aggregate(zip_with(...))`
+  * for 64-dim vectors, while keeping the exact summation order the DuckDB
+  * oracle reproduces (`list_reduce` fold).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      s"""
+         |double[] $x = $a.toDoubleArray();
+         |double[] $y = $b.toDoubleArray();
+         |int $n = Math.min($x.length, $y.length);
+         |double ${ev.value}_s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) ${ev.value}_s += $x[$i] * $y[$i];
+         |${ev.value} = ${ev.value}_s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayMath {
+  /** Dot product of two double-array columns (strict sequential sum). Inputs
+    * are cast to array<double> here — the expression itself assumes it. */
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(
+      GraftBridge.expression(a.cast("array<double>")),
+      GraftBridge.expression(b.cast("array<double>"))))
+}

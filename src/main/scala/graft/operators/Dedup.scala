@@ -113,10 +113,14 @@ object Dedup {
       val sigs = sh.groupBy($"doc_id")
         .agg(sigExprs.head, sigExprs.tail: _*)
       val rowsPerBand = minhashPerms / minhashBands
-      val bands = (0 until minhashBands).map { b =>
+      // one band row per (doc, band) via explode — a union of N selects would
+      // recompute the signature aggregation N times
+      val bandArr = array((0 until minhashBands).map { b =>
         val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-        sigs.select($"doc_id", lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-      }.reduce(_ union _)
+        struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      }: _*)
+      val bands = sigs.select($"doc_id", explode(bandArr).as("bb"))
+        .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
       val cands = bands.select($"doc_id".as("a"), $"band", $"bh")
         .join(bands.select($"doc_id".as("b"), $"band", $"bh"), Seq("band", "bh"))
         .filter($"a" < $"b").select($"a", $"b").distinct()
@@ -140,9 +144,11 @@ object Dedup {
           (0 until 64).map(j =>
             when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
             .reduce(_.bitwiseOR(_)).as("simhash"))
-      val chunks = (0 until 4).map(c => sim.select($"doc_id", lit(c).as("chunk"),
-        shiftright($"simhash", c * 16).bitwiseAND(0xffffL).as("ch")))
-        .reduce(_ union _)
+        .cache()
+      val chunkArr = array((0 until 4).map(c => struct(lit(c).as("chunk"),
+        shiftright($"simhash", c * 16).bitwiseAND(0xffffL).as("ch"))): _*)
+      val chunks = sim.select($"doc_id", explode(chunkArr).as("cc"))
+        .select($"doc_id", $"cc.chunk".as("chunk"), $"cc.ch".as("ch"))
       val cands = chunks.select($"doc_id".as("a"), $"chunk", $"ch")
         .join(chunks.select($"doc_id".as("b"), $"chunk", $"ch"), Seq("chunk", "ch"))
         .filter($"a" < $"b").select($"a", $"b").distinct()

@@ -4,41 +4,40 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{GraftQuery, Tables}
+import graft.functions.ArrayMath
 
 /** Similarity search over the embedding column. Brute-force cosine top-k is
   * the exact baseline (query side broadcast, corpus side never shuffled);
   * sign-LSH bucketing is the scale path — candidates meet only inside
   * buckets, so the pair space is bucket-local instead of n².
   *
-  * All float math is cast to double and folded sequentially (zip_with +
-  * aggregate), which is bit-identical to DuckDB's double-precision
-  * list_cosine_similarity — so even the top-k ORDER is oracle-checkable.
+  * All float math is cast to double and summed strictly left-to-right (the
+  * native `DotProduct` codegen expression), which is bit-identical to
+  * DuckDB's sequential `list_reduce` fold — so even the top-k ORDER is
+  * oracle-checkable.
   */
 object Similarity {
 
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  private def sumArr(v: Column): Column =
-    aggregate(v, lit(0.0), (acc, x) => acc + x)
-
-  private def dot(a: Column, b: Column): Column =
-    sumArr(zip_with(a, b, (x, y) => x * y))
-
   /** (vec_id, v, n2) with double vectors and squared norms. */
   private def corpus(df: DataFrame): DataFrame =
     df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("n2", sumArr(transform(col("v"), x => x * x)))
+      .withColumn("n2", ArrayMath.dot(col("v"), col("v")))
 
-  /** Deterministic ±1 sign-plane component for (bit j, dim d). */
-  private def planeSign(j: Int, d: Column): Column =
-    when(xxhash64(lit(j), d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
+  /** Deterministic ±1 hyperplanes: one 64-dim row per signature bit, from a
+    * seeded PRNG on the driver — shipped as literals so the projection is one
+    * codegen'd dot product per bit (no per-element hashing at runtime). */
+  private def planes(bits: Int, dim: Int): IndexedSeq[Seq[Double]] = {
+    val rnd = new scala.util.Random(0x5eed)
+    IndexedSeq.fill(bits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
 
-  /** 16-bit sign-LSH bucket of a double vector. */
-  def lshBucket(v: Column): Column =
-    (0 until 16).map { j =>
-      val proj = aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, d) => x * planeSign(j, d)), lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+  /** 16-bit sign-LSH bucket of a double vector (dim known at plan time). */
+  def lshBucket(v: Column, dim: Int): Column =
+    planes(16, dim).zipWithIndex.map { case (p, j) =>
+      when(ArrayMath.dot(v, typedlit(p)) > 0, shiftleft(lit(1L), j))
+        .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
   val queries: Seq[GraftQuery] = Seq(
@@ -51,12 +50,11 @@ object Similarity {
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sq = transform(asDouble($"embedding"), x => x * x)
+      val v = asDouble($"embedding")
       Tables.load(s, dir, "embeddings").select(
         $"vec_id",
         size($"embedding").cast("long").as("dim"),
-        aggregate(slice(sq, lit(2), size(sq) - 1), get(sq, lit(0)),
-          (a, b) => a + b).as("norm2"),
+        ArrayMath.dot(v, v).as("norm2"),
         size(filter($"embedding", x => x > 0)).cast("long").as("n_pos"))
         .orderBy("vec_id")
     },
@@ -80,7 +78,7 @@ object Similarity {
         .filter($"qid" < 5)
       val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
         .select($"qid", $"vec_id",
-          (dot($"qv", $"v") / sqrt($"qn2" * $"n2")).as("sim"))
+          (ArrayMath.dot($"qv", $"v") / sqrt($"qn2" * $"n2")).as("sim"))
       scored
         .withColumn("rnk",
           row_number().over(Window.partitionBy($"qid")
@@ -95,11 +93,12 @@ object Similarity {
     GraftQuery.rowsOnly("q_ann_lsh_pairs") { (s, dir) =>
       import s.implicits._
       val e = corpus(Tables.load(s, dir, "embeddings"))
-        .withColumn("bucket", lshBucket($"v")).cache()
+        .withColumn("bucket", lshBucket($"v", 64)).cache()
       val a = e.select($"vec_id".as("a"), $"v".as("va"), $"n2".as("na"), $"bucket")
       val b = e.select($"vec_id".as("b"), $"v".as("vb"), $"n2".as("nb"), $"bucket")
       a.join(b, Seq("bucket")).filter($"a" < $"b")
-        .select($"a", $"b", (dot($"va", $"vb") / sqrt($"na" * $"nb")).as("cosine"))
+        .select($"a", $"b",
+          (ArrayMath.dot($"va", $"vb") / sqrt($"na" * $"nb")).as("cosine"))
         .filter($"cosine" >= 0.2)
         .orderBy("a", "b")
     },
@@ -113,7 +112,7 @@ object Similarity {
         .select($"vec_id".as("a"), $"v".as("va"), $"n2".as("na"))
       val scored = e.join(broadcast(cand), $"a" < $"vec_id")
         .select($"a", $"vec_id".as("b"),
-          (dot($"va", $"v") / sqrt($"na" * $"n2")).as("cosine"))
+          (ArrayMath.dot($"va", $"v") / sqrt($"na" * $"n2")).as("cosine"))
       scored.filter($"cosine" >= 0.35).orderBy("a", "b")
     },
   )
