@@ -19,23 +19,33 @@ object Dedup {
 
   private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
-  private def shingles(docs: DataFrame): DataFrame = {
+  /** Distinct word-3-gram shingle SET per doc: (doc_id, ss: array<string>).
+    * This compact form (one row per doc) is what gets cached — several
+    * downstream subtrees consume it, and caching the exploded posting list
+    * instead made AQE's concurrently-submitted stages serialize on the cache
+    * fill (observed 3 parallel 9s jobs for a 2s computation).
+    */
+  private def shingleSets(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
     val idx = when(size(t) >= 3, sequence(lit(0), size(t) - 3))
       .otherwise(array().cast("array<int>"))
-    docs.select(col("doc_id"), explode(array_distinct(
-      transform(idx, i => concat_ws(" ", get(t, i), get(t, i + 1), get(t, i + 2)))))
-      .as("s"))
+    docs.select(col("doc_id"), array_distinct(
+      transform(idx, i => concat_ws(" ", get(t, i), get(t, i + 1), get(t, i + 2))))
+      .as("ss"))
   }
+
+  /** Posting list (doc_id, s) from the shingle sets. */
+  private def shingles(dsets: DataFrame): DataFrame =
+    dsets.select(col("doc_id"), explode(col("ss")).as("s"))
 
   /** Exact Jaccard over candidate pairs (a < b) that share ≥1 shingle.
     * Pairs are generated WITHIN each shingle's doc-id group (one groupBy
     * shuffle, pairs emitted map-side after it) instead of a self-join —
     * the self-join shuffles the posting list twice and was ~4× slower.
     */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  private def jaccardPairs(dsets: DataFrame): DataFrame = {
+    val sh = shingles(dsets)
+    val sizes = dsets.select(col("doc_id"), size(col("ss")).as("n"))
     val ds = col("ds")
     val combos = flatten(transform(ds, (x, i) =>
       transform(slice(ds, i + 2, size(ds)),
@@ -57,8 +67,8 @@ object Dedup {
     * to the per-doc shingle set, intersect in-memory — never the full pair
     * space. This is the LSH verification step.
     */
-  private def jaccardForCandidates(sh: DataFrame, cands: DataFrame): DataFrame = {
-    val docSets = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
+  private def jaccardForCandidates(dsets: DataFrame, cands: DataFrame): DataFrame = {
+    val docSets = dsets.select(col("doc_id"), array_sort(col("ss")).as("ss"))
     cands
       .join(docSets.select(col("doc_id").as("a"), col("ss").as("sa")), "a")
       .join(docSets.select(col("doc_id").as("b"), col("ss").as("sb")), "b")
@@ -98,8 +108,16 @@ object Dedup {
         |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
         |ORDER BY a, b""".stripMargin) { (s, dir) =>
-      val sh = shingles(Tables.load(s, dir, "documents"))
-      jaccardPairs(sh).filter(col("jaccard") >= 0.5).orderBy("a", "b")
+      // Repartition first (documents arrives as ONE parquet partition, so the
+      // shingle pass would run single-threaded), cache the compact per-doc
+      // form, and force it ONCE: three downstream subtrees consume it, and
+      // without the barrier AQE submits them concurrently — each one then
+      // recomputes the unmaterialized cache redundantly (observed 3×8.7s
+      // single-task stages for a ~2s computation).
+      val dsets = shingleSets(Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)).cache()
+      dsets.count()
+      jaccardPairs(dsets).filter(col("jaccard") >= 0.5).orderBy("a", "b")
     },
 
     // MinHash + LSH: per-doc signature = min over shingles of xxhash64(seed_i,
@@ -107,11 +125,17 @@ object Dedup {
     // verified with exact Jaccard. Only bucket-mates ever pair up — no n².
     GraftQuery.rowsOnly("q_dedup_minhash") { (s, dir) =>
       import s.implicits._
-      val sh = shingles(Tables.load(s, dir, "documents")).cache()
+      val dsets = shingleSets(Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)).cache()
+      dsets.count() // materialize before fan-out (see q_dedup_ngram_jaccard)
+      val sh = shingles(dsets)
       val sigExprs = (0 until minhashPerms)
         .map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      // cached: the band self-join would otherwise run this aggregation for
+      // both sides of the join
       val sigs = sh.groupBy($"doc_id")
         .agg(sigExprs.head, sigExprs.tail: _*)
+        .cache()
       val rowsPerBand = minhashPerms / minhashBands
       // one band row per (doc, band) via explode — a union of N selects would
       // recompute the signature aggregation N times
@@ -124,7 +148,7 @@ object Dedup {
       val cands = bands.select($"doc_id".as("a"), $"band", $"bh")
         .join(bands.select($"doc_id".as("b"), $"band", $"bh"), Seq("band", "bh"))
         .filter($"a" < $"b").select($"a", $"b").distinct()
-      jaccardForCandidates(sh, cands)
+      jaccardForCandidates(dsets, cands)
         .filter($"jaccard" >= 0.5).orderBy("a", "b")
     },
 
@@ -133,6 +157,7 @@ object Dedup {
     GraftQuery.rowsOnly("q_dedup_simhash") { (s, dir) =>
       import s.implicits._
       val tok = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", explode(toks($"text")).as("w"))
         .select($"doc_id", xxhash64($"w").as("h"))
       val bitVotes = (0 until 64).map(j =>
