@@ -126,6 +126,35 @@ object Relational {
           sum(dec($"c_acctbal")).cast("double").as("bal"))
         .orderBy("c_nationkey")
     },
+    // The reference's NOT-EXISTS idiom: nested flatmap compared to []
+    // (fiat2/src/fiat2/Ex_BFS.v `check([...] = [])`) — in Spark, a left-anti
+    // join (also the frontier-minus-visited step inside Graph.bfs).
+    GraftQuery.sql("q_anti_join",
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders").filter($"o_totalprice" > 250000),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey").orderBy("c_custkey")
+    },
+
+    // haskellServer's two routes (haskellServer/src/Lib.hs:28-46): range-scan
+    // filter (`get_artist_less_than`) + FK join (`get_album_and_artist`),
+    // over the driver tables' analog (orders=albums, customers=artists).
+    GraftQuery.sql("q_server_routes",
+      """SELECT o_orderkey AS album_id, c_name AS artist
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey < 20 ORDER BY album_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .join(broadcast(Tables.load(s, dir, "customer")
+          .filter($"c_custkey" < 20)), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey".as("album_id"), $"c_name".as("artist"))
+        .orderBy("album_id")
+    },
   )
 
   /** Flagship: the Ex_Employee join end-to-end on the smallest SF. */
