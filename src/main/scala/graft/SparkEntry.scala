@@ -18,6 +18,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       streaming.StreamAgg.queries ++
+      streaming.Sessionize.queries ++
+      functions.TypedAgg.queries ++
       lang.LangQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
