@@ -26,12 +26,17 @@ object Dedup {
     * fill (observed 3 parallel 9s jobs for a 2s computation).
     */
   private def shingleSets(docs: DataFrame): DataFrame = {
-    val t = toks(col("text"))
+    // Materialize the token array as a column FIRST: referencing the split()
+    // expression inside the trigram lambda re-evaluates it per element access
+    // (no common-subexpression elimination inside higher-order functions) —
+    // observed 5× slowdown of the shingle pass.
+    val t = col("tk")
     val idx = when(size(t) >= 3, sequence(lit(0), size(t) - 3))
       .otherwise(array().cast("array<int>"))
-    docs.select(col("doc_id"), array_distinct(
-      transform(idx, i => concat_ws(" ", get(t, i), get(t, i + 1), get(t, i + 2))))
-      .as("ss"))
+    docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), array_distinct(
+        transform(idx, i => concat_ws(" ", get(t, i), get(t, i + 1), get(t, i + 2))))
+        .as("ss"))
   }
 
   /** Posting list (doc_id, s) from the shingle sets. */
