@@ -54,6 +54,14 @@ object Compiler {
     else struct(cols.map(c => df.col(c).as(c)): _*)
   }
 
+  /** Optimize-then-compile — the reference's pipeline entry
+    * (`apply_optimize_anno`, fiat2/src/fiat2/OptimizeAnno.v:307-312): run the
+    * recognition rewrites so comprehension-style programs (nested
+    * flatmap/if/cons) lower to real filters/projections/joins, then compile.
+    */
+  def compileProgram(e: Expr, env: Env): Val =
+    compile(Rewrites.normalize(e), env)
+
   /** Evaluate a row-free scalar expression eagerly (for CIf conditions and
     * table-length reads — the reference interpreter is equally eager,
     * fiat2/src/fiat2/Interpret.v:515-518). */

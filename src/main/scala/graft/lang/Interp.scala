@@ -21,7 +21,7 @@ object Interp {
 
     case CLet(e, x, body) => // immutable binding (Interpret.v:507-509)
       val saved = env.vars.get(x)
-      val after = run(body, env.bind(x, compile(e, env)))
+      val after = run(body, env.bind(x, compileProgram(e, env)))
       saved match {
         case Some(v) => after.bind(x, v)
         case None => after.copy(vars = after.vars - x)
@@ -29,7 +29,7 @@ object Interp {
 
     case CLetMut(e, x, body) => // scoped mutable table (Interpret.v:510-513)
       val saved = env.store.get(x)
-      val init = toDF(compile(e, env), env)
+      val init = toDF(compileProgram(e, env), env)
       val after = run(body, env.copy(store = env.store + (x -> init)))
       saved match {
         case Some(df) => after.copy(store = after.store + (x -> df))
@@ -37,15 +37,15 @@ object Interp {
       }
 
     case CAssign(x, e) =>
-      env.copy(store = env.store + (x -> toDF(compile(e, env), env)))
+      env.copy(store = env.store + (x -> toDF(compileProgram(e, env), env)))
 
     case CIf(e, c1, c2) =>
-      val cond = evalScalar(env, asBoolCol(compile(e, env)))
+      val cond = evalScalar(env, asBoolCol(compileProgram(e, env)))
         .asInstanceOf[Boolean]
       run(if (cond) c1 else c2, env)
 
     case CForeach(e, x, body) => // driver event loop (Interpret.v:519-523)
-      val df = toDF(compile(e, env), env)
+      val df = toDF(compileProgram(e, env), env)
       val cols = df.columns.sorted
       df.collect().foldLeft(env) { (acc, row) =>
         val bound =

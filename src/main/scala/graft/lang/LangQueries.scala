@@ -48,6 +48,31 @@ object LangQueries {
         .select(col("value").as("total_qty"))
     },
 
+    // A monad-comprehension program — `c <- customer; n <- nation;
+    // check(c.key == n.key); ret {cust, nat}` — exactly what the reference's
+    // notation desugars to (nested flatmap/if/cons, Notations.v:144-149).
+    // `Rewrites.normalize` RECOGNIZES the join (to_join_head) so the compiled
+    // plan is a real equi-join, not a filtered cross product.
+    GraftQuery.sql("q_lang_comprehension",
+      """SELECT c_name AS cust, n_name AS nat
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY cust, nat""".stripMargin) { (s, dir) =>
+      val rowT = TRecord.sorted("cust" -> TString, "nat" -> TString)
+      val comp = EFlatmap(LikeBag, ELoc("customer"), "c",
+        EFlatmap(LikeBag, ELoc("nation"), "n",
+          EIf(EBinop(OEq, EAccess(EVar("c"), "c_nationkey"),
+            EAccess(EVar("n"), "n_nationkey")),
+            EBinop(OCons, ERecord(List(
+              "cust" -> EAccess(EVar("c"), "c_name"),
+              "nat" -> EAccess(EVar("n"), "n_name"))),
+              EAtom(ANil(rowT))),
+            EAtom(ANil(rowT)))))
+      val env = Env(Map.empty, Map(
+        "customer" -> Tables.load(s, dir, "customer"),
+        "nation" -> Tables.load(s, dir, "nation")), s)
+      compileProgram(ESort(LikeList, comp), env).asInstanceOf[TV].df
+    },
+
     // Command layer: CLetMut + CForeach + CAssign/OCons — the reference's
     // event-loop idiom (fiat2/src/fiat2/Ex_Orders.v:54): for each key in a
     // literal list, count matching events and cons the result onto an output

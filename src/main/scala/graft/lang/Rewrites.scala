@@ -1,0 +1,144 @@
+package graft.lang
+
+/** The reference's source-to-source rewrite engine (SURVEY.md §4.1-4.2):
+  * head-pattern functions applied bottom-up everywhere via `fold_expr`
+  * (fiat2/src/fiat2/TransfUtils.v:58-83), repeated to a fixpoint
+  * (`repeat_transf`, fiat2/src/fiat2/TransfSound.v:318).
+  *
+  * We need only the RECOGNITION rewrites — the ones that turn
+  * monad-comprehension programs (nested flatmap / if / cons, which is what
+  * fiat2's `<{ x <- t; check(p); ret r }>` notation desugars to) into
+  * structured EFilter/EProj/EJoin so the compiler emits real relational
+  * operators and Catalyst can optimize them. The reference's
+  * pushdown/fusion/commutativity rewrites are Catalyst's job
+  * (PushDownPredicates, CombineFilters, ReorderJoin — see SURVEY.md §4.2).
+  */
+object Rewrites {
+  import Lang._
+
+  /** Bottom-up structural fold: rebuild every node with `head` applied after
+    * its children are rewritten (fiat2 `fold_expr`). */
+  def foldExpr(e: Expr)(head: Expr => Expr): Expr = {
+    def go(e: Expr): Expr = head(e match {
+      case EUnop(op, a) => EUnop(op, go(a))
+      case EBinop(op, a, b) => EBinop(op, go(a), go(b))
+      case ETernop(op, a, b, c) => ETernop(op, go(a), go(b), go(c))
+      case EIf(c, t, f) => EIf(go(c), go(t), go(f))
+      case ELet(a, x, b) => ELet(go(a), x, go(b))
+      case ERecord(fs) => ERecord(fs.map { case (n, fe) => n -> go(fe) })
+      case EAccess(r, f) => EAccess(go(r), f)
+      case EOptMatch(a, n, x, s) => EOptMatch(go(a), go(n), x, go(s))
+      case EDictFold(d, z, k, v, acc, s) =>
+        EDictFold(go(d), go(z), k, v, acc, go(s))
+      case ESort(t, l) => ESort(t, go(l))
+      case EFilter(t, l, x, p) => EFilter(t, go(l), x, go(p))
+      case EJoin(t, l1, l2, x, y, p, r) =>
+        EJoin(t, go(l1), go(l2), x, y, go(p), go(r))
+      case EProj(t, l, x, r) => EProj(t, go(l), x, go(r))
+      case EFlatmap(t, a, x, b) => EFlatmap(t, go(a), x, go(b))
+      case EFlatmap2(a, b, x1, x2, c) => EFlatmap2(go(a), go(b), x1, x2, go(c))
+      case EFold(l, z, x, acc, s) => EFold(go(l), go(z), x, acc, go(s))
+      case EACFold(ag, a) => EACFold(ag, go(a))
+      case EACIFold(ag, a) => EACIFold(ag, go(a))
+      case EBagOf(l) => EBagOf(go(l))
+      case ESetOf(l) => ESetOf(go(l))
+      case leaf => leaf
+    })
+    go(e)
+  }
+
+  private object Singleton {
+    /** `[r]` = cons(r, nil) (how `ret r` desugars, Notations.v:144-149). */
+    def unapply(e: Expr): Option[Expr] = e match {
+      case EBinop(OCons, r, EAtom(ANil(_) | AEmptyBag(_) | AEmptySet(_))) => Some(r)
+      case _ => None
+    }
+  }
+  private object Nil0 {
+    def unapply(e: Expr): Boolean = e match {
+      case EAtom(ANil(_) | AEmptyBag(_) | AEmptySet(_)) => true
+      case _ => false
+    }
+  }
+
+  /** `flatmap t (λx. if p then [x] else [])` → `filter t p`
+    * (to_filter_head, fiat2/src/fiat2/RelTransf.v:311-317). */
+  val toFilterHead: Expr => Expr = {
+    case EFlatmap(tag, l, x, EIf(p, Singleton(EVar(x2)), Nil0())) if x2 == x =>
+      EFilter(tag, l, x, p)
+    case e => e
+  }
+
+  /** `flatmap t (λx. [r])` → `proj t r`
+    * (to_proj_head, fiat2/src/fiat2/RelTransf.v:658-664). */
+  val toProjHead: Expr => Expr = {
+    case EFlatmap(tag, l, x, Singleton(r)) => EProj(tag, l, x, r)
+    case e => e
+  }
+
+  /** `flatmap t1 (λx. flatmap t2 (λy. if p then [r] else []))` →
+    * `join t1 t2 p r` — join recognition
+    * (to_join_head, fiat2/src/fiat2/RelTransf.v:357-366). Sound only when
+    * the inner source doesn't reference x (it's a real product, not a
+    * dependent lateral). */
+  val toJoinHead: Expr => Expr = {
+    case EFlatmap(tag, l1, x, EFlatmap(_, l2, y, EIf(p, Singleton(r), Nil0())))
+        if !freeVars(l2).contains(x) =>
+      EJoin(tag, l1, l2, x, y, p, r)
+    case e => e
+  }
+
+  /** `if p1 (if p2 e []) []` → `if (p1 && p2) e []`
+    * (merge_if, fiat2/src/fiat2/RelTransf.v:50-55). */
+  val mergeIf: Expr => Expr = {
+    case EIf(p1, EIf(p2, e, n1 @ Nil0()), Nil0()) =>
+      EIf(EBinop(OAnd, p1, p2), e, n1)
+    case e => e
+  }
+
+  def freeVars(e: Expr): Set[String] = e match {
+    case EVar(x) => Set(x)
+    case ELoc(_) | EAtom(_) => Set.empty
+    case EUnop(_, a) => freeVars(a)
+    case EBinop(_, a, b) => freeVars(a) ++ freeVars(b)
+    case ETernop(_, a, b, c) => freeVars(a) ++ freeVars(b) ++ freeVars(c)
+    case EIf(c, t, f) => freeVars(c) ++ freeVars(t) ++ freeVars(f)
+    case ELet(a, x, b) => freeVars(a) ++ (freeVars(b) - x)
+    case ERecord(fs) => fs.flatMap(f => freeVars(f._2)).toSet
+    case EAccess(r, _) => freeVars(r)
+    case EOptMatch(a, n, x, s) => freeVars(a) ++ freeVars(n) ++ (freeVars(s) - x)
+    case EDictFold(d, z, k, v, acc, s) =>
+      freeVars(d) ++ freeVars(z) ++ (freeVars(s) - k - v - acc)
+    case ESort(_, l) => freeVars(l)
+    case EFilter(_, l, x, p) => freeVars(l) ++ (freeVars(p) - x)
+    case EJoin(_, l1, l2, x, y, p, r) =>
+      freeVars(l1) ++ freeVars(l2) ++ (freeVars(p) - x - y) ++ (freeVars(r) - x - y)
+    case EProj(_, l, x, r) => freeVars(l) ++ (freeVars(r) - x)
+    case EFlatmap(_, a, x, b) => freeVars(a) ++ (freeVars(b) - x)
+    case EFlatmap2(a, b, x1, x2, c) =>
+      freeVars(a) ++ freeVars(b) ++ (freeVars(c) - x1 - x2)
+    case EFold(l, z, x, acc, s) =>
+      freeVars(l) ++ freeVars(z) ++ (freeVars(s) - x - acc)
+    case EACFold(_, a) => freeVars(a)
+    case EACIFold(_, a) => freeVars(a)
+    case EBagOf(l) => freeVars(l)
+    case ESetOf(l) => freeVars(l)
+  }
+
+  private val heads: Seq[Expr => Expr] =
+    Seq(mergeIf, toJoinHead, toFilterHead, toProjHead)
+
+  /** Apply all recognition rewrites bottom-up to a fixpoint (bounded like
+    * the reference's `repeat_transf 10000` — ours converges in a few). */
+  def normalize(e: Expr, maxIters: Int = 100): Expr = {
+    var cur = e
+    var i = 0
+    while (i < maxIters) {
+      val next = heads.foldLeft(cur)((acc, h) => foldExpr(acc)(h))
+      if (next == cur) return cur
+      cur = next
+      i += 1
+    }
+    cur
+  }
+}
