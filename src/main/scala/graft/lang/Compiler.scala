@@ -189,7 +189,12 @@ object Compiler {
         body match {
           case CV(arr) => // per-row list → explode
             TV(flattenExploded(df, arr))
-          case TV(inner) => // row-independent table body → cross product
+          case TV(inner) => // table-typed body: only sound when uncorrelated
+            if (Rewrites.freeVars(e2).contains(x))
+              throw new UnsupportedOperationException(
+                "correlated table-valued flatmap body — write the product as " +
+                  "EJoin (or a flatmap/if/cons comprehension, which " +
+                  "Rewrites.normalize recognizes as a join)")
             TV(df.crossJoin(inner))
         }
       case CV(c) =>

@@ -87,6 +87,30 @@ class CompilerSpec extends AnyFunSuite {
       Seq(("ann", "eng"), ("cy", "eng"), ("bob", "ops")))
   }
 
+  test("CIf branches on a driver-evaluated condition; CLet scopes bindings") {
+    val prog = CLet(EAtom(AInt(7)), "n",
+      CLetMut(EAtom(ANil(TInt)), "out",
+        CSeq(
+          CIf(EBinop(OLess, EVar("n"), EAtom(AInt(10))),
+            CAssign("out", EBinop(OCons, EVar("n"), ELoc("out"))),
+            CAssign("out", EBinop(OCons, EAtom(AInt(-1)), ELoc("out")))),
+          CAssign("result", ELoc("out")))))
+    val out = Interp.run(prog, Env(Map.empty, Map.empty, spark))
+      .store("result").collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(7L))
+  }
+
+  test("correlated table-valued flatmap raises a directed error") {
+    val t = Seq((1L, 2L)).toDF("k", "v")
+    val prog = EFlatmap(LikeBag, ELoc("t"), "x",
+      EFilter(LikeBag, ELoc("t"), "y",
+        EBinop(OEq, EAccess(EVar("y"), "k"), EAccess(EVar("x"), "k"))))
+    val ex = intercept[UnsupportedOperationException] {
+      compile(prog, Env(Map.empty, Map("t" -> t), spark))
+    }
+    assert(ex.getMessage.contains("EJoin"))
+  }
+
   test("command layer: CLetMut/CForeach/CAssign accumulate into a table") {
     val prog = CLetMut(EAtom(ANil(TInt)), "out",
       CSeq(
