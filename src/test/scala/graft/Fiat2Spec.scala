@@ -64,6 +64,14 @@ class Fiat2Spec extends AnyFunSuite {
     assert(r.getSeq[Long](1) === Seq(2L, 3L, 4L))
   }
 
+  test("bagOfArray produces sorted (value, count) canonical form") {
+    val r = Seq(1).toDF("x")
+      .select(Fiat2.bagOfArray(array(lit(3), lit(1), lit(3), lit(1), lit(3)))
+        .as("bag"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(e => (e.getInt(0), e.getLong(1))) === Seq((1, 2L), (3, 3L)))
+  }
+
   test("record fields are name-sorted so struct equality is canonical") {
     val r = Seq(1).toDF("x").select(
       (Fiat2.record("b" -> lit(2), "a" -> lit(1)) ===
