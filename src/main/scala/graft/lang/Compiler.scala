@@ -294,13 +294,15 @@ object Compiler {
         case (elem, TV(df)) => TV(consRow(asCV(elem), df))
         case (a, b) => CV(concat(array(asCV(a)), asCV(b)))
       }
+      // NB argument order is (collection, element), unlike OCons —
+      // fiat2/src/fiat2/Interpret.v:186-193.
       case OBagInsert => (v1, v2) match {
-        case (elem, TV(df)) => TV(consRow(asCV(elem), df))
-        case (a, b) => CV(array_sort(concat(asCV(b), array(asCV(a)))))
+        case (TV(df), elem) => TV(consRow(asCV(elem), df))
+        case (a, b) => CV(array_sort(concat(asCV(a), array(asCV(b)))))
       }
       case OSetInsert => (v1, v2) match {
-        case (elem, TV(df)) => TV(consRow(asCV(elem), df).distinct())
-        case (a, b) => CV(Fiat2.setInsert(asCV(b), asCV(a)))
+        case (TV(df), elem) => TV(consRow(asCV(elem), df).distinct())
+        case (a, b) => CV(Fiat2.setInsert(asCV(a), asCV(b)))
       }
     }
   }

@@ -1,0 +1,204 @@
+package graft.lang
+
+/** Type synthesis for the language, mirroring the reference's executable
+  * typechecker (`synthesize_expr`, fiat2/src/fiat2/TypeSystem.v:1076;
+  * commands `typecheck` :1393). Atoms carry their element types in this AST
+  * (the elaborated form the reference's bidirectional checker produces), so
+  * synthesis alone suffices. Errors are thrown as `TypeError` with the
+  * offending expression's shape.
+  */
+object TypeCheck {
+  import Lang._
+
+  final case class TypeError(msg: String) extends RuntimeException(msg)
+  private def err(msg: String): Nothing = throw TypeError(msg)
+
+  private def numeric(t: FType): FType = t match {
+    case TInt | TWord => t
+    case other => err(s"expected int/word, got $other")
+  }
+  private def elemOf(t: FType): FType = t match {
+    case TList(u) => u
+    case TBag(u) => u
+    case TSet(u) => u
+    case other => err(s"expected a collection, got $other")
+  }
+  private def same(a: FType, b: FType, ctx: String): FType =
+    if (a == b) a else err(s"$ctx: $a vs $b")
+
+  def synthesize(e: Expr, vars: Map[String, FType],
+      store: Map[String, FType]): FType = {
+    def go(e: Expr, vars: Map[String, FType]): FType = e match {
+      case EVar(x) => vars.getOrElse(x, err(s"unbound variable $x"))
+      case ELoc(x) => store.getOrElse(x, err(s"unbound table $x"))
+
+      case EAtom(a) => a match {
+        case AWord(_) => TWord
+        case AInt(_) => TInt
+        case ABool(_) => TBool
+        case AString(_) => TString
+        case ANil(t) => TList(t)
+        case ANone(t) => TOption(t)
+        case AEmptyDict(k, v) => TDict(k, v)
+        case AEmptyBag(t) => TBag(t)
+        case AEmptySet(t) => TSet(t)
+        case AUnit => TUnit
+      }
+
+      case EUnop(op, e1) =>
+        val t = go(e1, vars)
+        op match {
+          case OWNeg | ONeg => numeric(t)
+          case ONot => same(t, TBool, "not")
+          case OLength => elemOf(t); TInt
+          case OLengthString => same(t, TString, "strlen"); TInt
+          case OIntToString => numeric(t); TString
+          case OSome => TOption(t)
+        }
+
+      case EBinop(op, e1, e2) =>
+        lazy val t1 = go(e1, vars); lazy val t2 = go(e2, vars)
+        op match {
+          case OPlus | OMinus | OTimes | ODiv | OMod =>
+            same(numeric(t1), numeric(t2), "arith")
+          case OAnd | OOr => same(t1, TBool, "bool"); same(t2, TBool, "bool")
+          case OConcatString =>
+            same(t1, TString, "concat"); same(t2, TString, "concat")
+          case OLess => same(numeric(t1), numeric(t2), "less"); TBool
+          case OEq => same(t1, t2, "eq"); TBool
+          case OConcat => same(t1, t2, "concat of differing collections")
+          case OCons => (t2: @unchecked) match {
+            case TList(u) => same(t1, u, "cons"); TList(u)
+            case other => err(s"cons onto non-list $other")
+          }
+          case ORange =>
+            numeric(t1); numeric(t2); TList(TInt)
+          case OBagInsert => t1 match { // (bag, elem) — Interpret.v:186
+            case TBag(u) => same(t2, u, "bag_insert"); TBag(u)
+            case other => err(s"bag_insert into $other")
+          }
+          case OSetInsert => t1 match {
+            case TSet(u) => same(t2, u, "set_insert"); TSet(u)
+            case other => err(s"set_insert into $other")
+          }
+          case OLookup => t1 match {
+            case TDict(k, v) => same(t2, k, "lookup key"); TOption(v)
+            case other => err(s"lookup in non-dict $other")
+          }
+          case ODelete => t1 match {
+            case TDict(k, v) => same(t2, k, "delete key"); TDict(k, v)
+            case other => err(s"delete in non-dict $other")
+          }
+        }
+
+      case ETernop(OInsert, d, k, v) => go(d, vars) match {
+        case TDict(kt, vt) =>
+          same(go(k, vars), kt, "insert key")
+          same(go(v, vars), vt, "insert value")
+          TDict(kt, vt)
+        case other => err(s"insert into non-dict $other")
+      }
+
+      case EIf(c, t, f) =>
+        same(go(c, vars), TBool, "if condition")
+        same(go(t, vars), go(f, vars), "if branches")
+
+      case ELet(e1, x, e2) => go(e2, vars + (x -> go(e1, vars)))
+
+      case ERecord(fields) =>
+        val names = fields.map(_._1)
+        if (names.distinct.size != names.size)
+          err(s"duplicate record fields $names")
+        TRecord(fields.map { case (n, fe) => n -> go(fe, vars) }
+          .sortBy(_._1))
+
+      case EAccess(r, f) => go(r, vars) match {
+        case TRecord(fs) => fs.collectFirst { case (`f`, t) => t }
+          .getOrElse(err(s"record has no field $f (has ${fs.map(_._1)})"))
+        case other => err(s"field access on non-record $other")
+      }
+
+      case EOptMatch(e1, none, x, some) => go(e1, vars) match {
+        case TOption(u) =>
+          same(go(none, vars), go(some, vars + (x -> u)), "option match arms")
+        case other => err(s"option match on $other")
+      }
+
+      case EDictFold(d, z, k, v, acc, step) => go(d, vars) match {
+        case TDict(kt, vt) =>
+          val zt = go(z, vars)
+          same(go(step, vars + (k -> kt) + (v -> vt) + (acc -> zt)), zt,
+            "dict fold step")
+        case other => err(s"dict fold over $other")
+      }
+
+      case ESort(_, l) => TList(elemOf(go(l, vars)))
+
+      case EFilter(_, l, x, p) =>
+        val lt = go(l, vars)
+        same(go(p, vars + (x -> elemOf(lt))), TBool, "filter predicate")
+        lt
+
+      case EJoin(_, l1, l2, x, y, p, r) =>
+        val e1t = elemOf(go(l1, vars)); val e2t = elemOf(go(l2, vars))
+        val bound = vars + (x -> e1t) + (y -> e2t)
+        same(go(p, bound), TBool, "join predicate")
+        TBag(go(r, bound))
+
+      case EProj(_, l, x, r) =>
+        TBag(go(r, vars + (x -> elemOf(go(l, vars)))))
+
+      case EFlatmap(_, e1, x, e2) =>
+        val et = elemOf(go(e1, vars))
+        TBag(elemOf(go(e2, vars + (x -> et))))
+
+      case EFlatmap2(e1, e2, x1, x2, e3) =>
+        val t1 = elemOf(go(e1, vars)); val t2 = elemOf(go(e2, vars))
+        TList(elemOf(go(e3, vars + (x1 -> t1) + (x2 -> t2))))
+
+      case EFold(l, z, x, acc, step) =>
+        val et = elemOf(go(l, vars))
+        val zt = go(z, vars)
+        same(go(step, vars + (x -> et) + (acc -> zt)), zt, "fold step")
+
+      case EACFold(_, e1) =>
+        numeric(elemOf(go(e1, vars))); TInt
+
+      case EACIFold(_, e1) =>
+        TOption(numeric(elemOf(go(e1, vars))))
+
+      case EBagOf(l) => TBag(elemOf(go(l, vars)))
+      case ESetOf(l) => TSet(elemOf(go(l, vars)))
+    }
+    go(e, vars)
+  }
+
+  /** Command checking (fiat2 `typecheck`, TypeSystem.v:1393): verifies
+    * conditions are booleans, assignments preserve table types, and foreach
+    * binds the element type. Returns the final store typing. */
+  def typecheck(c: Command, vars: Map[String, FType],
+      store: Map[String, FType]): Map[String, FType] = c match {
+    case CSkip => store
+    case CSeq(c1, c2) => typecheck(c2, vars, typecheck(c1, vars, store))
+    case CLet(e, x, body) =>
+      typecheck(body, vars + (x -> synthesize(e, vars, store)), store)
+    case CLetMut(e, x, body) =>
+      val t = synthesize(e, vars, store)
+      val inner = typecheck(body, vars, store + (x -> t))
+      store.get(x).map(old => inner + (x -> old)).getOrElse(inner - x)
+    case CAssign(x, e) =>
+      val t = synthesize(e, vars, store)
+      store.get(x).foreach(old =>
+        if (old != t) err(s"assign changes type of $x: $old -> $t"))
+      store + (x -> t)
+    case CIf(e, c1, c2) =>
+      same(synthesize(e, vars, store), TBool, "if condition")
+      typecheck(c2, vars, typecheck(c1, vars, store))
+    case CForeach(e, x, body) => synthesize(e, vars, store) match {
+      case TList(u) => typecheck(body, vars + (x -> u), store)
+      case TBag(u) => typecheck(body, vars + (x -> u), store)
+      case TSet(u) => typecheck(body, vars + (x -> u), store)
+      case other => err(s"foreach over $other")
+    }
+  }
+}
