@@ -67,10 +67,20 @@ object LangQueries {
               "nat" -> EAccess(EVar("n"), "n_name"))),
               EAtom(ANil(rowT))),
             EAtom(ANil(rowT)))))
+      val prog = ESort(LikeList, comp)
+      // the reference lifecycle (SURVEY.md §3.1): typecheck → optimize →
+      // execute. Table types declared as in fiat2's Gstore.
+      val storeTypes = Map(
+        "customer" -> TBag(TRecord.sorted(
+          "c_custkey" -> TInt, "c_name" -> TString, "c_nationkey" -> TInt,
+          "c_acctbal" -> TInt, "c_mktsegment" -> TString)),
+        "nation" -> TBag(TRecord.sorted(
+          "n_nationkey" -> TInt, "n_name" -> TString, "n_regionkey" -> TInt)))
+      require(TypeCheck.synthesize(prog, Map.empty, storeTypes) == TList(rowT))
       val env = Env(Map.empty, Map(
         "customer" -> Tables.load(s, dir, "customer"),
         "nation" -> Tables.load(s, dir, "nation")), s)
-      compileProgram(ESort(LikeList, comp), env).asInstanceOf[TV].df
+      compileProgram(prog, env).asInstanceOf[TV].df
     },
 
     // Command layer: CLetMut + CForeach + CAssign/OCons — the reference's

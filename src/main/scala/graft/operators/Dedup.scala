@@ -100,6 +100,24 @@ object Dedup {
         .orderBy("keep_id")
     },
 
+    // The cleaned-corpus output: keep the first copy per content digest via
+    // a ranking window — the shape a pipeline actually materializes after
+    // dedup decisions.
+    GraftQuery.sql("q_dedup_keep_first",
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, dir, "documents")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5($"text")).orderBy($"doc_id")))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"n_chars")
+        .orderBy("doc_id")
+    },
+
     // Exact n-gram Jaccard near-dup pairs (threshold 0.5 cleanly separates
     // the planted near-duplicates from the ~0.0 noise floor).
     GraftQuery.sql("q_dedup_ngram_jaccard",
