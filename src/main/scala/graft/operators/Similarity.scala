@@ -103,6 +103,47 @@ object Similarity {
         .orderBy("a", "b")
     },
 
+    // IVF (inverted-file) ANN: partition the corpus into Voronoi cells of
+    // K centroids; queries probe only the nProbe nearest cells. At 100 TB
+    // the cell assignment is a one-time pass and each query touches
+    // nProbe/K of the data. Centroids here are a deterministic sample
+    // (vec_id < 16) — production would k-means a sample; the partition/probe
+    // plumbing is identical.
+    GraftQuery.rowsOnly("q_ann_ivf_topk") { (s, dir) =>
+      import s.implicits._
+      val e = corpus(Tables.load(s, dir, "embeddings"))
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"v".as("cv"), $"n2".as("cn2"))
+      // assign every vector to its nearest centroid (cosine)
+      val assigned = e.join(broadcast(cents), $"vec_id" =!= $"cid")
+        .select($"vec_id", $"v", $"n2", $"cid",
+          (ArrayMath.dot($"v", $"cv") / sqrt($"n2" * $"cn2")).as("csim"))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
+        .filter($"crnk" === 1)
+        .select($"vec_id", $"v", $"n2", $"cid")
+        .cache()
+      // queries probe their 2 nearest cells
+      val probes = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"n2".as("qn2"))
+        .join(broadcast(cents), $"qid" =!= $"cid")
+        .select($"qid", $"qv", $"qn2", $"cid",
+          (ArrayMath.dot($"qv", $"cv") / sqrt($"qn2" * $"cn2")).as("csim"))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"csim".desc, $"cid")))
+        .filter($"crnk" <= 2)
+        .select($"qid", $"qv", $"qn2", $"cid")
+      val scored = probes.join(assigned, Seq("cid"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (ArrayMath.dot($"qv", $"v") / sqrt($"qn2" * $"n2")).as("sim"))
+      scored.withColumn("rnk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")).cast("long"))
+        .filter($"rnk" <= 10)
+        .select($"qid", $"vec_id", $"sim", $"rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // Embedding-cosine near-dup scan of a bounded candidate batch (vec_id <
     // 500) against the full corpus — the incremental-ingest dedup shape.
     GraftQuery.rowsOnly("q_dedup_embedding") { (s, dir) =>

@@ -30,6 +30,24 @@ class OperatorsSpec extends AnyFunSuite {
         s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("IVF ANN produces well-formed per-query rankings from probed cells") {
+    // The synthetic embeddings are near-random (no cluster structure), so a
+    // recall floor is not meaningful — assert the structural contract: every
+    // query returns a non-empty, rank-contiguous, sim-descending top list.
+    val rows = SparkEntry.queries("q_ann_ivf_topk")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length).toSeq,
+        s"ranks not contiguous for query $qid")
+      assert(sorted.length <= 10)
+      assert(sorted.map(_._3).toSeq.reverse === sorted.map(_._3).toSeq.sorted,
+        s"sims not descending for query $qid")
+      assert(!sorted.exists(_._2 == qid), "query must not match itself")
+    }
+  }
+
   test("incremental sum/min equal their full-scan counterparts") {
     val events = Tables.load(spark, TestSpark.sfDir, "events")
     val batches = Ivm.microBatches(events, $"event_id", 7)
