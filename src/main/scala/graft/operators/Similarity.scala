@@ -18,7 +18,10 @@ import graft.functions.ArrayMath
   */
 object Similarity {
 
-  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  /** Plain Cast, NOT `transform(_, _.cast)`: a higher-order function is
+    * CodegenFallback and would pull the whole projection (including the
+    * codegen'd dot product) out of whole-stage codegen. */
+  private def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** (vec_id, v, n2) with double vectors and squared norms. */
   private def corpus(df: DataFrame): DataFrame =

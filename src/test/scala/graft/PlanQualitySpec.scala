@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guards: the properties that make these plans
+  * scale (pushdown reaching the scan, broadcasts on dimension joins,
+  * whole-stage codegen around the native expression) asserted on the
+  * executed plans, not just eyeballed via Explain.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the date filter and prunes columns at the scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "column pruning lost: reads l_orderkey")
+  }
+
+  test("q_employee_join broadcasts the dimension side") {
+    val p = plan("q_employee_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("AST-compiled q_lang_agg pushes its filter through the compiler") {
+    val p = plan("q_lang_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), p)
+  }
+
+  test("comprehension program compiles to a hash join, not a cross product") {
+    val p = plan("q_lang_comprehension")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("native dot product runs inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ArrayMath
+    val df = spark.range(100)
+      .select(ArrayMath.dot(
+        array(col("id").cast("double"), lit(2.0)),
+        array(lit(3.0), col("id").cast("double"))).as("d"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark WholeStageCodegen membership in the final plan
+    val line = p.linesIterator.find(_.contains("graft_dot"))
+    assert(line.exists(_.trim.startsWith("*(")),
+      s"graft_dot not codegen'd:\n$p")
+  }
+}
