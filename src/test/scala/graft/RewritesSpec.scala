@@ -61,6 +61,16 @@ class RewritesSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize is idempotent") {
+    val q = EBinop(OEq, EAccess(EVar("x"), "k"), EAccess(EVar("y"), "k"))
+    val r = ERecord(List("a" -> EAccess(EVar("x"), "v")))
+    val comp = EFlatmap(LikeBag, ELoc("t1"), "x",
+      EFlatmap(LikeBag, ELoc("t2"), "y",
+        EIf(q, EBinop(OCons, r, nil), nil)))
+    val once = normalize(comp)
+    assert(normalize(once) === once)
+  }
+
   test("normalized comprehension computes the same rows as the manual join") {
     val t1 = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val t2 = Seq((1L, 100L), (2L, 200L), (9L, 900L)).toDF("k", "v")
