@@ -15,12 +15,16 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop per-query caches so later timings aren't skewed by memory
       // pressure from earlier queries' cached indexes
       spark.sqlContext.clearCache()
-      name -> dt
+      // a failed query is reported as -1, never as a plausible fast time
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

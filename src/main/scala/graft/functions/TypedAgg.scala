@@ -27,8 +27,10 @@ object TypedAgg {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q_typed_agg",
+      // inputs normalized to NON-NEGATIVE residues on both sides — DuckDB's
+      // % keeps the dividend's sign, the Aggregator normalizes in reduce()
       s"""SELECT event_type,
-         |  CAST(list_reduce(list(CAST(round(value * 100) AS BIGINT) % $P),
+         |  CAST(list_reduce(list(((CAST(round(value * 100) AS BIGINT) % $P) + $P) % $P),
          |                   (a, b) -> (a * b) % $P) AS BIGINT) AS modprod,
          |  COUNT(*) AS n
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>

@@ -160,12 +160,24 @@ object Compiler {
     case EJoin(_, l1, l2, x, y, p, r) =>
       (compile(l1, env), compile(l2, env)) match {
         case (TV(d1), TV(d2)) =>
-          val pred = asCV(compile(p,
-            env.bind(x, CV(rowStruct(d1))).bind(y, CV(rowStruct(d2)))))
-          val res = asCV(compile(r,
-            env.bind(x, CV(rowStruct(d1))).bind(y, CV(rowStruct(d2)))))
-          flattenResult(d1.join(d2, pred, "inner"), res)
-          match { case df => TV(df) }
+          // Alias both sides and resolve row variables through the aliases:
+          // ELoc of the same table on both sides yields the SAME DataFrame
+          // (identical attribute ids), and an unqualified self-join predicate
+          // would resolve both x.k and y.k to one side (fiat2's Ex_Family /
+          // Ex_Triangle are exactly this shape).
+          val la = d1.alias("__join_l")
+          val ra = d2.alias("__join_r")
+          def qualified(cols: Array[String], q: String): Column = {
+            val sorted = cols.sorted
+            if (sorted.sameElements(Array("value"))) col(s"$q.value")
+            else struct(sorted.map(c => col(s"$q.$c").as(c)): _*)
+          }
+          val bound = env
+            .bind(x, CV(qualified(d1.columns, "__join_l")))
+            .bind(y, CV(qualified(d2.columns, "__join_r")))
+          val pred = asCV(compile(p, bound))
+          val res = asCV(compile(r, bound))
+          TV(flattenResult(la.join(ra, pred, "inner"), res))
         case (v1, v2) => // nested-array nested-loop join, fused projection
           val a1 = asCV(v1); val a2 = asCV(v2)
           CV(flatten(transform(a1, xv =>
@@ -185,16 +197,26 @@ object Compiler {
 
     case EFlatmap(_, e1, x, e2) => compile(e1, env) match {
       case TV(df) =>
-        val body = compile(e2, env.bind(x, CV(rowStruct(df))))
+        def correlatedError(cause: Throwable) =
+          new UnsupportedOperationException(
+            "correlated table-valued flatmap body — write the product as " +
+              "EJoin (or a flatmap/if/cons comprehension, which " +
+              "Rewrites.normalize recognizes as a join)", cause)
+        // A correlated body over a DIFFERENT table crashes inside the body
+        // compile (foreign attributes in a filter), so catch and redirect.
+        val body =
+          try compile(e2, env.bind(x, CV(rowStruct(df))))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if Rewrites.freeVars(e2).contains(x) =>
+              throw correlatedError(e)
+          }
         body match {
           case CV(arr) => // per-row list → explode
             TV(flattenExploded(df, arr))
           case TV(inner) => // table-typed body: only sound when uncorrelated
             if (Rewrites.freeVars(e2).contains(x))
-              throw new UnsupportedOperationException(
-                "correlated table-valued flatmap body — write the product as " +
-                  "EJoin (or a flatmap/if/cons comprehension, which " +
-                  "Rewrites.normalize recognizes as a join)")
+              throw correlatedError(null)
             TV(df.crossJoin(inner))
         }
       case CV(c) =>
@@ -218,7 +240,20 @@ object Compiler {
       case TV(df) =>
         // General fold over a table is inherently sequential (SURVEY.md §7);
         // localize it: collect to an array literal, then fold as a value.
-        val rows = df.limit(10001).collect()
+        // A DataFrame has no intrinsic order, so the fold is DEFINED over
+        // canonical value order (sort by all columns) — deterministic, and
+        // the order an ESort of the table would expose.
+        df.schema.foreach { f =>
+          val nested = f.dataType match {
+            case _: ArrayType | _: StructType | _: MapType => true
+            case _ => false
+          }
+          if (nested) throw new UnsupportedOperationException(
+            s"EFold over a table with nested column ${f.name} — use " +
+              "EACFold/EACIFold or fold a nested collection value instead")
+        }
+        val rows = df.orderBy(df.columns.sorted.map(col): _*)
+          .limit(10001).collect()
         require(rows.length <= 10000,
           "EFold over a table >10k rows — use EACFold/EACIFold (parallel " +
             "aggregation) or restructure; a sequential fold cannot scale")

@@ -88,9 +88,13 @@ object LangQueries {
     // literal list, count matching events and cons the result onto an output
     // table.
     GraftQuery.sql("q_lang_command",
-      """SELECT CAST(user_id AS BIGINT) AS k, COUNT(*) AS n
-        |FROM events WHERE user_id IN (1, 2, 3)
-        |GROUP BY user_id ORDER BY k""".stripMargin) { (s, dir) =>
+      // LEFT JOIN from the key list so a key with zero events still yields a
+      // (k, 0) row — matching the CForeach, which emits one record per key
+      // unconditionally
+      """SELECT CAST(k AS BIGINT) AS k, COUNT(user_id) AS n
+        |FROM (VALUES (1), (2), (3)) t(k)
+        |LEFT JOIN events ON user_id = k
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
       val keys = List(1L, 2L, 3L).foldRight[Expr](EAtom(ANil(TInt))) {
         (k, acc) => EBinop(OCons, EAtom(AInt(k)), acc)
       }

@@ -193,7 +193,14 @@ object TypeCheck {
       store + (x -> t)
     case CIf(e, c1, c2) =>
       same(synthesize(e, vars, store), TBool, "if condition")
-      typecheck(c2, vars, typecheck(c1, vars, store))
+      // Both branches check against the SAME incoming store and must agree
+      // on the outgoing store typing — threading one branch's result into
+      // the other would let a conditionally-bound table escape.
+      val s1 = typecheck(c1, vars, store)
+      val s2 = typecheck(c2, vars, store)
+      if (s1 != s2) err(s"if branches produce different store typings: " +
+        s"${s1.keySet} vs ${s2.keySet} (or differing types)")
+      s1
     case CForeach(e, x, body) => synthesize(e, vars, store) match {
       case TList(u) => typecheck(body, vars + (x -> u), store)
       case TBag(u) => typecheck(body, vars + (x -> u), store)

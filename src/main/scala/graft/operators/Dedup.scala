@@ -17,7 +17,7 @@ import graft.core.{GraftQuery, Tables}
   */
 object Dedup {
 
-  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+  import graft.core.Text.toks
 
   /** Distinct word-3-gram shingle SET per doc: (doc_id, ss: array<string>).
     * This compact form (one row per doc) is what gets cached — several

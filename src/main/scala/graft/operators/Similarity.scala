@@ -117,8 +117,10 @@ object Similarity {
       val e = corpus(Tables.load(s, dir, "embeddings"))
       val cents = e.filter($"vec_id" < 16)
         .select($"vec_id".as("cid"), $"v".as("cv"), $"n2".as("cn2"))
-      // assign every vector to its nearest centroid (cosine)
-      val assigned = e.join(broadcast(cents), $"vec_id" =!= $"cid")
+      // assign every vector to its nearest centroid (cosine) — including a
+      // centroid to its OWN cell (excluding it would warp the index; query
+      // self-match is excluded later, at scoring)
+      val assigned = e.crossJoin(broadcast(cents))
         .select($"vec_id", $"v", $"n2", $"cid",
           (ArrayMath.dot($"v", $"cv") / sqrt($"n2" * $"cn2")).as("csim"))
         .withColumn("crnk", row_number().over(
@@ -129,7 +131,7 @@ object Similarity {
       // queries probe their 2 nearest cells
       val probes = e.filter($"vec_id" < 5)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"n2".as("qn2"))
-        .join(broadcast(cents), $"qid" =!= $"cid")
+        .crossJoin(broadcast(cents))
         .select($"qid", $"qv", $"qn2", $"cid",
           (ArrayMath.dot($"qv", $"cv") / sqrt($"qn2" * $"cn2")).as("csim"))
         .withColumn("crnk", row_number().over(

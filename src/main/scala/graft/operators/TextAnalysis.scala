@@ -12,7 +12,7 @@ import graft.core.{GraftQuery, Tables}
   */
 object TextAnalysis {
 
-  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+  import graft.core.Text.toks
 
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on")

@@ -125,7 +125,8 @@ object Workloads {
       val edges = Tables.load(s, dir, "lineitem")
         .select(($"l_orderkey" % 100).as("src"), ($"l_partkey" % 100).as("dst"))
         .distinct()
-      Graph.bfs(Graph.symmetrize(edges), 0L).orderBy("node")
+      // maxIter matches the oracle CTE's d < 8 recursion bound exactly
+      Graph.bfs(Graph.symmetrize(edges), 0L, maxIter = 8).orderBy("node")
     },
 
     // Ex_Survey (fiat2/src/fiat2/Ex_Survey.v:30-38): star join customer →

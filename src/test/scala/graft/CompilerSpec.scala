@@ -100,6 +100,33 @@ class CompilerSpec extends AnyFunSuite {
     assert(out === Seq(7L))
   }
 
+  test("EJoin of a table with ITSELF resolves both sides correctly") {
+    // the Ex_Family/Ex_Triangle shape: both ELoc lookups return the SAME
+    // DataFrame; the aliased join must not degenerate to a cross product
+    val t = Seq((1L, 10L), (2L, 20L), (3L, 10L)).toDF("id", "grp")
+    val prog = EJoin(LikeBag, ELoc("t"), ELoc("t"), "x", "y",
+      EBinop(OAnd,
+        EBinop(OEq, EAccess(EVar("x"), "grp"), EAccess(EVar("y"), "grp")),
+        EBinop(OLess, EAccess(EVar("x"), "id"), EAccess(EVar("y"), "id"))),
+      ERecord(List("a" -> EAccess(EVar("x"), "id"),
+        "b" -> EAccess(EVar("y"), "id"))))
+    val rows = compile(prog, Env(Map.empty, Map("t" -> t), spark))
+      .asInstanceOf[TV].df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((1L, 3L))) // only the grp=10 pair, ordered
+  }
+
+  test("cross-table correlated flatmap raises the directed error too") {
+    val t1 = Seq((1L, 2L)).toDF("k", "v")
+    val t2 = Seq((1L, 9L)).toDF("k", "w")
+    val prog = EFlatmap(LikeBag, ELoc("t1"), "x",
+      EFilter(LikeBag, ELoc("t2"), "y",
+        EBinop(OEq, EAccess(EVar("y"), "k"), EAccess(EVar("x"), "k"))))
+    val ex = intercept[UnsupportedOperationException] {
+      compile(prog, Env(Map.empty, Map("t1" -> t1, "t2" -> t2), spark))
+    }
+    assert(ex.getMessage.contains("EJoin"))
+  }
+
   test("correlated table-valued flatmap raises a directed error") {
     val t = Seq((1L, 2L)).toDF("k", "v")
     val prog = EFlatmap(LikeBag, ELoc("t"), "x",

@@ -55,6 +55,22 @@ class TypeCheckSpec extends AnyFunSuite {
     assert(TypeCheck.synthesize(fold, Map.empty, Map.empty) === TInt)
   }
 
+  test("CIf branches check against the same store; escapes are rejected") {
+    // a table bound in only one branch must not escape the conditional
+    val escape = CSeq(
+      CIf(EAtom(ABool(true)),
+        CAssign("t2", EAtom(ANil(TInt))), CSkip),
+      CForeach(ELoc("t2"), "x", CSkip))
+    assert(intercept[TypeError] {
+      TypeCheck.typecheck(escape, Map.empty, Map.empty)
+    }.msg.contains("different store typings"))
+    // branches that agree are fine
+    val ok = CIf(EAtom(ABool(false)),
+      CAssign("t2", EAtom(ANil(TInt))),
+      CAssign("t2", EAtom(ANil(TInt))))
+    assert(TypeCheck.typecheck(ok, Map.empty, Map.empty)("t2") === TList(TInt))
+  }
+
   test("command typing: assignment must preserve the table's type") {
     val prog = CLetMut(EAtom(ANil(TInt)), "out",
       CAssign("out", EAtom(ANil(TString))))
