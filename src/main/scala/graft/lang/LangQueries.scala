@@ -83,6 +83,48 @@ object LangQueries {
       compileProgram(prog, env).asInstanceOf[TV].df
     },
 
+    // Self-join THROUGH the language (the Ex_Family/Ex_Triangle shape): both
+    // join operands are the same table; the compiler's aliasing resolves the
+    // two row variables to distinct sides.
+    GraftQuery.sql("q_lang_selfjoin",
+      """SELECT n1.n_nationkey AS a, n2.n_nationkey AS b, n1.n_regionkey AS rk
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey
+        | AND n1.n_nationkey < n2.n_nationkey
+        |ORDER BY a, b, rk""".stripMargin) { (s, dir) =>
+      val prog = ESort(LikeList, EJoin(LikeBag, ELoc("nation"), ELoc("nation"),
+        "x", "y",
+        EBinop(OAnd,
+          EBinop(OEq, EAccess(EVar("x"), "n_regionkey"),
+            EAccess(EVar("y"), "n_regionkey")),
+          EBinop(OLess, EAccess(EVar("x"), "n_nationkey"),
+            EAccess(EVar("y"), "n_nationkey"))),
+        ERecord(List(
+          "a" -> EAccess(EVar("x"), "n_nationkey"),
+          "b" -> EAccess(EVar("y"), "n_nationkey"),
+          "rk" -> EAccess(EVar("x"), "n_regionkey")))))
+      val env = Env(Map.empty,
+        Map("nation" -> Tables.load(s, dir, "nation")), s)
+      compileProgram(prog, env).asInstanceOf[TV].df
+    },
+
+    // General EFold over a (small) table: defined on canonical value order;
+    // the non-associative step (rolling hash) is exactly what EACFold can't
+    // express. The oracle folds the same ordered list with list_reduce.
+    GraftQuery.sql("q_lang_fold",
+      """SELECT CAST(list_reduce(list(CAST(r_regionkey AS BIGINT) ORDER BY r_regionkey),
+        |                        (a, b) -> a * 31 + b) AS BIGINT) AS h
+        |FROM region""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val prog = EFold(ELoc("keys"), EAtom(AInt(0)), "x", "acc",
+        EBinop(OPlus, EBinop(OTimes, EVar("acc"), EAtom(AInt(31))), EVar("x")))
+      val keys = Tables.load(s, dir, "region")
+        .select(col("r_regionkey").cast("long").as("value"))
+      val env = Env(Map.empty, Map("keys" -> keys), s)
+      val h = compileProgram(prog, env).asInstanceOf[CV].c
+      s.range(1).select(h.cast("long").as("h"))
+    },
+
     // Command layer: CLetMut + CForeach + CAssign/OCons — the reference's
     // event-loop idiom (fiat2/src/fiat2/Ex_Orders.v:54): for each key in a
     // literal list, count matching events and cons the result onto an output
