@@ -78,10 +78,13 @@ object Fiat2 {
   def setInsert(arr: Column, v: Column): Column =
     array_sort(array_union(arr, array(v)))
 
-  /** `TList → TBag` on a nested array: sorted (value, count) pairs, fiat2
-    * `list_to_bag` (fiat2/src/fiat2/Interpret.v:112-124). Quadratic in the
-    * array length — intended for small nested collections only; top-level
-    * bags are plain DataFrames (Spark's native multiset).
+  /** The reference's EXACT nested-bag encoding — sorted (value, count)
+    * pairs, fiat2 `list_to_bag` (fiat2/src/fiat2/Interpret.v:112-124) — for
+    * interop at the boundary. NOTE: the engine's own nested-bag convention
+    * (Compiler/sparkType) is the equivalent sorted ELEMENT array (README
+    * "Known divergences"); convert with this helper only when the reference
+    * encoding is required. Quadratic in the array length — small nested
+    * collections only; top-level bags are plain DataFrames.
     */
   def bagOfArray(arr: Column): Column =
     transform(

@@ -26,8 +26,31 @@ object Compiler {
   final case class TV(df: DataFrame) extends Val
 
   final case class Env(vars: Map[String, Val], store: Map[String, DataFrame],
-      spark: SparkSession) {
-    def bind(x: String, v: Val): Env = copy(vars = vars + (x -> v))
+      spark: SparkSession, rowVars: Set[String] = Set.empty) {
+    def bind(x: String, v: Val): Env =
+      copy(vars = vars + (x -> v), rowVars = rowVars - x)
+    /** Bind a PLAN-ATTRIBUTE row variable (a table operator's binder). Such
+      * variables must not leak into a nested table operator's lambda — the
+      * attribute references would mis-resolve (silently, for the same table).
+      */
+    def bindRow(x: String, v: Val): Env =
+      copy(vars = vars + (x -> v), rowVars = rowVars + x)
+  }
+
+  /** Reject correlation of an outer table-row variable into a nested
+    * table-level operator (fiat2 interprets these nested-loop-style; a
+    * distributed engine needs the EJoin form — and on the SAME table the
+    * attribute ids would collide and silently produce wrong results). */
+  private def assertUncorrelated(env: Env, binders: Set[String],
+      lambdas: Expr*): Unit = {
+    val free = lambdas.flatMap(Rewrites.freeVars).toSet -- binders
+    val leaked = free & env.rowVars
+    if (leaked.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"table operator's lambda references outer table-row variable(s) " +
+          s"$leaked — a correlated table subquery; rewrite as EJoin (or a " +
+          "flatmap/if/cons comprehension, which Rewrites.normalize " +
+          "recognizes as a join)")
   }
 
   def sparkType(t: FType): DataType = t match {
@@ -152,7 +175,8 @@ object Compiler {
 
     case EFilter(_, l, x, p) => compile(l, env) match {
       case TV(df) =>
-        TV(df.filter(asCV(compile(p, env.bind(x, CV(rowStruct(df)))))))
+        assertUncorrelated(env, Set(x), p)
+        TV(df.filter(asCV(compile(p, env.bindRow(x, CV(rowStruct(df)))))))
       case CV(c) =>
         CV(filter(c, v => asCV(compile(p, env.bind(x, CV(v))))))
     }
@@ -165,6 +189,7 @@ object Compiler {
           // (identical attribute ids), and an unqualified self-join predicate
           // would resolve both x.k and y.k to one side (fiat2's Ex_Family /
           // Ex_Triangle are exactly this shape).
+          assertUncorrelated(env, Set(x, y), p, r)
           val la = d1.alias("__join_l")
           val ra = d2.alias("__join_r")
           def qualified(cols: Array[String], q: String): Column = {
@@ -173,8 +198,8 @@ object Compiler {
             else struct(sorted.map(c => col(s"$q.$c").as(c)): _*)
           }
           val bound = env
-            .bind(x, CV(qualified(d1.columns, "__join_l")))
-            .bind(y, CV(qualified(d2.columns, "__join_r")))
+            .bindRow(x, CV(qualified(d1.columns, "__join_l")))
+            .bindRow(y, CV(qualified(d2.columns, "__join_r")))
           val pred = asCV(compile(p, bound))
           val res = asCV(compile(r, bound))
           TV(flattenResult(la.join(ra, pred, "inner"), res))
@@ -189,7 +214,8 @@ object Compiler {
 
     case EProj(_, l, x, r) => compile(l, env) match {
       case TV(df) =>
-        val res = asCV(compile(r, env.bind(x, CV(rowStruct(df)))))
+        assertUncorrelated(env, Set(x), r)
+        val res = asCV(compile(r, env.bindRow(x, CV(rowStruct(df)))))
         TV(flattenResult(df, res))
       case CV(c) =>
         CV(transform(c, v => asCV(compile(r, env.bind(x, CV(v))))))
@@ -202,10 +228,13 @@ object Compiler {
             "correlated table-valued flatmap body — write the product as " +
               "EJoin (or a flatmap/if/cons comprehension, which " +
               "Rewrites.normalize recognizes as a join)", cause)
+        assertUncorrelated(env, Set(x), e2)
         // A correlated body over a DIFFERENT table crashes inside the body
         // compile (foreign attributes in a filter), so catch and redirect.
+        // x is a bindRow: a nested table operator referencing it trips
+        // assertUncorrelated (catching the silent same-table case too).
         val body =
-          try compile(e2, env.bind(x, CV(rowStruct(df))))
+          try compile(e2, env.bindRow(x, CV(rowStruct(df))))
           catch {
             case e: org.apache.spark.sql.AnalysisException
                 if Rewrites.freeVars(e2).contains(x) =>

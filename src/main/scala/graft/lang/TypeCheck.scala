@@ -25,6 +25,12 @@ object TypeCheck {
   }
   private def same(a: FType, b: FType, ctx: String): FType =
     if (a == b) a else err(s"$ctx: $a vs $b")
+  /** Result collection kind follows the operator's tag (Language.v:114). */
+  private def tagged(tag: CollectionTag, elem: FType): FType = tag match {
+    case LikeList => TList(elem)
+    case LikeBag => TBag(elem)
+    case LikeSet => TSet(elem)
+  }
 
   def synthesize(e: Expr, vars: Map[String, FType],
       store: Map[String, FType]): FType = {
@@ -66,13 +72,16 @@ object TypeCheck {
             same(t1, TString, "concat"); same(t2, TString, "concat")
           case OLess => same(numeric(t1), numeric(t2), "less"); TBool
           case OEq => same(t1, t2, "eq"); TBool
-          case OConcat => same(t1, t2, "concat of differing collections")
+          case OConcat => (t1, t2) match { // list append (Interpret.v:153)
+            case (TList(a), TList(b)) => same(a, b, "concat elements"); TList(a)
+            case _ => err(s"concat expects lists, got $t1 / $t2")
+          }
           case OCons => (t2: @unchecked) match {
             case TList(u) => same(t1, u, "cons"); TList(u)
             case other => err(s"cons onto non-list $other")
           }
-          case ORange =>
-            numeric(t1); numeric(t2); TList(TInt)
+          case ORange => // ORange : TInt²→[TInt]; OWRange : TWord²→[TWord]
+            TList(same(numeric(t1), numeric(t2), "range endpoints"))
           case OBagInsert => t1 match { // (bag, elem) — Interpret.v:186
             case TBag(u) => same(t2, u, "bag_insert"); TBag(u)
             case other => err(s"bag_insert into $other")
@@ -134,23 +143,23 @@ object TypeCheck {
 
       case ESort(_, l) => TList(elemOf(go(l, vars)))
 
-      case EFilter(_, l, x, p) =>
+      case EFilter(tag, l, x, p) =>
         val lt = go(l, vars)
         same(go(p, vars + (x -> elemOf(lt))), TBool, "filter predicate")
-        lt
+        tagged(tag, elemOf(lt))
 
-      case EJoin(_, l1, l2, x, y, p, r) =>
+      case EJoin(tag, l1, l2, x, y, p, r) =>
         val e1t = elemOf(go(l1, vars)); val e2t = elemOf(go(l2, vars))
         val bound = vars + (x -> e1t) + (y -> e2t)
         same(go(p, bound), TBool, "join predicate")
-        TBag(go(r, bound))
+        tagged(tag, go(r, bound))
 
-      case EProj(_, l, x, r) =>
-        TBag(go(r, vars + (x -> elemOf(go(l, vars)))))
+      case EProj(tag, l, x, r) =>
+        tagged(tag, go(r, vars + (x -> elemOf(go(l, vars)))))
 
-      case EFlatmap(_, e1, x, e2) =>
+      case EFlatmap(tag, e1, x, e2) =>
         val et = elemOf(go(e1, vars))
-        TBag(elemOf(go(e2, vars + (x -> et))))
+        tagged(tag, elemOf(go(e2, vars + (x -> et))))
 
       case EFlatmap2(e1, e2, x1, x2, e3) =>
         val t1 = elemOf(go(e1, vars)); val t2 = elemOf(go(e2, vars))
@@ -161,8 +170,10 @@ object TypeCheck {
         val zt = go(z, vars)
         same(go(step, vars + (x -> et) + (acc -> zt)), zt, "fold step")
 
-      case EACFold(_, e1) =>
+      case EACFold(AGSum, e1) =>
         numeric(elemOf(go(e1, vars))); TInt
+      case EACFold(AGCount, e1) => // count works over any element type
+        elemOf(go(e1, vars)); TInt
 
       case EACIFold(_, e1) =>
         TOption(numeric(elemOf(go(e1, vars))))

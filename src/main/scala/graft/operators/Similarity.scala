@@ -127,7 +127,6 @@ object Similarity {
           Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
         .filter($"crnk" === 1)
         .select($"vec_id", $"v", $"n2", $"cid")
-        .cache()
       // queries probe their 2 nearest cells
       val probes = e.filter($"vec_id" < 5)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"n2".as("qn2"))

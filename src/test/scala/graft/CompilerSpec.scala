@@ -57,6 +57,28 @@ class CompilerSpec extends AnyFunSuite {
     assert(evalv(none) === -1L)
   }
 
+  test("OBagInsert/OSetInsert take (collection, element) — Interpret.v:186") {
+    val bag = EBinop(OBagInsert, EAtom(AEmptyBag(TInt)), EAtom(AInt(2)))
+    assert(evalv(EBinop(OBagInsert, bag, EAtom(AInt(1)))) === Seq(1L, 2L))
+    val set = EBinop(OSetInsert,
+      EBinop(OSetInsert, EAtom(AEmptySet(TInt)), EAtom(AInt(3))),
+      EAtom(AInt(3)))
+    assert(evalv(set) === Seq(3L)) // idempotent
+  }
+
+  test("same-table correlated subquery under OLength raises, not wrong rows") {
+    val t = Seq((1L, 2L)).toDF("k", "v")
+    // per-row count of same-table matches: attribute ids would collide and
+    // silently count everything — must be rejected with the EJoin pointer
+    val prog = EProj(LikeBag, ELoc("t"), "x",
+      EUnop(OLength, EFilter(LikeBag, ELoc("t"), "y",
+        EBinop(OEq, EAccess(EVar("y"), "k"), EAccess(EVar("x"), "k")))))
+    val ex = intercept[UnsupportedOperationException] {
+      compile(prog, Env(Map.empty, Map("t" -> t), spark))
+    }
+    assert(ex.getMessage.contains("EJoin"))
+  }
+
   test("ESetOf dedups+sorts, EACIFold min/max, EDictFold over entries") {
     val set = ESetOf(listOf(3, 1, 3, 2, 1))
     assert(evalv(set) === Seq(1L, 2L, 3L))
