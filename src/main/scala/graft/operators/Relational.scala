@@ -155,6 +155,19 @@ object Relational {
         .select($"o_orderkey".as("album_id"), $"c_name".as("artist"))
         .orderBy("album_id")
     },
+    // SQL entry point: the ONE string below runs verbatim on Spark (over
+    // registered views) AND as its own DuckDB oracle — `spark.sql(...)` is a
+    // first-class way to author engine queries (SURVEY.md §3.4).
+    {
+      val sqlText =
+        """SELECT o_orderpriority AS priority, COUNT(*) AS n
+          |FROM orders WHERE o_totalprice > 150000
+          |GROUP BY o_orderpriority ORDER BY priority""".stripMargin
+      GraftQuery.sql("q_sql_text", sqlText) { (s, dir) =>
+        Tables.registerAll(s, dir)
+        s.sql(sqlText)
+      }
+    },
   )
 
   /** Flagship: the Ex_Employee join end-to-end on the smallest SF. */
