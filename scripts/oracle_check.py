@@ -16,8 +16,11 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 fail = 0
-names = sorted(d for d in os.listdir(out_dir)
-               if os.path.isdir(os.path.join(out_dir, d)))
+# Union of oracle entries and written outputs: a query that failed inside
+# Verify (no parquet dir) must show as FAIL, not vanish from the comparison.
+dirs = set(d for d in os.listdir(out_dir)
+           if os.path.isdir(os.path.join(out_dir, d)))
+names = sorted(dirs | set(oracle.keys()))
 for name in names:
     files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
     if not files:

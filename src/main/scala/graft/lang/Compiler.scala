@@ -142,12 +142,23 @@ object Compiler {
       CV(Fiat2.dictInsert(asCV(compile(d, env)), asCV(compile(k, env)),
         asCV(compile(v, env))))
 
-    case EIf(c, t, f) => (compile(t, env), compile(f, env)) match {
-      case (CV(tc), CV(fc)) => CV(when(asCV(compile(c, env)), tc).otherwise(fc))
-      case (tv, fv) => // table-valued branches: decide eagerly on the driver
-        if (evalScalar(env, asCV(compile(c, env))).asInstanceOf[Boolean]) tv
-        else fv
-    }
+    case EIf(c, t, f) =>
+      // Lazy branch semantics (the reference interpreter evaluates the
+      // condition first, then ONLY the taken branch): when the condition is
+      // row-free it can be decided on the driver and the not-taken branch is
+      // never compiled — required for table-valued branches, and harmless
+      // constant-folding for scalar ones. A row-dependent condition (plan
+      // attributes / lambda variables) fails the eager probe and falls back
+      // to the per-row `when` form, where both branches are scalar columns.
+      val cc = asCV(compile(c, env))
+      val eager =
+        try Some(evalScalar(env, cc).asInstanceOf[Boolean])
+        catch { case _: Exception => None }
+      eager match {
+        case Some(b) => compile(if (b) t else f, env)
+        case None =>
+          CV(when(cc, asCV(compile(t, env))).otherwise(asCV(compile(f, env))))
+      }
 
     case ELet(e1, x, e2) => compile(e2, env.bind(x, compile(e1, env)))
 
@@ -287,10 +298,7 @@ object Compiler {
           "EFold over a table >10k rows — use EACFold/EACIFold (parallel " +
             "aggregation) or restructure; a sequential fold cannot scale")
         val cols = df.columns.sorted
-        val elems = rows.map { row =>
-          if (cols.sameElements(Array("value"))) lit(row.getAs[Any]("value"))
-          else struct(cols.map(c => lit(row.getAs[Any](c)).as(c)): _*)
-        }
+        val elems = rows.map(rowLiteral(_, df.schema, cols))
         val arr = if (elems.isEmpty) array().cast(ArrayType(
           if (cols.sameElements(Array("value"))) df.schema("value").dataType
           else StructType(cols.map(c => df.schema(c)))))
@@ -324,6 +332,19 @@ object Compiler {
     }
   }
 
+  /** Rebuild a collected row as a literal expression. NULL cells must keep
+    * their column's type — a bare `lit(null)` is NullType and breaks any fold
+    * body that touches it. */
+  def rowLiteral(row: org.apache.spark.sql.Row, schema: StructType,
+      cols: Array[String]): Column = {
+    def cell(c: String): Column =
+      if (row.isNullAt(row.fieldIndex(c)))
+        lit(null).cast(schema(c).dataType)
+      else lit(row.getAs[Any](c))
+    if (cols.sameElements(Array("value"))) cell("value")
+    else struct(cols.map(c => cell(c).as(c)): _*)
+  }
+
   private def flattenExploded(df: DataFrame, arr: Column): DataFrame = {
     val probe = df.select(explode(arr).as("__elem"))
     probe.schema.head.dataType match {
@@ -351,7 +372,12 @@ object Compiler {
       case OLookup => CV(Fiat2.dictLookup(asCV(v1), asCV(v2)))
       case ODelete => CV(Fiat2.dictDelete(asCV(v1), asCV(v2)))
       case OConcat => (v1, v2) match {
-        case (TV(d1), TV(d2)) => TV(d1.union(d2))
+        // Align by NAME (engine convention: name-sorted row structs) — a
+        // positional union would silently misalign ELoc tables whose columns
+        // arrive in different physical order but identical positional types.
+        case (TV(d1), TV(d2)) =>
+          TV(d1.select(d1.columns.sorted.map(col): _*)
+            .unionByName(d2.select(d2.columns.sorted.map(col): _*)))
         case (a, b) => CV(concat(asCV(a), asCV(b)))
       }
       case OCons => (v1, v2) match {

@@ -48,10 +48,7 @@ object Interp {
       val df = toDF(compileProgram(e, env), env)
       val cols = df.columns.sorted
       df.collect().foldLeft(env) { (acc, row) =>
-        val bound =
-          if (cols.sameElements(Array("value")))
-            CV(lit(row.getAs[Any]("value")))
-          else CV(struct(cols.map(c => lit(row.getAs[Any](c)).as(c)): _*))
+        val bound = CV(Compiler.rowLiteral(row, df.schema, cols))
         // x is scoped to the body; restore afterwards
         val after = run(body, acc.bind(x, bound))
         acc.vars.get(x) match {

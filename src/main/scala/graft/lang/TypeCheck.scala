@@ -72,9 +72,14 @@ object TypeCheck {
             same(t1, TString, "concat"); same(t2, TString, "concat")
           case OLess => same(numeric(t1), numeric(t2), "less"); TBool
           case OEq => same(t1, t2, "eq"); TBool
-          case OConcat => (t1, t2) match { // list append (Interpret.v:153)
+          case OConcat => (t1, t2) match { // list append (Interpret.v:153);
+            // bag union is the table-level form the compiler supports (tables
+            // are typed TBag), set union by dedup on observation
             case (TList(a), TList(b)) => same(a, b, "concat elements"); TList(a)
-            case _ => err(s"concat expects lists, got $t1 / $t2")
+            case (TBag(a), TBag(b)) => same(a, b, "concat elements"); TBag(a)
+            // TSet is NOT accepted: concat doesn't re-dedup, so set union
+            // must go through ESetOf(concat) — which synthesize types fine.
+            case _ => err(s"concat expects matching lists/bags, got $t1 / $t2")
           }
           case OCons => (t2: @unchecked) match {
             case TList(u) => same(t1, u, "cons"); TList(u)
