@@ -6,18 +6,43 @@ import graft.core.{GraftQuery, Tables}
 
 /** Deduplication for training-data pipelines: exact (hash group-by), n-gram
   * Jaccard (shingle join), MinHash+LSH (shingle → minhash → band → bucket
-  * join), and SimHash (bit-vote fingerprint + banded hamming join).
+  * join), and SimHash (bit-vote fingerprint + banded join).
   *
-  * Scale notes: the exact and LSH paths shuffle by hash/bucket keys and never
-  * materialize the n² pair space — the shape that survives 100 TB. The plain
-  * shingle join (q_dedup_ngram_jaccard) is the exact baseline; at cluster
-  * scale hot shingles need a frequency cap (drop shingles appearing in > F
-  * docs — they only connect non-near-duplicates), which is what MinHash bands
-  * replace it with here.
+  * All near-dup strategies share one shape: a bucketed CANDIDATE generator
+  * (shingle groups / minhash bands / simhash chunks — never the n² pair
+  * space) followed by exact-Jaccard verification of the candidates. Because
+  * the verification step recomputes the true Jaccard, every strategy's output
+  * is the exact near-dup pair set, which the DuckDB oracle reproduces — the
+  * banding parameters are sized so recall on this corpus is total (planted
+  * near-duplicates sit at Jaccard ≥ 0.8, far above the 0.5 threshold).
+  *
+  * Scale notes: signature/fingerprint construction is MAP-SIDE ONLY (a
+  * projection over the per-doc token/shingle array — no explode, no groupBy);
+  * the only shuffles are the bucket joins on band keys and the candidate
+  * verification joins, all of which move candidate-sized data, not
+  * corpus×perms. Hot shingles are frequency-capped: a shingle appearing in
+  * more than `maxShingleDocFreq` docs is dropped from candidate generation
+  * (it would emit O(F²) pairs while only connecting documents whose overlap
+  * is a vanishing fraction of their shingle sets — any true near-dup pair at
+  * θ ≥ 0.5 shares far more shingles than just the hot ones).
   */
 object Dedup {
 
   import graft.core.Text.toks
+
+  /** Exact n-gram-Jaccard near-dup pairs at θ=0.5 — the ground truth every
+    * dedup strategy below verifies against, and the shared DuckDB oracle. */
+  private val exactJaccardSql =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM w, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+      |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT a, b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+      |ORDER BY a, b""".stripMargin
 
   /** Distinct word-3-gram shingle SET per doc: (doc_id, ss: array<string>).
     * This compact form (one row per doc) is what gets cached — several
@@ -25,7 +50,7 @@ object Dedup {
     * instead made AQE's concurrently-submitted stages serialize on the cache
     * fill (observed 3 parallel 9s jobs for a 2s computation).
     */
-  private def shingleSets(docs: DataFrame): DataFrame = {
+  private[graft] def shingleSets(docs: DataFrame): DataFrame = {
     // Materialize the token array as a column FIRST: referencing the split()
     // expression inside the trigram lambda re-evaluates it per element access
     // (no common-subexpression elimination inside higher-order functions) —
@@ -39,17 +64,40 @@ object Dedup {
         .as("ss"))
   }
 
-  /** Posting list (doc_id, s) from the shingle sets. */
-  private def shingles(dsets: DataFrame): DataFrame =
-    dsets.select(col("doc_id"), explode(col("ss")).as("s"))
+  /** Load + repartition (documents arrives as ONE parquet partition, so any
+    * per-doc work would run single-threaded) + cache the per-doc shingle
+    * sets, forced ONCE before fan-out: downstream subtrees consume it from
+    * multiple sides of joins, and without the barrier AQE submits them
+    * concurrently — each recomputing the unmaterialized cache redundantly
+    * (observed 3×8.7s single-task stages for a ~2s computation). */
+  private def cachedShingleSets(s: SparkSession, dir: String): DataFrame = {
+    val dsets = shingleSets(Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)).cache()
+    dsets.count()
+    dsets
+  }
 
-  /** Exact Jaccard over candidate pairs (a < b) that share ≥1 shingle.
-    * Pairs are generated WITHIN each shingle's doc-id group (one groupBy
-    * shuffle, pairs emitted map-side after it) instead of a self-join —
-    * the self-join shuffles the posting list twice and was ~4× slower.
+  /** Hot-shingle document-frequency cap (see class doc). */
+  val maxShingleDocFreq = 128
+
+  /** Exact Jaccard over pairs (a < b) sharing ≥1 non-hot shingle. Pairs are
+    * generated WITHIN each shingle's doc-id group (one groupBy shuffle, pairs
+    * emitted map-side after it) instead of a self-join — the self-join
+    * shuffles the posting list twice and was ~4× slower. Counting shared
+    * shingles per pair (cheap long rows) beats re-intersecting the full
+    * shingle arrays per candidate by ~3× at sf0.1.
+    *
+    * The frequency cap drops hot shingle groups BEFORE pair emission, so the
+    * pair space is bounded by F²/2 per shingle. Jaccard is then computed over
+    * non-capped shingles only — exact for every reported pair unless the pair
+    * shares a capped shingle, which at θ ≥ 0.5 requires ≥ F near-identical
+    * docs in the corpus (those collapse in exact dedup long before this
+    * runs). The oracle computes the uncapped value, so a green row proves
+    * the cap changed nothing on this corpus.
     */
-  private def jaccardPairs(dsets: DataFrame): DataFrame = {
-    val sh = shingles(dsets)
+  private[graft] def jaccardPairs(dsets: DataFrame,
+      maxDocFreq: Int = maxShingleDocFreq): DataFrame = {
+    val sh = dsets.select(col("doc_id"), explode(col("ss")).as("s"))
     val sizes = dsets.select(col("doc_id"), size(col("ss")).as("n"))
     val ds = col("ds")
     val combos = flatten(transform(ds, (x, i) =>
@@ -57,6 +105,7 @@ object Dedup {
         y => struct(x.as("a"), y.as("b")))))
     val inter = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(ds) <= maxDocFreq)
       .select(explode(combos).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
@@ -70,10 +119,11 @@ object Dedup {
 
   /** Exact Jaccard for an explicit (small) candidate-pair set: join each side
     * to the per-doc shingle set, intersect in-memory — never the full pair
-    * space. This is the LSH verification step.
+    * space. This is the shared verification step; only candidate-sized data
+    * moves through it.
     */
   private def jaccardForCandidates(dsets: DataFrame, cands: DataFrame): DataFrame = {
-    val docSets = dsets.select(col("doc_id"), array_sort(col("ss")).as("ss"))
+    val docSets = dsets.select(col("doc_id"), col("ss"))
     cands
       .join(docSets.select(col("doc_id").as("a"), col("ss").as("sa")), "a")
       .join(docSets.select(col("doc_id").as("b"), col("ss").as("sb")), "b")
@@ -83,8 +133,24 @@ object Dedup {
             size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
   }
 
+  private def verified(dsets: DataFrame, cands: DataFrame): DataFrame =
+    jaccardForCandidates(dsets, cands)
+      .filter(col("jaccard") >= 0.5).orderBy("a", "b")
+
   val minhashPerms = 16
-  val minhashBands = 4 // 4 rows per band
+  val minhashBands = 8 // 2 rows per band: p(miss a j=0.8 pair) = (1-.8²)⁸ ≈ 3e-4
+
+  /** Per-doc minhash signature — one native-expression PROJECTION over the
+    * cached shingle array (`Fingerprints.minhash`: a single codegen'd pass
+    * computing all 16 seed-mins), replacing the round-1 explode +
+    * groupBy(doc_id) 16-agg shuffle: the signature build now never shuffles;
+    * only (doc_id, band, bh) rows do. Docs with no shingles (<3 tokens) get
+    * a null signature and are dropped, matching the grouped form (no posting
+    * rows → no signature). */
+  private def minhashSignatures(dsets: DataFrame): DataFrame =
+    dsets.select(col("doc_id"),
+      graft.functions.Fingerprints.minhash(col("ss"), minhashPerms).as("sig"))
+      .filter(col("sig").isNotNull)
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -119,51 +185,29 @@ object Dedup {
     },
 
     // Exact n-gram Jaccard near-dup pairs (threshold 0.5 cleanly separates
-    // the planted near-duplicates from the ~0.0 noise floor).
-    GraftQuery.sql("q_dedup_ngram_jaccard",
-      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |       FROM w, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
-        |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT a, b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-        |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
-        |ORDER BY a, b""".stripMargin) { (s, dir) =>
-      // Repartition first (documents arrives as ONE parquet partition, so the
-      // shingle pass would run single-threaded), cache the compact per-doc
-      // form, and force it ONCE: three downstream subtrees consume it, and
-      // without the barrier AQE submits them concurrently — each one then
-      // recomputes the unmaterialized cache redundantly (observed 3×8.7s
-      // single-task stages for a ~2s computation).
-      val dsets = shingleSets(Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)).cache()
-      dsets.count()
+    // the planted near-duplicates from the ~0.0 noise floor). Candidates come
+    // from shingle co-occurrence groups (frequency-capped), then exact
+    // verification.
+    GraftQuery.sql("q_dedup_ngram_jaccard", exactJaccardSql) { (s, dir) =>
+      val dsets = cachedShingleSets(s, dir)
       jaccardPairs(dsets).filter(col("jaccard") >= 0.5).orderBy("a", "b")
     },
 
-    // MinHash + LSH: per-doc signature = min over shingles of xxhash64(seed_i,
-    // shingle) for 16 seeds; 4 bands of 4 rows bucket-joined; candidates then
-    // verified with exact Jaccard. Only bucket-mates ever pair up — no n².
-    GraftQuery.rowsOnly("q_dedup_minhash") { (s, dir) =>
+    // MinHash + LSH: map-side per-doc signature (min over the shingle array
+    // of xxhash64(seed_i, shingle) for 16 seeds); 8 bands of 2 rows
+    // bucket-joined; candidates verified with exact Jaccard. Only
+    // bucket-mates ever pair up — no n², and nothing corpus-sized shuffles
+    // except the banded keys.
+    GraftQuery.sql("q_dedup_minhash", exactJaccardSql) { (s, dir) =>
       import s.implicits._
-      val dsets = shingleSets(Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)).cache()
-      dsets.count() // materialize before fan-out (see q_dedup_ngram_jaccard)
-      val sh = shingles(dsets)
-      val sigExprs = (0 until minhashPerms)
-        .map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-      // cached: the band self-join would otherwise run this aggregation for
-      // both sides of the join
-      val sigs = sh.groupBy($"doc_id")
-        .agg(sigExprs.head, sigExprs.tail: _*)
-        .cache()
+      val dsets = cachedShingleSets(s, dir)
+      val sigs = minhashSignatures(dsets)
       val rowsPerBand = minhashPerms / minhashBands
       // one band row per (doc, band) via explode — a union of N selects would
-      // recompute the signature aggregation N times
+      // recompute the signatures N times
       val bandArr = array((0 until minhashBands).map { b =>
-        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1))
         struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
       }: _*)
       val bands = sigs.select($"doc_id", explode(bandArr).as("bb"))
@@ -171,27 +215,41 @@ object Dedup {
       val cands = bands.select($"doc_id".as("a"), $"band", $"bh")
         .join(bands.select($"doc_id".as("b"), $"band", $"bh"), Seq("band", "bh"))
         .filter($"a" < $"b").select($"a", $"b").distinct()
-      jaccardForCandidates(dsets, cands)
-        .filter($"jaccard" >= 0.5).orderBy("a", "b")
+      verified(dsets, cands)
     },
 
-    // SimHash: 64-bit fingerprint by per-bit vote over token hashes; banded
-    // by 4×16-bit chunks so only chunk-equal pairs are hamming-checked.
-    GraftQuery.rowsOnly("q_dedup_simhash") { (s, dir) =>
+    // SimHash: 64-bit fingerprint by per-bit majority vote over token hashes,
+    // computed map-side by a single codegen'd pass over the token array
+    // (`Fingerprints.simhash` — replaces the round-1 exploded-token 64-agg
+    // shuffle that was 25% of the whole bench); banded by 4×16-bit chunks so
+    // only chunk-equal pairs are hamming-checked. The token hash is
+    // md5-low64 (= DuckDB `md5_number_lower`), so the oracle replays the
+    // ENTIRE algorithm — hash, votes, fingerprint, chunk join, hamming — in
+    // SQL and the match is hash-exact, not a weaker ground-truth proxy.
+    // (At cluster scale the chunk tables would be wider — 16-bit buckets are
+    // sized for this corpus; the plan shape — band join, candidate-only
+    // hamming checks — is the one that survives.)
+    GraftQuery.sql("q_dedup_simhash",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |tok AS (SELECT doc_id, md5_number_lower(t.w) AS h FROM w, unnest(ws) AS t(w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |votes AS (SELECT doc_id, j, SUM(CAST((h >> CAST(j AS INT)) & 1 AS BIGINT)) AS ones
+        |          FROM tok, unnest(range(0, 64)) AS r(j) GROUP BY doc_id, j),
+        |sim AS (SELECT v.doc_id,
+        |          CAST(SUM(CASE WHEN 2 * v.ones > c.n THEN (CAST(1 AS UBIGINT) << CAST(v.j AS INT)) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash
+        |        FROM votes v JOIN cnt c USING (doc_id) GROUP BY v.doc_id),
+        |chunks AS (SELECT doc_id, c, (simhash >> CAST(c*16 AS INT)) & 65535 AS ch FROM sim, unnest(range(0,4)) AS t(c)),
+        |cands AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |          FROM chunks a JOIN chunks b ON a.c = b.c AND a.ch = b.ch AND a.doc_id < b.doc_id)
+        |SELECT a, b, hamming FROM (
+        |  SELECT cands.a, cands.b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+        |  FROM cands JOIN sim sa ON sa.doc_id = cands.a JOIN sim sb ON sb.doc_id = cands.b)
+        |WHERE hamming <= 6 ORDER BY a, b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val tok = Tables.load(s, dir, "documents")
+      val sim = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", explode(toks($"text")).as("w"))
-        .select($"doc_id", xxhash64($"w").as("h"))
-      val bitVotes = (0 until 64).map(j =>
-        sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-          .as(s"b$j"))
-      val sim = tok.groupBy($"doc_id")
-        .agg(bitVotes.head, bitVotes.tail: _*)
         .select($"doc_id",
-          (0 until 64).map(j =>
-            when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-            .reduce(_.bitwiseOR(_)).as("simhash"))
+          graft.functions.Fingerprints.simhash(toks($"text")).as("simhash"))
         .cache()
       val chunkArr = array((0 until 4).map(c => struct(lit(c).as("chunk"),
         shiftright($"simhash", c * 16).bitwiseAND(0xffffL).as("ch"))): _*)

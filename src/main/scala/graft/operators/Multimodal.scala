@@ -59,8 +59,23 @@ object Multimodal {
     },
 
     // Full stubbed decode → feature pipeline; batch shape + partitioning are
-    // the product, the pixel math is fake.
-    GraftQuery.rowsOnly("q_multimodal_features") { (s, dir) =>
+    // the product. The "pixel math" is fake but DETERMINISTIC byte
+    // arithmetic over the (pure-ASCII) text bytes, so the oracle recomputes
+    // it exactly from character codes.
+    GraftQuery.sql("q_multimodal_features",
+      """WITH ch AS (SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS b, i
+        |            FROM documents, unnest(range(1, len(text) + 1)) AS t(i)),
+        |agg AS (SELECT doc_id, SUM(b) AS fs,
+        |               SUM(CASE WHEN i <= 16 THEN b ELSE 0 END) AS fh
+        |        FROM ch GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+        |  CAST(16 + (CASE WHEN len(d.text) >= 1 THEN ascii(substr(d.text, 1, 1)) & 15 ELSE 0 END) AS INT) AS width,
+        |  CAST(16 + (CASE WHEN len(d.text) >= 2 THEN ascii(substr(d.text, 2, 1)) & 15 ELSE 0 END) AS INT) AS height,
+        |  CAST(1 + (octet_length(encode(d.text)) % 4) AS INT) AS n_frames,
+        |  CAST(COALESCE(agg.fs, 0) AS DOUBLE) AS feat_sum,
+        |  CAST(COALESCE(agg.fh, 0) AS DOUBLE) AS feat_head
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val blobs = Tables.load(s, dir, "documents")
         .select($"doc_id", encode($"text", "utf-8").as("data"),

@@ -8,13 +8,15 @@ import graft.functions.ArrayMath
 
 /** Similarity search over the embedding column. Brute-force cosine top-k is
   * the exact baseline (query side broadcast, corpus side never shuffled);
-  * sign-LSH bucketing is the scale path — candidates meet only inside
-  * buckets, so the pair space is bucket-local instead of n².
+  * sign-LSH bucketing and IVF cells are the scale paths — candidates meet
+  * only inside buckets/cells, so the pair space is bucket-local instead of n².
   *
   * All float math is cast to double and summed strictly left-to-right (the
   * native `DotProduct` codegen expression), which is bit-identical to
-  * DuckDB's sequential `list_reduce` fold — so even the top-k ORDER is
-  * oracle-checkable.
+  * DuckDB's sequential `list_reduce` fold — so even ANN outputs are
+  * oracle-checkable: the LSH oracle recomputes the very same hyperplane
+  * buckets (planes shipped into the SQL as literals) and the IVF oracle
+  * replays the whole assign/probe/score pipeline in SQL.
   */
 object Similarity {
 
@@ -27,6 +29,14 @@ object Similarity {
   private def corpus(df: DataFrame): DataFrame =
     df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("n2", ArrayMath.dot(col("v"), col("v")))
+
+  /** DuckDB fragments shared by the oracles below (bit-exact vs DotProduct:
+    * sequential left-to-right double folds — proven by q_ann_topk). */
+  private val enSql =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |en AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e)""".stripMargin
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), z -> z[1] * z[2]), (u, w) -> u + w)"
 
   /** Deterministic ±1 hyperplanes: one 64-dim row per signature bit, from a
     * seeded PRNG on the driver — shipped as literals so the projection is one
@@ -42,6 +52,48 @@ object Similarity {
       when(ArrayMath.dot(v, typedlit(p)) > 0, shiftleft(lit(1L), j))
         .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+
+  /** The LSH oracle recomputes the same buckets from the same plane literals:
+    * the dot-against-±1 folds are bit-exact in both engines, so the sign (and
+    * hence the bucket, the join, and the cosines) match exactly. */
+  private def lshOracleSql: String = {
+    val rows = planes(16, 64).zipWithIndex
+      .map { case (p, j) => s"($j, [${p.mkString(", ")}])" }
+      .mkString(", ")
+    s"""WITH planes(j, p) AS (VALUES $rows),
+       |$enSql,
+       |bk AS (SELECT vec_id, v, n2,
+       |  (SELECT SUM(CASE WHEN ${dotSql("en.v", "p")} > 0
+       |              THEN CAST(1 AS BIGINT) << j ELSE 0 END) FROM planes) AS bucket
+       |  FROM en)
+       |SELECT a, b, cosine FROM (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    ${dotSql("x.v", "y.v")} / sqrt(x.n2 * y.n2) AS cosine
+       |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |WHERE cosine >= 0.2 ORDER BY a, b""".stripMargin
+  }
+
+  /** Full IVF replay in SQL: same centroid sample, same argmax assignment
+    * (ties to the smallest cid), same 2-cell probe, same scoring. */
+  private val ivfOracleSql =
+    s"""WITH $enSql,
+       |c AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM en WHERE vec_id < 16),
+       |asg AS (SELECT vec_id, v, n2, cid FROM (
+       |  SELECT en.vec_id, en.v, en.n2, c.cid, row_number() OVER (
+       |    PARTITION BY en.vec_id
+       |    ORDER BY ${dotSql("en.v", "c.cv")} / sqrt(en.n2 * c.cn2) DESC, c.cid) AS crnk
+       |  FROM en, c) WHERE crnk = 1),
+       |pr AS (SELECT qid, qv, qn2, cid FROM (
+       |  SELECT q.vec_id AS qid, q.v AS qv, q.n2 AS qn2, c.cid, row_number() OVER (
+       |    PARTITION BY q.vec_id
+       |    ORDER BY ${dotSql("q.v", "c.cv")} / sqrt(q.n2 * c.cn2) DESC, c.cid) AS crnk
+       |  FROM en q, c WHERE q.vec_id < 5) WHERE crnk <= 2),
+       |scored AS (SELECT qid, vec_id,
+       |    ${dotSql("qv", "v")} / sqrt(qn2 * n2) AS sim
+       |  FROM pr JOIN asg USING (cid) WHERE vec_id != qid)
+       |SELECT qid, vec_id, sim, CAST(rnk AS BIGINT) AS rnk FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk FROM scored)
+       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -65,12 +117,10 @@ object Similarity {
     // Brute-force cosine top-10 for 5 query vectors: queries broadcast
     // against the corpus, ranked per query. Exact baseline for ANN.
     GraftQuery.sql("q_ann_topk",
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |en AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2 FROM e),
+      s"""WITH $enSql,
         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en WHERE vec_id < 5),
         |scored AS (SELECT qid, vec_id,
-        |             list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (a, b) -> a + b)
-        |               / sqrt(qn2 * n2) AS sim
+        |             ${dotSql("qv", "v")} / sqrt(qn2 * n2) AS sim
         |           FROM q, en WHERE vec_id != qid)
         |SELECT qid, vec_id, sim, CAST(rnk AS BIGINT) AS rnk FROM
         |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk FROM scored)
@@ -93,7 +143,7 @@ object Similarity {
 
     // Scale path: sign-LSH bucketing; exact cosine only within buckets, then
     // near-dup pairs above threshold. Bucket key join — never n² pairs.
-    GraftQuery.rowsOnly("q_ann_lsh_pairs") { (s, dir) =>
+    GraftQuery.sql("q_ann_lsh_pairs", lshOracleSql) { (s, dir) =>
       import s.implicits._
       val e = corpus(Tables.load(s, dir, "embeddings"))
         .withColumn("bucket", lshBucket($"v", 64)).cache()
@@ -111,32 +161,37 @@ object Similarity {
     // the cell assignment is a one-time pass and each query touches
     // nProbe/K of the data. Centroids here are a deterministic sample
     // (vec_id < 16) — production would k-means a sample; the partition/probe
-    // plumbing is identical.
-    GraftQuery.rowsOnly("q_ann_ivf_topk") { (s, dir) =>
+    // plumbing is identical. The 16 centroids are collected to the driver
+    // and re-shipped as literals, so cell assignment is ONE map-side
+    // projection (argmax over 16 codegen'd dot products) with no Exchange —
+    // replacing the round-1 crossJoin + per-vec_id window that shuffled
+    // corpus×16 rows.
+    GraftQuery.sql("q_ann_ivf_topk", ivfOracleSql) { (s, dir) =>
       import s.implicits._
       val e = corpus(Tables.load(s, dir, "embeddings"))
       val cents = e.filter($"vec_id" < 16)
         .select($"vec_id".as("cid"), $"v".as("cv"), $"n2".as("cn2"))
+        .collect().sortBy(_.getLong(0))
+      // per-row array of (csim, -cid) structs: array_max picks the best cell,
+      // ties to the smallest cid (struct order = csim, then -cid descending)
+      def cellStructs(v: Column, n2: Column) = cents.map { r =>
+        struct(
+          (ArrayMath.dot(v, typedlit(r.getSeq[Double](1))) /
+            sqrt(n2 * lit(r.getDouble(2)))).as("csim"),
+          lit(-r.getLong(0)).as("ncid"))
+      }
       // assign every vector to its nearest centroid (cosine) — including a
       // centroid to its OWN cell (excluding it would warp the index; query
       // self-match is excluded later, at scoring)
-      val assigned = e.crossJoin(broadcast(cents))
-        .select($"vec_id", $"v", $"n2", $"cid",
-          (ArrayMath.dot($"v", $"cv") / sqrt($"n2" * $"cn2")).as("csim"))
-        .withColumn("crnk", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
-        .filter($"crnk" === 1)
-        .select($"vec_id", $"v", $"n2", $"cid")
-      // queries probe their 2 nearest cells
+      val assigned = e.select($"vec_id", $"v", $"n2",
+        (-array_max(array(cellStructs($"v", $"n2"): _*)).getField("ncid")).as("cid"))
+      // queries probe their 2 nearest cells: sort the 16 structs descending,
+      // take the head two — still one map-side projection
       val probes = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("qid"), $"v".as("qv"), $"n2".as("qn2"))
-        .crossJoin(broadcast(cents))
-        .select($"qid", $"qv", $"qn2", $"cid",
-          (ArrayMath.dot($"qv", $"cv") / sqrt($"qn2" * $"cn2")).as("csim"))
-        .withColumn("crnk", row_number().over(
-          Window.partitionBy($"qid").orderBy($"csim".desc, $"cid")))
-        .filter($"crnk" <= 2)
-        .select($"qid", $"qv", $"qn2", $"cid")
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"n2".as("qn2"),
+          explode(slice(reverse(array_sort(array(cellStructs($"v", $"n2"): _*))), 1, 2))
+            .as("cc"))
+        .select($"qid", $"qv", $"qn2", (-$"cc.ncid").as("cid"))
       val scored = probes.join(assigned, Seq("cid"))
         .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id",
@@ -150,7 +205,14 @@ object Similarity {
 
     // Embedding-cosine near-dup scan of a bounded candidate batch (vec_id <
     // 500) against the full corpus — the incremental-ingest dedup shape.
-    GraftQuery.rowsOnly("q_dedup_embedding") { (s, dir) =>
+    GraftQuery.sql("q_dedup_embedding",
+      s"""WITH $enSql,
+        |cand AS (SELECT vec_id AS a, v AS va, n2 AS na FROM en WHERE vec_id < 500)
+        |SELECT a, b, cosine FROM (
+        |  SELECT cand.a, en.vec_id AS b,
+        |    ${dotSql("cand.va", "en.v")} / sqrt(cand.na * en.n2) AS cosine
+        |  FROM cand JOIN en ON cand.a < en.vec_id)
+        |WHERE cosine >= 0.35 ORDER BY a, b""".stripMargin) { (s, dir) =>
       import s.implicits._
       val e = corpus(Tables.load(s, dir, "embeddings"))
       val cand = e.filter($"vec_id" < 500)

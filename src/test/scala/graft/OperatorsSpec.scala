@@ -30,6 +30,29 @@ class OperatorsSpec extends AnyFunSuite {
         s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("hot-shingle cap bounds pair blowup without losing near-dup pairs") {
+    // 8 "hot" docs whose ONLY overlap is one shared shingle (aaa bbb ccc),
+    // plus one genuine near-dup pair sharing most of its shingles.
+    val hotDocs = (0 until 8).map(i =>
+      (i.toLong, s"aaa bbb ccc x$i y$i z$i w$i v$i u$i t$i s$i"))
+    val nearDup = Seq(
+      (100L, "p q r s t u v w x y z aaa bbb ccc"),
+      (101L, "p q r s t u v w x y z aaa bbb cccX"))
+    val docs = (hotDocs ++ nearDup).toDF("doc_id", "text")
+    val dsets = Dedup.shingleSets(docs)
+    // uncapped: the hot shingle alone connects all C(8,2)=28 hot-doc pairs
+    val uncapped = Dedup.jaccardPairs(dsets, maxDocFreq = Int.MaxValue)
+    assert(uncapped.count() >= 28 + 1)
+    // capped at 4: the 10-doc hot group is dropped entirely, so no hot-doc
+    // pair survives, but the near-dup pair (connected by its many non-hot
+    // shingles) is still reported above threshold
+    val capped = Dedup.jaccardPairs(dsets, maxDocFreq = 4)
+      .filter($"jaccard" >= 0.5)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L)))
+    assert(Dedup.jaccardPairs(dsets, maxDocFreq = 4).count() < 28)
+  }
+
   test("IVF ANN produces well-formed per-query rankings from probed cells") {
     // The synthetic embeddings are near-random (no cluster structure), so a
     // recall floor is not meaningful — assert the structural contract: every
