@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Fiat2
+import graft.functions.WordOps
 
 /** Compiles `Lang` expressions to Spark plans. Two levels, mirroring the
   * reference's table/value split (tables are list-of-record globals,
@@ -54,6 +55,9 @@ object Compiler {
   }
 
   def sparkType(t: FType): DataType = t match {
+    case THole => throw new UnsupportedOperationException(
+      "unelaborated type hole — run TypeCheck.analyze against the expected " +
+        "type before compiling")
     case TWord | TInt => LongType
     case TBool => BooleanType
     case TString => StringType
@@ -129,7 +133,8 @@ object Compiler {
     case EUnop(op, e1) => (op, compile(e1, env)) match {
       case (OLength, TV(df)) => CV(lit(df.count())) // eager, like the interp
       case (OLength, CV(c)) => CV(size(c).cast("long"))
-      case (OWNeg | ONeg, v) => CV(-asCV(v))
+      case (OWNeg, v) => CV(WordOps.wneg(asCV(v))) // wraps at Long.MinValue
+      case (ONeg, v) => CV(-asCV(v))
       case (ONot, v) => CV(!asCV(v))
       case (OLengthString, v) => CV(length(asCV(v)).cast("long"))
       case (OIntToString, v) => CV(asCV(v).cast("string"))
@@ -363,6 +368,18 @@ object Compiler {
       case OTimes => CV(asCV(v1) * asCV(v2))
       case ODiv => CV(Fiat2.ediv(asCV(v1), asCV(v2)))
       case OMod => CV(Fiat2.emod(asCV(v1), asCV(v2)))
+      // TWord machine-word family — wrap-around + total div/mod, never the
+      // ANSI overflow-checked builtins (functions/WordOps.scala).
+      case OWPlus => CV(WordOps.wadd(asCV(v1), asCV(v2)))
+      case OWMinus => CV(WordOps.wsub(asCV(v1), asCV(v2)))
+      case OWTimes => CV(WordOps.wmul(asCV(v1), asCV(v2)))
+      case OWDivU => CV(WordOps.divu(asCV(v1), asCV(v2)))
+      case OWDivS => CV(WordOps.divs(asCV(v1), asCV(v2)))
+      case OWModU => CV(WordOps.modu(asCV(v1), asCV(v2)))
+      case OWModS => CV(WordOps.mods(asCV(v1), asCV(v2)))
+      case OWLessU => CV(WordOps.ltu(asCV(v1), asCV(v2)))
+      case OWLessS => CV(WordOps.lts(asCV(v1), asCV(v2)))
+      case OWRange => CV(Fiat2.rangeList(asCV(v1), asCV(v2)))
       case OAnd => CV(asCV(v1) && asCV(v2))
       case OOr => CV(asCV(v1) || asCV(v2))
       case OConcatString => CV(concat(asCV(v1), asCV(v2)))

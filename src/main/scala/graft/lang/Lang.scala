@@ -15,6 +15,10 @@ object Lang {
 
   // --- Types (Language.v:4-15) ---
   sealed trait FType
+  /** An elaboration hole — the analog of the reference's unannotated
+    * `ANil None` / `ANone None` atoms (Language.v:55-68): `TypeCheck.analyze`
+    * fills it from the expected type; `synthesize` rejects it. */
+  case object THole extends FType
   case object TWord extends FType
   case object TInt extends FType
   case object TBool extends FType
@@ -44,11 +48,13 @@ object Lang {
   final case class AInt(v: Long) extends Atom
   final case class ABool(v: Boolean) extends Atom
   final case class AString(v: String) extends Atom
-  final case class ANil(t: FType) extends Atom // elaborated: element type known
-  final case class ANone(t: FType) extends Atom
-  final case class AEmptyDict(kt: FType, vt: FType) extends Atom
-  final case class AEmptyBag(t: FType) extends Atom
-  final case class AEmptySet(t: FType) extends Atom
+  // Typed empties: write `ANil()` etc. for the unannotated form
+  // (reference `ANil None`) and let `TypeCheck.analyze` elaborate it.
+  final case class ANil(t: FType = THole) extends Atom
+  final case class ANone(t: FType = THole) extends Atom
+  final case class AEmptyDict(kt: FType = THole, vt: FType = THole) extends Atom
+  final case class AEmptyBag(t: FType = THole) extends Atom
+  final case class AEmptySet(t: FType = THole) extends Atom
   case object AUnit extends Atom
 
   // --- Unary ops (Language.v:70-77) ---
@@ -80,9 +86,19 @@ object Lang {
   case object OSetInsert extends Binop
   case object OLookup extends Binop
   case object ODelete extends Binop
-  // Word variants share semantics at LongType width here:
-  val OWPlus: Binop = OPlus; val OWMinus: Binop = OMinus
-  val OWTimes: Binop = OTimes; val OWRange: Binop = ORange
+  // Word variants (Language.v:80-107): TWord²→TWord machine-word ops with
+  // two's-complement wrap and total unsigned/signed div/mod families
+  // (semantics in Interpret.v:139-151 via coqutil `word`).
+  case object OWPlus extends Binop
+  case object OWMinus extends Binop
+  case object OWTimes extends Binop
+  case object OWRange extends Binop
+  case object OWDivU extends Binop
+  case object OWDivS extends Binop
+  case object OWModU extends Binop
+  case object OWModS extends Binop
+  case object OWLessU extends Binop
+  case object OWLessS extends Binop
 
   // --- Ternary op (Language.v:110-111) ---
   sealed trait Ternop

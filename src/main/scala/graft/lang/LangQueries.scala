@@ -156,5 +156,135 @@ object LangQueries {
       val env = Env(Map.empty, Map("events" -> events), s)
       Interp.run(prog, env).store("result").orderBy("k")
     },
+
+    // The unit-only operators, folded into one oracle-checked program:
+    // CLet binds the region count, CIf branches on it (the wrong branch
+    // would return an empty table and fail the row check), and the row
+    // expressions exercise OBagInsert (duplicates kept), OSetInsert
+    // (duplicates collapsed), and nested structural OEq on ranges and on
+    // canonically-ordered bags (insertion order must not matter).
+    GraftQuery.sql("q_lang_collections",
+      """SELECT n_nationkey AS k,
+        |  CAST(2 AS BIGINT) AS bag_size,
+        |  CAST(CASE WHEN n_regionkey = 2 THEN 1 ELSE 2 END AS BIGINT) AS set_size,
+        |  n_regionkey = 2 AS eq_range,
+        |  TRUE AS eq_bag
+        |FROM nation ORDER BY k""".stripMargin) { (s, dir) =>
+      val x = EVar("x")
+      val rk = EAccess(x, "n_regionkey")
+      def bagOf(a: Expr, b: Expr) =
+        EBinop(OBagInsert, EBinop(OBagInsert, EAtom(AEmptyBag(TInt)), a), b)
+      val setTwo =
+        EBinop(OSetInsert, EBinop(OSetInsert, EAtom(AEmptySet(TInt)), rk),
+          EAtom(AInt(2)))
+      val rowT = TRecord.sorted("k" -> TInt, "bag_size" -> TInt,
+        "set_size" -> TInt, "eq_range" -> TBool, "eq_bag" -> TBool)
+      val proj = EProj(LikeBag, ELoc("nation"), "x", ERecord(List(
+        "k" -> EAccess(x, "n_nationkey"),
+        "bag_size" -> EUnop(OLength, bagOf(rk, rk)),
+        "set_size" -> EUnop(OLength, setTwo),
+        "eq_range" -> EBinop(OEq,
+          EBinop(ORange, EAtom(AInt(0)), rk),
+          EBinop(ORange, EAtom(AInt(0)), EAtom(AInt(2)))),
+        "eq_bag" -> EBinop(OEq, bagOf(rk, EAtom(AInt(2))),
+          bagOf(EAtom(AInt(2)), rk)))))
+      val prog = CLet(EUnop(OLength, ELoc("region")), "n",
+        CIf(EBinop(OEq, EVar("n"), EAtom(AInt(5))),
+          CAssign("result", proj),
+          CAssign("result", EAtom(AEmptyBag(rowT)))))
+      val storeT = Map(
+        "region" -> TBag(TRecord.sorted(
+          "r_regionkey" -> TInt, "r_name" -> TString)),
+        "nation" -> TBag(TRecord.sorted(
+          "n_nationkey" -> TInt, "n_name" -> TString, "n_regionkey" -> TInt)))
+      require(TypeCheck.typecheck(prog, Map.empty, storeT)("result") == TBag(rowT))
+      val env = Env(Map.empty, Map(
+        "region" -> Tables.load(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name")),
+        "nation" -> Tables.load(s, dir, "nation")), s)
+      Interp.run(prog, env).store("result").orderBy("k")
+    },
+
+    // AUTOMATIC index use (fiat2/src/fiat2/IndexTransf.v:797-803 +
+    // DictIndexImpl.v:374-389): the SOURCE is a plain filter loop — no index
+    // is mentioned anywhere — but `IndexTransf.runIndexed` statically
+    // recognizes the repeated `filter(orders, o.o_custkey == k)` point
+    // filters inside the CForeach body and transparently re-represents
+    // `orders` as a key-hash-partitioned cached index, so iterations 2..n
+    // are in-memory point lookups instead of source rescans
+    // (IndexTransfSpec asserts the plan hits the InMemoryTableScan).
+    GraftQuery.sql("q_lang_indexed_loop",
+      """SELECT CAST(k AS BIGINT) AS k, COUNT(o_orderkey) AS n
+        |FROM (VALUES (5), (6), (7)) t(k)
+        |LEFT JOIN orders ON o_custkey = k
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      val keys = List(5L, 6L, 7L).foldRight[Expr](EAtom(ANil(TInt))) {
+        (k, acc) => EBinop(OCons, EAtom(AInt(k)), acc)
+      }
+      val countFor = (k: Expr) => EUnop(OLength,
+        EFilter(LikeBag, ELoc("orders"), "o",
+          EBinop(OEq, EAccess(EVar("o"), "o_custkey"), k)))
+      val prog = CLetMut(
+        EAtom(ANil(TRecord.sorted("k" -> TInt, "n" -> TInt))), "out",
+        CSeq(
+          CForeach(keys, "kv",
+            CAssign("out", EBinop(OCons,
+              ERecord(List("k" -> EVar("kv"), "n" -> countFor(EVar("kv")))),
+              ELoc("out")))),
+          CAssign("result", ELoc("out"))))
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val env = Env(Map.empty, Map("orders" -> orders), s)
+      IndexTransf.runIndexed(prog, env).store("result").orderBy("k")
+    },
+
+    // TWord machine-word family (fiat2/src/fiat2/Language.v:80-107, semantics
+    // Interpret.v:139-151): wrap-around multiply, unsigned/signed division
+    // and modulo (TOTAL: x/0 = 0, x%0 = x, per coqutil word/Z), unsigned and
+    // signed less-than — typechecked as TWord (distinct from TInt) and
+    // compiled to codegen'd primitives, not ANSI overflow-checked builtins.
+    // The oracle reproduces two's-complement semantics with HUGEINT math.
+    GraftQuery.sql("q_word_ops",
+      """WITH t AS (SELECT o_orderkey AS k, CAST(o_orderkey - 700 AS BIGINT) AS w FROM orders),
+        |u AS (SELECT k, w,
+        |        CAST(w AS HUGEINT) + (CASE WHEN w < 0 THEN 18446744073709551616 ELSE 0 END) AS uw,
+        |        ((CAST(w AS HUGEINT) * -7046029254386353131) % 18446744073709551616
+        |          + 18446744073709551616) % 18446744073709551616 AS wmu
+        |      FROM t)
+        |SELECT k,
+        |  CAST(uw // 7 - (CASE WHEN uw // 7 >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS du,
+        |  CAST(w // -7 AS BIGINT) AS ds,
+        |  CAST(uw % 7 AS BIGINT) AS mu,
+        |  CAST(w % -7 AS BIGINT) AS ms,
+        |  CAST(0 AS BIGINT) AS dz,
+        |  w AS mz,
+        |  CAST(wmu - (CASE WHEN wmu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS wm,
+        |  uw < 100 AS ult,
+        |  w < 100 AS slt
+        |FROM u ORDER BY k""".stripMargin) { (s, dir) =>
+      val w = EAccess(EVar("o"), "w")
+      def W(v: Long) = EAtom(AWord(v))
+      val prog = EProj(LikeBag, ELoc("t"), "o", ERecord(List(
+        "k" -> EAccess(EVar("o"), "k"),
+        "du" -> EBinop(OWDivU, w, W(7)),
+        "ds" -> EBinop(OWDivS, w, W(-7)),
+        "mu" -> EBinop(OWModU, w, W(7)),
+        "ms" -> EBinop(OWModS, w, W(-7)),
+        "dz" -> EBinop(OWDivU, w, W(0)),
+        "mz" -> EBinop(OWModS, w, W(0)),
+        "wm" -> EBinop(OWTimes, w, W(-7046029254386353131L)),
+        "ult" -> EBinop(OWLessU, w, W(100)),
+        "slt" -> EBinop(OWLessS, w, W(100)))))
+      val rowT = TRecord.sorted("k" -> TInt, "du" -> TWord, "ds" -> TWord,
+        "mu" -> TWord, "ms" -> TWord, "dz" -> TWord, "mz" -> TWord,
+        "wm" -> TWord, "ult" -> TBool, "slt" -> TBool)
+      val storeT = Map("t" -> TBag(TRecord.sorted("k" -> TInt, "w" -> TWord)))
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) == TBag(rowT))
+      val t = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") - 700).cast("long").as("w"))
+      compileProgram(prog, Env(Map.empty, Map("t" -> t), s))
+        .asInstanceOf[TV].df.orderBy("k")
+    },
   )
 }

@@ -17,6 +17,10 @@ object TypeCheck {
     case TInt | TWord => t
     case other => err(s"expected int/word, got $other")
   }
+  private def int(t: FType): FType =
+    if (t == TInt) t else err(s"expected int, got $t")
+  private def word(t: FType): FType =
+    if (t == TWord) t else err(s"expected word, got $t")
   private def elemOf(t: FType): FType = t match {
     case TList(u) => u
     case TBag(u) => u
@@ -25,6 +29,20 @@ object TypeCheck {
   }
   private def same(a: FType, b: FType, ctx: String): FType =
     if (a == b) a else err(s"$ctx: $a vs $b")
+  private def hasHole(t: FType): Boolean = t match {
+    case THole => true
+    case TOption(u) => hasHole(u)
+    case TList(u) => hasHole(u)
+    case TBag(u) => hasHole(u)
+    case TSet(u) => hasHole(u)
+    case TDict(k, v) => hasHole(k) || hasHole(v)
+    case TRecord(fs) => fs.exists(f => hasHole(f._2))
+    case _ => false
+  }
+  private def noHole(t: FType): FType =
+    if (hasHole(t)) err(s"unelaborated type hole in $t — check the " +
+      "expression against an expected type with TypeCheck.analyze first")
+    else t
   /** Result collection kind follows the operator's tag (Language.v:114). */
   private def tagged(tag: CollectionTag, elem: FType): FType = tag match {
     case LikeList => TList(elem)
@@ -38,7 +56,7 @@ object TypeCheck {
       case EVar(x) => vars.getOrElse(x, err(s"unbound variable $x"))
       case ELoc(x) => store.getOrElse(x, err(s"unbound table $x"))
 
-      case EAtom(a) => a match {
+      case EAtom(a) => noHole(a match {
         case AWord(_) => TWord
         case AInt(_) => TInt
         case ABool(_) => TBool
@@ -49,12 +67,13 @@ object TypeCheck {
         case AEmptyBag(t) => TBag(t)
         case AEmptySet(t) => TSet(t)
         case AUnit => TUnit
-      }
+      })
 
       case EUnop(op, e1) =>
         val t = go(e1, vars)
         op match {
-          case OWNeg | ONeg => numeric(t)
+          case OWNeg => word(t)
+          case ONeg => int(t)
           case ONot => same(t, TBool, "not")
           case OLength => elemOf(t); TInt
           case OLengthString => same(t, TString, "strlen"); TInt
@@ -66,11 +85,14 @@ object TypeCheck {
         lazy val t1 = go(e1, vars); lazy val t2 = go(e2, vars)
         op match {
           case OPlus | OMinus | OTimes | ODiv | OMod =>
-            same(numeric(t1), numeric(t2), "arith")
+            same(int(t1), int(t2), "arith")
+          case OWPlus | OWMinus | OWTimes | OWDivU | OWDivS | OWModU | OWModS =>
+            same(word(t1), word(t2), "word arith")
           case OAnd | OOr => same(t1, TBool, "bool"); same(t2, TBool, "bool")
           case OConcatString =>
             same(t1, TString, "concat"); same(t2, TString, "concat")
-          case OLess => same(numeric(t1), numeric(t2), "less"); TBool
+          case OLess => same(int(t1), int(t2), "less"); TBool
+          case OWLessU | OWLessS => same(word(t1), word(t2), "word less"); TBool
           case OEq => same(t1, t2, "eq"); TBool
           case OConcat => (t1, t2) match { // list append (Interpret.v:153);
             // bag union is the table-level form the compiler supports (tables
@@ -85,8 +107,8 @@ object TypeCheck {
             case TList(u) => same(t1, u, "cons"); TList(u)
             case other => err(s"cons onto non-list $other")
           }
-          case ORange => // ORange : TInt²→[TInt]; OWRange : TWord²→[TWord]
-            TList(same(numeric(t1), numeric(t2), "range endpoints"))
+          case ORange => TList(same(int(t1), int(t2), "range endpoints"))
+          case OWRange => TList(same(word(t1), word(t2), "range endpoints"))
           case OBagInsert => t1 match { // (bag, elem) — Interpret.v:186
             case TBag(u) => same(t2, u, "bag_insert"); TBag(u)
             case other => err(s"bag_insert into $other")
@@ -187,6 +209,60 @@ object TypeCheck {
       case ESetOf(l) => TSet(elemOf(go(l, vars)))
     }
     go(e, vars)
+  }
+
+  /** Bidirectional checking with hole elaboration — the reference's
+    * `analyze_expr` (fiat2/src/fiat2/TypeSystem.v:718): checks `e` against
+    * `expected`, FILLING the type holes of unannotated empties (`ANil()`,
+    * `ANone()`, `AEmptyDict()`, `AEmptyBag()`, `AEmptySet()`) from the
+    * expected type as it pushes it through branch/cons/record/insert
+    * structure. Returns the elaborated expression (hole-free, so
+    * `synthesize` and `Compiler.compile` accept it). Positions with no
+    * pushed-down type fall back to synthesis + equality, as in the
+    * reference.
+    */
+  def analyze(e: Expr, expected: FType, vars: Map[String, FType],
+      store: Map[String, FType]): Expr = {
+    def fits(annot: FType, actual: FType): Boolean =
+      annot == THole || annot == actual
+    def go(e: Expr, t: FType, vars: Map[String, FType]): Expr = (e, t) match {
+      case (EAtom(ANil(u)), TList(v)) if fits(u, v) => EAtom(ANil(v))
+      case (EAtom(ANone(u)), TOption(v)) if fits(u, v) => EAtom(ANone(v))
+      case (EAtom(AEmptyBag(u)), TBag(v)) if fits(u, v) => EAtom(AEmptyBag(v))
+      case (EAtom(AEmptySet(u)), TSet(v)) if fits(u, v) => EAtom(AEmptySet(v))
+      case (EAtom(AEmptyDict(k0, v0)), TDict(k1, v1))
+          if fits(k0, k1) && fits(v0, v1) => EAtom(AEmptyDict(k1, v1))
+      case (EIf(c, a, b), _) =>
+        EIf(go(c, TBool, vars), go(a, t, vars), go(b, t, vars))
+      case (ELet(e1, x, e2), _) =>
+        // the bound expression synthesizes (holes there need annotations —
+        // same stance as the reference's analyze)
+        val t1 = synthesize(e1, vars, store)
+        ELet(e1, x, go(e2, t, vars + (x -> t1)))
+      case (EBinop(OCons, h, tl), TList(u)) =>
+        EBinop(OCons, go(h, u, vars), go(tl, TList(u), vars))
+      case (EBinop(OConcat, a, b), TList(_) | TBag(_)) =>
+        EBinop(OConcat, go(a, t, vars), go(b, t, vars))
+      case (EBinop(OBagInsert, b0, x0), TBag(u)) =>
+        EBinop(OBagInsert, go(b0, TBag(u), vars), go(x0, u, vars))
+      case (EBinop(OSetInsert, s0, x0), TSet(u)) =>
+        EBinop(OSetInsert, go(s0, TSet(u), vars), go(x0, u, vars))
+      case (EUnop(OSome, e1), TOption(u)) => EUnop(OSome, go(e1, u, vars))
+      case (ERecord(fields), TRecord(fts)) =>
+        if (fields.map(_._1).sorted != fts.map(_._1))
+          err(s"record fields ${fields.map(_._1).sorted} vs expected ${fts.map(_._1)}")
+        val fmap = fts.toMap
+        ERecord(fields.map { case (n, fe) => n -> go(fe, fmap(n), vars) })
+      case (EOptMatch(e1, none, x, some), _) =>
+        synthesize(e1, vars, store) match {
+          case TOption(u) =>
+            EOptMatch(e1, go(none, t, vars), x, go(some, t, vars + (x -> u)))
+          case other => err(s"option match on $other")
+        }
+      case _ => // no structure to push through: synthesize and compare
+        same(synthesize(e, vars, store), t, "analyze"); e
+    }
+    go(e, expected, vars)
   }
 
   /** Command checking (fiat2 `typecheck`, TypeSystem.v:1393): verifies

@@ -42,7 +42,19 @@ object Ivm {
 
   /** Split a table into deterministic micro-batches by a modulus — stands in
     * for the reference's CForeach-over-events arrival order
-    * (fiat2/src/fiat2/Ex_Sum.v:30). */
-  def microBatches(df: DataFrame, idCol: Column, n: Int): Seq[DataFrame] =
-    (0 until n).map(i => df.filter(pmod(idCol, lit(n)) === i))
+    * (fiat2/src/fiat2/Ex_Sum.v:30).
+    *
+    * The batches are served from ONE materialized snapshot partitioned by
+    * batch id: the source is scanned exactly once (the cache fill), and each
+    * batch filter prunes to its own cached partitions (min=max=batch stats)
+    * — n batches never re-read the source, the property real arrival units
+    * (files / stream offsets) have. The round-1 version re-filtered the raw
+    * source per batch: n full scans to simulate n arrivals.
+    */
+  def microBatches(df: DataFrame, idCol: Column, n: Int): Seq[DataFrame] = {
+    val bucketed = df.withColumn("__batch", pmod(idCol, lit(n)))
+      .repartition(n, col("__batch")).cache()
+    bucketed.count() // the single source scan
+    (0 until n).map(i => bucketed.filter(col("__batch") === i).drop("__batch"))
+  }
 }

@@ -22,6 +22,37 @@ class CompilerSpec extends AnyFunSuite {
     xs.foldRight[Expr](EAtom(ANil(TInt)))((x, acc) =>
       EBinop(OCons, EAtom(AInt(x)), acc))
 
+  test("word ops: wrap-around, total div/mod, unsigned compare (Interpret.v:139-151)") {
+    def W(v: Long) = EAtom(AWord(v))
+    def bin(op: Binop, a: Long, b: Long) = evalv(EBinop(op, W(a), W(b)))
+    // two's-complement wrap (ANSI +/- would throw here)
+    assert(bin(OWPlus, Long.MaxValue, 1L) === Long.MinValue)
+    assert(bin(OWTimes, Long.MaxValue, 2L) === -2L)
+    assert(evalv(EUnop(OWNeg, W(Long.MinValue))) === Long.MinValue)
+    // Z.quot/Z.rem truncation; MIN/-1 wraps instead of overflowing
+    assert(bin(OWDivS, -7L, 2L) === -3L)
+    assert(bin(OWModS, -7L, 2L) === -1L)
+    assert(bin(OWDivS, Long.MinValue, -1L) === Long.MinValue)
+    // unsigned views: -1 is 2^64-1
+    assert(bin(OWDivU, -1L, 2L) === Long.MaxValue)
+    assert(bin(OWModU, -1L, 10L) === 5L)
+    // totality: x/0 = 0, x%0 = x (coqutil word / Coq Z)
+    assert(bin(OWDivU, 42L, 0L) === 0L)
+    assert(bin(OWDivS, 42L, 0L) === 0L)
+    assert(bin(OWModU, 42L, 0L) === 42L)
+    assert(bin(OWModS, -42L, 0L) === -42L)
+    // unsigned vs signed order of -1 and 1
+    assert(bin(OWLessU, 1L, -1L) === true)
+    assert(bin(OWLessS, 1L, -1L) === false)
+    // typechecker separates TWord from TInt
+    intercept[TypeCheck.TypeError] {
+      TypeCheck.synthesize(EBinop(OWPlus, EAtom(AInt(1)), EAtom(AInt(2))),
+        Map.empty, Map.empty)
+    }
+    assert(TypeCheck.synthesize(EBinop(OWLessU, W(1).asInstanceOf[Expr],
+      W(2)), Map.empty, Map.empty) === TBool)
+  }
+
   test("nested filter/proj/fold over a literal list") {
     // fold(+) over map(*2) of filter(>2) of [1..5] = (3+4+5)*2 = 24
     val prog = EFold(

@@ -74,6 +74,16 @@ class OperatorsSpec extends AnyFunSuite {
   test("incremental sum/min equal their full-scan counterparts") {
     val events = Tables.load(spark, TestSpark.sfDir, "events")
     val batches = Ivm.microBatches(events, $"event_id", 7)
+    // arrival-unit contract: batches read the materialized snapshot, never
+    // the source again (one scan total across all batches)
+    // (the InMemoryRelation node textually embeds its one-time fill plan, so
+    // only assert the scan itself is the cache, i.e. FileScan appears nowhere
+    // above the InMemoryRelation boundary)
+    val plan = batches(3).queryExecution.executedPlan.toString
+    val aboveCache = plan.split("InMemoryRelation").head
+    assert(aboveCache.contains("InMemoryTableScan"),
+      s"batch must hit cache:\n$plan")
+    assert(!aboveCache.contains("FileScan"), "batch must not rescan the source")
     val st = Ivm.incrementalSum(batches, $"value")
     val full = events.agg(
       sum($"value".cast("decimal(28,2)")), count(lit(1))).head()

@@ -71,6 +71,45 @@ class TypeCheckSpec extends AnyFunSuite {
     assert(TypeCheck.typecheck(ok, Map.empty, Map.empty)("t2") === TList(TInt))
   }
 
+  test("analyze elaborates unannotated empties against the expected type") {
+    // if c then [] else 1 :: []  — both nils written WITHOUT annotations
+    val prog = EIf(EAtom(ABool(false)),
+      EAtom(ANil()),
+      EBinop(OCons, EAtom(AInt(1)), EAtom(ANil())))
+    // synthesize alone must reject the hole...
+    assert(intercept[TypeCheck.TypeError] {
+      TypeCheck.synthesize(prog, Map.empty, Map.empty)
+    }.msg.contains("hole"))
+    // ...analyze fills it, and the elaborated form synthesizes and compiles
+    val filled = TypeCheck.analyze(prog, TList(TInt), Map.empty, Map.empty)
+    assert(TypeCheck.synthesize(filled, Map.empty, Map.empty) === TList(TInt))
+    assert(filled === EIf(EAtom(ABool(false)),
+      EAtom(ANil(TInt)),
+      EBinop(OCons, EAtom(AInt(1)), EAtom(ANil(TInt)))))
+    // holes in record fields and option arms
+    val rec = ERecord(List(
+      "xs" -> EAtom(ANil()),
+      "o" -> EAtom(ANone())))
+    val recT = TRecord.sorted("xs" -> TList(TString), "o" -> TOption(TInt))
+    assert(TypeCheck.synthesize(
+      TypeCheck.analyze(rec, recT, Map.empty, Map.empty),
+      Map.empty, Map.empty) === recT)
+    // bag/set/dict empties
+    assert(TypeCheck.analyze(EBinop(OBagInsert, EAtom(AEmptyBag()),
+      EAtom(AInt(3))), TBag(TInt), Map.empty, Map.empty) ===
+      EBinop(OBagInsert, EAtom(AEmptyBag(TInt)), EAtom(AInt(3))))
+    assert(TypeCheck.analyze(EAtom(AEmptyDict()), TDict(TString, TInt),
+      Map.empty, Map.empty) === EAtom(AEmptyDict(TString, TInt)))
+    // a hole against a non-matching expectation is an error
+    assert(intercept[TypeCheck.TypeError] {
+      TypeCheck.analyze(EAtom(ANil()), TInt, Map.empty, Map.empty)
+    }.msg.nonEmpty)
+    // annotated atoms still check against the expectation
+    assert(intercept[TypeCheck.TypeError] {
+      TypeCheck.analyze(EAtom(ANil(TString)), TList(TInt), Map.empty, Map.empty)
+    }.msg.nonEmpty)
+  }
+
   test("command typing: assignment must preserve the table's type") {
     val prog = CLetMut(EAtom(ANil(TInt)), "out",
       CAssign("out", EAtom(ANil(TString))))
