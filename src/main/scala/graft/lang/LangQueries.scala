@@ -238,6 +238,45 @@ object LangQueries {
       IndexTransf.runIndexed(prog, env).store("result").orderBy("k")
     },
 
+    // The full reference lifecycle from SOURCE TEXT (SURVEY.md §3.1): a
+    // program written in the surface comprehension notation
+    // (fiat2/src/fiat2/Notations.v:144-149 — `x <- t; check(p); ret r`) is
+    // parsed, elaborated against its expected type (analyze fills the
+    // ret/check nil-holes), normalized (to_join recognition turns the
+    // nested flatmap/if/cons into a real θ-join), typechecked, and compiled
+    // — so Catalyst sees an equi-join + pushed filter, not a filtered
+    // cross product.
+    GraftQuery.sql("q_surface_syntax",
+      """SELECT o_orderkey AS okey, c_name AS cust,
+        |       o_orderkey % 7 AS bucket
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_custkey < 50
+        |ORDER BY okey, cust, bucket""".stripMargin) { (s, dir) =>
+      val src =
+        """o <- mut orders;
+          |c <- mut customer;
+          |check(o[o_custkey] == c[c_custkey] && o[o_custkey] < 50);
+          |ret { okey : o[o_orderkey], cust : c[c_name],
+          |      bucket : o[o_orderkey] % 7 }""".stripMargin
+      val rowT = TRecord.sorted(
+        "okey" -> TInt, "cust" -> TString, "bucket" -> TInt)
+      val storeT = Map(
+        "orders" -> TBag(TRecord.sorted(
+          "o_orderkey" -> TInt, "o_custkey" -> TInt)),
+        "customer" -> TBag(TRecord.sorted(
+          "c_custkey" -> TInt, "c_name" -> TString)))
+      val parsed = Parser.parseExpr(src)
+      val prog = TypeCheck.analyze(parsed, TList(rowT), Map.empty, storeT)
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) == TList(rowT))
+      val env = Env(Map.empty, Map(
+        "orders" -> Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        "customer" -> Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))), s)
+      compileProgram(prog, env).asInstanceOf[TV].df
+        .orderBy("okey", "cust", "bucket")
+    },
+
     // TWord machine-word family (fiat2/src/fiat2/Language.v:80-107, semantics
     // Interpret.v:139-151): wrap-around multiply, unsigned/signed division
     // and modulo (TOTAL: x/0 = 0, x%0 = x, per coqutil word/Z), unsigned and

@@ -259,6 +259,12 @@ object TypeCheck {
             EOptMatch(e1, go(none, t, vars), x, go(some, t, vars + (x -> u)))
           case other => err(s"option match on $other")
         }
+      // Comprehension spine (what `x <- e1; e2` parses to): the source
+      // synthesizes, the body checks against the same collection type —
+      // this is where the `ret`/`check` nil-holes get filled.
+      case (EFlatmap(tag, e1, x, e2), TList(_) | TBag(_) | TSet(_)) =>
+        val et = elemOf(synthesize(e1, vars, store))
+        EFlatmap(tag, e1, x, go(e2, t, vars + (x -> et)))
       case _ => // no structure to push through: synthesize and compare
         same(synthesize(e, vars, store), t, "analyze"); e
     }

@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lang._
+import graft.lang.Lang._
+
+/** Surface-syntax parser (the Notations.v analog): precedence, the
+  * comprehension sugar, command forms, and end-to-end parse → rewrite
+  * equivalence with hand-written ASTs.
+  */
+class ParserSpec extends AnyFunSuite {
+  import Parser.{parseExpr, parseCommand, ParseError}
+
+  private def i(v: Long) = EAtom(AInt(v))
+
+  test("arithmetic precedence mirrors Notations.v levels") {
+    // * (40) binds under + (50)
+    assert(parseExpr("1 + 2 * 3") ===
+      EBinop(OPlus, i(1), EBinop(OTimes, i(2), i(3))))
+    // left associativity at one level
+    assert(parseExpr("10 - 3 - 2") ===
+      EBinop(OMinus, EBinop(OMinus, i(10), i(3)), i(2)))
+    assert(parseExpr("7 % 3 / 2") ===
+      EBinop(ODiv, EBinop(OMod, i(7), i(3)), i(2)))
+    // comparison (70) over concat (60) over arithmetic
+    assert(parseExpr("1 + 2 < 3 * 4") ===
+      EBinop(OLess, EBinop(OPlus, i(1), i(2)), EBinop(OTimes, i(3), i(4))))
+    // && (80) under || (90)
+    assert(parseExpr("a && b || c") ===
+      EBinop(OOr, EBinop(OAnd, EVar("a"), EVar("b")), EVar("c")))
+    // unary
+    assert(parseExpr("- 5 + ! b") ===
+      EBinop(OPlus, EUnop(ONeg, i(5)), EUnop(ONot, EVar("b"))))
+    // parens override
+    assert(parseExpr("(1 + 2) * 3") ===
+      EBinop(OTimes, EBinop(OPlus, i(1), i(2)), i(3)))
+  }
+
+  test(":: is right-associative; list literal is a cons chain (Notations.v:103-110)") {
+    assert(parseExpr("1 :: 2 :: []") ===
+      EBinop(OCons, i(1), EBinop(OCons, i(2), EAtom(ANil()))))
+    assert(parseExpr("[1, 2, 3]") ===
+      EBinop(OCons, i(1), EBinop(OCons, i(2),
+        EBinop(OCons, i(3), EAtom(ANil())))))
+    assert(parseExpr("nil[list[int]]") === EAtom(ANil(TList(TInt))))
+    assert(parseExpr("[] ++ [2]") ===
+      EBinop(OConcat, EAtom(ANil()),
+        EBinop(OCons, i(2), EAtom(ANil()))))
+  }
+
+  test("records, pairs, access, dict ops, strings") {
+    assert(parseExpr("""{ a : 1, b : "x" }""") ===
+      ERecord(List("a" -> i(1), "b" -> EAtom(AString("x")))))
+    assert(parseExpr("r[f1][f2]") ===
+      EAccess(EAccess(EVar("r"), "f1"), "f2"))
+    assert(parseExpr("<( 1 , 2 )>") ===
+      ERecord(List("0" -> i(1), "1" -> i(2))))
+    assert(parseExpr("fst(p) + snd(p)") ===
+      EBinop(OPlus, EAccess(EVar("p"), "0"), EAccess(EVar("p"), "1")))
+    assert(parseExpr("insert(d, 1 -> 2)") ===
+      ETernop(OInsert, EVar("d"), i(1), i(2)))
+    assert(parseExpr("lookup(delete(d, 1), 2)") ===
+      EBinop(OLookup, EBinop(ODelete, EVar("d"), i(1)), i(2)))
+    assert(parseExpr("\"a\\nb\" +++ toStr(7)") ===
+      EBinop(OConcatString, EAtom(AString("a\nb")),
+        EUnop(OIntToString, i(7))))
+    // `<` still parses as comparison when not a pair opener
+    assert(parseExpr("a < (1)") === EBinop(OLess, EVar("a"), i(1)))
+  }
+
+  test("binder expressions: let, if, flatmap, fold, range") {
+    assert(parseExpr("let x = 1 in x + x") ===
+      ELet(i(1), "x", EBinop(OPlus, EVar("x"), EVar("x"))))
+    assert(parseExpr("if b then 1 else 2") === EIf(EVar("b"), i(1), i(2)))
+    assert(parseExpr("flatmap xs x ret x") ===
+      EFlatmap(LikeList, EVar("xs"), "x",
+        EBinop(OCons, EVar("x"), EAtom(ANil()))))
+    assert(parseExpr("fold xs 0 x acc acc * 31 + x") ===
+      EFold(EVar("xs"), i(0), "x", "acc",
+        EBinop(OPlus, EBinop(OTimes, EVar("acc"), i(31)), EVar("x"))))
+    assert(parseExpr("len(range(0, 10))") ===
+      EUnop(OLength, EBinop(ORange, i(0), i(10))))
+    assert(parseExpr("some(mut t)") === EUnop(OSome, ELoc("t")))
+  }
+
+  test("comprehension sugar desugars exactly like Notations.v:144-149") {
+    val src =
+      """x <- mut t;
+        |check(x[k] == 1);
+        |ret { v : x[k] }""".stripMargin
+    assert(parseExpr(src) ===
+      EFlatmap(LikeList, ELoc("t"), "x",
+        EIf(EBinop(OEq, EAccess(EVar("x"), "k"), i(1)),
+          EBinop(OCons, ERecord(List("v" -> EAccess(EVar("x"), "k"))),
+            EAtom(ANil())),
+          EAtom(ANil()))))
+  }
+
+  test("parsed 2-table comprehension normalizes to a θ-join") {
+    val src =
+      """a <- mut t1;
+        |b <- mut t2;
+        |check(a[k] == b[k]);
+        |ret <( a[k] , b[k] )>""".stripMargin
+    Rewrites.normalize(parseExpr(src)) match {
+      case EJoin(_, ELoc("t1"), ELoc("t2"), "a", "b",
+          EBinop(OEq, _, _), ERecord(_)) => ()
+      case other => fail(s"expected join recognition, got $other")
+    }
+  }
+
+  test("command forms (Notations.v:52-67)") {
+    assert(parseCommand("skip; skip") === CSeq(CSkip, CSkip))
+    assert(parseCommand("set out := 1") === CAssign("out", i(1)))
+    // greedy let body: `let .. in c1; c2` groups the seq under the let
+    assert(parseCommand("let x = 1 in set a := x; set b := x") ===
+      CLet(i(1), "x",
+        CSeq(CAssign("a", EVar("x")), CAssign("b", EVar("x")))))
+    assert(parseCommand("let mut t := [] in set t := 2 :: mut t") ===
+      CLetMut(EAtom(ANil()), "t",
+        CAssign("t", EBinop(OCons, i(2), ELoc("t")))))
+    assert(parseCommand("if b then skip else set x := 1 end") ===
+      CIf(EVar("b"), CSkip, CAssign("x", i(1))))
+    assert(parseCommand("for x in [1, 2] : set out := x :: mut out end") ===
+      CForeach(EBinop(OCons, i(1), EBinop(OCons, i(2), EAtom(ANil()))),
+        "x", CAssign("out", EBinop(OCons, EVar("x"), ELoc("out")))))
+  }
+
+  test("parse errors carry position; trailing input rejected") {
+    assertThrows[ParseError](parseExpr("1 +"))
+    assertThrows[ParseError](parseExpr("1 2"))
+    assertThrows[ParseError](parseExpr("{ a 1 }"))
+    assertThrows[ParseError](parseExpr("\"unterminated"))
+    assertThrows[ParseError](parseCommand("set := 1"))
+    // keywords are not identifiers
+    assertThrows[ParseError](parseExpr("let if = 1 in 2"))
+  }
+
+  test("comments and whitespace are skipped") {
+    assert(parseExpr("1 + # a comment\n 2") === EBinop(OPlus, i(1), i(2)))
+  }
+}
