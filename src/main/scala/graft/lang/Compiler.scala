@@ -397,9 +397,15 @@ object Compiler {
             .unionByName(d2.select(d2.columns.sorted.map(col): _*)))
         case (a, b) => CV(concat(asCV(a), asCV(b)))
       }
-      case OCons => (v1, v2) match {
-        case (elem, TV(df)) => TV(consRow(asCV(elem), df))
-        case (a, b) => CV(concat(array(asCV(a)), asCV(b)))
+      case OCons => e2 match {
+        // cons onto an UNTYPED empty: the head supplies the element type
+        // (what the notation's `[x, .., y]` / `ret e` sugar needs — the
+        // same inference analyze does, available without an expected type)
+        case EAtom(ANil(THole)) => CV(array(asCV(v1)))
+        case _ => (v1, v2) match {
+          case (elem, TV(df)) => TV(consRow(asCV(elem), df))
+          case (a, b) => CV(concat(array(asCV(a)), asCV(b)))
+        }
       }
       // NB argument order is (collection, element), unlike OCons —
       // fiat2/src/fiat2/Interpret.v:186-193.

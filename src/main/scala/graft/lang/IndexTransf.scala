@@ -1,6 +1,6 @@
 package graft.lang
 
-import graft.operators.DictIndex
+import graft.operators.{CompoIndex, DictIndex}
 
 /** AUTOMATIC index introduction — the reference's signature behavior: after
   * `transf_to_idx` (fiat2/src/fiat2/IndexTransf.v:797-803) a table is stored
@@ -20,27 +20,72 @@ import graft.operators.DictIndex
 object IndexTransf {
   import Lang._
 
-  /** Run a command with automatic index introduction. */
-  def runIndexed(c: Command, env: Compiler.Env): Compiler.Env =
-    Interp.run(c, indexStore(c, env))
+  /** Run a command with automatic index introduction. Expressions are
+    * normalized first so comprehension-written filters (`x <- t; check(p);
+    * ret x`) are recognized through their structured EFilter form. */
+  def runIndexed(c: Command, env: Compiler.Env): Compiler.Env = {
+    val (rewritten, indexed) = transform(Rewrites.normalizeCommand(c), env)
+    Interp.run(rewritten, indexed)
+  }
 
-  /** Replace every loop-point-filtered store table with its keyed index.
-    * One index per table (the reference's composed `compo_idx` — several
-    * indexes maintained on one table — would hash-partition by the first
-    * attribute and cluster secondaries; here first-attribute-wins). */
-  def indexStore(c: Command, env: Compiler.Env): Compiler.Env = {
+  /** Store-name a composed-index component under. `@` can't appear in a
+    * surface identifier, so components never collide with user tables. */
+  def componentName(table: String, attr: String): String = s"$table@$attr"
+
+  /** Introduce indexes for every loop-point-filtered store table.
+    *
+    * One filtered attribute → the table itself is re-represented as its
+    * keyed index (program text untouched). Several filtered attributes →
+    * the reference's COMPOSED index (`compo_idx`,
+    * fiat2/src/fiat2/IndexTransf.v:20-50): one `CompoIndex` built from a
+    * single source scan, each component registered in the store under
+    * `componentName`, and — like the reference's `transf_to_idx`
+    * substitution — the command is rewritten so each point filter reads
+    * the component keyed on ITS attribute.
+    */
+  def transform(c: Command, env: Compiler.Env): (Command, Compiler.Env) = {
     val byTable = loopEqFilters(c, inLoop = false).distinct
-      .groupBy(_._1).view.mapValues(_.map(_._2))
-    byTable.foldLeft(env) { case (acc, (t, attrs)) =>
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byTable.foldLeft((c, env)) { case ((cmd, acc), (t, attrs0)) =>
       acc.store.get(t) match {
-        case Some(df) if attrs.headOption.exists(df.columns.contains) =>
-          val idx = DictIndex.build(df, attrs.head,
-            df.sparkSession.sparkContext.defaultParallelism)
-          acc.copy(store = acc.store + (t -> idx.keyed))
-        case _ => acc
+        case Some(df) =>
+          val attrs = attrs0.filter(df.columns.contains)
+          val par = df.sparkSession.sparkContext.defaultParallelism
+          attrs match {
+            case Seq() => (cmd, acc)
+            case Seq(a) =>
+              val idx = DictIndex.build(df, a, par)
+              (cmd, acc.copy(store = acc.store + (t -> idx.keyed)))
+            case several =>
+              val compo = CompoIndex.build(df, several, par)
+              val entries = several.map(a =>
+                componentName(t, a) -> compo.component(a).keyed)
+              (routeFilters(cmd, t, several.toSet),
+                acc.copy(store = acc.store ++ entries))
+          }
+        case None => (cmd, acc)
       }
     }
   }
+
+  /** Back-compat store-only view of `transform` (single-attribute tables;
+    * composed tables additionally need the command from `transform`). */
+  def indexStore(c: Command, env: Compiler.Env): Compiler.Env =
+    transform(c, env)._2
+
+  /** Point filters on a composed table read the component keyed on their
+    * attribute (the reference's `eq_filter_to_lookup` on a record access
+    * of the composed index, DictIndexImpl.v:374-389). */
+  private def routeFilters(c: Command, t: String,
+      attrs: Set[String]): Command =
+    Rewrites.mapExprs(c)(e => Rewrites.foldExpr(e) {
+      case f @ EFilter(tag, ELoc(`t`), x, p) =>
+        eqAttr(x, p).filter(attrs.contains) match {
+          case Some(a) => EFilter(tag, ELoc(componentName(t, a)), x, p)
+          case None => f
+        }
+      case other => other
+    })
 
   /** (table, attr) pairs appearing as `filter(ELoc(table), x => x.attr == k)`
     * with the filter nested inside at least one CForeach body. */

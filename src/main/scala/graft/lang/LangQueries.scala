@@ -238,6 +238,33 @@ object LangQueries {
       IndexTransf.runIndexed(prog, env).store("result").orderBy("k")
     },
 
+    // COMPOSED indexes (fiat2/src/fiat2/IndexTransf.v:20-50 `compo_idx`):
+    // the source program — written in surface syntax — point-filters ONE
+    // table on TWO different attributes inside a loop. `IndexTransf`
+    // builds a composed index (both components from a single source scan)
+    // and routes each filter to the component keyed on its own attribute,
+    // the reference's record-of-indexes re-representation.
+    GraftQuery.sql("q_compo_index",
+      """SELECT CAST(k AS BIGINT) AS k,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey = k) AS nc,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey = k * 100) AS nk
+        |FROM (VALUES (1), (2), (3)) t(k) ORDER BY k""".stripMargin) { (s, dir) =>
+      val src =
+        """let mut out := nil[{k : int, nc : int, nk : int}] in
+          |for kv in [1, 2, 3] :
+          |  set out := { k : kv,
+          |    nc : len(o <- mut orders; check(o[o_custkey] == kv); ret o),
+          |    nk : len(o <- mut orders; check(o[o_orderkey] == kv * 100); ret o)
+          |  } :: mut out
+          |end;
+          |set result := mut out""".stripMargin
+      val prog = Parser.parseCommand(src)
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val env = Env(Map.empty, Map("orders" -> orders), s)
+      IndexTransf.runIndexed(prog, env).store("result").orderBy("k")
+    },
+
     // The full reference lifecycle from SOURCE TEXT (SURVEY.md §3.1): a
     // program written in the surface comprehension notation
     // (fiat2/src/fiat2/Notations.v:144-149 — `x <- t; check(p); ret r`) is

@@ -125,6 +125,22 @@ object Rewrites {
     case ESetOf(l) => freeVars(l)
   }
 
+  /** Rebuild a command with `f` applied to every embedded expression. */
+  def mapExprs(c: Command)(f: Expr => Expr): Command = c match {
+    case CSkip => CSkip
+    case CSeq(a, b) => CSeq(mapExprs(a)(f), mapExprs(b)(f))
+    case CLet(e, x, b) => CLet(f(e), x, mapExprs(b)(f))
+    case CLetMut(e, x, b) => CLetMut(f(e), x, mapExprs(b)(f))
+    case CAssign(x, e) => CAssign(x, f(e))
+    case CIf(e, a, b) => CIf(f(e), mapExprs(a)(f), mapExprs(b)(f))
+    case CForeach(e, x, b) => CForeach(f(e), x, mapExprs(b)(f))
+  }
+
+  /** Normalize every expression inside a command (the command-level
+    * `apply_optimize_anno` — used before static analyses that pattern-match
+    * the structured EFilter/EJoin forms). */
+  def normalizeCommand(c: Command): Command = mapExprs(c)(normalize(_))
+
   private val heads: Seq[Expr => Expr] =
     Seq(mergeIf, toJoinHead, toFilterHead, toProjHead)
 

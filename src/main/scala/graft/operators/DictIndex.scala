@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * filters on the cached RDD), instead of rescanning the source. At cluster
   * scale the same shape is `bucketBy(attr)` on a persisted table.
   */
-final class DictIndex private (val keyed: DataFrame, keyCol: String) {
+final class DictIndex private[operators] (
+    val keyed: DataFrame, val keyCol: String, partitions: Int = 32) {
 
   /** Point lookup — fiat2 `OLookup` on the index dict. */
   def lookup(key: Any): DataFrame = keyed.filter(col(keyCol) === lit(key))
@@ -20,6 +21,18 @@ final class DictIndex private (val keyed: DataFrame, keyCol: String) {
   /** Batched point lookups (one job instead of K). */
   def lookupMany(keys: Seq[Any]): DataFrame =
     keyed.filter(col(keyCol).isin(keys: _*))
+
+  /** Incremental maintenance — the reference's `cons_to_insert` shape
+    * (fiat2/src/fiat2/DictIndexImpl.v:30-33 `idx_insert`): the delta is
+    * keyed and cached on its own and unioned LAZILY, so the existing cache
+    * is never recomputed and a lookup prunes both sides by the key hash.
+    * (Compaction — folding the delta into the base — is a background
+    * concern at scale, same as any LSM-ish index.) */
+  def insert(delta: DataFrame): DictIndex = {
+    val keyedDelta = delta.select(keyed.columns.map(col): _*)
+      .repartition(partitions, col(keyCol)).cache()
+    new DictIndex(keyed.union(keyedDelta), keyCol, partitions)
+  }
 
   def unpersist(): Unit = keyed.unpersist()
 }
@@ -30,6 +43,6 @@ object DictIndex {
     * (fiat2/src/fiat2/IndexTransf.v:797-803). */
   def build(df: DataFrame, keyCol: String, partitions: Int = 32): DictIndex = {
     val keyed = df.repartition(partitions, col(keyCol)).cache()
-    new DictIndex(keyed, keyCol)
+    new DictIndex(keyed, keyCol, partitions)
   }
 }

@@ -55,6 +55,60 @@ class IndexTransfSpec extends AnyFunSuite {
     assert(IndexTransf.indexStore(correlated, env).store("orders") eq orders)
   }
 
+  test("two filtered attributes → composed index, filters routed per attribute") {
+    val orders = Tables.load(spark, TestSpark.sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val prog = CForeach(EBinop(OCons, EAtom(AInt(1L)), EAtom(ANil(TInt))), "kv",
+      CSeq(
+        CAssign("a", EUnop(OLength,
+          EFilter(LikeBag, ELoc("orders"), "o",
+            EBinop(OEq, EAccess(EVar("o"), "o_custkey"), EVar("kv"))))),
+        CAssign("b", EUnop(OLength,
+          EFilter(LikeBag, ELoc("orders"), "o",
+            EBinop(OEq, EAccess(EVar("o"), "o_orderkey"), EVar("kv")))))))
+    val env = Env(Map.empty, Map("orders" -> orders), spark)
+    val (cmd, indexed) = IndexTransf.transform(prog, env)
+    // both components live in the store under non-colliding names
+    val byCust = indexed.store(IndexTransf.componentName("orders", "o_custkey"))
+    val byKey = indexed.store(IndexTransf.componentName("orders", "o_orderkey"))
+    assert(indexed.store("orders") eq orders, "original binding untouched")
+    // the command now reads each component for its own attribute
+    def locs(c: Command): Seq[String] = c match {
+      case CForeach(_, _, CSeq(CAssign(_, e1), CAssign(_, e2))) =>
+        Seq(e1, e2).collect {
+          case EUnop(_, EFilter(_, ELoc(t), _, _)) => t
+        }
+      case _ => Nil
+    }
+    assert(locs(cmd) === Seq(
+      IndexTransf.componentName("orders", "o_custkey"),
+      IndexTransf.componentName("orders", "o_orderkey")))
+    // each component is an in-memory cache hit and agrees with the source
+    for ((comp, attr, k) <- Seq((byCust, "o_custkey", 7L),
+        (byKey, "o_orderkey", 100L))) {
+      val lookup = comp.filter(col(attr) === k)
+      val plan = lookup.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), s"expected cache hit:\n$plan")
+      assert(lookup.count() === orders.filter(col(attr) === k).count())
+    }
+    byCust.unpersist(); byKey.unpersist()
+  }
+
+  test("composed-index insert maintains every component consistently") {
+    import graft.operators.CompoIndex
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 20L)).toDF("a", "b")
+    val compo = CompoIndex.build(base, Seq("a", "b"), partitions = 4)
+    val grown = compo.insert(Seq((4L, 20L)).toDF("a", "b"))
+    // both components see the inserted row (compo_idx_wf: one delta, all
+    // components stay consistent)
+    assert(grown.lookup("a", 4L).count() === 1)
+    assert(grown.lookup("b", 20L).count() === 3)
+    // the pre-insert component caches still serve the old rows
+    assert(grown.lookup("a", 1L).count() === 1)
+    assert(compo.lookup("b", 20L).count() === 2)
+    grown.unpersist(); compo.unpersist()
+  }
+
   test("indexed run equals plain run") {
     val orders = Tables.load(spark, TestSpark.sfDir, "orders")
       .select($"o_orderkey", $"o_custkey")
