@@ -82,15 +82,32 @@ object Fiat2 {
     * pairs, fiat2 `list_to_bag` (fiat2/src/fiat2/Interpret.v:112-124) — for
     * interop at the boundary. NOTE: the engine's own nested-bag convention
     * (Compiler/sparkType) is the equivalent sorted ELEMENT array (README
-    * "Known divergences"); convert with this helper only when the reference
-    * encoding is required. Quadratic in the array length — small nested
-    * collections only; top-level bags are plain DataFrames.
+    * "Known divergences"); convert with this helper when the reference
+    * encoding is required.
+    *
+    * Run-length encodes the SORTED array: first-occurrence positions are
+    * found in one linear pass, and each count is the gap to the next
+    * boundary — O(n log n) total in the array length (the sort), not the
+    * per-distinct-value rescan (O(n·d)) of the naive form.
     */
-  def bagOfArray(arr: Column): Column =
-    transform(
-      array_sort(array_distinct(arr)),
-      v => struct(v.as("value"),
-        size(filter(arr, x => x === v)).cast("long").as("count")))
+  def bagOfArray(arr: Column): Column = {
+    val s = array_sort(arr)
+    val n = size(s)
+    // 0-based first-occurrence positions of each run in the sorted array
+    // (greatest(...) keeps `sequence` ascending on an empty input, where
+    // the n>0 guard then filters everything out)
+    val bounds = filter(sequence(lit(0), greatest(n - 1, lit(0))),
+      i => (i === 0 && n > 0) || (i > 0 && get(s, i) =!= get(s, i - 1)))
+    transform(bounds, (i, j) =>
+      struct(get(s, i).as("value"),
+        (coalesce(get(bounds, j + 1), n).cast("long") - i).as("count")))
+  }
+
+  /** Inverse boundary conversion: (value, count) bag encoding → the
+    * engine's sorted element array. */
+  def arrayOfBag(bag: Column): Column =
+    flatten(transform(array_sort(bag),
+      e => array_repeat(e("value"), e("count").cast("int"))))
 
   // ---------------------------------------------------------------------------
   // Dicts as sorted (key, value) entry arrays.

@@ -78,6 +78,26 @@ object Collections {
         .agg(count(lit(1)).as("mult")).orderBy("value")
     },
 
+    // The reference's NESTED-bag (value, count) encoding (fiat2
+    // `list_to_bag`, fiat2/src/fiat2/Interpret.v:112-124), produced by the
+    // O(n log n) run-length converter: per region, the bag of nation-name
+    // final characters as canonical sorted pairs, serialized to JSON so the
+    // exact encoding (order, counts) is what the oracle compares.
+    GraftQuery.sql("q_bag_encoding",
+      """WITH c AS (
+        |  SELECT n_regionkey AS rk, substr(n_name, -1, 1) AS v, COUNT(*) AS cnt
+        |  FROM nation GROUP BY 1, 2)
+        |SELECT CAST(rk AS BIGINT) AS rk,
+        |  to_json(list_sort(list(struct_pack(value := v, count := cnt)))) AS bag
+        |FROM c GROUP BY rk ORDER BY rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "nation")
+        .groupBy($"n_regionkey".cast("long").as("rk"))
+        .agg(collect_list(substring($"n_name", -1, 1)).as("vs"))
+        .select($"rk", to_json(Fiat2.bagOfArray($"vs")).as("bag"))
+        .orderBy("rk")
+    },
+
     // EFold over a nested list (fiat2/src/fiat2/Interpret.v:313-319): per
     // order, fold sum-of-squares over its sorted linenumber list via the
     // codegen'd higher-order `aggregate`.

@@ -72,6 +72,23 @@ class Fiat2Spec extends AnyFunSuite {
     assert(r.map(e => (e.getInt(0), e.getLong(1))) === Seq((1, 2L), (3, 3L)))
   }
 
+  test("bagOfArray handles empty, singleton, all-equal; arrayOfBag inverts") {
+    val r = Seq(1).toDF("x").select(
+      Fiat2.bagOfArray(array().cast("array<long>")).as("empty"),
+      Fiat2.bagOfArray(array(lit(9L))).as("one"),
+      Fiat2.bagOfArray(array(lit(4L), lit(4L), lit(4L))).as("same"),
+      Fiat2.arrayOfBag(Fiat2.bagOfArray(
+        array(lit(3L), lit(1L), lit(3L), lit(1L), lit(3L)))).as("round"))
+      .head()
+    assert(r.getSeq[Any](0).isEmpty)
+    assert(r.getSeq[org.apache.spark.sql.Row](1)
+      .map(e => (e.getLong(0), e.getLong(1))) === Seq((9L, 1L)))
+    assert(r.getSeq[org.apache.spark.sql.Row](2)
+      .map(e => (e.getLong(0), e.getLong(1))) === Seq((4L, 3L)))
+    // roundtrip recovers the canonical sorted element array
+    assert(r.getSeq[Long](3) === Seq(1L, 1L, 3L, 3L, 3L))
+  }
+
   test("record fields are name-sorted so struct equality is canonical") {
     val r = Seq(1).toDF("x").select(
       (Fiat2.record("b" -> lit(2), "a" -> lit(1)) ===
