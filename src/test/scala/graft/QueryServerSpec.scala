@@ -1,0 +1,69 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import scala.io.Source
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.server.QueryServer
+
+/** The HTTP serving entry point (Lib.hs analog) driven over a real socket:
+  * both reference routes, the generic query route, and error paths.
+  */
+class QueryServerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def get(url: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(60000)
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = Source.fromInputStream(stream, "UTF-8").mkString
+    conn.disconnect()
+    (code, body)
+  }
+
+  private def withServer(f: Int => Unit): Unit = {
+    val srv = new QueryServer(spark, TestSpark.sfDir, port = 0)
+    val port = srv.start()
+    try f(port) finally srv.stop()
+  }
+
+  test("reference routes serve parameterized JSON results") {
+    withServer { port =>
+      import org.apache.spark.sql.functions.col
+      val (c1, artists) = get(s"http://localhost:$port/get_artist_less_than/4")
+      assert(c1 === 200)
+      // one row object per artist below the bound
+      val nArtists = graft.core.Tables.load(spark, TestSpark.sfDir, "customer")
+        .filter(col("c_custkey") < 4).count()
+      assert("\"artist_id\":".r.findAllIn(artists).size === nArtists)
+      assert(artists.contains("\"artist_id\":1"))
+
+      val (c2, albums) = get(s"http://localhost:$port/get_album_and_artist/2")
+      assert(c2 === 200)
+      val nAlbums = graft.core.Tables.load(spark, TestSpark.sfDir, "orders")
+        .filter(col("o_custkey") < 2).count()
+      assert("\"album_id\":".r.findAllIn(albums).size === nAlbums)
+    }
+  }
+
+  test("generic /query/{name} route serves any registered engine query") {
+    withServer { port =>
+      val (code, body) = get(s"http://localhost:$port/query/q1_agg")
+      assert(code === 200)
+      assert(body.startsWith("[") && body.contains("\"l_returnflag\""))
+    }
+  }
+
+  test("route listing, 404 on unknown, non-numeric capture rejected") {
+    withServer { port =>
+      val (c0, listing) = get(s"http://localhost:$port/")
+      assert(c0 === 200 && listing.contains("/query/q1_agg"))
+      assert(get(s"http://localhost:$port/no_such")._1 === 404)
+      assert(get(s"http://localhost:$port/query/nope")._1 === 404)
+      assert(get(s"http://localhost:$port/get_artist_less_than/xyz")._1 === 404)
+    }
+  }
+}
