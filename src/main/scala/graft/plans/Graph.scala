@@ -20,13 +20,18 @@ object Graph {
   /** Min-depth BFS from `source`. Returns (node, depth), one row per node
     * reachable from the source. Frontier-at-depth-d joins the edge table,
     * anti-joins the visited set, repeats until the frontier is empty. The
-    * edge table is cached once; at cluster scale it should be pre-partitioned
-    * by src so every iteration's join reuses the same partitioning.
+    * edge table is HASH-PARTITIONED BY `src` once and cached: a small
+    * frontier broadcasts (no edge movement at all), and a huge frontier's
+    * sort-merge/shuffle-hash join finds the edge side already partitioned
+    * on the join key — either way the edge table is never re-shuffled
+    * across the O(diameter) iterations.
     */
   def bfs(symEdges: DataFrame, source: Long, maxIter: Int = 100): DataFrame = {
     val spark = symEdges.sparkSession
     import spark.implicits._
-    val edges = symEdges.toDF("src", "dst").cache()
+    val edges = symEdges.toDF("src", "dst")
+      .repartition(spark.sparkContext.defaultParallelism, col("src"))
+      .cache()
     var visited = Seq((source, 0L)).toDF("node", "depth").cache()
     var frontier = visited
     var depth = 0L
