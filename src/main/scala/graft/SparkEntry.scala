@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       streaming.StreamAgg.queries ++
+      streaming.StreamDedup.queries ++
       streaming.Sessionize.queries ++
       functions.TypedAgg.queries ++
       lang.LangQueries.queries

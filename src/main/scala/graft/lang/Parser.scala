@@ -45,9 +45,11 @@ object Parser {
   private final case class TokSym(v: String, pos: Int) extends Tok
   private final case class TokEof(pos: Int) extends Tok
 
-  /** Maximal-munch symbol list (longest first). */
+  /** Maximal-munch symbol list (longest first). `<(` / `)>` lex as pair
+    * brackets only when ADJACENT (Coq keyword-token behavior): `a < (b)`
+    * keeps its comparison because the space breaks the munch. */
   private val syms = List(
-    "+++", "<-", "++", "::", ":=", "==", "->", "&&", "||",
+    "+++", "<(", ")>", "<-", "++", "::", ":=", "==", "->", "&&", "||",
     "+", "-", "*", "/", "%", "<", ">", "!", ";", ",",
     "(", ")", "[", "]", "{", "}", ":", "=")
 
@@ -121,6 +123,10 @@ object Parser {
       case t => throw ParseError(s"trailing input: $t", t.pos)
     }
   }
+
+  /** Words the grammar reserves — not usable as identifiers (Pretty quotes
+    * colliding record-field names). */
+  def isKeyword(s: String): Boolean = keywords(s)
 
   private val keywords = Set(
     "skip", "let", "mut", "set", "if", "then", "else", "end", "for", "in",
@@ -324,12 +330,10 @@ object Parser {
       }
       p.eatSym("}")
       ERecord(fields.result())
-    case TokSym("<", _) if (p.peek2 match {
-          case TokSym("(", _) => true; case _ => false
-        }) => // pair <( x , y )> (Notations.v:116)
-      p.next(); p.next()
+    case TokSym("<(", _) => // pair <( x , y )> (Notations.v:116)
+      p.next()
       val a = expr(p); p.eatSym(","); val b = expr(p)
-      p.eatSym(")"); p.eatSym(">")
+      p.eatSym(")>")
       ERecord(List("0" -> a, "1" -> b))
     case TokSym("(", _) =>
       p.next(); val e = expr(p); p.eatSym(")"); e

@@ -139,4 +139,76 @@ class ParserSpec extends AnyFunSuite {
   test("comments and whitespace are skipped") {
     assert(parseExpr("1 + # a comment\n 2") === EBinop(OPlus, i(1), i(2)))
   }
+
+  // --- Pretty ∘ parse roundtrip over random surface ASTs ---
+
+  private val rnd = new scala.util.Random(11)
+  private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+  private val names = Seq("a", "b", "x", "y", "foo", "k1")
+
+  private def genExpr(depth: Int): Expr =
+    if (depth <= 0) pick(Seq[Expr](
+      i(rnd.nextInt(100).toLong), EAtom(ABool(rnd.nextBoolean())),
+      EAtom(AString(pick(Seq("s", "a b", "q\"q", "n\nl", "back\\slash")))),
+      EAtom(ANil()), EAtom(ANil(TList(TInt))), EVar(pick(names)),
+      ELoc(pick(names))))
+    else rnd.nextInt(14) match {
+      case 0 => EUnop(pick(Seq(ONeg, ONot)), genExpr(depth - 1))
+      case 1 => EUnop(pick(Seq(OLength, OLengthString, OIntToString, OSome)),
+        genExpr(depth - 1))
+      case 2 => EBinop(pick(Seq[Binop](OPlus, OMinus, OTimes, ODiv, OMod,
+        OAnd, OOr, OConcat, OConcatString, OLess, OEq, OCons)),
+        genExpr(depth - 1), genExpr(depth - 1))
+      case 3 => EBinop(pick(Seq[Binop](ORange, OLookup, ODelete)),
+        genExpr(depth - 1), genExpr(depth - 1))
+      case 4 => ETernop(OInsert, genExpr(depth - 1), genExpr(depth - 1),
+        genExpr(depth - 1))
+      case 5 => EIf(genExpr(depth - 1), genExpr(depth - 1), genExpr(depth - 1))
+      case 6 => ELet(genExpr(depth - 1), pick(names), genExpr(depth - 1))
+      case 7 => EFlatmap(LikeList, genExpr(depth - 1), pick(names),
+        genExpr(depth - 1))
+      case 8 => EFold(genExpr(depth - 1), genExpr(depth - 1), pick(names),
+        pick(names), genExpr(depth - 1))
+      case 9 => ERecord(List("0" -> genExpr(depth - 1), "1" -> genExpr(depth - 1)))
+      case 10 => ERecord(rnd.shuffle(names).take(1 + rnd.nextInt(2)).toList
+        .map(n => n -> genExpr(depth - 1)))
+      case 11 => EAccess(pick(Seq[Expr](EVar(pick(names)),
+        ELoc(pick(names)))), pick(names :+ "if")) // keyword field → quoted
+      case _ => genExpr(depth - 1)
+    }
+
+  private def genCommand(depth: Int): Command =
+    if (depth <= 0) pick(Seq[Command](CSkip,
+      CAssign(pick(names), genExpr(1))))
+    else rnd.nextInt(6) match {
+      case 0 => CSeq(genCommand(depth - 1), genCommand(depth - 1))
+      case 1 => CLet(genExpr(depth - 1), pick(names), genCommand(depth - 1))
+      case 2 => CLetMut(genExpr(depth - 1), pick(names), genCommand(depth - 1))
+      case 3 => CIf(genExpr(depth - 1), genCommand(depth - 1),
+        genCommand(depth - 1))
+      case 4 => CForeach(genExpr(depth - 1), pick(names), genCommand(depth - 1))
+      case _ => CAssign(pick(names), genExpr(depth))
+    }
+
+  test("parse(pretty(e)) == e over 500 random surface expressions") {
+    for (n <- 1 to 500) {
+      val e = genExpr(2 + n % 3)
+      val printed = Pretty(e)
+      val parsed = try parseExpr(printed) catch {
+        case ex: ParseError => fail(s"$ex\nAST: $e\nprinted: $printed")
+      }
+      assert(parsed === e, s"\nAST: $e\nprinted: $printed")
+    }
+  }
+
+  test("parse(pretty(c)) == c over 200 random surface commands") {
+    for (n <- 1 to 200) {
+      val c = genCommand(2 + n % 2)
+      val printed = Pretty(c)
+      val parsed = try parseCommand(printed) catch {
+        case ex: ParseError => fail(s"$ex\nAST: $c\nprinted: $printed")
+      }
+      assert(parsed === c, s"\nAST: $c\nprinted: $printed")
+    }
+  }
 }

@@ -36,6 +36,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("surface-syntax program compiles to a hash join with the filter pushed") {
+    val p = plan("q_surface_syntax")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the `o[o_custkey] < 50` conjunct must reach both parquet scans
+    assert(p.contains("LessThan(o_custkey,50)"), p)
+    assert(p.contains("LessThan(c_custkey,50)"), p)
+  }
+
+  test("distributed percentiles shuffle ONCE: groupBy reuses the window partitioning") {
+    val p = plan("q_percentiles_dist")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"expected the single by-group shuffle, got $exchanges:\n$p")
+  }
+
   test("native dot product runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayMath
