@@ -238,6 +238,37 @@ object LangQueries {
       IndexTransf.runIndexed(prog, env).store("result").orderBy("k")
     },
 
+    // The reference's OWN survey example, in its exact sugar shape
+    // (fiat2/src/fiat2/Ex_Survey.v:31-38 `join_tables`): the second bind's
+    // SOURCE is itself a comprehension over another table whose check
+    // references the outer row. toFilter/toProj structure the inner
+    // comprehension; `dependentBodyToJoin` then recognizes the outer
+    // flatmap-of-proj-of-filter as a real equi-join (departments=nation,
+    // responses=supplier on this corpus).
+    GraftQuery.sql("q_survey_sugar",
+      """SELECT s_name AS name, n_name AS department,
+        |       'ok from ' || s_name AS feedback
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY department, feedback, name""".stripMargin) { (s, dir) =>
+      val src =
+        """r1 <- mut departments;
+          |r3 <- (r2 <- mut responses;
+          |       check(r2[department_id] == r1[department_id]);
+          |       ret r2);
+          |ret { name : r3[name], department : r1[department_name],
+          |      feedback : r3[feedback] }""".stripMargin
+      val prog = ESort(LikeList, Parser.parseExpr(src))
+      val env = Env(Map.empty, Map(
+        "departments" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("department_id"),
+            col("n_name").as("department_name")),
+        "responses" -> Tables.load(s, dir, "supplier")
+          .select(col("s_name").as("name"),
+            col("s_nationkey").as("department_id"),
+            concat(lit("ok from "), col("s_name")).as("feedback"))), s)
+      compileProgram(prog, env).asInstanceOf[TV].df
+    },
+
     // COMPOSED indexes (fiat2/src/fiat2/IndexTransf.v:20-50 `compo_idx`):
     // the source program — written in surface syntax — point-filters ONE
     // table on TWO different attributes inside a loop. `IndexTransf`

@@ -88,6 +88,83 @@ object Rewrites {
     case e => e
   }
 
+  /** The nested-comprehension join shape of the reference's survey example
+    * (fiat2/src/fiat2/Ex_Survey.v:31-38): the inner bind's SOURCE is itself
+    * a comprehension over a second table whose predicate references the
+    * outer row —
+    * {{{ r1 <- t1; r3 <- (r2 <- t2; check(p(r1,r2)); ret r2); ret r(r1,r3) }}}
+    * After toFilter/toProj structure the inner part, the outer node is
+    * `flatmap t1 (λx. proj(filter(t2, y, p), z, r))` — recognized here as
+    * `join t1 t2 p r[z:=y]` (sound when t2 doesn't reference x and the
+    * rename is capture-free; the filter binder and the proj binder range
+    * over the same t2 element). The filter-only body is the semi-shape:
+    * `flatmap t1 (λx. filter(t2, y, p))` → `join t1 t2 p y`.
+    */
+  val dependentBodyToJoin: Expr => Expr = {
+    case e @ EFlatmap(tag, l1, x, EProj(_, EFilter(_, l2, y, p), z, r))
+        if !freeVars(l2).contains(x) =>
+      rename(r, z, y).map(r2 => EJoin(tag, l1, l2, x, y, p, r2)).getOrElse(e)
+    case EFlatmap(tag, l1, x, EFilter(_, l2, y, p))
+        if !freeVars(l2).contains(x) =>
+      EJoin(tag, l1, l2, x, y, p, EVar(y))
+    case e => e
+  }
+
+  /** Substitute free occurrences of variable `from` with `EVar(to)`.
+    * Returns None when `to` would be captured by a binder in scope. */
+  def rename(e: Expr, from: String, to: String): Option[Expr] = {
+    if (from == to) return Some(e)
+    def scoped(binders: Seq[String], body: Expr): Option[Expr] =
+      if (binders.contains(from)) Some(body) // shadowed: untouched
+      else if (binders.contains(to)) None // capture
+      else go(body)
+    def go(e: Expr): Option[Expr] = e match {
+      case EVar(`from`) => Some(EVar(to))
+      case EVar(_) | ELoc(_) | EAtom(_) => Some(e)
+      case EUnop(op, a) => go(a).map(EUnop(op, _))
+      case EBinop(op, a, b) =>
+        for (a2 <- go(a); b2 <- go(b)) yield EBinop(op, a2, b2)
+      case ETernop(op, a, b, c) =>
+        for (a2 <- go(a); b2 <- go(b); c2 <- go(c)) yield ETernop(op, a2, b2, c2)
+      case EIf(c, t, f) =>
+        for (c2 <- go(c); t2 <- go(t); f2 <- go(f)) yield EIf(c2, t2, f2)
+      case ELet(a, x, b) =>
+        for (a2 <- go(a); b2 <- scoped(Seq(x), b)) yield ELet(a2, x, b2)
+      case ERecord(fs) =>
+        val subbed = fs.map { case (n, fe) => go(fe).map(n -> _) }
+        if (subbed.forall(_.isDefined)) Some(ERecord(subbed.map(_.get)))
+        else None
+      case EAccess(r, f) => go(r).map(EAccess(_, f))
+      case EOptMatch(a, n, x, s) =>
+        for (a2 <- go(a); n2 <- go(n); s2 <- scoped(Seq(x), s))
+          yield EOptMatch(a2, n2, x, s2)
+      case EDictFold(d, z, k, v, acc, s) =>
+        for (d2 <- go(d); z2 <- go(z); s2 <- scoped(Seq(k, v, acc), s))
+          yield EDictFold(d2, z2, k, v, acc, s2)
+      case ESort(t, l) => go(l).map(ESort(t, _))
+      case EFilter(t, l, x, p) =>
+        for (l2 <- go(l); p2 <- scoped(Seq(x), p)) yield EFilter(t, l2, x, p2)
+      case EJoin(t, l1, l2, x, y, p, r) =>
+        for (a <- go(l1); b <- go(l2); p2 <- scoped(Seq(x, y), p);
+          r2 <- scoped(Seq(x, y), r)) yield EJoin(t, a, b, x, y, p2, r2)
+      case EProj(t, l, x, r) =>
+        for (l2 <- go(l); r2 <- scoped(Seq(x), r)) yield EProj(t, l2, x, r2)
+      case EFlatmap(t, a, x, b) =>
+        for (a2 <- go(a); b2 <- scoped(Seq(x), b)) yield EFlatmap(t, a2, x, b2)
+      case EFlatmap2(a, b, x1, x2, c) =>
+        for (a2 <- go(a); b2 <- go(b); c2 <- scoped(Seq(x1, x2), c))
+          yield EFlatmap2(a2, b2, x1, x2, c2)
+      case EFold(l, z, x, acc, s) =>
+        for (l2 <- go(l); z2 <- go(z); s2 <- scoped(Seq(x, acc), s))
+          yield EFold(l2, z2, x, acc, s2)
+      case EACFold(ag, a) => go(a).map(EACFold(ag, _))
+      case EACIFold(ag, a) => go(a).map(EACIFold(ag, _))
+      case EBagOf(l) => go(l).map(EBagOf(_))
+      case ESetOf(l) => go(l).map(ESetOf(_))
+    }
+    go(e)
+  }
+
   /** `if p1 (if p2 e []) []` → `if (p1 && p2) e []`
     * (merge_if, fiat2/src/fiat2/RelTransf.v:50-55). */
   val mergeIf: Expr => Expr = {
@@ -142,7 +219,7 @@ object Rewrites {
   def normalizeCommand(c: Command): Command = mapExprs(c)(normalize(_))
 
   private val heads: Seq[Expr => Expr] =
-    Seq(mergeIf, toJoinHead, toFilterHead, toProjHead)
+    Seq(mergeIf, toJoinHead, toFilterHead, toProjHead, dependentBodyToJoin)
 
   /** Apply all recognition rewrites bottom-up to a fixpoint (bounded like
     * the reference's `repeat_transf 10000` — ours converges in a few). */

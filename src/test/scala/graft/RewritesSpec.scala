@@ -61,6 +61,36 @@ class RewritesSpec extends AnyFunSuite {
     }
   }
 
+  test("survey shape: bind whose source is a correlated-check comprehension → join") {
+    // Ex_Survey.v:31-38 join_tables, via the parser: the inner bind's
+    // source comprehension checks against the OUTER row, but its table is
+    // uncorrelated — dependentBodyToJoin recognizes the join.
+    val src =
+      """r1 <- mut t1;
+        |r3 <- (r2 <- mut t2; check(r2[k] == r1[k]); ret r2);
+        |ret { a : r1[v], b : r3[v] }""".stripMargin
+    normalize(Parser.parseExpr(src)) match {
+      case EJoin(_, ELoc("t1"), ELoc("t2"), "r1", "r2", p, r) =>
+        assert(p === EBinop(OEq, EAccess(EVar("r2"), "k"),
+          EAccess(EVar("r1"), "k")))
+        // the proj binder r3 was renamed to the filter binder r2
+        assert(r === ERecord(List("a" -> EAccess(EVar("r1"), "v"),
+          "b" -> EAccess(EVar("r2"), "v"))))
+      case other => fail(s"expected survey join recognition, got $other")
+    }
+  }
+
+  test("rename refuses capture; shadowing leaves inner scope untouched") {
+    // substituting z→y under a binder named y would capture
+    assert(rename(EFilter(LikeBag, ELoc("t"), "y",
+      EBinop(OEq, EAccess(EVar("y"), "k"), EAccess(EVar("z"), "k"))),
+      "z", "y").isEmpty)
+    // a binder that rebinds the source name shadows it
+    val shadowed = ELet(EVar("z"), "z", EVar("z"))
+    assert(rename(shadowed, "z", "w") ===
+      Some(ELet(EVar("w"), "z", EVar("z"))))
+  }
+
   test("normalize is idempotent") {
     val q = EBinop(OEq, EAccess(EVar("x"), "k"), EAccess(EVar("y"), "k"))
     val r = ERecord(List("a" -> EAccess(EVar("x"), "v")))
