@@ -269,6 +269,24 @@ object LangQueries {
       compileProgram(prog, env).asInstanceOf[TV].df
     },
 
+    // SQL EXTRACTION (fiat2/src/fiat2/ToPython.v:231-232 — the reference
+    // pretty-prints optimized programs to a target language and runs them
+    // there): surface text → parse → join recognition → ToSql. The ONE
+    // extracted string then executes on Spark AND as its own DuckDB oracle
+    // — extraction correctness is checked by construction.
+    {
+      val src =
+        """s <- mut supplier;
+          |n <- mut nation;
+          |check(s[s_nationkey] == n[n_nationkey] && s[s_suppkey] < 30);
+          |ret { supp : s[s_name], nat : n[n_name], key2 : s[s_suppkey] * 2 }""".stripMargin
+      val text = ToSql(ESort(LikeList, Rewrites.normalize(Parser.parseExpr(src))))
+      GraftQuery.sql("q_to_sql", text) { (s, dir) =>
+        Tables.registerAll(s, dir)
+        s.sql(text)
+      }
+    },
+
     // COMPOSED indexes (fiat2/src/fiat2/IndexTransf.v:20-50 `compo_idx`):
     // the source program — written in surface syntax — point-filters ONE
     // table on TWO different attributes inside a loop. `IndexTransf`

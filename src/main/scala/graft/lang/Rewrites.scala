@@ -76,6 +76,17 @@ object Rewrites {
     case e => e
   }
 
+  /** `flatmap t (λx. if p then [r] else [])` with r ≠ x → filter then
+    * project — the reference reaches this through `if_nil_into_flatmap`
+    * exposing the filter and `to_proj` on the remainder
+    * (fiat2/src/fiat2/RelTransf.v:203-208, :658-664). Ordered after
+    * toJoinHead so two-table comprehensions become joins first. */
+  val toFilterProjHead: Expr => Expr = {
+    case EFlatmap(tag, l, x, EIf(p, Singleton(r), Nil0())) if r != EVar(x) =>
+      EProj(tag, EFilter(tag, l, x, p), x, r)
+    case e => e
+  }
+
   /** `flatmap t1 (λx. flatmap t2 (λy. if p then [r] else []))` →
     * `join t1 t2 p r` — join recognition
     * (to_join_head, fiat2/src/fiat2/RelTransf.v:357-366). Sound only when
@@ -219,7 +230,8 @@ object Rewrites {
   def normalizeCommand(c: Command): Command = mapExprs(c)(normalize(_))
 
   private val heads: Seq[Expr => Expr] =
-    Seq(mergeIf, toJoinHead, toFilterHead, toProjHead, dependentBodyToJoin)
+    Seq(mergeIf, toJoinHead, toFilterHead, toProjHead, dependentBodyToJoin,
+      toFilterProjHead)
 
   /** Apply all recognition rewrites bottom-up to a fixpoint (bounded like
     * the reference's `repeat_transf 10000` — ours converges in a few). */

@@ -1,0 +1,84 @@
+package graft.lang
+
+/** SQL extraction backend — the analog of the reference's pretty-print-to-
+  * Python execution path (fiat2/src/fiat2/ToPython.v:231-232 `program_py`,
+  * run under CPython; SURVEY.md §3.1 step 4). The Spark-first extraction
+  * target is ANSI SQL text: the emitted string runs under `spark.sql` AND
+  * under DuckDB unchanged, so an extracted program carries its own oracle.
+  *
+  * Covers the relational subset the recognition rewrites produce (run
+  * `Rewrites.normalize` first): table reads, filter/proj/join/sort, the
+  * AC folds, and the scalar operators whose SQL semantics coincide across
+  * engines. Operators with engine-divergent SQL builtins (`ODiv`/`OMod`
+  * floor semantics, word ops) are deliberately NOT emitted — the compiled
+  * path handles those; extraction refuses rather than silently changing
+  * semantics (the same stance as the reference, whose ToPython.v renders a
+  * strict subset — SURVEY.md §2.4 notes its EFlatmap2 clause diverges from
+  * the interpreter, which this refusal avoids by construction).
+  */
+object ToSql {
+  import Lang._
+
+  final case class Unextractable(what: String)
+      extends RuntimeException(s"no SQL extraction for $what")
+
+  /** Extract a table-valued expression to a standalone SQL query. */
+  def apply(e: Expr): String = e match {
+    case ELoc(t) => s"SELECT * FROM ${ident(t)}"
+    case ESort(_, l) => s"SELECT * FROM (${apply(l)}) ORDER BY ALL"
+    case EFilter(_, l, x, p) =>
+      s"SELECT * FROM ${rel(l, x)} WHERE ${scalar(p)}"
+    case EProj(_, l, x, ERecord(fields)) =>
+      s"SELECT ${selectList(fields)} FROM ${rel(l, x)}"
+    case EProj(_, l, x, body) => // scalar projection → engine "value" column
+      s"SELECT ${scalar(body)} AS value FROM ${rel(l, x)}"
+    case EJoin(_, l1, l2, x, y, p, ERecord(fields)) =>
+      s"SELECT ${selectList(fields)} FROM ${rel(l1, x)} " +
+        s"JOIN ${rel(l2, y)} ON ${scalar(p)}"
+    case EACFold(AGCount, l) => // count works over any element shape
+      s"SELECT CAST(COUNT(*) AS BIGINT) AS value FROM (${apply(l)})"
+    case EACFold(AGSum, EProj(_, l, x, body)) =>
+      s"SELECT CAST(SUM(${scalar(body)}) AS BIGINT) AS value FROM ${rel(l, x)}"
+    case other => throw Unextractable(other.getClass.getSimpleName)
+  }
+
+  private def selectList(fields: List[(String, Expr)]): String =
+    fields.map { case (n, e) => s"${scalar(e)} AS ${ident(n)}" }.mkString(", ")
+
+  /** A relation in FROM position, aliased by its row variable. */
+  private def rel(l: Expr, alias: String): String = l match {
+    case ELoc(t) => s"${ident(t)} AS ${ident(alias)}"
+    case _ => s"(${apply(l)}) AS ${ident(alias)}"
+  }
+
+  private def scalar(e: Expr): String = e match {
+    case EAccess(EVar(x), a) => s"${ident(x)}.${ident(a)}"
+    case EVar(x) => ident(x)
+    case EAtom(AInt(v)) => v.toString
+    case EAtom(ABool(v)) => v.toString.toUpperCase
+    case EAtom(AString(s)) =>
+      if (s.exists(c => c < ' ')) throw Unextractable("control char in string")
+      else "'" + s.replace("'", "''") + "'"
+    case EUnop(ONeg, a) => s"(- ${scalar(a)})"
+    case EUnop(ONot, a) => s"(NOT ${scalar(a)})"
+    case EUnop(OLengthString, a) => s"length(${scalar(a)})"
+    case EBinop(op, a, b) =>
+      val sym = op match {
+        case OPlus => "+"; case OMinus => "-"; case OTimes => "*"
+        case OLess => "<"; case OEq => "="
+        case OAnd => "AND"; case OOr => "OR"
+        case OConcatString => "||"
+        case other => throw Unextractable(other.toString)
+      }
+      s"(${scalar(a)} $sym ${scalar(b)})"
+    case EIf(c, t, f) =>
+      s"(CASE WHEN ${scalar(c)} THEN ${scalar(t)} ELSE ${scalar(f)} END)"
+    case other => throw Unextractable(other.getClass.getSimpleName)
+  }
+
+  private val identPat = "[A-Za-z_][A-Za-z0-9_]*".r
+  private def ident(s: String): String = s match {
+    case identPat() => s
+    case _ => throw Unextractable(s"identifier '$s'")
+  }
+}
