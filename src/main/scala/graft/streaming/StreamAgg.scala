@@ -43,5 +43,36 @@ object StreamAgg {
       try q.processAllAvailable() finally q.stop()
       s.table(sink).orderBy("window_start", "event_type")
     },
+
+    // Stream-STATIC join: the arriving event feed enriched against a static
+    // dimension table — the streaming analog of the reference's event loop
+    // reading a store table per event (CForeach + ELoc, Ex_Orders.v:54).
+    // The static side broadcasts, so the join is STATELESS map-side work on
+    // the stream; only the downstream aggregation keeps state. That's the
+    // shape that scales: no stream-stream state, no repartition of arrivals.
+    GraftQuery.sql("q_stream_join",
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val schema = Tables.load(s, dir, "events").schema
+      val watchDir = java.nio.file.Files.createTempDirectory("graft_sjoin_")
+      java.nio.file.Files.createSymbolicLink(
+        watchDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(watchDir.toString)
+      val dim = broadcast(Tables.load(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment"))
+      val joined = stream.join(dim, $"user_id" === $"c_custkey")
+        .groupBy($"c_mktsegment".as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(18, 2))).cast("double").as("total"))
+      val sink = s"graft_sjoin_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val q = joined.writeStream.outputMode("complete")
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("seg")
+    },
   )
 }
