@@ -27,7 +27,8 @@ object Compiler {
   final case class TV(df: DataFrame) extends Val
 
   final case class Env(vars: Map[String, Val], store: Map[String, DataFrame],
-      spark: SparkSession, rowVars: Set[String] = Set.empty) {
+      spark: SparkSession, rowVars: Set[String] = Set.empty,
+      scalars: Map[String, Column] = Map.empty) {
     def bind(x: String, v: Val): Env =
       copy(vars = vars + (x -> v), rowVars = rowVars - x)
     /** Bind a PLAN-ATTRIBUTE row variable (a table operator's binder). Such
@@ -114,8 +115,13 @@ object Compiler {
   def compile(e: Expr, env: Env): Val = e match {
     case EVar(x) => env.vars.getOrElse(x,
       throw new NoSuchElementException(s"unbound variable $x"))
-    case ELoc(x) => TV(env.store.getOrElse(x,
-      throw new NoSuchElementException(s"unbound table $x")))
+    case ELoc(x) => env.scalars.get(x) match {
+      // mutable SCALAR store cell (the reference's `all_feedback`-style
+      // TString/TInt globals, fiat2/src/fiat2/Ex_Survey.v:44-49)
+      case Some(c) => CV(c)
+      case None => TV(env.store.getOrElse(x,
+        throw new NoSuchElementException(s"unbound table or scalar cell $x")))
+    }
 
     case EAtom(a) => CV(a match {
       case AWord(v) => lit(v)

@@ -1,6 +1,6 @@
 package graft.lang
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-side interpreter for the command layer
@@ -27,17 +27,38 @@ object Interp {
         case None => after.copy(vars = after.vars - x)
       }
 
-    case CLetMut(e, x, body) => // scoped mutable table (Interpret.v:510-513)
-      val saved = env.store.get(x)
-      val init = toDF(compileProgram(e, env), env)
-      val after = run(body, env.copy(store = env.store + (x -> init)))
-      saved match {
-        case Some(df) => after.copy(store = after.store + (x -> df))
-        case None => after.copy(store = after.store - x)
+    case CLetMut(e, x, body) => // scoped mutable cell (Interpret.v:510-513)
+      compileProgram(e, env) match {
+        // an array-typed init is a TABLE cell (lists/bags are tables in
+        // this engine); everything else CV is a SCALAR cell
+        case CV(c) if !isArrayTyped(env, c) =>
+          // SCALAR cell (reference Ex_Survey.v:44-49)
+          val saved = env.scalars.get(x)
+          val after = run(body,
+            env.copy(scalars = env.scalars + (x -> folded(env, c))))
+          saved match {
+            case Some(old) => after.copy(scalars = after.scalars + (x -> old))
+            case None => after.copy(scalars = after.scalars - x)
+          }
+        case tv => // table cell
+          val saved = env.store.get(x)
+          val after = run(body,
+            env.copy(store = env.store + (x -> toDF(tv, env))))
+          saved match {
+            case Some(df) => after.copy(store = after.store + (x -> df))
+            case None => after.copy(store = after.store - x)
+          }
       }
 
     case CAssign(x, e) =>
-      env.copy(store = env.store + (x -> toDF(compileProgram(e, env), env)))
+      if (env.scalars.contains(x)) // existing scalar cell → scalar update
+        compileProgram(e, env) match {
+          case CV(c) => env.copy(scalars = env.scalars + (x -> folded(env, c)))
+          case TV(_) => throw new IllegalArgumentException(
+            s"table assigned to scalar cell $x")
+        }
+      else
+        env.copy(store = env.store + (x -> toDF(compileProgram(e, env), env)))
 
     case CIf(e, c1, c2) =>
       val cond = evalScalar(env, asBoolCol(compileProgram(e, env)))
@@ -61,6 +82,30 @@ object Interp {
   private def asBoolCol(v: Val) = v match {
     case CV(c) => c
     case TV(_) => throw new IllegalArgumentException("table used as condition")
+  }
+
+  private def isArrayTyped(env: Env, c: Column): Boolean =
+    env.spark.range(1).select(c.as("__v")).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+
+  /** Constant-fold a scalar-cell value through the optimizer (no job): a
+    * loop like `set acc := mut acc +++ line` over literal row values would
+    * otherwise grow an expression tree one node per iteration — folding
+    * keeps each cell a single Literal, the driver-state analog of the
+    * reference's eager store update (Interpret.v:514). Non-foldable values
+    * (they reference live table data) stay symbolic. */
+  private def folded(env: Env, c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    try env.spark.range(1).select(c.as("__v")).queryExecution
+      .optimizedPlan match {
+      case Project(Seq(a: Alias), _) => a.child match {
+        case l: Literal => GraftBridge.column(l)
+        case _ => c
+      }
+      case _ => c
+    } catch { case scala.util.control.NonFatal(_) => c }
   }
 
   /** Materialize an expression result as a table DataFrame. */

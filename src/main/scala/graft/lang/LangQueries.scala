@@ -269,6 +269,48 @@ object LangQueries {
       compileProgram(prog, env).asInstanceOf[TV].df
     },
 
+    // The reference's FULL ex2 program (fiat2/src/fiat2/Ex_Survey.v:40-49,
+    // minus its 10000× outer benchmark-repetition loop): a mutable SCALAR
+    // string cell (`all_feedback`) accumulated across a CForeach over the
+    // SORTED join — string cells live in the interpreter's scalar store and
+    // each `set` constant-folds to a single literal, so the loop builds no
+    // plan tree and runs no jobs.
+    GraftQuery.sql("q_survey_ex2",
+      """SELECT COALESCE(string_agg(
+        |    s_name || ' from ' || n_name || ' wrote: ok from ' || s_name || chr(10),
+        |    '' ORDER BY n_name, 'ok from ' || s_name, s_name), '') AS all_feedback
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_nationkey < 3""".stripMargin) { (s, dir) =>
+      val comp = Parser.parseExpr(
+        """r1 <- mut departments;
+          |r3 <- (r2 <- mut responses;
+          |       check(r2[department_id] == r1[department_id]
+          |             && r1[department_id] < 3);
+          |       ret r2);
+          |ret { name : r3[name], department : r1[department_name],
+          |      feedback : r3[feedback] }""".stripMargin)
+      val body = Parser.parseCommand(
+        """let name = r[name] +++ " from " in
+          |let dep = r[department] +++ " wrote: " in
+          |let feedback = r[feedback] +++ "\n" in
+          |let line = name +++ dep +++ feedback in
+          |set all_feedback := mut all_feedback +++ line""".stripMargin)
+      val prog = CLetMut(EAtom(AString("")), "all_feedback",
+        CSeq(CForeach(ESort(LikeList, comp), "r", body),
+          CAssign("result", EBinop(OCons,
+            ERecord(List("all_feedback" -> ELoc("all_feedback"))),
+            EAtom(ANil(TRecord.sorted("all_feedback" -> TString)))))))
+      val env = Env(Map.empty, Map(
+        "departments" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("department_id"),
+            col("n_name").as("department_name")),
+        "responses" -> Tables.load(s, dir, "supplier")
+          .select(col("s_name").as("name"),
+            col("s_nationkey").as("department_id"),
+            concat(lit("ok from "), col("s_name")).as("feedback"))), s)
+      Interp.run(prog, env).store("result")
+    },
+
     // SQL EXTRACTION (fiat2/src/fiat2/ToPython.v:231-232 — the reference
     // pretty-prints optimized programs to a target language and runs them
     // there): surface text → parse → join recognition → ToSql. The ONE

@@ -22,6 +22,31 @@ class CompilerSpec extends AnyFunSuite {
     xs.foldRight[Expr](EAtom(ANil(TInt)))((x, acc) =>
       EBinop(OCons, EAtom(AInt(x)), acc))
 
+  test("mutable SCALAR cells: loop accumulation, folding, scope restore") {
+    // the reference's all_feedback idiom (Ex_Survey.v:44-49): a string cell
+    // updated per iteration; each update folds to a literal (no plan growth)
+    val accumulate = CLetMut(EAtom(AString("a")), "acc",
+      CSeq(
+        CForeach(listOf(1L, 2L, 3L), "x",
+          CAssign("acc", EBinop(OConcatString, ELoc("acc"),
+            EUnop(OIntToString, EVar("x"))))),
+        CAssign("out", EBinop(OCons,
+          ERecord(List("s" -> ELoc("acc"))),
+          EAtom(ANil(TRecord.sorted("s" -> TString)))))))
+    val end = Interp.run(accumulate, Env(Map.empty, Map.empty, spark))
+    assert(end.store("out").head().getString(0) === "a123")
+    assert(!end.scalars.contains("acc"), "scalar cell must be scoped")
+    // shadowing: inner CLetMut of the same name restores the outer value
+    val shadow = CLetMut(EAtom(AInt(1L)), "n",
+      CSeq(
+        CLetMut(EAtom(AInt(99L)), "n", CAssign("n", EAtom(AInt(100L)))),
+        CAssign("out2", EBinop(OCons,
+          ERecord(List("n" -> ELoc("n"))),
+          EAtom(ANil(TRecord.sorted("n" -> TInt)))))))
+    assert(Interp.run(shadow, Env(Map.empty, Map.empty, spark))
+      .store("out2").head().getLong(0) === 1L)
+  }
+
   test("word ops: wrap-around, total div/mod, unsigned compare (Interpret.v:139-151)") {
     def W(v: Long) = EAtom(AWord(v))
     def bin(op: Binop, a: Long, b: Long) = evalv(EBinop(op, W(a), W(b)))
