@@ -39,6 +39,11 @@ object ToSql {
       s"SELECT CAST(COUNT(*) AS BIGINT) AS value FROM (${apply(l)})"
     case EACFold(AGSum, EProj(_, l, x, body)) =>
       s"SELECT CAST(SUM(${scalar(body)}) AS BIGINT) AS value FROM ${rel(l, x)}"
+    case EACIFold(agg, EProj(_, l, x, body)) =>
+      // None-on-empty maps to SQL NULL-on-empty for MIN/MAX — semantics
+      // coincide, so extraction is sound here
+      val fn = agg match { case AGMin => "MIN"; case AGMax => "MAX" }
+      s"SELECT CAST($fn(${scalar(body)}) AS BIGINT) AS value FROM ${rel(l, x)}"
     case other => throw Unextractable(other.getClass.getSimpleName)
   }
 

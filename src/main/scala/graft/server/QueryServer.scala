@@ -47,7 +47,9 @@ final class QueryServer(spark: SparkSession, dataDir: String,
 
   private def handle(ex: HttpExchange): Unit =
     try {
-      route(ex.getRequestURI.getPath) match {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      route(ex.getRequestMethod, ex.getRequestURI.getPath, body) match {
         case Some(df) => respond(ex, 200, toJsonArray(df))
         case None => respond(ex, 404, """{"error":"unknown route"}""")
       }
@@ -56,15 +58,34 @@ final class QueryServer(spark: SparkSession, dataDir: String,
         respond(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
 
-  private def route(path: String): Option[DataFrame] =
+  private def route(method: String, path: String,
+      body: String): Option[DataFrame] =
     path.split("/").filter(_.nonEmpty) match {
       case Array() => Some(routeListing)
       case Array("get_artist_less_than", IntArg(n)) => Some(artistLessThan(n))
       case Array("get_album_and_artist", IntArg(n)) => Some(albumAndArtist(n))
       case Array("query", name) =>
         graft.SparkEntry.queries.get(name).map(f => f(spark, dataDir))
+      case Array("run") if method == "POST" => Some(runProgram(body))
       case _ => None
     }
+
+  /** `POST /run` — the request body is a surface-syntax EXPRESSION (the
+    * notation `Parser` accepts; every store table is bound, so `mut nation`
+    * etc. work). The program is parsed, join-recognized, and compiled to a
+    * distributed plan — the haskellServer's elaborate-then-run request path
+    * (haskellServer/src/Extracted.hs:2217) with the whole engine behind it.
+    */
+  private def runProgram(src: String): DataFrame = {
+    import graft.lang.{Compiler, Parser, Rewrites}
+    val prog = Rewrites.normalize(Parser.parseExpr(src))
+    val store = graft.core.Tables.all
+      .map(n => n -> Tables.load(spark, dataDir, n)).toMap
+    Compiler.compile(prog, Compiler.Env(Map.empty, store, spark)) match {
+      case Compiler.TV(df) => df
+      case Compiler.CV(c) => spark.range(1).select(c.as("value"))
+    }
+  }
 
   /** `exported_get_artist` (Lib.hs:42-43): artists (customers) with id
     * below the captured bound. */
@@ -85,7 +106,8 @@ final class QueryServer(spark: SparkSession, dataDir: String,
 
   private def routeListing: DataFrame = {
     import spark.implicits._
-    (Seq("/get_artist_less_than/{n}", "/get_album_and_artist/{n}") ++
+    (Seq("/get_artist_less_than/{n}", "/get_album_and_artist/{n}",
+      "POST /run  (body: surface-syntax expression)") ++
       graft.SparkEntry.queries.keys.toSeq.sorted.map(q => s"/query/$q"))
       .toDF("route")
   }

@@ -57,6 +57,43 @@ class QueryServerSpec extends AnyFunSuite {
     }
   }
 
+  private def post(url: String, body: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(60000)
+    conn.getOutputStream.write(body.getBytes("UTF-8"))
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val out = Source.fromInputStream(stream, "UTF-8").mkString
+    conn.disconnect()
+    (code, out)
+  }
+
+  test("POST /run executes a surface-syntax program") {
+    withServer { port =>
+      val program =
+        """n <- mut nation;
+          |check(n[n_regionkey] == 0);
+          |ret { key : n[n_nationkey], name : n[n_name] }""".stripMargin
+      val (code, body) = post(s"http://localhost:$port/run", program)
+      assert(code === 200)
+      val expected = graft.core.Tables.load(spark, TestSpark.sfDir, "nation")
+        .filter(org.apache.spark.sql.functions.col("n_regionkey") === 0).count()
+      assert("\"key\":".r.findAllIn(body).size === expected)
+      // a scalar program returns a single value row
+      val (c2, b2) = post(s"http://localhost:$port/run", "2 + 3 * 4")
+      assert(c2 === 200 && b2 === """[{"value":14}]""")
+      // a broken program reports the parse error, not a hung socket
+      val (c3, b3) = post(s"http://localhost:$port/run", "ret {")
+      assert(c3 === 500 && b3.contains("error"))
+      // GET on /run is not a route
+      assert(get(s"http://localhost:$port/run")._1 === 404)
+    }
+  }
+
   test("route listing, 404 on unknown, non-numeric capture rejected") {
     withServer { port =>
       val (c0, listing) = get(s"http://localhost:$port/")
