@@ -16,6 +16,8 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, n_bytes: Long, head_hex: String)
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, n_frames: Int, feat_sum: Double, feat_head: Double)
+  final case class MediaResized(doc_id: Long, n_out: Int, sample_sum: Double)
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_sum: Double)
 
   /** STUB decoder — replace with a real codec binding in production. Opened
     * once per partition (model/codec load amortized over the batch), which is
@@ -34,6 +36,30 @@ object Multimodal {
       val sum = bytes.foldLeft(0.0)((a, x) => a + (x & 0xff))
       val head = bytes.take(16).foldLeft(0.0)((a, x) => a + (x & 0xff))
       MediaFeatures(b.doc_id, bytes.length.toLong, w, h, frames, sum, head)
+    }
+    /** Deterministic fake RESIZE: stride-downsample the byte stream to ≤32
+      * "pixels" (a real codec would decode + bilinear-resample; the
+      * per-blob→fixed-budget shape is identical). */
+    def resize(b: MediaBlob): MediaResized = {
+      val n = b.data.length
+      val k = math.max(1, (n + 31) / 32)
+      val sampled = b.data.indices.collect {
+        case i if i % k == 0 => (b.data(i) & 0xff).toDouble
+      }
+      MediaResized(b.doc_id, sampled.length, sampled.sum)
+    }
+    /** Deterministic fake FRAME SAMPLING: 256-byte "frames", sample first /
+      * middle / last — one input blob fans out to ≤3 output rows (the
+      * video-keyframe batch shape). */
+    def frames(b: MediaBlob): Seq[FrameSample] = {
+      val n = b.data.length
+      val nf = math.max(1, (n + 255) / 256)
+      Seq(0, nf / 2, nf - 1).distinct.map { f =>
+        val from = f * 256
+        val until = math.min(n, from + 256)
+        FrameSample(b.doc_id, f,
+          (from until until).map(i => (b.data(i) & 0xff).toDouble).sum)
+      }
     }
   }
   object FakeDecoder { def open(): FakeDecoder = new FakeDecoder }
@@ -85,6 +111,64 @@ object Multimodal {
         val dec = FakeDecoder.open()
         iter.map(dec.features)
       }.toDF().orderBy("doc_id")
+    },
+
+    // Resize through the binary path: per blob, a fixed output budget
+    // (stride-downsample to ≤32 samples). The oracle replays the stride
+    // arithmetic over character codes.
+    GraftQuery.sql("q_multimodal_resize",
+      """WITH ch AS (SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS b, i
+        |            FROM documents, unnest(range(1, len(text) + 1)) AS t(i)),
+        |k AS (SELECT doc_id,
+        |        GREATEST(1, (octet_length(encode(text)) + 31) // 32) AS k
+        |      FROM documents),
+        |agg AS (SELECT ch.doc_id, COUNT(*) AS c, SUM(ch.b) AS s
+        |        FROM ch JOIN k USING (doc_id) WHERE (ch.i - 1) % k.k = 0
+        |        GROUP BY ch.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(agg.c, 0) AS INT) AS n_out,
+        |       CAST(COALESCE(agg.s, 0) AS DOUBLE) AS sample_sum
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val blobs = Tables.load(s, dir, "documents")
+        .select($"doc_id", encode($"text", "utf-8").as("data"),
+          lit("image/fake").as("fmt"))
+        .as[MediaBlob]
+      blobs.mapPartitions { iter =>
+        val dec = FakeDecoder.open()
+        iter.map(dec.resize)
+      }.toDF().orderBy("doc_id")
+    },
+
+    // Frame sampling through the binary path: one blob → ≤3 keyframe rows
+    // (first / middle / last 256-byte frame), fanned out inside the
+    // partition iterator so the decoder stays open across the batch.
+    GraftQuery.sql("q_multimodal_frames",
+      """WITH ch AS (SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS b, i
+        |            FROM documents, unnest(range(1, len(text) + 1)) AS t(i)),
+        |nf AS (SELECT doc_id,
+        |         GREATEST(1, (octet_length(encode(text)) + 255) // 256) AS nf
+        |       FROM documents),
+        |fidx AS (SELECT DISTINCT doc_id, f FROM (
+        |  SELECT doc_id, unnest([0, nf // 2, nf - 1]) AS f FROM nf)),
+        |sums AS (SELECT fidx.doc_id, fidx.f,
+        |           SUM(CASE WHEN ch.i > fidx.f * 256
+        |                     AND ch.i <= (fidx.f + 1) * 256
+        |                    THEN ch.b END) AS s
+        |         FROM fidx LEFT JOIN ch ON ch.doc_id = fidx.doc_id
+        |         GROUP BY fidx.doc_id, fidx.f)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(COALESCE(s, 0) AS DOUBLE) AS frame_sum
+        |FROM sums ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val blobs = Tables.load(s, dir, "documents")
+        .select($"doc_id", encode($"text", "utf-8").as("data"),
+          lit("video/fake").as("fmt"))
+        .as[MediaBlob]
+      blobs.mapPartitions { iter =>
+        val dec = FakeDecoder.open()
+        iter.flatMap(dec.frames)
+      }.toDF().orderBy("doc_id", "frame_idx")
     },
   )
 }
