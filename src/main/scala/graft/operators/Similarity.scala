@@ -114,6 +114,35 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // Int8 symmetric quantization of the embedding column — the storage/
+    // serving compression step of an embedding pipeline (map-only: scale =
+    // 127/max|x| per vector, round-half-away-from-zero matches in both
+    // engines, so the oracle is value-exact including the double `scale`).
+    GraftQuery.sql("q_embed_quantize",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT vec_id, 127.0 / mx AS scale,
+        |        list_transform(v, x -> CAST(round(x * (127.0 / mx)) AS BIGINT)) AS qv
+        |      FROM m)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val v = asDouble($"embedding")
+      val mx = array_max(transform(v, x => abs(x)))
+      val scale = lit(127.0) / mx
+      val qv = transform(v, x => round(x * scale).cast("long"))
+      Tables.load(s, dir, "embeddings").select(
+        $"vec_id", scale.as("scale"),
+        aggregate(qv, lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(qv).as("q_min"),
+        array_max(qv).as("q_max"))
+        .orderBy("vec_id")
+    },
+
     // Brute-force cosine top-10 for 5 query vectors: queries broadcast
     // against the corpus, ranked per query. Exact baseline for ANN.
     GraftQuery.sql("q_ann_topk",
