@@ -112,6 +112,9 @@ object Compiler {
       "table value where a scalar/nested value was expected")
   }
 
+  /** Public scalar view of a compiled value. */
+  def asScalar(v: Val): Column = asCV(v)
+
   def compile(e: Expr, env: Env): Val = e match {
     case EVar(x) => env.vars.getOrElse(x,
       throw new NoSuchElementException(s"unbound variable $x"))
@@ -318,17 +321,22 @@ object Compiler {
           (a, v) => asCV(compile(step, env.bind(x, CV(v)).bind(acc, CV(a))))))
     }
 
+    // Table-level AC/ACI folds aggregate DISTRIBUTED, then surface the one
+    // result value eagerly as a scalar (same stance as table OLength above,
+    // and the reference interpreter's eagerness) — so an aggregate composes
+    // into records/arithmetic anywhere a scalar goes.
     case EACFold(agg, e1) => (agg, compile(e1, env)) match {
-      case (AGSum, TV(df)) => TV(df.agg(coalesce(sum(col("value")), lit(0L))
-        .as("value")))
-      case (AGCount, TV(df)) => TV(df.agg(count(lit(1)).as("value")))
+      case (AGSum, TV(df)) => CV(lit(
+        df.agg(coalesce(sum(col("value")), lit(0L)).as("value"))
+          .head().get(0)))
+      case (AGCount, TV(df)) => CV(lit(df.count()))
       case (AGSum, CV(c)) => CV(aggregate(c, lit(0L), (a, v) => a + v))
       case (AGCount, CV(c)) => CV(size(c).cast("long"))
     }
 
     case EACIFold(agg, e1) => (agg, compile(e1, env)) match {
-      case (AGMin, TV(df)) => TV(df.agg(min(col("value")).as("value")))
-      case (AGMax, TV(df)) => TV(df.agg(max(col("value")).as("value")))
+      case (AGMin, TV(df)) => CV(typedAggLit(df, min(col("value"))))
+      case (AGMax, TV(df)) => CV(typedAggLit(df, max(col("value"))))
       case (AGMin, CV(c)) => CV(array_min(c))
       case (AGMax, CV(c)) => CV(array_max(c))
     }
@@ -424,6 +432,14 @@ object Compiler {
         case (a, b) => CV(Fiat2.setInsert(asCV(a), asCV(b)))
       }
     }
+  }
+
+  /** Aggregate a 1-column table to one eager value, preserving the column
+    * type when the result is NULL (ACI None-on-empty). */
+  private def typedAggLit(df: DataFrame, agg: Column): Column = {
+    val out = df.agg(agg.as("value"))
+    val v = out.head().get(0)
+    if (v == null) lit(null).cast(out.schema.head.dataType) else lit(v)
   }
 
   /** fiat2's INSERT: `cons` a record onto a table (SURVEY.md §4.3). */

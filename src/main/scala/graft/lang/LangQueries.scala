@@ -44,8 +44,8 @@ object LangQueries {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_quantity").cast("long").as("l_qty"))
       val env = Env(Map.empty, Map("lineitem" -> li), s)
-      compile(prog, env).asInstanceOf[TV].df
-        .select(col("value").as("total_qty"))
+      s.range(1).select(
+        asScalar(compile(prog, env)).cast("long").as("total_qty"))
     },
 
     // A monad-comprehension program — `c <- customer; n <- nation;
@@ -267,6 +267,42 @@ object LangQueries {
             col("s_nationkey").as("department_id"),
             concat(lit("ok from "), col("s_name")).as("feedback"))), s)
       compileProgram(prog, env).asInstanceOf[TV].df
+    },
+
+    // AUTOMATIC incremental sum maintenance (fiat2/src/fiat2/SumAgg.v:
+    // 150-155 cons_to_add + sum_to_agg_lookup, the PipelineEx.v:31-32
+    // pipeline): the SOURCE program re-reads sum(v) of a table it inserts
+    // into on every loop iteration — IvmTransf re-represents the aggregate
+    // as a maintained scalar cell (one priming aggregation, then O(1)
+    // folded updates per insert; the sum reads run no jobs at all).
+    GraftQuery.sql("q_auto_ivm",
+      """WITH init AS (SELECT COALESCE(CAST(SUM(o_orderkey) AS BIGINT), 0) AS s0
+        |              FROM orders WHERE o_custkey < 2)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |       CAST(s0 + 500 * k * (k + 1) AS BIGINT) AS s
+        |FROM init, (VALUES (1), (2), (3), (4), (5)) t(k)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val kv = EVar("kv")
+      val sumRead = EACFold(AGSum,
+        EProj(LikeBag, ELoc("t"), "x", EAccess(EVar("x"), "v")))
+      val keys = (1L to 5L).foldRight[Expr](EAtom(ANil(TInt))) {
+        (k, acc) => EBinop(OCons, EAtom(AInt(k)), acc)
+      }
+      val prog = CLetMut(
+        EAtom(ANil(TRecord.sorted("k" -> TInt, "s" -> TInt))), "out",
+        CSeq(
+          CForeach(keys, "kv", CSeq(
+            CAssign("t", EBinop(OCons,
+              ERecord(List("v" -> EBinop(OTimes, kv, EAtom(AInt(1000))))),
+              ELoc("t"))),
+            CAssign("out", EBinop(OCons,
+              ERecord(List("k" -> kv, "s" -> sumRead)), ELoc("out"))))),
+          CAssign("result", ELoc("out"))))
+      val t = Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") < 2)
+        .select(col("o_orderkey").as("v"))
+      val env = Env(Map.empty, Map("t" -> t), s)
+      IvmTransf.runIncremental(prog, env).store("result").orderBy("k")
     },
 
     // The reference's FULL ex2 program (fiat2/src/fiat2/Ex_Survey.v:40-49,

@@ -25,8 +25,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("AST-compiled q_lang_agg pushes its filter through the compiler") {
-    val p = plan("q_lang_agg")
+  test("AST-compiled filter pushes to the parquet scan through the compiler") {
+    // q_lang_agg's table aggregation is eager (the fold value is computed
+    // inside compile), so assert pushdown on the pre-fold pipeline plan —
+    // the distributed part that scans
+    import graft.core.Tables
+    import graft.lang._
+    import graft.lang.Lang._
+    import graft.lang.Compiler._
+    val prog = EProj(LikeBag,
+      EFilter(LikeBag, ELoc("lineitem"), "l",
+        EBinop(OEq, EAccess(EVar("l"), "l_returnflag"), EAtom(AString("R")))),
+      "l", EAccess(EVar("l"), "l_qty"))
+    val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_quantity").cast("long").as("l_qty"))
+    val p = compile(prog, Env(Map.empty, Map("lineitem" -> li), spark))
+      .asInstanceOf[TV].df.queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), p)
   }
 
