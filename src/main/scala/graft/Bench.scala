@@ -26,11 +26,17 @@ object Bench {
       // a failed query is reported as -1, never as a plausible fast time
       name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // keep the whole JSON line short (2-decimal per-query secs, sf
+    // basename): the harness that reads it keeps only the tail of stdout,
+    // and a full-precision line for ~70 queries overflows that window
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed queries report -1 per-query but must not SUBTRACT from total
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

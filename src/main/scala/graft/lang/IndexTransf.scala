@@ -46,6 +46,15 @@ object IndexTransf {
   def transform(c: Command, env: Compiler.Env): (Command, Compiler.Env) = {
     val byTable = loopEqFilters(c, inLoop = false).distinct
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // Composed components are snapshots routed to by NAME: a later CAssign
+    // to t (or a CLetMut re-binding t) would update only the base entry and
+    // leave routed filters reading a stale snapshot. The reference's wf
+    // precondition is that inserts maintain every component
+    // (fiat2/src/fiat2/IndexTransf.v:32-50); we don't maintain, so we only
+    // compose for read-only tables. The single-attribute case is safe
+    // regardless: the table entry itself is swapped, and CAssign overwrites
+    // that same entry.
+    val mutated = mutatedCells(c)
     byTable.foldLeft((c, env)) { case ((cmd, acc), (t, attrs0)) =>
       acc.store.get(t) match {
         case Some(df) =>
@@ -56,6 +65,7 @@ object IndexTransf {
             case Seq(a) =>
               val idx = DictIndex.build(df, a, par)
               (cmd, acc.copy(store = acc.store + (t -> idx.keyed)))
+            case _ if mutated.contains(t) => (cmd, acc)
             case several =>
               val compo = CompoIndex.build(df, several, par)
               val entries = several.map(a =>
@@ -66,6 +76,17 @@ object IndexTransf {
         case None => (cmd, acc)
       }
     }
+  }
+
+  /** Store cells the command assigns or re-binds anywhere. */
+  private def mutatedCells(c: Command): Set[String] = c match {
+    case CSkip => Set.empty
+    case CSeq(a, b) => mutatedCells(a) ++ mutatedCells(b)
+    case CLet(_, _, b) => mutatedCells(b)
+    case CLetMut(_, x, b) => mutatedCells(b) + x
+    case CAssign(x, _) => Set(x)
+    case CIf(_, a, b) => mutatedCells(a) ++ mutatedCells(b)
+    case CForeach(_, _, b) => mutatedCells(b)
   }
 
   /** Back-compat store-only view of `transform` (single-attribute tables;

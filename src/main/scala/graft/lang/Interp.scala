@@ -41,12 +41,22 @@ object Interp {
             case None => after.copy(scalars = after.scalars - x)
           }
         case tv => // table cell
+          // shadow a same-named outer SCALAR cell too: ELoc resolution and
+          // CAssign both consult env.scalars first, so leaving it bound would
+          // make the inner table cell invisible to the body
           val saved = env.store.get(x)
+          val savedScalar = env.scalars.get(x)
           val after = run(body,
-            env.copy(store = env.store + (x -> toDF(tv, env))))
-          saved match {
+            env.copy(store = env.store + (x -> toDF(tv, env)),
+              scalars = env.scalars - x))
+          val restored = saved match {
             case Some(df) => after.copy(store = after.store + (x -> df))
             case None => after.copy(store = after.store - x)
+          }
+          savedScalar match {
+            case Some(old) =>
+              restored.copy(scalars = restored.scalars + (x -> old))
+            case None => restored.copy(scalars = restored.scalars - x)
           }
       }
 

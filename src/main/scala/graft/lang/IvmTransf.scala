@@ -44,8 +44,12 @@ object IvmTransf {
   def transform(c: Command, env: Env): (Command, Env) = {
     val reads = collectReads(c, inLoop = false).distinct
     val written = consWrittenTables(c, inLoop = false).toSet
+    // soundness: only maintain a cell when EVERY write to t is the
+    // recognized cons shape and no CLetMut re-binds t — any other write
+    // (concat, re-filter, double cons) would leave the cell stale
+    val unsafe = unsafeTables(c)
     val maintained = reads.filter { case (t, _) =>
-      written.contains(t) && env.store.contains(t) }
+      written.contains(t) && !unsafe.contains(t) && env.store.contains(t) }
     maintained.foldLeft((c, env)) { case ((cmd, acc), (t, a)) =>
       // one distributed aggregation primes the cell (AGSum of empty = 0)
       val init = acc.store(t)
@@ -102,6 +106,24 @@ object IvmTransf {
       }
       found.reverse
     }
+
+  /** Tables with a write (or a shadowing CLetMut binder) that is NOT the
+    * recognized single-cons shape. The reference's transform carries the
+    * same precondition as a wf side-condition (fiat2/src/fiat2/SumAgg.v —
+    * `cons_to_add_head` fires only on the insert idiom); here we check it
+    * syntactically and leave the program untransformed otherwise. CLet /
+    * CForeach binders bind expression variables, not store cells, so they
+    * cannot shadow an `ELoc` read and are not collected. */
+  private def unsafeTables(c: Command): Set[String] = c match {
+    case CSkip => Set.empty
+    case CSeq(a, b) => unsafeTables(a) ++ unsafeTables(b)
+    case CLet(_, _, b) => unsafeTables(b)
+    case CLetMut(_, x, b) => unsafeTables(b) + x
+    case CAssign(t, EBinop(OCons, _, ELoc(t2))) if t == t2 => Set.empty
+    case CAssign(t, _) => Set(t)
+    case CIf(_, a, b) => unsafeTables(a) ++ unsafeTables(b)
+    case CForeach(_, _, b) => unsafeTables(b)
+  }
 
   private def consWrittenTables(c: Command, inLoop: Boolean): Seq[String] =
     c match {

@@ -63,7 +63,11 @@ object Parser {
       else if (c.isDigit) {
         val start = i
         while (i < src.length && src(i).isDigit) i += 1
-        out += TokInt(src.substring(start, i).toLong, start)
+        val digits = src.substring(start, i)
+        out += TokInt(
+          try digits.toLong catch { case _: NumberFormatException =>
+            throw ParseError(s"integer literal out of range: $digits", start)
+          }, start)
       } else if (c.isLetter || c == '_') {
         val start = i
         while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_')) i += 1

@@ -28,13 +28,16 @@ import graft.core.Tables
   * handler pool serves parallel requests.
   */
 final class QueryServer(spark: SparkSession, dataDir: String,
-    port: Int = 8080, maxRows: Int = 10000) {
+    port: Int = 8080, maxRows: Int = 10000, host: String = "127.0.0.1") {
 
   private var server: HttpServer = _
 
-  /** Bind and start; returns the actual port (pass port=0 for ephemeral). */
+  /** Bind and start; returns the actual port (pass port=0 for ephemeral).
+    * Binds loopback by default — POST /run executes arbitrary programs, so
+    * exposing it beyond localhost is an explicit opt-in (host = "0.0.0.0").
+    */
   def start(): Int = {
-    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.start()

@@ -47,6 +47,30 @@ class CompilerSpec extends AnyFunSuite {
       .store("out2").head().getLong(0) === 1L)
   }
 
+  test("inner TABLE cell shadows a same-named outer SCALAR cell") {
+    // an inner CLetMut binding a table under a name that an outer CLetMut
+    // holds as a scalar: the body must see (and be able to assign) the
+    // TABLE, and the outer scalar must come back intact afterwards
+    val rowList = EBinop(OCons,
+      ERecord(List("v" -> EAtom(AInt(7L)))),
+      EAtom(ANil(TRecord.sorted("v" -> TInt))))
+    val prog = CLetMut(EAtom(AInt(1L)), "x",
+      CSeq(
+        CLetMut(rowList, "x", CSeq(
+          // CAssign of a table into the inner cell must NOT throw
+          CAssign("x", EBinop(OConcat, ELoc("x"), ELoc("x"))),
+          // a read of x in the body must see the table (2 rows after concat)
+          CAssign("inner", ELoc("x")))),
+        // after the inner scope, x is the outer scalar again
+        CAssign("outer", EBinop(OCons,
+          ERecord(List("n" -> ELoc("x"))),
+          EAtom(ANil(TRecord.sorted("n" -> TInt)))))))
+    val end = Interp.run(prog, Env(Map.empty, Map.empty, spark))
+    assert(end.store("inner").count() === 2L)
+    assert(end.store("outer").head().getLong(0) === 1L)
+    assert(!end.scalars.contains("x") && !end.store.contains("x"))
+  }
+
   test("word ops: wrap-around, total div/mod, unsigned compare (Interpret.v:139-151)") {
     def W(v: Long) = EAtom(AWord(v))
     def bin(op: Binop, a: Long, b: Long) = evalv(EBinop(op, W(a), W(b)))

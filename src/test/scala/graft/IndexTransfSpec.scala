@@ -94,6 +94,38 @@ class IndexTransfSpec extends AnyFunSuite {
     byCust.unpersist(); byKey.unpersist()
   }
 
+  test("a table assigned in the command is NOT composed (staleness guard)") {
+    // routed component reads are snapshots; a CAssign to the base table
+    // would leave them stale, so composition must be skipped entirely
+    val orders = Tables.load(spark, TestSpark.sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val prog = CSeq(
+      CForeach(EBinop(OCons, EAtom(AInt(1L)), EAtom(ANil(TInt))), "kv",
+        CSeq(
+          CAssign("a", EUnop(OLength,
+            EFilter(LikeBag, ELoc("orders"), "o",
+              EBinop(OEq, EAccess(EVar("o"), "o_custkey"), EVar("kv"))))),
+          CAssign("b", EUnop(OLength,
+            EFilter(LikeBag, ELoc("orders"), "o",
+              EBinop(OEq, EAccess(EVar("o"), "o_orderkey"), EVar("kv"))))))),
+      // the mutation that would invalidate routed snapshots
+      CAssign("orders", EBinop(OConcat, ELoc("orders"), ELoc("orders"))))
+    val env = Env(Map.empty, Map("orders" -> orders), spark)
+    val (cmd, indexed) = IndexTransf.transform(prog, env)
+    assert(cmd === prog, "command must be left unrouted")
+    assert(!indexed.store.contains(
+      IndexTransf.componentName("orders", "o_custkey")))
+    assert(!indexed.store.contains(
+      IndexTransf.componentName("orders", "o_orderkey")))
+    // and the end-to-end indexed run still matches the plain run
+    val plain = Interp.run(CSeq(prog, CAssign("result", ELoc("orders"))), env)
+      .store("result").count()
+    val fast = IndexTransf.runIndexed(
+      CSeq(prog, CAssign("result", ELoc("orders"))), env)
+      .store("result").count()
+    assert(plain === fast)
+  }
+
   test("composed-index insert maintains every component consistently") {
     import graft.operators.CompoIndex
     val base = Seq((1L, 10L), (2L, 20L), (3L, 20L)).toDF("a", "b")

@@ -52,6 +52,40 @@ class IvmTransfSpec extends AnyFunSuite {
     assert(fast === Seq((1L, 31L), (2L, 33L), (3L, 36L)))
   }
 
+  test("a non-cons write to the table disables maintenance (soundness)") {
+    // same loop, plus a concat write the transform can't bump the cell for:
+    // maintaining would leave reads stale, so the program must be untouched
+    val withConcat = CSeq(loop,
+      CAssign("t", EBinop(OConcat, ELoc("t"), ELoc("t"))))
+    val prog2 = CLetMut(
+      EAtom(ANil(TRecord.sorted("k" -> TInt, "s" -> TInt))), "out",
+      CSeq(withConcat, CAssign("result", ELoc("out"))))
+    val t = Seq(10L).toDF("v")
+    val env = Env(Map.empty, Map("t" -> t), spark)
+    val (cmd, primed) = IvmTransf.transform(prog2, env)
+    assert(cmd === prog2, "program must be left untransformed")
+    assert(primed.scalars.isEmpty, "no cell may be primed")
+    // and the untransformed incremental run still equals the plain run
+    def rows(e: Env) = e.store("result")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows(IvmTransf.runIncremental(prog2,
+        Env(Map.empty, Map("t" -> t), spark))) ===
+      rows(Interp.run(prog2, Env(Map.empty, Map("t" -> t), spark))))
+  }
+
+  test("a CLetMut re-binding the table disables maintenance") {
+    val shadowed = CLetMut(EAtom(ANil(TRecord.sorted("v" -> TInt))), "t",
+      loop)
+    val prog2 = CLetMut(
+      EAtom(ANil(TRecord.sorted("k" -> TInt, "s" -> TInt))), "out",
+      CSeq(shadowed, CAssign("result", ELoc("out"))))
+    val t = Seq(10L).toDF("v")
+    val (cmd, primed) = IvmTransf.transform(prog2,
+      Env(Map.empty, Map("t" -> t), spark))
+    assert(cmd === prog2)
+    assert(primed.scalars.isEmpty)
+  }
+
   test("a table only read (never cons-written in a loop) is untouched") {
     val t = Seq(5L).toDF("v")
     val readOnly = CForeach(keys(1L), "kv",

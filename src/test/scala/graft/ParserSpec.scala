@@ -134,6 +134,9 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[ParseError](parseCommand("set := 1"))
     // keywords are not identifiers
     assertThrows[ParseError](parseExpr("let if = 1 in 2"))
+    // an out-of-range integer literal is a ParseError, not a raw
+    // NumberFormatException escaping through the lexer
+    assertThrows[ParseError](parseExpr("99999999999999999999"))
   }
 
   test("comments and whitespace are skipped") {
