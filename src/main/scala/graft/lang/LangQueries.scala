@@ -479,5 +479,45 @@ object LangQueries {
       compileProgram(prog, Env(Map.empty, Map("t" -> t), s))
         .asInstanceOf[TV].df.orderBy("k")
     },
+
+    // Collection-kind annotation (fiat2/src/fiat2/CollectionTransf.v:6-51):
+    // the SOURCE program is written with sequential list folds — the sum
+    // idiom, OLength, and the option-match running-minimum — over a
+    // LikeList filter→proj pipeline. CollectionTransf.annotate recognizes
+    // them as declarative bag/set aggregates and re-kinds the pipeline
+    // beneath (push_down_collection), so the compiled form is a distributed
+    // agg over the pushed-down filter, never a driver-side fold.
+    GraftQuery.sql("q_collection_annotate",
+      """SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       COUNT(*) AS n_rows,
+        |       CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin) { (s, dir) =>
+      val src = EProj(LikeList,
+        EFilter(LikeList, ELoc("lineitem"), "l",
+          EBinop(OEq, EAccess(EVar("l"), "l_returnflag"),
+            EAtom(AString("R")))),
+        "l", EAccess(EVar("l"), "l_qty"))
+      val sumIdiom = EFold(src, EAtom(AInt(0)), "v", "acc",
+        EBinop(OPlus, EVar("v"), EVar("acc")))
+      val minIdiom = EFold(src, EAtom(ANone(TInt)), "v", "acc",
+        EOptMatch(EVar("acc"), EUnop(OSome, EVar("v")), "x",
+          EIf(EBinop(OLess, EVar("v"), EVar("x")),
+            EUnop(OSome, EVar("v")), EVar("acc"))))
+      val prog = ERecord(List(
+        "sum_qty" -> sumIdiom,
+        "n_rows" -> EUnop(OLength, src),
+        "min_qty" -> EOptMatch(minIdiom, EAtom(AInt(-1)), "m", EVar("m"))))
+      val annotated = CollectionTransf.annotate(prog)
+      require(!annotated.toString.contains("EFold("),
+        "annotation must eliminate every sequential fold")
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("l_qty"))
+      val c = asScalar(compile(annotated, Env(Map.empty,
+        Map("lineitem" -> li), s)))
+      s.range(1).select(
+        c("sum_qty").cast("long").as("sum_qty"),
+        c("n_rows").cast("long").as("n_rows"),
+        c("min_qty").cast("long").as("min_qty"))
+    },
   )
 }
