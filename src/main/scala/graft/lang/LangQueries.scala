@@ -365,6 +365,42 @@ object LangQueries {
       }
     },
 
+    // The WHOLE pipeline the reference composes — surface text → parse →
+    // join/filter recognition (RelTransf) → collection annotation
+    // (CollectionTransf: the hand-written sum fold becomes a bag
+    // aggregate) → extraction (ToPython analog) — with the one extracted
+    // string executing on Spark and as its own DuckDB oracle.
+    {
+      val src =
+        """fold (o <- mut orders; check(o[o_custkey] < 100); ret o[o_orderkey])
+          |  0 v acc v + acc""".stripMargin
+      val annotated = CollectionTransf.annotate(
+        Rewrites.normalize(Parser.parseExpr(src)))
+      require(!annotated.toString.contains("EFold("),
+        "the sum fold must annotate to an aggregate before extraction")
+      val text = ToSql(annotated)
+      GraftQuery.sql("q_to_sql_agg", text) { (s, dir) =>
+        Tables.registerAll(s, dir)
+        s.sql(text)
+      }
+    },
+
+    // Extraction of the set/bag algebra: distinct-count of the UNION ALL
+    // of two projections (ESetOf ∘ OConcat — CollectionTransf's target
+    // forms rendered as DISTINCT / UNION ALL, portable to both engines).
+    {
+      val prog = EACFold(AGCount, ESetOf(EBinop(OConcat,
+        EProj(LikeList, ELoc("customer"), "c",
+          ERecord(List("k" -> EAccess(EVar("c"), "c_nationkey")))),
+        EProj(LikeList, ELoc("supplier"), "s",
+          ERecord(List("k" -> EAccess(EVar("s"), "s_nationkey")))))))
+      val text = ToSql(prog)
+      GraftQuery.sql("q_to_sql_setops", text) { (s, dir) =>
+        Tables.registerAll(s, dir)
+        s.sql(text)
+      }
+    },
+
     // COMPOSED indexes (fiat2/src/fiat2/IndexTransf.v:20-50 `compo_idx`):
     // the source program — written in surface syntax — point-filters ONE
     // table on TWO different attributes inside a loop. `IndexTransf`

@@ -35,15 +35,32 @@ object ToSql {
     case EJoin(_, l1, l2, x, y, p, ERecord(fields)) =>
       s"SELECT ${selectList(fields)} FROM ${rel(l1, x)} " +
         s"JOIN ${rel(l2, y)} ON ${scalar(p)}"
+    // Collection conversions (what CollectionTransf.annotate introduces):
+    // SQL relations are bags natively; a set conversion is DISTINCT.
+    case EBagOf(l) => apply(l)
+    case ESetOf(l) => s"SELECT DISTINCT * FROM (${apply(l)})"
+    // A bag conversion under any aggregate is transparent (multiset
+    // preserved); a set conversion is transparent only under MIN/MAX
+    // (dedup-insensitive) — under COUNT it must stay a DISTINCT subquery.
+    case EACFold(agg, EBagOf(l)) => apply(EACFold(agg, l))
+    case EACIFold(agg, EBagOf(l)) => apply(EACIFold(agg, l))
+    case EACIFold(agg, ESetOf(l)) => apply(EACIFold(agg, l))
+    case EBinop(OConcat, l1, l2) => // list/bag append = UNION ALL
+      s"SELECT * FROM (${apply(l1)}) UNION ALL SELECT * FROM (${apply(l2)})"
     case EACFold(AGCount, l) => // count works over any element shape
       s"SELECT CAST(COUNT(*) AS BIGINT) AS value FROM (${apply(l)})"
     case EACFold(AGSum, EProj(_, l, x, body)) =>
       s"SELECT CAST(SUM(${scalar(body)}) AS BIGINT) AS value FROM ${rel(l, x)}"
+    case EACFold(AGSum, l) => // bare "value"-shaped relation
+      s"SELECT CAST(SUM(value) AS BIGINT) AS value FROM (${apply(l)})"
     case EACIFold(agg, EProj(_, l, x, body)) =>
       // None-on-empty maps to SQL NULL-on-empty for MIN/MAX — semantics
       // coincide, so extraction is sound here
       val fn = agg match { case AGMin => "MIN"; case AGMax => "MAX" }
       s"SELECT CAST($fn(${scalar(body)}) AS BIGINT) AS value FROM ${rel(l, x)}"
+    case EACIFold(agg, l) =>
+      val fn = agg match { case AGMin => "MIN"; case AGMax => "MAX" }
+      s"SELECT CAST($fn(value) AS BIGINT) AS value FROM (${apply(l)})"
     case other => throw Unextractable(other.getClass.getSimpleName)
   }
 
@@ -78,6 +95,12 @@ object ToSql {
       s"(${scalar(a)} $sym ${scalar(b)})"
     case EIf(c, t, f) =>
       s"(CASE WHEN ${scalar(c)} THEN ${scalar(t)} ELSE ${scalar(f)} END)"
+    // Aggregates in scalar position extract as scalar subqueries (both
+    // engines evaluate an uncorrelated parenthesized SELECT to one value).
+    case EUnop(OLength, l) =>
+      s"(SELECT CAST(COUNT(*) AS BIGINT) FROM (${apply(l)}))"
+    case f: EACFold => s"(${apply(f)})"
+    case f: EACIFold => s"(${apply(f)})"
     case other => throw Unextractable(other.getClass.getSimpleName)
   }
 

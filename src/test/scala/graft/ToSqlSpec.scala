@@ -25,6 +25,40 @@ class ToSqlSpec extends AnyFunSuite {
       "SELECT CAST(SUM(x.k) AS BIGINT) AS value FROM t AS x")
   }
 
+  test("set/bag conversions, union-all, and scalar-subquery aggregates") {
+    val proj = EProj(LikeBag, ELoc("t"), "x",
+      ERecord(List("a" -> EAccess(EVar("x"), "k"))))
+    assert(ToSql(ESetOf(proj)) ===
+      "SELECT DISTINCT * FROM (SELECT x.k AS a FROM t AS x)")
+    assert(ToSql(EBagOf(proj)) === ToSql(proj), "bag conversion is identity")
+    assert(ToSql(EBinop(OConcat, ELoc("t"), ELoc("u"))) ===
+      "SELECT * FROM (SELECT * FROM t) UNION ALL SELECT * FROM (SELECT * FROM u)")
+    // bag strip under aggregates; set strip only under MIN/MAX
+    val vals = EProj(LikeBag, ELoc("t"), "x", EAccess(EVar("x"), "k"))
+    assert(ToSql(EACFold(AGSum, EBagOf(vals))) === ToSql(EACFold(AGSum, vals)))
+    assert(ToSql(EACIFold(AGMin, ESetOf(vals))) ===
+      ToSql(EACIFold(AGMin, vals)))
+    assert(ToSql(EACFold(AGCount, ESetOf(vals))).contains("DISTINCT"),
+      "count over a set must keep the dedup")
+    assert(ToSql(EACIFold(AGMax, vals)) ===
+      "SELECT CAST(MAX(x.k) AS BIGINT) AS value FROM t AS x")
+    // aggregate in scalar position = scalar subquery
+    assert(ToSql(EProj(LikeBag, ELoc("u"), "y", ERecord(List(
+      "n" -> EUnop(OLength, ELoc("t")))))) ===
+      "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM t)) AS n FROM u AS y")
+  }
+
+  test("annotated fold extracts and executes identically on Spark") {
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .createOrReplaceTempView("t_sql_agg")
+    val src = "fold (x <- mut t_sql_agg; check(x[k] < 3); ret x[v]) 0 v acc v + acc"
+    val annotated = CollectionTransf.annotate(
+      Rewrites.normalize(Parser.parseExpr(src)))
+    val sqlText = ToSql(annotated)
+    assert(spark.sql(sqlText).head().getLong(0) === 30L)
+  }
+
   test("refuses engine-divergent operators instead of mistranslating") {
     // Coq floor div/mod have no portable SQL builtin — extraction must
     // refuse (ToPython.v renders EFlatmap2 WRONGLY; refusal avoids that
