@@ -28,6 +28,12 @@ object IndexTransf {
     Interp.run(rewritten, indexed)
   }
 
+  /** With `requireLoop` (the default) only filters under a `CForeach` are
+    * indexed — the cost model for AUTO mode; `requireLoop = false` matches
+    * the reference's unconditional `transf_to_idx` (used by `Optimize`). */
+  def transform(c: Command, env: Compiler.Env): (Command, Compiler.Env) =
+    transform(c, env, requireLoop = true)
+
   /** Store-name a composed-index component under. `@` can't appear in a
     * surface identifier, so components never collide with user tables. */
   def componentName(table: String, attr: String): String = s"$table@$attr"
@@ -43,8 +49,9 @@ object IndexTransf {
     * substitution — the command is rewritten so each point filter reads
     * the component keyed on ITS attribute.
     */
-  def transform(c: Command, env: Compiler.Env): (Command, Compiler.Env) = {
-    val byTable = loopEqFilters(c, inLoop = false).distinct
+  def transform(c: Command, env: Compiler.Env,
+      requireLoop: Boolean): (Command, Compiler.Env) = {
+    val byTable = loopEqFilters(c, inLoop = !requireLoop).distinct
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     // Composed components are snapshots routed to by NAME: a later CAssign
     // to t (or a CLetMut re-binding t) would update only the base entry and
@@ -94,13 +101,24 @@ object IndexTransf {
   def indexStore(c: Command, env: Compiler.Env): Compiler.Env =
     transform(c, env)._2
 
+  /** A store read in filter-source position — transparent through the
+    * `EBagOf` wrappers `CollectionTransf.annotate` introduces (a table IS
+    * its bag; `ESetOf` is NOT transparent, dedup changes the rows). */
+  private object SrcLoc {
+    def unapply(e: Expr): Option[String] = e match {
+      case ELoc(t) => Some(t)
+      case EBagOf(SrcLoc(t)) => Some(t)
+      case _ => None
+    }
+  }
+
   /** Point filters on a composed table read the component keyed on their
     * attribute (the reference's `eq_filter_to_lookup` on a record access
     * of the composed index, DictIndexImpl.v:374-389). */
   private def routeFilters(c: Command, t: String,
       attrs: Set[String]): Command =
     Rewrites.mapExprs(c)(e => Rewrites.foldExpr(e) {
-      case f @ EFilter(tag, ELoc(`t`), x, p) =>
+      case f @ EFilter(tag, SrcLoc(`t`), x, p) =>
         eqAttr(x, p).filter(attrs.contains) match {
           case Some(a) => EFilter(tag, ELoc(componentName(t, a)), x, p)
           case None => f
@@ -125,7 +143,8 @@ object IndexTransf {
 
   private def eqFilters(e: Expr, inLoop: Boolean): Seq[(String, String)] = {
     val here = e match {
-      case EFilter(_, ELoc(t), x, p) if inLoop => eqAttr(x, p).map(t -> _).toSeq
+      case EFilter(_, SrcLoc(t), x, p) if inLoop =>
+        eqAttr(x, p).map(t -> _).toSeq
       case _ => Nil
     }
     here ++ children(e).flatMap(eqFilters(_, inLoop))

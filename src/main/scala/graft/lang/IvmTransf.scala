@@ -2,76 +2,160 @@ package graft.lang
 
 import org.apache.spark.sql.functions._
 
-/** AUTOMATIC incremental aggregate maintenance — the reference's SumAgg
-  * materialized-view transform pipeline (`sum_to_agg_lookup_head` +
-  * `cons_to_add_head`, fiat2/src/fiat2/SumAgg.v:150-155, wired in
-  * fiat2/src/fiat2/PipelineEx.v:31-32): when a loop both INSERTS into a
-  * table and READS `sum(attr)` of it, re-reading is O(table) per
-  * iteration; the transform re-represents the aggregate as a maintained
+/** AUTOMATIC incremental aggregate maintenance — the reference's SumAgg /
+  * MinAgg materialized-view transforms (`sum_to_agg_lookup_head` +
+  * `cons_to_add_head`, fiat2/src/fiat2/SumAgg.v:150-155;
+  * `min_to_agg_lookup_head` + `cons_to_min_head`, fiat2/src/fiat2/MinAgg.v;
+  * wired in fiat2/src/fiat2/PipelineEx.v:31-32 and composed per-table in
+  * fiat2/src/fiat2/CombIdxEx.v:55-64): when a command both INSERTS into a
+  * table and READS `sum(attr)`/`min(attr)` of it, re-reading is O(table)
+  * per read; the transform re-represents the aggregate as a maintained
   * value updated in O(1) on every insert.
   *
-  * Spark analog: the running sum lives in the interpreter's SCALAR store
-  * (a constant-folded literal — zero jobs per read); the initial value is
-  * one distributed aggregation of the pre-loop table. The program text is
-  * rewritten exactly like the reference: each `sum(proj(tbl, a))` read
-  * becomes a cell read, each `tbl := cons(r, tbl)` write additionally
-  * bumps the cell by `r.a`. The table itself still receives the insert,
-  * so non-aggregated reads are untouched.
+  * Spark analog: the running aggregate lives in the interpreter's SCALAR
+  * store (a constant-folded literal — zero jobs per read); the initial
+  * value is one distributed aggregation of the pre-command table. The
+  * program text is rewritten exactly like the reference: each
+  * `sum(proj(tbl, a))` / `min(proj(tbl, a))` read becomes a cell read,
+  * each `tbl := r1 :: … :: rn :: tbl` write additionally bumps the cell
+  * once per consed row (the reference composes `cons_to_add_transf` once
+  * per cons in the chain, CombIdxEx.v:62-64). The table itself still
+  * receives the insert, so non-aggregated reads are untouched. Reads are
+  * recognized through the `EBagOf`/`ESetOf` wrappers
+  * `CollectionTransf.annotate` introduces — bag conversion preserves sums
+  * and mins, set conversion preserves mins.
   */
 object IvmTransf {
   import Lang._
   import Compiler._
 
-  /** Run a command with automatic sum-aggregate maintenance. */
-  def runIncremental(c: Command, env: Env): Env = {
-    val (rewritten, primed) = transform(Rewrites.normalizeCommand(c), env)
+  /** Run a command with automatic aggregate maintenance. With
+    * `requireLoop` (the default) only aggregate reads under a `CForeach`
+    * are maintained — the cost model for AUTO mode, where a one-shot read
+    * is cheaper re-aggregated; `requireLoop = false` is the reference's
+    * own unconditional behavior (its transforms have proofs, not cost
+    * models), used by `Optimize`. */
+  def runIncremental(c: Command, env: Env,
+      requireLoop: Boolean = true): Env = {
+    val (rewritten, primed) =
+      transform(Rewrites.normalizeCommand(c), env, requireLoop)
     Interp.run(rewritten, primed)
   }
 
   def cellName(table: String, attr: String): String = s"$table@sum@$attr"
+  def minCellName(table: String, attr: String): String = s"$table@min@$attr"
 
-  /** The `sum(proj(tbl, x.attr))` read shape (post-normalize). */
-  private object SumRead {
-    def unapply(e: Expr): Option[(String, String)] = e match {
-      case EACFold(AGSum, EProj(_, ELoc(t), x, EAccess(EVar(x2), a)))
-          if x == x2 => Some((t, a))
+  private sealed trait MAgg
+  private case object MSum extends MAgg
+  private case object MMin extends MAgg
+
+  /** `r1 :: r2 :: … :: mut t` — the insert chain shape. */
+  private object ConsChain {
+    def unapply(e: Expr): Option[(List[Expr], String)] = e match {
+      case EBinop(OCons, r, ELoc(t)) => Some((List(r), t))
+      case EBinop(OCons, r, ConsChain(rs, t)) => Some((r :: rs, t))
       case _ => None
     }
   }
 
-  /** Rewrite + prime the scalar store for every (table, attr) that is both
-    * sum-read and cons-written inside a loop. */
-  def transform(c: Command, env: Env): (Command, Env) = {
-    val reads = collectReads(c, inLoop = false).distinct
-    val written = consWrittenTables(c, inLoop = false).toSet
-    // soundness: only maintain a cell when EVERY write to t is the
-    // recognized cons shape and no CLetMut re-binds t — any other write
-    // (concat, re-filter, double cons) would leave the cell stale
-    val unsafe = unsafeTables(c)
-    val maintained = reads.filter { case (t, _) =>
-      written.contains(t) && !unsafe.contains(t) && env.store.contains(t) }
-    maintained.foldLeft((c, env)) { case ((cmd, acc), (t, a)) =>
-      // one distributed aggregation primes the cell (AGSum of empty = 0)
-      val init = acc.store(t)
-        .agg(coalesce(sum(col(a)), lit(0L)).cast("long")).head().getLong(0)
-      val cell = cellName(t, a)
-      (rewrite(cmd, t, a, cell),
-        acc.copy(scalars = acc.scalars + (cell -> lit(init))))
+  private def stripBags(e: Expr): Expr = e match {
+    case EBagOf(l) => stripBags(l)
+    case other => other
+  }
+  private def stripBagsSets(e: Expr): Expr = e match {
+    case EBagOf(l) => stripBagsSets(l)
+    case ESetOf(l) => stripBagsSets(l)
+    case other => other
+  }
+
+  /** The `sum(proj(tbl, x.attr))` read shape (post-normalize), with bag
+    * wrappers transparent (a bag holds the same multiset). */
+  private object SumRead {
+    def unapply(e: Expr): Option[(String, String)] = e match {
+      case EACFold(AGSum, arg) => stripBags(arg) match {
+        case EProj(_, src, x, EAccess(EVar(x2), a)) if x == x2 =>
+          stripBags(src) match { case ELoc(t) => Some((t, a)); case _ => None }
+        case _ => None
+      }
+      case _ => None
     }
   }
 
-  private def rewrite(c: Command, t: String, a: String,
-      cell: String): Command = {
+  /** The `min(proj(tbl, x.attr))` read shape — bag AND set wrappers are
+    * transparent (min is dedup-insensitive). */
+  private object MinRead {
+    def unapply(e: Expr): Option[(String, String)] = e match {
+      case EACIFold(AGMin, arg) => stripBagsSets(arg) match {
+        case EProj(_, src, x, EAccess(EVar(x2), a)) if x == x2 =>
+          stripBagsSets(src) match {
+            case ELoc(t) => Some((t, a)); case _ => None }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Rewrite + prime the scalar store for every (table, attr, agg) that is
+    * both read and cons-written (inside a loop, unless `requireLoop` is
+    * off). */
+  def transform(c: Command, env: Env,
+      requireLoop: Boolean = true): (Command, Env) = {
+    val inLoop0 = !requireLoop
+    val reads = collectReads(c, inLoop0).distinct
+    val written = consWrittenTables(c, inLoop0).toSet
+    // soundness: only maintain a cell when EVERY write to t is the
+    // recognized cons-chain shape (with rows not reading t) and no CLetMut
+    // re-binds t — any other write would leave the cell stale
+    val unsafe = unsafeTables(c)
+    val maintained = reads.filter { case (t, _, _) =>
+      written.contains(t) && !unsafe.contains(t) && env.store.contains(t) }
+    maintained.foldLeft((c, env)) { case ((cmd, acc), (t, a, agg)) =>
+      agg match {
+        case MSum =>
+          // one distributed aggregation primes the cell (sum of empty = 0)
+          val init = acc.store(t)
+            .agg(coalesce(sum(col(a)), lit(0L)).cast("long")).head().getLong(0)
+          val cell = cellName(t, a)
+          (rewrite(cmd, t, a, cell, MSum),
+            acc.copy(scalars = acc.scalars + (cell -> lit(init))))
+        case MMin =>
+          // min of empty = NULL (the None-on-empty ACI semantics)
+          val out = acc.store(t).agg(min(col(a)).as("m"))
+          val row = out.head()
+          val cell = minCellName(t, a)
+          val init =
+            if (row.isNullAt(0)) lit(null).cast(out.schema.head.dataType)
+            else lit(row.get(0))
+          (rewrite(cmd, t, a, cell, MMin),
+            acc.copy(scalars = acc.scalars + (cell -> init)))
+      }
+    }
+  }
+
+  /** `min(cell, v)` in AST form, NULL-aware: an empty-so-far cell (NULL)
+    * takes v (cons_to_min_head's option update, MinAgg.v). */
+  private def minBump(cell: Expr, v: Expr): Expr =
+    EOptMatch(cell, v, "m$",
+      EIf(EBinop(OLess, v, EVar("m$")), v, EVar("m$")))
+
+  private def rewrite(c: Command, t: String, a: String, cell: String,
+      agg: MAgg): Command = {
     def rewriteExpr(e: Expr): Expr = Rewrites.foldExpr(e) {
-      case SumRead(`t`, `a`) => ELoc(cell)
+      case SumRead(`t`, `a`) if agg == MSum => ELoc(cell)
+      case MinRead(`t`, `a`) if agg == MMin => ELoc(cell)
       case other => other
     }
+    def bump(rows: List[Expr]): Expr = agg match {
+      case MSum => rows.foldLeft[Expr](ELoc(cell)) { (acc, r) =>
+        EBinop(OPlus, acc, EAccess(r, a)) }
+      case MMin => rows.foldLeft[Expr](ELoc(cell)) { (acc, r) =>
+        minBump(acc, EAccess(r, a)) }
+    }
     def go(c: Command): Command = c match {
-      // the cons write: keep it, and bump the cell by the new row's attr
-      // (cons_to_add_head — the O(1) incremental update)
-      case CAssign(`t`, w @ EBinop(OCons, r, ELoc(`t`))) =>
-        CSeq(CAssign(t, rewriteExpr(w)),
-          CAssign(cell, EBinop(OPlus, ELoc(cell), EAccess(r, a))))
+      // the insert chain: keep it, and bump the cell once per consed row
+      // (cons_to_add_head / cons_to_min_head — the O(1) incremental update)
+      case CAssign(`t`, w @ ConsChain(rows, `t`)) =>
+        CSeq(CAssign(t, rewriteExpr(w)), CAssign(cell, bump(rows)))
       case CSkip => CSkip
       case CSeq(c1, c2) => CSeq(go(c1), go(c2))
       case CLet(e, x, b) => CLet(rewriteExpr(e), x, go(b))
@@ -83,7 +167,8 @@ object IvmTransf {
     go(c)
   }
 
-  private def collectReads(c: Command, inLoop: Boolean): Seq[(String, String)] =
+  private def collectReads(c: Command,
+      inLoop: Boolean): Seq[(String, String, MAgg)] =
     c match {
       case CSkip => Nil
       case CSeq(a, b) => collectReads(a, inLoop) ++ collectReads(b, inLoop)
@@ -96,30 +181,42 @@ object IvmTransf {
         readsIn(e, inLoop) ++ collectReads(b, inLoop = true)
     }
 
-  private def readsIn(e: Expr, inLoop: Boolean): Seq[(String, String)] =
+  private def readsIn(e: Expr, inLoop: Boolean): Seq[(String, String, MAgg)] =
     if (!inLoop) Nil
     else {
-      var found = List.empty[(String, String)]
+      var found = List.empty[(String, String, MAgg)]
       Rewrites.foldExpr(e) {
-        case s @ SumRead(t, a) => found ::= (t -> a); s
+        case s @ SumRead(t, a) => found ::= ((t, a, MSum)); s
+        case s @ MinRead(t, a) => found ::= ((t, a, MMin)); s
         case other => other
       }
       found.reverse
     }
 
+  private def mentionsLoc(e: Expr, t: String): Boolean = {
+    var found = false
+    Rewrites.foldExpr(e) {
+      case l @ ELoc(`t`) => found = true; l
+      case other => other
+    }
+    found
+  }
+
   /** Tables with a write (or a shadowing CLetMut binder) that is NOT the
-    * recognized single-cons shape. The reference's transform carries the
-    * same precondition as a wf side-condition (fiat2/src/fiat2/SumAgg.v —
-    * `cons_to_add_head` fires only on the insert idiom); here we check it
-    * syntactically and leave the program untransformed otherwise. CLet /
-    * CForeach binders bind expression variables, not store cells, so they
-    * cannot shadow an `ELoc` read and are not collected. */
+    * recognized cons-chain shape, or whose consed rows read the table
+    * itself (the bump runs after the assign, so a self-reading row would
+    * observe the post-insert table). The reference carries the same
+    * precondition as a wf side-condition; here we check it syntactically
+    * and leave the program untransformed otherwise. CLet / CForeach
+    * binders bind expression variables, not store cells, so they cannot
+    * shadow an `ELoc` read and are not collected. */
   private def unsafeTables(c: Command): Set[String] = c match {
     case CSkip => Set.empty
     case CSeq(a, b) => unsafeTables(a) ++ unsafeTables(b)
     case CLet(_, _, b) => unsafeTables(b)
     case CLetMut(_, x, b) => unsafeTables(b) + x
-    case CAssign(t, EBinop(OCons, _, ELoc(t2))) if t == t2 => Set.empty
+    case CAssign(t, ConsChain(rows, t2))
+        if t == t2 && rows.forall(!mentionsLoc(_, t)) => Set.empty
     case CAssign(t, _) => Set(t)
     case CIf(_, a, b) => unsafeTables(a) ++ unsafeTables(b)
     case CForeach(_, _, b) => unsafeTables(b)
@@ -132,8 +229,7 @@ object IvmTransf {
         consWrittenTables(a, inLoop) ++ consWrittenTables(b, inLoop)
       case CLet(_, _, b) => consWrittenTables(b, inLoop)
       case CLetMut(_, _, b) => consWrittenTables(b, inLoop)
-      case CAssign(t, EBinop(OCons, _, ELoc(t2))) if t == t2 && inLoop =>
-        Seq(t)
+      case CAssign(t, ConsChain(_, t2)) if t == t2 && inLoop => Seq(t)
       case CAssign(_, _) => Nil
       case CIf(_, a, b) =>
         consWrittenTables(a, inLoop) ++ consWrittenTables(b, inLoop)

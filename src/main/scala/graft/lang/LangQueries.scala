@@ -401,6 +401,80 @@ object LangQueries {
       }
     },
 
+    // CombIdxEx.v ex1 (fiat2/src/fiat2/CombIdxEx.v:75-90) through the
+    // WHOLE Optimize pipeline: a command that (1) inserts a two-row cons
+    // CHAIN into `responses`, (2) loops over a department point-filter
+    // accumulating feedback into a string cell, (3) assigns the fold-sum
+    // of salaries. Optimize composes the reference's ex_transf: the
+    // comprehension becomes a structured filter, the fold annotates to a
+    // bag aggregate, the sum is maintained incrementally through the chain
+    // insert (cons_to_add twice, like the reference composing the
+    // transform once per cons), and the department filter reads a keyed
+    // index.
+    GraftQuery.sql("q_combidx",
+      """WITH resp AS (
+        |  SELECT s_name AS name, n_name AS department,
+        |         'ok from ' || s_name AS feedback,
+        |         CAST(s_suppkey * 100 AS BIGINT) AS salary
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT * FROM (VALUES ('zz_alice','CANADA','great',CAST(120 AS BIGINT)),
+        |                        ('zz_bob','CANADA','fine',CAST(80 AS BIGINT)))
+        |    v(name, department, feedback, salary)
+        |)
+        |SELECT
+        |  (SELECT COALESCE(string_agg(name || ': ' || feedback || chr(10), ''
+        |            ORDER BY department, feedback, name, salary), '')
+        |   FROM resp WHERE department = 'CANADA') AS all_feedback,
+        |  (SELECT CAST(SUM(salary) AS BIGINT) FROM resp) AS total_salary""".stripMargin) { (s, dir) =>
+      val rowT = TRecord.sorted("department" -> TString,
+        "feedback" -> TString, "name" -> TString, "salary" -> TInt)
+      def rowLit(n: String, d: String, f: String, sal: Long) =
+        ERecord(List("name" -> EAtom(AString(n)),
+          "department" -> EAtom(AString(d)),
+          "feedback" -> EAtom(AString(f)),
+          "salary" -> EAtom(AInt(sal))))
+      val build = CAssign("responses",
+        EBinop(OCons, rowLit("zz_alice", "CANADA", "great", 120L),
+          EBinop(OCons, rowLit("zz_bob", "CANADA", "fine", 80L),
+            ELoc("responses"))))
+      val filterResponses = ESort(LikeList,
+        EFlatmap(LikeList, ELoc("responses"), "row",
+          EIf(EBinop(OEq, EAccess(EVar("row"), "department"),
+            EAtom(AString("CANADA"))),
+            EBinop(OCons, EVar("row"), EAtom(ANil(rowT))),
+            EAtom(ANil(rowT)))))
+      val query1 = CForeach(filterResponses, "r",
+        CLet(EBinop(OConcatString, EAccess(EVar("r"), "name"),
+          EAtom(AString(": "))), "nm",
+          CLet(EBinop(OConcatString, EAccess(EVar("r"), "feedback"),
+            EAtom(AString("\n"))), "fb",
+            CLet(EBinop(OConcatString, EVar("nm"), EVar("fb")), "line",
+              CAssign("all_feedback", EBinop(OConcatString,
+                ELoc("all_feedback"), EVar("line")))))))
+      val query2 = CAssign("sum_sal", EFold(
+        EFlatmap(LikeList, ELoc("responses"), "row",
+          EBinop(OCons, EAccess(EVar("row"), "salary"), EAtom(ANil(TInt)))),
+        EAtom(AInt(0)), "v", "acc",
+        EBinop(OPlus, EVar("v"), EVar("acc"))))
+      val prog = CLetMut(EAtom(AString("")), "all_feedback",
+        CLetMut(EAtom(AInt(0)), "sum_sal",
+          CSeq(build, CSeq(query1, CSeq(query2,
+            CAssign("result", EBinop(OCons, ERecord(List(
+              "all_feedback" -> ELoc("all_feedback"),
+              "total_salary" -> ELoc("sum_sal"))),
+              EAtom(ANil(TRecord.sorted("all_feedback" -> TString,
+                "total_salary" -> TInt))))))))))
+      val resp = Tables.load(s, dir, "supplier")
+        .join(Tables.load(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name").as("name"), col("n_name").as("department"),
+          concat(lit("ok from "), col("s_name")).as("feedback"),
+          (col("s_suppkey") * 100).cast("long").as("salary"))
+      Optimize.run(prog, Env(Map.empty, Map("responses" -> resp), s))
+        .store("result")
+    },
+
     // COMPOSED indexes (fiat2/src/fiat2/IndexTransf.v:20-50 `compo_idx`):
     // the source program — written in surface syntax — point-filters ONE
     // table on TWO different attributes inside a loop. `IndexTransf`
