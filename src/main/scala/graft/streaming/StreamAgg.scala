@@ -74,5 +74,49 @@ object StreamAgg {
       try q.processAllAvailable() finally q.stop()
       s.table(sink).orderBy("seg")
     },
+
+    // Stream-STREAM interval join: click events joined to the same user's
+    // purchase events within the following hour. Both sides carry
+    // WATERMARKS and the join condition is an event-time INTERVAL, so the
+    // state store holds only the last ~watermark horizon of each stream —
+    // bounded state regardless of total stream length, which is the shape
+    // that survives an unbounded feed at scale (inner-join rows emit as
+    // soon as matched; the watermark only bounds state retention). The
+    // oracle is the equivalent batch self-join, truncated to the engine's
+    // microsecond event-time precision.
+    GraftQuery.sql("q_stream_stream_join",
+      """SELECT a.user_id AS user_id, a.event_id AS click_id,
+        |       b.event_id AS purchase_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND date_trunc('microseconds', b.ts) >= date_trunc('microseconds', a.ts)
+        | AND date_trunc('microseconds', b.ts) <=
+        |     date_trunc('microseconds', a.ts) + INTERVAL 1 HOUR
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val schema = Tables.load(s, dir, "events").schema
+      val watchDir = java.nio.file.Files.createTempDirectory("graft_ssjoin_")
+      java.nio.file.Files.createSymbolicLink(
+        watchDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val src = s.readStream.schema(schema).parquet(watchDir.toString)
+      val clicks = src.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+          Tables.tsCol($"ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val purchases = src.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+          Tables.tsCol($"ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val joined = clicks.join(purchases,
+        $"c_user" === $"p_user" && $"p_ts" >= $"c_ts" &&
+          $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
+        .select($"c_user".as("user_id"), $"click_id", $"purchase_id")
+      val sink = s"graft_ssj_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("user_id", "click_id", "purchase_id")
+    },
   )
 }
