@@ -66,15 +66,14 @@ object IndexTransf {
       acc.store.get(t) match {
         case Some(df) =>
           val attrs = attrs0.filter(df.columns.contains)
-          val par = df.sparkSession.sparkContext.defaultParallelism
           attrs match {
             case Seq() => (cmd, acc)
             case Seq(a) =>
-              val idx = DictIndex.build(df, a, par)
+              val idx = DictIndex.build(df, a) // size-aware partitioning
               (cmd, acc.copy(store = acc.store + (t -> idx.keyed)))
             case _ if mutated.contains(t) => (cmd, acc)
             case several =>
-              val compo = CompoIndex.build(df, several, par)
+              val compo = CompoIndex.build(df, several)
               val entries = several.map(a =>
                 componentName(t, a) -> compo.component(a).keyed)
               (routeFilters(cmd, t, several.toSet),

@@ -38,13 +38,14 @@ object CompoIndex {
   /** `to_compo_idx` (IndexTransf.v:36-37): build every component from one
     * pass over the table. */
   def build(df: DataFrame, attrs: Seq[String],
-      partitions: Int = 32): CompoIndex = {
+      partitions: Int = -1): CompoIndex = {
     require(attrs.nonEmpty && attrs.distinct == attrs,
       s"component attrs must be non-empty and distinct: $attrs")
     val src = df.cache()
     src.count() // the single source scan
+    val p = if (partitions > 0) partitions else DictIndex.partitionsFor(src)
     val components = attrs.map { a =>
-      val d = DictIndex.build(src, a, partitions)
+      val d = DictIndex.build(src, a, p)
       d.keyed.count() // materialize the component from the source cache
       a -> d
     }.toMap

@@ -38,11 +38,24 @@ final class DictIndex private[operators] (
 }
 
 object DictIndex {
+  /** Size-aware partition count: ~64 MB of estimated data per shuffle
+    * partition (Catalyst plan statistics — parquet footer sizes or
+    * in-memory relation stats), at least 1. Tiny demo tables get one
+    * partition instead of a fixed 32 — a point lookup then costs one task,
+    * not a 32-task fan-out — while a 100 TB source still partitions
+    * proportionally to its size (capped only by a runaway guard). */
+  def partitionsFor(df: DataFrame): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((bytes / (64L << 20)) + 1).min(BigInt(1 << 17)).max(BigInt(1)).toInt
+  }
+
   /** Build = one shuffle by the key + cache; amortized over many lookups,
     * exactly the trade the reference's `transf_to_idx` makes
-    * (fiat2/src/fiat2/IndexTransf.v:797-803). */
-  def build(df: DataFrame, keyCol: String, partitions: Int = 32): DictIndex = {
-    val keyed = df.repartition(partitions, col(keyCol)).cache()
-    new DictIndex(keyed, keyCol, partitions)
+    * (fiat2/src/fiat2/IndexTransf.v:797-803). `partitions <= 0` (the
+    * default) sizes the key hash from the data. */
+  def build(df: DataFrame, keyCol: String, partitions: Int = -1): DictIndex = {
+    val p = if (partitions > 0) partitions else partitionsFor(df)
+    val keyed = df.repartition(p, col(keyCol)).cache()
+    new DictIndex(keyed, keyCol, p)
   }
 }

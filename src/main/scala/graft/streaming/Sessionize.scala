@@ -70,9 +70,11 @@ object Sessionize {
         .flatMapGroupsWithState(OutputMode.Append,
           GroupStateTimeout.NoTimeout)(step)
       val sink = s"graft_sess_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      val q = sessions.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
+      StreamConf.withStatePartitions(s, 8) {
+        val q = sessions.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy("user_id", "session_start_us")
     },
   )

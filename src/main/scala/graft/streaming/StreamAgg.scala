@@ -38,9 +38,11 @@ object StreamAgg {
           sum($"value".cast(DecimalType(18, 2))).cast("double").as("total"))
         .select($"window.start".as("window_start"), $"event_type", $"n", $"total")
       val sink = s"graft_stream_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
+      StreamConf.withStatePartitions(s, 8) {
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(sink).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy("window_start", "event_type")
     },
 
@@ -69,9 +71,11 @@ object StreamAgg {
         .agg(count(lit(1)).as("n"),
           sum($"value".cast(DecimalType(18, 2))).cast("double").as("total"))
       val sink = s"graft_sjoin_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      val q = joined.writeStream.outputMode("complete")
-        .format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
+      StreamConf.withStatePartitions(s, 8) {
+        val q = joined.writeStream.outputMode("complete")
+          .format("memory").queryName(sink).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy("seg")
     },
 
@@ -113,9 +117,15 @@ object StreamAgg {
           $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
         .select($"c_user".as("user_id"), $"click_id", $"purchase_id")
       val sink = s"graft_ssj_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
+      // A stream-stream join keeps FOUR state stores per shuffle partition
+      // (left/right × keyToNumValues/keyWithIndexToValue), each with its
+      // own checkpoint commit per batch — per-partition overhead dominates
+      // a modest feed (see StreamConf).
+      StreamConf.withStatePartitions(s, 8) {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy("user_id", "click_id", "purchase_id")
     },
   )

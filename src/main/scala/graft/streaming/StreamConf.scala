@@ -1,0 +1,18 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Stateful streaming queries pin their state partitioning to
+  * `spark.sql.shuffle.partitions` at stream START — and every state
+  * partition carries per-batch store open/commit overhead (a stream-stream
+  * join holds four stores per partition). A bounded demo feed doesn't need
+  * the session's batch shuffle width; a production feed sizes this to
+  * arrival rate. This scopes the conf to one stream and restores it.
+  */
+private[streaming] object StreamConf {
+  def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}

@@ -35,9 +35,11 @@ object StreamDedup {
         .select(md5($"text").as("digest"))
         .dropDuplicates("digest")
       val sink = s"graft_sdedup_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      val q = deduped.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
+      StreamConf.withStatePartitions(s, 8) {
+        val q = deduped.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy("digest")
     },
   )
