@@ -74,6 +74,29 @@ object Workloads {
       Seq(m).toDF("min_value")
     },
 
+    // Skew-salted fact-fact join (plans/Salting.scala): each join key is
+    // spread over 8 reducers (deterministic row-hash salt) and the other
+    // side replicated per salt — the remedy when a handful of hot keys
+    // would otherwise serialize one reducer and AQE's skew splitting can't
+    // apply (the joined rows feed an aggregation). Row-identical to the
+    // plain join, which is exactly what the oracle checks.
+    GraftQuery.sql("q_salted_join",
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY priority ORDER BY priority""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice")
+      val ord = Tables.load(s, dir, "orders")
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+      graft.plans.Salting.saltedJoin(li, ord, "l_orderkey", salts = 8)
+        .groupBy($"o_orderpriority".as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"l_extendedprice")).cast("double").as("revenue"))
+        .orderBy("priority")
+    },
+
     // Ex_Family (fiat2/src/fiat2/Ex_Family.v:74-86): grandchildren = two-hop
     // join customer → orders → parts; shuffle join on the shared key.
     GraftQuery.sql("q_family_2hop",
