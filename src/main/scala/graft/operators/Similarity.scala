@@ -251,5 +251,82 @@ object Similarity {
           (ArrayMath.dot($"va", $"v") / sqrt($"na" * $"n2")).as("cosine"))
       scored.filter($"cosine" >= 0.35).orderBy("a", "b")
     },
+
+    // K-MEANS centroid TRAINING for IVF (2 Lloyd iterations, deterministic
+    // init = the first k vectors): the "production would k-means a sample"
+    // step that q_ann_ivf_topk's fixed centroids stand in for. Each
+    // iteration is (1) a MAP-SIDE assignment — centroids ship as literals,
+    // argmin over k codegen'd L2 folds, no Exchange — and (2) one shuffle
+    // keyed (cell, dim) for the mean update; at 100 TB that is the minimal
+    // movement k-means can do. Every float fold (distances, means, digest)
+    // runs in a FIXED order in both engines, so the oracle — the whole
+    // algorithm replayed in SQL — is hash-exact, not a proxy: per-cell
+    // member counts and centroid digests after two iterations.
+    // (The per-(cell,dim) mean here folds a sorted collect_list to pin
+    // order for the oracle; a pure-throughput variant would decimal-sum.)
+    GraftQuery.sql("q_ivf_kmeans",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d1 AS (SELECT e.vec_id, c0.cid,
+        |         list_reduce(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c0.cv[i])*(e.v[i]-c0.cv[i])), (a,b) -> a+b) AS d
+        |       FROM e, c0),
+        |a1 AS (SELECT vec_id, cid FROM
+        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |m1 AS (SELECT a1.cid, r.i, list_reduce(list(e.v[r.i] ORDER BY e.vec_id), (a,b) -> a+b) / COUNT(*) AS cx
+        |       FROM a1 JOIN e USING (vec_id), unnest(range(1, len(e.v)+1)) AS r(i)
+        |       GROUP BY a1.cid, r.i),
+        |c1 AS (SELECT cid, list(cx ORDER BY i) AS cv FROM m1 GROUP BY cid),
+        |d2 AS (SELECT e.vec_id, c1.cid,
+        |         list_reduce(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])), (a,b) -> a+b) AS d
+        |       FROM e, c1),
+        |a2 AS (SELECT vec_id, cid FROM
+        |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+        |       WHERE rn = 1)
+        |SELECT a2.cid AS cid, COUNT(*) AS n, ANY_VALUE(cds.cd) AS cdigest
+        |FROM a2 JOIN (SELECT cid, list_reduce(cv, (a,b) -> a+b) AS cd FROM c1) cds USING (cid)
+        |GROUP BY a2.cid ORDER BY cid""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val k = 8
+      val e = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", asDouble($"embedding").as("v")).cache()
+      // left fold from 0.0 ≡ DuckDB list_reduce from the first element
+      // (0.0 + x1 == x1 in IEEE), so distances match bit-for-bit
+      def l2(v: Column, c: Column): Column =
+        aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+      def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
+        val cells = array(cents.map { case (cid, cv) =>
+          struct(l2($"v", typedlit(cv)).as("d"), lit(cid).as("cid")) }: _*)
+        // array_min on (d, cid) structs = argmin with ties to smallest cid
+        e.withColumn("cell", array_min(cells))
+          .select($"vec_id", $"v", $"cell.cid".as("cid"))
+      }
+      val c0 = e.filter($"vec_id" < k).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      val a1 = assign(c0)
+      // mean update: one shuffle keyed (cell, dim); the fold is pinned to
+      // vec_id order so the oracle's ordered list_reduce reproduces it
+      val means = a1.select($"cid", $"vec_id", posexplode($"v"))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+        .groupBy($"cid", $"i")
+        .agg(sort_array(collect_list(struct($"vec_id", $"x"))).as("xs"))
+        .select($"cid", $"i",
+          (aggregate($"xs", lit(0.0), (acc, el) => acc + el("x")) /
+            size($"xs")).as("cx"))
+      val c1 = means.groupBy($"cid")
+        .agg(sort_array(collect_list(struct($"i", $"cx"))).as("ic"))
+        .select($"cid", transform($"ic", el => el("cx")).as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+      val a2 = assign(c1)
+      val digests = c1.map { case (cid, cv) => (cid, cv.reduceLeft(_ + _)) }
+        .toDF("cid", "cdigest")
+      a2.groupBy($"cid").agg(count(lit(1)).as("n"))
+        .join(broadcast(digests), "cid")
+        .select($"cid", $"n", $"cdigest")
+        .orderBy("cid")
+    },
   )
 }
