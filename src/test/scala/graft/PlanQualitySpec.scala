@@ -67,6 +67,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the single by-group shuffle, got $exchanges:\n$p")
   }
 
+  test("salted join shuffles on (key, salt) — hot keys spread over reducers") {
+    val p = plan("q_salted_join")
+    // the JOIN keys must include the salt column — that is what spreads a
+    // hot l_orderkey over `salts` reducers when the join shuffles (at this
+    // spec's tiny SF the dimension side broadcasts instead, which is even
+    // better; the salt still participates in the key so the plan shape is
+    // the salted one at any scale)
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toList
+    assert(joinLines.exists(l =>
+      l.contains("__salt") && l.contains("l_orderkey")),
+      s"no (key, salt) join found:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("k-means assignment is map-side: no Exchange between scan and argmin") {
+    // centroids ship as literals, so the cell assignment must be a single
+    // projection over the cached corpus — any Exchange before the argmin
+    // would be the corpus×k shuffle the design avoids
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = (0 until 4).map(i =>
+      struct(aggregate(zip_with(col("v"), typedLit(Seq.fill(64)(0.1 * i)),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("d"),
+        lit(i.toLong).as("cid")))
+    val assigned = e.withColumn("cell", array_min(array(cents: _*)))
+      .select(col("vec_id"), col("cell.cid"))
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"cell assignment must not shuffle the corpus:\n$p")
+  }
+
   test("native dot product runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayMath
