@@ -70,6 +70,7 @@ final class QueryServer(spark: SparkSession, dataDir: String,
       case Array("query", name) =>
         graft.SparkEntry.queries.get(name).map(f => f(spark, dataDir))
       case Array("run") if method == "POST" => Some(runProgram(body))
+      case Array("extract") if method == "POST" => Some(extractProgram(body))
       case _ => None
     }
 
@@ -88,6 +89,20 @@ final class QueryServer(spark: SparkSession, dataDir: String,
       case Compiler.TV(df) => df
       case Compiler.CV(c) => spark.range(1).select(c.as("value"))
     }
+  }
+
+  /** `POST /extract` — same surface-syntax body as /run, but instead of
+    * executing, the program is parsed, recognized, collection-annotated,
+    * and EXTRACTED to portable SQL (`ToSql`) — the reference's
+    * print-to-target-language path (fiat2/src/fiat2/ToPython.v:231-232)
+    * served over HTTP. Returns one row {sql: "..."} so a client can run
+    * the text on any ANSI engine. */
+  private def extractProgram(src: String): DataFrame = {
+    import graft.lang.{CollectionTransf, Parser, Rewrites, ToSql}
+    import spark.implicits._
+    val text = ToSql(CollectionTransf.annotate(
+      Rewrites.normalize(Parser.parseExpr(src))))
+    Seq(text).toDF("sql")
   }
 
   /** `exported_get_artist` (Lib.hs:42-43): artists (customers) with id
@@ -110,7 +125,8 @@ final class QueryServer(spark: SparkSession, dataDir: String,
   private def routeListing: DataFrame = {
     import spark.implicits._
     (Seq("/get_artist_less_than/{n}", "/get_album_and_artist/{n}",
-      "POST /run  (body: surface-syntax expression)") ++
+      "POST /run  (body: surface-syntax expression)",
+      "POST /extract  (body: surface-syntax expression; returns SQL)") ++
       graft.SparkEntry.queries.keys.toSeq.sorted.map(q => s"/query/$q"))
       .toDF("route")
   }
