@@ -193,6 +193,47 @@ object Dedup {
       jaccardPairs(dsets).filter(col("jaccard") >= 0.5).orderBy("a", "b")
     },
 
+    // The WHOLE cleaning pipeline composed end-to-end — what a user of the
+    // engine actually materializes: quality filter (≥10 tokens) → exact
+    // dedup keep-first (digest window) → near-dup removal (drop the larger
+    // doc of every exact-Jaccard θ≥0.5 pair over the survivors) → cleaned
+    // corpus with token counts. Every stage is the already-verified
+    // operator; this row proves they COMPOSE (the near-dup stage sees the
+    // deduped survivors, not the raw corpus). Same shuffle budget as its
+    // parts: one digest window, one shingle groupBy, candidate-sized joins.
+    GraftQuery.sql("q_pipeline_clean",
+      """WITH w AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |q AS (SELECT doc_id, text, ws FROM w WHERE len(ws) >= 10),
+        |k AS (SELECT doc_id, text, ws FROM (
+        |        SELECT doc_id, text, ws, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q)
+        |      WHERE rn = 1),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM k, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT b FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens
+        |FROM k WHERE doc_id NOT IN (SELECT b FROM dup)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val q = docs.withColumn("tk", toks($"text")).filter(size($"tk") >= 10)
+      val kept = q.withColumn("rn", row_number().over(
+          Window.partitionBy(md5($"text")).orderBy($"doc_id")))
+        .filter($"rn" === 1).drop("rn")
+      val dsets = shingleSets(kept.select($"doc_id", $"text")).cache()
+      dsets.count()
+      val dups = jaccardPairs(dsets).filter($"jaccard" >= 0.5)
+        .select($"b").distinct()
+      kept.join(dups, kept("doc_id") === dups("b"), "left_anti")
+        .select($"doc_id", size($"tk").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // MinHash + LSH: map-side per-doc signature (min over the shingle array
     // of xxhash64(seed_i, shingle) for 16 seeds); 8 bands of 2 rows
     // bucket-joined; candidates verified with exact Jaccard. Only
