@@ -52,6 +52,34 @@ class IvmTransfSpec extends AnyFunSuite {
     assert(fast === Seq((1L, 31L), (2L, 33L), (3L, 36L)))
   }
 
+  test("min read in a loop is maintained through inserts (MinAgg analog)") {
+    val minRead = EACIFold(AGMin,
+      EProj(LikeBag, ELoc("t"), "x", EAccess(EVar("x"), "v")))
+    val loop2 = CForeach(keys(7L, 2L, 9L), "kv", CSeq(
+      CAssign("t", EBinop(OCons, ERecord(List("v" -> EVar("kv"))), ELoc("t"))),
+      CAssign("out", EBinop(OCons,
+        ERecord(List("k" -> EVar("kv"),
+          "m" -> EOptMatch(minRead, EAtom(AInt(-1)), "mm", EVar("mm")))),
+        ELoc("out")))))
+    val prog2 = CLetMut(
+      EAtom(ANil(TRecord.sorted("k" -> TInt, "m" -> TInt))), "out",
+      CSeq(loop2, CAssign("result", ELoc("out"))))
+    val t = Seq(5L).toDF("v")
+    val (cmd, primed) = IvmTransf.transform(prog2,
+      Env(Map.empty, Map("t" -> t), spark))
+    val cell = IvmTransf.minCellName("t", "v")
+    assert(primed.scalars.contains(cell))
+    assert(!cmd.toString.contains("EACIFold"), "min read must be a cell read")
+    def rows(e: Env) = e.store("result")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val plain = rows(Interp.run(prog2, Env(Map.empty, Map("t" -> t), spark)))
+    val fast = rows(IvmTransf.runIncremental(prog2,
+      Env(Map.empty, Map("t" -> t), spark)))
+    assert(plain === fast)
+    // inserts 7, 2, 9 against base {5}: running min after each = 5, 2, 2
+    assert(fast === Seq((2L, 2L), (7L, 5L), (9L, 2L)))
+  }
+
   test("a non-cons write to the table disables maintenance (soundness)") {
     // same loop, plus a concat write the transform can't bump the cell for:
     // maintaining would leave reads stale, so the program must be untouched
