@@ -132,6 +132,46 @@ object IvmTransf {
     }
   }
 
+  /** Maintenance for CLetMut-SCOPED tables — the reference examples' own
+    * idiom (every Ex_* binds its tables `CLetMut (ANil ty) t …`,
+    * e.g. fiat2/src/fiat2/CombIdxEx.v:86): for each empty-init table
+    * binding whose body qualifies (every write the cons-chain shape, no
+    * shadowing rebind), the aggregate cells are introduced as NESTED
+    * SCALAR CLetMuts around the rewritten body — a pure source-to-source
+    * transform, no store priming or Spark job needed, because an empty
+    * table primes to sum = 0 / min = None. Scoping, shadowing, and cell
+    * lifetime all fall out of the interpreter's own CLetMut semantics. */
+  def transformScoped(c: Command, requireLoop: Boolean = true): Command = {
+    val inLoop0 = !requireLoop
+    def go(c: Command): Command = c match {
+      case CLetMut(init @ EAtom(ANil(rt: TRecord)), t, body0) =>
+        val body = go(body0)
+        val attrTy = rt.fields.toMap
+        val written = consWrittenTables(body, inLoop0).toSet
+        val unsafe = unsafeTables(body)
+        val maintained = collectReads(body, inLoop0).distinct.filter {
+          case (t2, a, _) => t2 == t && written.contains(t) &&
+            !unsafe.contains(t) && attrTy.contains(a)
+        }
+        val newBody = maintained.foldLeft(body) { case (b, (_, a, agg)) =>
+          val (cell, cellInit) = agg match {
+            case MSum => (cellName(t, a), EAtom(AInt(0)))
+            case MMin => (minCellName(t, a), EAtom(ANone(attrTy(a))))
+          }
+          CLetMut(cellInit, cell, rewrite(b, t, a, cell, agg))
+        }
+        CLetMut(init, t, newBody)
+      case CSkip => CSkip
+      case CSeq(a, b) => CSeq(go(a), go(b))
+      case CLet(e, x, b) => CLet(e, x, go(b))
+      case CLetMut(e, x, b) => CLetMut(e, x, go(b))
+      case ca: CAssign => ca
+      case CIf(e, a, b) => CIf(e, go(a), go(b))
+      case CForeach(e, x, b) => CForeach(e, x, go(b))
+    }
+    go(c)
+  }
+
   /** `min(cell, v)` in AST form, NULL-aware: an empty-so-far cell (NULL)
     * takes v (cons_to_min_head's option update, MinAgg.v). */
   private def minBump(cell: Expr, v: Expr): Expr =

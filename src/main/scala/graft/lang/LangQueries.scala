@@ -475,6 +475,34 @@ object LangQueries {
         .store("result")
     },
 
+    // CLetMut-SCOPED incremental maintenance (the reference examples' own
+    // table-binding idiom, `CLetMut (ANil ty)`): a loop over the sorted
+    // nation keys inserts each key into a scoped table and reads the
+    // running sum after each insert. Optimize introduces the sum cell as a
+    // nested scalar CLetMut — pure source rewrite, no store priming — so
+    // the per-iteration read is O(1) instead of re-aggregating the growing
+    // table. Oracle: the cumulative sum as a window function.
+    GraftQuery.sql("q_scoped_ivm",
+      """SELECT n_nationkey AS k,
+        |  CAST(SUM(n_nationkey) OVER (ORDER BY n_nationkey) AS BIGINT) AS s
+        |FROM nation ORDER BY k""".stripMargin) { (s, dir) =>
+      val keysSrc = ESort(LikeList, EProj(LikeBag, ELoc("nation"), "n",
+        EAccess(EVar("n"), "n_nationkey")))
+      val sumRead = EACFold(AGSum,
+        EProj(LikeBag, ELoc("t"), "x", EAccess(EVar("x"), "v")))
+      val loop = CForeach(keysSrc, "kv", CSeq(
+        CAssign("t", EBinop(OCons, ERecord(List("v" -> EVar("kv"))),
+          ELoc("t"))),
+        CAssign("out", EBinop(OCons,
+          ERecord(List("k" -> EVar("kv"), "s" -> sumRead)), ELoc("out")))))
+      val prog = CLetMut(EAtom(ANil(TRecord.sorted("v" -> TInt))), "t",
+        CLetMut(EAtom(ANil(TRecord.sorted("k" -> TInt, "s" -> TInt))), "out",
+          CSeq(loop, CAssign("result", ELoc("out")))))
+      val nation = Tables.load(s, dir, "nation").select(col("n_nationkey"))
+      Optimize.run(prog, Env(Map.empty, Map("nation" -> nation), s))
+        .store("result").orderBy("k")
+    },
+
     // COMPOSED indexes (fiat2/src/fiat2/IndexTransf.v:20-50 `compo_idx`):
     // the source program — written in surface syntax — point-filters ONE
     // table on TWO different attributes inside a loop. `IndexTransf`

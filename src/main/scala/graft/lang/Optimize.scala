@@ -27,8 +27,12 @@ object Optimize {
   def transform(c: Command, env: Env): (Command, Env) = {
     val recognized = Rewrites.normalizeCommand(c)
     val annotated = Rewrites.mapExprs(recognized)(CollectionTransf.annotate)
+    // CLetMut-scoped tables first (pure source rewrite, cells as nested
+    // scalar bindings), then store-bound tables (cells primed by one
+    // aggregation each), then index introduction
+    val scoped = IvmTransf.transformScoped(annotated, requireLoop = false)
     val (ivmed, primed) =
-      IvmTransf.transform(annotated, env, requireLoop = false)
+      IvmTransf.transform(scoped, env, requireLoop = false)
     IndexTransf.transform(ivmed, primed, requireLoop = false)
   }
 

@@ -88,6 +88,30 @@ class OptimizeSpec extends AnyFunSuite {
     assert(fast === Seq(("cyannddee", 1L, 230L)))
   }
 
+  test("CLetMut-scoped table maintenance introduces a nested scalar cell") {
+    val sumRead = EACFold(AGSum,
+      EProj(LikeBag, ELoc("lt"), "x", EAccess(EVar("x"), "v")))
+    val loop = CForeach(EBinop(OCons, EAtom(AInt(1L)), EAtom(ANil(TInt))),
+      "kv", CSeq(
+        CAssign("lt", EBinop(OCons, ERecord(List("v" -> EVar("kv"))),
+          ELoc("lt"))),
+        CAssign("o", sumRead)))
+    val prog = CLetMut(EAtom(ANil(TRecord.sorted("v" -> TInt))), "lt", loop)
+    val out = IvmTransf.transformScoped(prog, requireLoop = false)
+    val printed = out.toString
+    val cell = IvmTransf.cellName("lt", "v")
+    assert(printed.contains(s"CLetMut(EAtom(AInt(0)),$cell"),
+      s"cell binding missing:\n$printed")
+    assert(!printed.contains("EACFold"), s"read not rewritten:\n$printed")
+    // a nested rebind of the same table name: the INNER scope maintains
+    // (its reads are its own), the outer scope must not add a second cell
+    val shadowed = CLetMut(EAtom(ANil(TRecord.sorted("v" -> TInt))), "lt",
+      CLetMut(EAtom(ANil(TRecord.sorted("v" -> TInt))), "lt", loop))
+    val p2 = IvmTransf.transformScoped(shadowed, requireLoop = false).toString
+    assert(s"CLetMut\\(EAtom\\(AInt\\(0\\)\\),\\Q$cell\\E".r
+      .findAllIn(p2).size === 1, s"expected exactly one cell binding:\n$p2")
+  }
+
   test("a non-chain write downgrades to plain semantics, still correct") {
     val clobber = CSeq(prog match {
       case CLetMut(e, x, b) => CLetMut(e, x,
