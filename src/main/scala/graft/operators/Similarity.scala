@@ -38,6 +38,43 @@ object Similarity {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), z -> z[1] * z[2]), (u, w) -> u + w)"
 
+  /** Sequential-fold squared L2 from 0.0 — bit-exact vs the oracle's
+    * `list_reduce` (0.0 + x1 == x1 in IEEE, then the same add sequence). */
+  private def l2sq(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The (d, cid) cell structs against centroid LITERALS — the map-side
+    * argmin building block (`array_min` = min distance, ties to the
+    * smallest cid, matching the oracle's ORDER BY d, cid). */
+  private def cellStructsOf(cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.map { case (cid, cv) =>
+      struct(l2sq(col("v"), typedlit(cv)).as("d"), lit(cid).as("cid")) }: _*)
+
+  /** Assign every row to its nearest centroid — one map-side projection,
+    * no Exchange; keeps all input columns and adds `cid`. */
+  private def withCell(df: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    df.withColumn("cid", array_min(cellStructsOf(cents))("cid"))
+
+  /** One Lloyd mean update: a single shuffle keyed (cell, dim), the fold
+    * pinned to vec_id order so the oracle's ordered list_reduce reproduces
+    * it; returns the centroids as driver values for the next literal-shipped
+    * assignment. */
+  private def lloydMeans(assigned: DataFrame): Seq[(Long, Seq[Double])] =
+    assigned.select(col("cid"), col("vec_id"), posexplode(col("v")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+      .groupBy(col("cid"), col("i"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
+      .select(col("cid"), col("i"),
+        (aggregate(col("xs"), lit(0.0), (acc, el) => acc + el("x")) /
+          size(col("xs"))).as("cx"))
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("i"), col("cx")))).as("ic"))
+      .select(col("cid"), transform(col("ic"), el => el("cx")).as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+
   /** Deterministic ±1 hyperplanes: one 64-dim row per signature bit, from a
     * seeded PRNG on the driver — shipped as literals so the projection is one
     * codegen'd dot product per bit (no per-element hashing at runtime). */
@@ -291,42 +328,79 @@ object Similarity {
       val e = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", asDouble($"embedding").as("v")).cache()
-      // left fold from 0.0 ≡ DuckDB list_reduce from the first element
-      // (0.0 + x1 == x1 in IEEE), so distances match bit-for-bit
-      def l2(v: Column, c: Column): Column =
-        aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)
-      def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
-        val cells = array(cents.map { case (cid, cv) =>
-          struct(l2($"v", typedlit(cv)).as("d"), lit(cid).as("cid")) }: _*)
-        // array_min on (d, cid) structs = argmin with ties to smallest cid
-        e.withColumn("cell", array_min(cells))
-          .select($"vec_id", $"v", $"cell.cid".as("cid"))
-      }
       val c0 = e.filter($"vec_id" < k).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-      val a1 = assign(c0)
-      // mean update: one shuffle keyed (cell, dim); the fold is pinned to
-      // vec_id order so the oracle's ordered list_reduce reproduces it
-      val means = a1.select($"cid", $"vec_id", posexplode($"v"))
-        .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
-        .groupBy($"cid", $"i")
-        .agg(sort_array(collect_list(struct($"vec_id", $"x"))).as("xs"))
-        .select($"cid", $"i",
-          (aggregate($"xs", lit(0.0), (acc, el) => acc + el("x")) /
-            size($"xs")).as("cx"))
-      val c1 = means.groupBy($"cid")
-        .agg(sort_array(collect_list(struct($"i", $"cx"))).as("ic"))
-        .select($"cid", transform($"ic", el => el("cx")).as("cv"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .sortBy(_._1).toSeq
-      val a2 = assign(c1)
+      val c1 = lloydMeans(withCell(e, c0))
+      val a2 = withCell(e, c1)
       val digests = c1.map { case (cid, cv) => (cid, cv.reduceLeft(_ + _)) }
         .toDF("cid", "cdigest")
       a2.groupBy($"cid").agg(count(lit(1)).as("n"))
         .join(broadcast(digests), "cid")
         .select($"cid", $"n", $"cdigest")
         .orderBy("cid")
+    },
+
+    // The TRAINED IVF serving path end-to-end: one Lloyd round trains the
+    // cell centroids (q_ivf_kmeans's math), the corpus is partitioned by
+    // trained cell, and each query probes only its 2 nearest cells —
+    // assignment AND probe are map-side argmins over centroid literals, so
+    // the only shuffles are the one Lloyd mean update and the
+    // candidate-sized probe join. The oracle replays training, assignment,
+    // probing, and cosine scoring in SQL, bit-exact.
+    GraftQuery.sql("q_ivf_trained_topk", {
+      def l2(v: String, c: String) =
+        s"list_reduce(list_transform(range(1, len($v)+1), i -> ($v[i]-$c[i])*($v[i]-$c[i])), (a,b) -> a+b)"
+      s"""WITH $enSql,
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |d1 AS (SELECT e.vec_id, c0.cid, ${l2("e.v", "c0.cv")} AS d FROM e, c0),
+         |a1 AS (SELECT vec_id, cid FROM
+         |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+         |       WHERE rn = 1),
+         |m1 AS (SELECT a1.cid, r.i, list_reduce(list(e.v[r.i] ORDER BY e.vec_id), (a,b) -> a+b) / COUNT(*) AS cx
+         |       FROM a1 JOIN e USING (vec_id), unnest(range(1, len(e.v)+1)) AS r(i)
+         |       GROUP BY a1.cid, r.i),
+         |c1 AS (SELECT cid, list(cx ORDER BY i) AS cv FROM m1 GROUP BY cid),
+         |d2 AS (SELECT e.vec_id, c1.cid, ${l2("e.v", "c1.cv")} AS d FROM e, c1),
+         |a2 AS (SELECT vec_id, cid FROM
+         |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+         |       WHERE rn = 1),
+         |pr AS (SELECT qid, cid FROM
+         |        (SELECT en.vec_id AS qid, c1.cid,
+         |           row_number() OVER (PARTITION BY en.vec_id ORDER BY ${l2("en.v", "c1.cv")}, c1.cid) AS crnk
+         |         FROM en, c1 WHERE en.vec_id < 5) WHERE crnk <= 2),
+         |scored AS (SELECT pr.qid, a2.vec_id, ${dotSql("qe.v", "ce.v")} / sqrt(qe.n2 * ce.n2) AS sim
+         |  FROM pr JOIN a2 USING (cid)
+         |  JOIN en qe ON qe.vec_id = pr.qid
+         |  JOIN en ce ON ce.vec_id = a2.vec_id
+         |  WHERE a2.vec_id != pr.qid)
+         |SELECT qid, vec_id, sim, CAST(rnk AS BIGINT) AS rnk FROM
+         | (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk FROM scored)
+         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val k = 8
+      val e = corpus(Tables.load(s, dir, "embeddings"))
+        .repartition(s.sparkContext.defaultParallelism).cache()
+      val c0 = e.filter($"vec_id" < k).select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      val c1 = lloydMeans(withCell(e.select($"vec_id", $"v"), c0))
+      val assigned = withCell(e, c1)
+      // probe = the 2 smallest (d, cid) cells per query — map-side argsort
+      // over the same centroid literals
+      val probes = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"n2".as("qn2"),
+          explode(slice(array_sort(cellStructsOf(c1)), 1, 2)).as("pc"))
+        .select($"qid", $"qv", $"qn2", $"pc.cid".as("cid"))
+      val scored = assigned.join(broadcast(probes), "cid")
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (ArrayMath.dot($"qv", $"v") / sqrt($"qn2" * $"n2")).as("sim"))
+      scored.withColumn("rnk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id"))
+          .cast("long"))
+        .filter($"rnk" <= 10)
+        .select($"qid", $"vec_id", $"sim", $"rnk")
+        .orderBy("qid", "rnk")
     },
   )
 }
