@@ -176,6 +176,19 @@ object Rewrites {
     go(e)
   }
 
+  /** `join t1 t2 (p1 && p) r` with p1 not mentioning the right binder →
+    * `join (filter t1 p1) t2 p r` (filter_pushdown_head,
+    * fiat2/src/fiat2/RelTransf.v:441-448). Catalyst performs the same move
+    * on the physical plan regardless; doing it at the Lang level
+    * additionally EXPOSES `EFilter(ELoc …)` shapes to the index
+    * transforms, which pattern-match structured filters. */
+  val filterPushdownHead: Expr => Expr = {
+    case EJoin(tag, l1, l2, x, y, EBinop(OAnd, p1, p), r)
+        if !freeVars(p1).contains(y) =>
+      EJoin(tag, EFilter(tag, l1, x, p1), l2, x, y, p, r)
+    case e => e
+  }
+
   /** `if p1 (if p2 e []) []` → `if (p1 && p2) e []`
     * (merge_if, fiat2/src/fiat2/RelTransf.v:50-55). */
   val mergeIf: Expr => Expr = {
@@ -231,7 +244,7 @@ object Rewrites {
 
   private val heads: Seq[Expr => Expr] =
     Seq(mergeIf, toJoinHead, toFilterHead, toProjHead, dependentBodyToJoin,
-      toFilterProjHead)
+      toFilterProjHead, filterPushdownHead)
 
   /** Apply all recognition rewrites bottom-up to a fixpoint (bounded like
     * the reference's `repeat_transf 10000` — ours converges in a few). */

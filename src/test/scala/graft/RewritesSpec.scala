@@ -49,6 +49,21 @@ class RewritesSpec extends AnyFunSuite {
     }
   }
 
+  test("filter_pushdown_head: left-only conjunct moves into the left source") {
+    val pLeft = EBinop(OLess, EAccess(EVar("x"), "v"), EAtom(AInt(3)))
+    val pJoin = EBinop(OEq, EAccess(EVar("x"), "k"), EAccess(EVar("y"), "k"))
+    val r = ERecord(List("a" -> EAccess(EVar("y"), "v")))
+    val j = EJoin(LikeBag, ELoc("t1"), ELoc("t2"), "x", "y",
+      EBinop(OAnd, pLeft, pJoin), r)
+    assert(normalize(j) === EJoin(LikeBag,
+      EFilter(LikeBag, ELoc("t1"), "x", pLeft), ELoc("t2"), "x", "y",
+      pJoin, r))
+    // a left conjunct mentioning the RIGHT binder must stay in the join
+    val j2 = EJoin(LikeBag, ELoc("t1"), ELoc("t2"), "x", "y",
+      EBinop(OAnd, pJoin, pLeft), r)
+    assert(normalize(j2) === j2)
+  }
+
   test("correlated inner source is NOT rewritten to a join") {
     // inner table depends on x — a dependent lateral, join_head must not fire
     val comp = EFlatmap(LikeBag, ELoc("t1"), "x",
