@@ -28,7 +28,12 @@ object Compiler {
 
   final case class Env(vars: Map[String, Val], store: Map[String, DataFrame],
       spark: SparkSession, rowVars: Set[String] = Set.empty,
-      scalars: Map[String, Column] = Map.empty) {
+      scalars: Map[String, Column] = Map.empty,
+      // index handles for store tables whose entry is a keyed cache
+      // (IndexTransf) — lets CAssign cons-inserts maintain the index
+      // incrementally (cons_to_insert_head) instead of degrading to a
+      // plain unkeyed union
+      indexes: Map[String, graft.operators.DictIndex] = Map.empty) {
     def bind(x: String, v: Val): Env =
       copy(vars = vars + (x -> v), rowVars = rowVars - x)
     /** Bind a PLAN-ATTRIBUTE row variable (a table operator's binder). Such

@@ -70,7 +70,10 @@ object IndexTransf {
             case Seq() => (cmd, acc)
             case Seq(a) =>
               val idx = DictIndex.build(df, a) // size-aware partitioning
-              (cmd, acc.copy(store = acc.store + (t -> idx.keyed)))
+              // the handle is kept so CAssign cons-inserts maintain the
+              // index incrementally (cons_to_insert_head; see Interp)
+              (cmd, acc.copy(store = acc.store + (t -> idx.keyed),
+                indexes = acc.indexes + (t -> idx)))
             case _ if mutated.contains(t) => (cmd, acc)
             case several =>
               val compo = CompoIndex.build(df, several)

@@ -43,20 +43,28 @@ object Interp {
         case tv => // table cell
           // shadow a same-named outer SCALAR cell too: ELoc resolution and
           // CAssign both consult env.scalars first, so leaving it bound would
-          // make the inner table cell invisible to the body
+          // make the inner table cell invisible to the body. The inner cell
+          // is a fresh unindexed table, so any outer index handle is
+          // likewise shadowed and restored.
           val saved = env.store.get(x)
           val savedScalar = env.scalars.get(x)
+          val savedIdx = env.indexes.get(x)
           val after = run(body,
             env.copy(store = env.store + (x -> toDF(tv, env)),
-              scalars = env.scalars - x))
+              scalars = env.scalars - x, indexes = env.indexes - x))
           val restored = saved match {
             case Some(df) => after.copy(store = after.store + (x -> df))
             case None => after.copy(store = after.store - x)
           }
-          savedScalar match {
+          val restored2 = savedScalar match {
             case Some(old) =>
               restored.copy(scalars = restored.scalars + (x -> old))
             case None => restored.copy(scalars = restored.scalars - x)
+          }
+          savedIdx match {
+            case Some(idx) =>
+              restored2.copy(indexes = restored2.indexes + (x -> idx))
+            case None => restored2.copy(indexes = restored2.indexes - x)
           }
       }
 
@@ -67,8 +75,29 @@ object Interp {
           case TV(_) => throw new IllegalArgumentException(
             s"table assigned to scalar cell $x")
         }
-      else
-        env.copy(store = env.store + (x -> toDF(compileProgram(e, env), env)))
+      else (env.indexes.get(x), consChainRows(e, x)) match {
+        // cons-chain INSERT into an INDEXED table: maintain the keyed index
+        // incrementally (the reference's cons_to_insert_head + use_idx_head
+        // composition, fiat2/src/fiat2/DictIndexImpl.v:571-590,:767-776) —
+        // the delta rows are keyed and lazily unioned; the base cache is
+        // never recomputed, and later point filters still prune by key.
+        case (Some(idx), Some(rows)) =>
+          val delta = rows.map { r =>
+            val elem = Compiler.asScalar(compileProgram(r, env))
+            val cols = idx.keyed.columns
+            if (cols.sameElements(Array("value")))
+              env.spark.range(1).select(elem.as("value"))
+            else env.spark.range(1).select(cols.map(c => elem(c).as(c)): _*)
+          }.reduce(_ union _)
+          val idx2 = idx.insert(delta)
+          env.copy(store = env.store + (x -> idx2.keyed),
+            indexes = env.indexes + (x -> idx2))
+        // any other write shape: the entry is replaced and the index handle
+        // dropped (correct, no longer incremental)
+        case _ =>
+          env.copy(store = env.store + (x -> toDF(compileProgram(e, env), env)),
+            indexes = env.indexes - x)
+      }
 
     case CIf(e, c1, c2) =>
       val cond = evalScalar(env, asBoolCol(compileProgram(e, env)))
@@ -87,6 +116,14 @@ object Interp {
           case None => after.copy(vars = after.vars - x)
         }
       }
+  }
+
+  /** `r1 :: … :: rn :: mut t` — the insert-chain shape `CAssign`
+    * recognizes for incremental index maintenance. */
+  private def consChainRows(e: Expr, t: String): Option[List[Expr]] = e match {
+    case EBinop(OCons, r, ELoc(`t`)) => Some(List(r))
+    case EBinop(OCons, r, rest) => consChainRows(rest, t).map(r :: _)
+    case _ => None
   }
 
   private def asBoolCol(v: Val) = v match {

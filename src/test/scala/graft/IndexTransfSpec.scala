@@ -141,6 +141,44 @@ class IndexTransfSpec extends AnyFunSuite {
     grown.unpersist(); compo.unpersist()
   }
 
+  test("cons insert into an indexed table maintains the keyed index") {
+    // loop: insert a row for the key, then point-count the key — the
+    // reference's cons_to_insert + use_idx composition. The index handle
+    // must survive every insert (incremental keyed delta, no re-key), and
+    // results must equal the plain run.
+    val orders = Tables.load(spark, TestSpark.sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val keys = List(1L, 2L).foldRight[Expr](EAtom(ANil(TInt))) {
+      (k, acc) => EBinop(OCons, EAtom(AInt(k)), acc)
+    }
+    val countFor = EUnop(OLength, EFilter(LikeBag, ELoc("orders"), "o",
+      EBinop(OEq, EAccess(EVar("o"), "o_custkey"), EVar("kv"))))
+    val prog = CLetMut(
+      EAtom(ANil(TRecord.sorted("k" -> TInt, "n" -> TInt))), "out",
+      CSeq(
+        CForeach(keys, "kv", CSeq(
+          CAssign("orders", EBinop(OCons, ERecord(List(
+            "o_orderkey" -> EBinop(OPlus, EVar("kv"), EAtom(AInt(1000000L))),
+            "o_custkey" -> EVar("kv"))), ELoc("orders"))),
+          CAssign("out", EBinop(OCons,
+            ERecord(List("k" -> EVar("kv"), "n" -> countFor)),
+            ELoc("out"))))),
+        CAssign("result", ELoc("out"))))
+    def rows(env: Env) = env.store("result")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val plainEnv = Env(Map.empty, Map("orders" -> orders), spark)
+    val plain = rows(Interp.run(prog, plainEnv))
+    val fastEnd = IndexTransf.runIndexed(prog,
+      Env(Map.empty, Map("orders" -> orders), spark))
+    assert(fastEnd.indexes.contains("orders"),
+      "index handle must survive cons inserts")
+    assert(rows(fastEnd) === plain)
+    // the maintained entry still answers lookups incl. the inserted rows
+    val n1 = fastEnd.store("orders").filter($"o_custkey" === 1L).count()
+    assert(n1 === orders.filter($"o_custkey" === 1L).count() + 1)
+    fastEnd.store("orders").unpersist()
+  }
+
   test("indexed run equals plain run") {
     val orders = Tables.load(spark, TestSpark.sfDir, "orders")
       .select($"o_orderkey", $"o_custkey")
