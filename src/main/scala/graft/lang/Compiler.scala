@@ -33,7 +33,10 @@ object Compiler {
       // (IndexTransf) — lets CAssign cons-inserts maintain the index
       // incrementally (cons_to_insert_head) instead of degrading to a
       // plain unkeyed union
-      indexes: Map[String, graft.operators.DictIndex] = Map.empty) {
+      indexes: Map[String, graft.operators.DictIndex] = Map.empty,
+      // composed-index handles (compo_idx): base table name → the record of
+      // components; a cons-insert updates EVERY component (compo_idx_wf)
+      compoIndexes: Map[String, graft.operators.CompoIndex] = Map.empty) {
     def bind(x: String, v: Val): Env =
       copy(vars = vars + (x -> v), rowVars = rowVars - x)
     /** Bind a PLAN-ATTRIBUTE row variable (a table operator's binder). Such

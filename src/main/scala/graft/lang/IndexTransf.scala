@@ -53,15 +53,15 @@ object IndexTransf {
       requireLoop: Boolean): (Command, Compiler.Env) = {
     val byTable = loopEqFilters(c, inLoop = !requireLoop).distinct
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    // Composed components are snapshots routed to by NAME: a later CAssign
-    // to t (or a CLetMut re-binding t) would update only the base entry and
-    // leave routed filters reading a stale snapshot. The reference's wf
-    // precondition is that inserts maintain every component
-    // (fiat2/src/fiat2/IndexTransf.v:32-50); we don't maintain, so we only
-    // compose for read-only tables. The single-attribute case is safe
-    // regardless: the table entry itself is swapped, and CAssign overwrites
-    // that same entry.
-    val mutated = mutatedCells(c)
+    // Composed components are routed to by NAME. A cons-chain insert is
+    // maintained: the interpreter updates EVERY component from the one
+    // delta (compo_idx_wf, fiat2/src/fiat2/IndexTransf.v:32-50 — "inserts
+    // maintain every component"). Any OTHER write shape (concat,
+    // re-filter) or a CLetMut re-bind cannot be maintained and would
+    // leave routed filters reading a stale snapshot, so those tables are
+    // not composed. The single-attribute case needs no such guard: the
+    // table entry itself is swapped, and CAssign overwrites that entry.
+    val mutated = nonChainMutatedCells(c)
     byTable.foldLeft((c, env)) { case ((cmd, acc), (t, attrs0)) =>
       acc.store.get(t) match {
         case Some(df) =>
@@ -80,22 +80,30 @@ object IndexTransf {
               val entries = several.map(a =>
                 componentName(t, a) -> compo.component(a).keyed)
               (routeFilters(cmd, t, several.toSet),
-                acc.copy(store = acc.store ++ entries))
+                acc.copy(store = acc.store ++ entries,
+                  compoIndexes = acc.compoIndexes + (t -> compo)))
           }
         case None => (cmd, acc)
       }
     }
   }
 
-  /** Store cells the command assigns or re-binds anywhere. */
-  private def mutatedCells(c: Command): Set[String] = c match {
+  /** Store cells the command re-binds, or assigns with anything OTHER
+    * than the maintainable cons-chain insert shape. */
+  private def nonChainMutatedCells(c: Command): Set[String] = c match {
     case CSkip => Set.empty
-    case CSeq(a, b) => mutatedCells(a) ++ mutatedCells(b)
-    case CLet(_, _, b) => mutatedCells(b)
-    case CLetMut(_, x, b) => mutatedCells(b) + x
-    case CAssign(x, _) => Set(x)
-    case CIf(_, a, b) => mutatedCells(a) ++ mutatedCells(b)
-    case CForeach(_, _, b) => mutatedCells(b)
+    case CSeq(a, b) => nonChainMutatedCells(a) ++ nonChainMutatedCells(b)
+    case CLet(_, _, b) => nonChainMutatedCells(b)
+    case CLetMut(_, x, b) => nonChainMutatedCells(b) + x
+    case CAssign(x, e) => if (isConsChain(e, x)) Set.empty else Set(x)
+    case CIf(_, a, b) => nonChainMutatedCells(a) ++ nonChainMutatedCells(b)
+    case CForeach(_, _, b) => nonChainMutatedCells(b)
+  }
+
+  private def isConsChain(e: Expr, t: String): Boolean = e match {
+    case EBinop(OCons, _, ELoc(`t`)) => true
+    case EBinop(OCons, _, rest) => isConsChain(rest, t)
+    case _ => false
   }
 
   /** Back-compat store-only view of `transform` (single-attribute tables;

@@ -49,9 +49,11 @@ object Interp {
           val saved = env.store.get(x)
           val savedScalar = env.scalars.get(x)
           val savedIdx = env.indexes.get(x)
+          val savedCompo = env.compoIndexes.get(x)
           val after = run(body,
             env.copy(store = env.store + (x -> toDF(tv, env)),
-              scalars = env.scalars - x, indexes = env.indexes - x))
+              scalars = env.scalars - x, indexes = env.indexes - x,
+              compoIndexes = env.compoIndexes - x))
           val restored = saved match {
             case Some(df) => after.copy(store = after.store + (x -> df))
             case None => after.copy(store = after.store - x)
@@ -61,10 +63,16 @@ object Interp {
               restored.copy(scalars = restored.scalars + (x -> old))
             case None => restored.copy(scalars = restored.scalars - x)
           }
-          savedIdx match {
+          val restored3 = savedIdx match {
             case Some(idx) =>
               restored2.copy(indexes = restored2.indexes + (x -> idx))
             case None => restored2.copy(indexes = restored2.indexes - x)
+          }
+          savedCompo match {
+            case Some(ci) => restored3.copy(
+              compoIndexes = restored3.compoIndexes + (x -> ci))
+            case None => restored3.copy(
+              compoIndexes = restored3.compoIndexes - x)
           }
       }
 
@@ -75,28 +83,34 @@ object Interp {
           case TV(_) => throw new IllegalArgumentException(
             s"table assigned to scalar cell $x")
         }
-      else (env.indexes.get(x), consChainRows(e, x)) match {
+      else (env.indexes.get(x), env.compoIndexes.get(x),
+          consChainRows(e, x)) match {
         // cons-chain INSERT into an INDEXED table: maintain the keyed index
         // incrementally (the reference's cons_to_insert_head + use_idx_head
         // composition, fiat2/src/fiat2/DictIndexImpl.v:571-590,:767-776) —
         // the delta rows are keyed and lazily unioned; the base cache is
         // never recomputed, and later point filters still prune by key.
-        case (Some(idx), Some(rows)) =>
-          val delta = rows.map { r =>
-            val elem = Compiler.asScalar(compileProgram(r, env))
-            val cols = idx.keyed.columns
-            if (cols.sameElements(Array("value")))
-              env.spark.range(1).select(elem.as("value"))
-            else env.spark.range(1).select(cols.map(c => elem(c).as(c)): _*)
-          }.reduce(_ union _)
-          val idx2 = idx.insert(delta)
+        case (Some(idx), _, Some(rows)) =>
+          val idx2 = idx.insert(deltaDF(rows, idx.keyed.columns, env))
           env.copy(store = env.store + (x -> idx2.keyed),
             indexes = env.indexes + (x -> idx2))
-        // any other write shape: the entry is replaced and the index handle
+        // cons-chain INSERT into a COMPOSED table: ONE delta updates EVERY
+        // component (compo_idx_wf, fiat2/src/fiat2/IndexTransf.v:32-50) and
+        // the base entry, so routed filters keep reading fresh keyed caches
+        case (_, Some(compo), Some(rows)) =>
+          val cols = compo.components.values.head.keyed.columns
+          val compo2 = compo.insert(deltaDF(rows, cols, env))
+          val compEntries = compo2.components.map { case (a, d) =>
+            IndexTransf.componentName(x, a) -> d.keyed }
+          env.copy(
+            store = env.store ++ compEntries +
+              (x -> toDF(compileProgram(e, env), env)),
+            compoIndexes = env.compoIndexes + (x -> compo2))
+        // any other write shape: the entry is replaced and the index handles
         // dropped (correct, no longer incremental)
         case _ =>
           env.copy(store = env.store + (x -> toDF(compileProgram(e, env), env)),
-            indexes = env.indexes - x)
+            indexes = env.indexes - x, compoIndexes = env.compoIndexes - x)
       }
 
     case CIf(e, c1, c2) =>
@@ -125,6 +139,16 @@ object Interp {
     case EBinop(OCons, r, rest) => consChainRows(rest, t).map(r :: _)
     case _ => None
   }
+
+  /** Compile insert-chain rows into a delta DataFrame with `cols`. */
+  private def deltaDF(rows: List[Expr], cols: Array[String],
+      env: Env): DataFrame =
+    rows.map { r =>
+      val elem = Compiler.asScalar(compileProgram(r, env))
+      if (cols.sameElements(Array("value")))
+        env.spark.range(1).select(elem.as("value"))
+      else env.spark.range(1).select(cols.map(c => elem(c).as(c)): _*)
+    }.reduce(_ union _)
 
   private def asBoolCol(v: Val) = v match {
     case CV(c) => c

@@ -126,6 +126,50 @@ class IndexTransfSpec extends AnyFunSuite {
     assert(plain === fast)
   }
 
+  test("composed table with cons-chain inserts IS composed and maintained") {
+    // the reference's compo_idx_wf: one insert updates every component.
+    // A loop inserts a row, then point-filters the table on BOTH attributes
+    // — composition must happen (chain writes are maintainable), the
+    // routed component reads must see each insert, and the result must
+    // equal the plain run.
+    val orders = Tables.load(spark, TestSpark.sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val keys = List(1L, 2L).foldRight[Expr](EAtom(ANil(TInt))) {
+      (k, acc) => EBinop(OCons, EAtom(AInt(k)), acc)
+    }
+    def cnt(attr: String, k: Expr) = EUnop(OLength,
+      EFilter(LikeBag, ELoc("orders"), "o",
+        EBinop(OEq, EAccess(EVar("o"), attr), k)))
+    val prog = CLetMut(
+      EAtom(ANil(TRecord.sorted("k" -> TInt, "na" -> TInt, "nb" -> TInt))),
+      "out",
+      CSeq(
+        CForeach(keys, "kv", CSeq(
+          CAssign("orders", EBinop(OCons, ERecord(List(
+            "o_orderkey" -> EBinop(OPlus, EVar("kv"), EAtom(AInt(1000000L))),
+            "o_custkey" -> EVar("kv"))), ELoc("orders"))),
+          CAssign("out", EBinop(OCons, ERecord(List(
+            "k" -> EVar("kv"),
+            "na" -> cnt("o_custkey", EVar("kv")),
+            "nb" -> cnt("o_orderkey",
+              EBinop(OPlus, EVar("kv"), EAtom(AInt(1000000L)))))),
+            ELoc("out"))))),
+        CAssign("result", ELoc("out"))))
+    def rows(env: Env) = env.store("result")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    val plain = rows(Interp.run(prog,
+      Env(Map.empty, Map("orders" -> orders), spark)))
+    val fastEnd = IndexTransf.runIndexed(prog,
+      Env(Map.empty, Map("orders" -> orders), spark))
+    assert(fastEnd.compoIndexes.contains("orders"),
+      "composed handle must survive chain inserts")
+    assert(rows(fastEnd) === plain)
+    // the routed reads found the inserted rows (nb counts only the insert)
+    assert(plain.map(_._3) === Seq(1L, 1L))
+    fastEnd.compoIndexes("orders").unpersist()
+  }
+
   test("composed-index insert maintains every component consistently") {
     import graft.operators.CompoIndex
     val base = Seq((1L, 10L), (2L, 20L), (3L, 20L)).toDF("a", "b")
