@@ -530,6 +530,34 @@ object LangQueries {
       IndexTransf.runIndexed(prog, env).store("result").orderBy("k")
     },
 
+    // Composed index MAINTAINED through inserts (compo_idx_wf,
+    // fiat2/src/fiat2/IndexTransf.v:32-50): the loop both INSERTS an order
+    // row and point-filters on BOTH attributes each iteration. IndexTransf
+    // composes (chain writes are maintainable) and the interpreter updates
+    // every component from each insert, so the routed counts see the new
+    // rows — checked by the oracle (`nb` counts exactly the inserted row).
+    GraftQuery.sql("q_compo_insert",
+      """SELECT CAST(k AS BIGINT) AS k,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey = k) + 1 AS na,
+        |  CAST(1 AS BIGINT) AS nb
+        |FROM (VALUES (1), (2), (3)) t(k) ORDER BY k""".stripMargin) { (s, dir) =>
+      val src =
+        """let mut out := nil[{k : int, na : int, nb : int}] in
+          |for kv in [1, 2, 3] :
+          |  set orders := { o_orderkey : kv + 1000000, o_custkey : kv } :: mut orders;
+          |  set out := { k : kv,
+          |    na : len(o <- mut orders; check(o[o_custkey] == kv); ret o),
+          |    nb : len(o <- mut orders; check(o[o_orderkey] == kv + 1000000); ret o)
+          |  } :: mut out
+          |end;
+          |set result := mut out""".stripMargin
+      val prog = Parser.parseCommand(src)
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val env = Env(Map.empty, Map("orders" -> orders), s)
+      IndexTransf.runIndexed(prog, env).store("result").orderBy("k")
+    },
+
     // The full reference lifecycle from SOURCE TEXT (SURVEY.md §3.1): a
     // program written in the surface comprehension notation
     // (fiat2/src/fiat2/Notations.v:144-149 — `x <- t; check(p); ret r`) is
