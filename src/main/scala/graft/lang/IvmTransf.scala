@@ -44,10 +44,12 @@ object IvmTransf {
 
   def cellName(table: String, attr: String): String = s"$table@sum@$attr"
   def minCellName(table: String, attr: String): String = s"$table@min@$attr"
+  def countCellName(table: String): String = s"$table@count"
 
   private sealed trait MAgg
   private case object MSum extends MAgg
   private case object MMin extends MAgg
+  private case object MCount extends MAgg
 
   /** `r1 :: r2 :: … :: mut t` — the insert chain shape. */
   private object ConsChain {
@@ -75,6 +77,27 @@ object IvmTransf {
       case EACFold(AGSum, arg) => stripBags(arg) match {
         case EProj(_, src, x, EAccess(EVar(x2), a)) if x == x2 =>
           stripBags(src) match { case ELoc(t) => Some((t, a)); case _ => None }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** The table-count read shape — `len(tbl)` raw, or the
+    * `EACFold(AGCount, …)` form the collection annotation produces; a
+    * bag-wrapped 1:1 projection underneath preserves the row count (a SET
+    * projection does not — dedup — so `ESetOf` is NOT transparent here).
+    * This is the pk index's O(1) `count` field
+    * (fiat2/src/fiat2/BitmapIndex.v:13-18) as a maintained cell. */
+  private object CountRead {
+    def unapply(e: Expr): Option[String] = e match {
+      case EUnop(OLength, ELoc(t)) => Some(t)
+      case EACFold(AGCount, arg) => stripBags(arg) match {
+        case ELoc(t) => Some(t)
+        case EProj(LikeBag | LikeList, src, _, _) => stripBags(src) match {
+          case ELoc(t) => Some(t)
+          case _ => None
+        }
         case _ => None
       }
       case _ => None
@@ -128,6 +151,10 @@ object IvmTransf {
             else lit(row.get(0))
           (rewrite(cmd, t, a, cell, MMin),
             acc.copy(scalars = acc.scalars + (cell -> init)))
+        case MCount =>
+          val cell = countCellName(t)
+          (rewrite(cmd, t, a, cell, MCount),
+            acc.copy(scalars = acc.scalars + (cell -> lit(acc.store(t).count()))))
       }
     }
   }
@@ -150,13 +177,14 @@ object IvmTransf {
         val written = consWrittenTables(body, inLoop0).toSet
         val unsafe = unsafeTables(body)
         val maintained = collectReads(body, inLoop0).distinct.filter {
-          case (t2, a, _) => t2 == t && written.contains(t) &&
-            !unsafe.contains(t) && attrTy.contains(a)
+          case (t2, a, agg) => t2 == t && written.contains(t) &&
+            !unsafe.contains(t) && (agg == MCount || attrTy.contains(a))
         }
         val newBody = maintained.foldLeft(body) { case (b, (_, a, agg)) =>
           val (cell, cellInit) = agg match {
             case MSum => (cellName(t, a), EAtom(AInt(0)))
             case MMin => (minCellName(t, a), EAtom(ANone(attrTy(a))))
+            case MCount => (countCellName(t), EAtom(AInt(0)))
           }
           CLetMut(cellInit, cell, rewrite(b, t, a, cell, agg))
         }
@@ -183,6 +211,7 @@ object IvmTransf {
     def rewriteExpr(e: Expr): Expr = Rewrites.foldExpr(e) {
       case SumRead(`t`, `a`) if agg == MSum => ELoc(cell)
       case MinRead(`t`, `a`) if agg == MMin => ELoc(cell)
+      case CountRead(`t`) if agg == MCount => ELoc(cell)
       case other => other
     }
     def bump(rows: List[Expr]): Expr = agg match {
@@ -190,6 +219,8 @@ object IvmTransf {
         EBinop(OPlus, acc, EAccess(r, a)) }
       case MMin => rows.foldLeft[Expr](ELoc(cell)) { (acc, r) =>
         minBump(acc, EAccess(r, a)) }
+      case MCount =>
+        EBinop(OPlus, ELoc(cell), EAtom(AInt(rows.length.toLong)))
     }
     def go(c: Command): Command = c match {
       // the insert chain: keep it, and bump the cell once per consed row
@@ -228,6 +259,7 @@ object IvmTransf {
       Rewrites.foldExpr(e) {
         case s @ SumRead(t, a) => found ::= ((t, a, MSum)); s
         case s @ MinRead(t, a) => found ::= ((t, a, MMin)); s
+        case s @ CountRead(t) => found ::= ((t, "*", MCount)); s
         case other => other
       }
       found.reverse

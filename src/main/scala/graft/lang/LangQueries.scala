@@ -484,7 +484,8 @@ object LangQueries {
     // table. Oracle: the cumulative sum as a window function.
     GraftQuery.sql("q_scoped_ivm",
       """SELECT n_nationkey AS k,
-        |  CAST(SUM(n_nationkey) OVER (ORDER BY n_nationkey) AS BIGINT) AS s
+        |  CAST(SUM(n_nationkey) OVER (ORDER BY n_nationkey) AS BIGINT) AS s,
+        |  CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS n
         |FROM nation ORDER BY k""".stripMargin) { (s, dir) =>
       val keysSrc = ESort(LikeList, EProj(LikeBag, ELoc("nation"), "n",
         EAccess(EVar("n"), "n_nationkey")))
@@ -494,9 +495,12 @@ object LangQueries {
         CAssign("t", EBinop(OCons, ERecord(List("v" -> EVar("kv"))),
           ELoc("t"))),
         CAssign("out", EBinop(OCons,
-          ERecord(List("k" -> EVar("kv"), "s" -> sumRead)), ELoc("out")))))
+          ERecord(List("k" -> EVar("kv"), "s" -> sumRead,
+            // the pk index's O(1) count field — maintained as a cell too
+            "n" -> EUnop(OLength, ELoc("t")))), ELoc("out")))))
       val prog = CLetMut(EAtom(ANil(TRecord.sorted("v" -> TInt))), "t",
-        CLetMut(EAtom(ANil(TRecord.sorted("k" -> TInt, "s" -> TInt))), "out",
+        CLetMut(EAtom(ANil(TRecord.sorted("k" -> TInt, "s" -> TInt,
+          "n" -> TInt))), "out",
           CSeq(loop, CAssign("result", ELoc("out")))))
       val nation = Tables.load(s, dir, "nation").select(col("n_nationkey"))
       Optimize.run(prog, Env(Map.empty, Map("nation" -> nation), s))

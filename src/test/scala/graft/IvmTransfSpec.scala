@@ -80,6 +80,29 @@ class IvmTransfSpec extends AnyFunSuite {
     assert(fast === Seq((2L, 2L), (7L, 5L), (9L, 2L)))
   }
 
+  test("len(t) in a loop is maintained as a count cell (pk-index count)") {
+    val loop2 = CForeach(keys(1L, 2L), "kv", CSeq(
+      CAssign("t", EBinop(OCons, ERecord(List("v" -> EVar("kv"))), ELoc("t"))),
+      CAssign("out", EBinop(OCons,
+        ERecord(List("k" -> EVar("kv"), "n" -> EUnop(OLength, ELoc("t")))),
+        ELoc("out")))))
+    val prog2 = CLetMut(
+      EAtom(ANil(TRecord.sorted("k" -> TInt, "n" -> TInt))), "out",
+      CSeq(loop2, CAssign("result", ELoc("out"))))
+    val t = Seq(10L, 20L).toDF("v")
+    val (cmd, primed) = IvmTransf.transform(prog2,
+      Env(Map.empty, Map("t" -> t), spark))
+    val cell = IvmTransf.countCellName("t")
+    assert(primed.scalars.contains(cell))
+    assert(spark.range(1).select(primed.scalars(cell)).head().getLong(0) === 2L)
+    assert(!cmd.toString.contains("OLength"), "count read must be a cell read")
+    def rows(e: Env) = e.store("result")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows(IvmTransf.runIncremental(prog2,
+        Env(Map.empty, Map("t" -> t), spark))) ===
+      Seq((1L, 3L), (2L, 4L)))
+  }
+
   test("a non-cons write to the table disables maintenance (soundness)") {
     // same loop, plus a concat write the transform can't bump the cell for:
     // maintaining would leave reads stale, so the program must be untouched
