@@ -95,15 +95,10 @@ object IndexTransf {
     case CSeq(a, b) => nonChainMutatedCells(a) ++ nonChainMutatedCells(b)
     case CLet(_, _, b) => nonChainMutatedCells(b)
     case CLetMut(_, x, b) => nonChainMutatedCells(b) + x
-    case CAssign(x, e) => if (isConsChain(e, x)) Set.empty else Set(x)
+    case CAssign(x, e) =>
+      if (Rewrites.ConsChain.rowsOnto(e, x).isDefined) Set.empty else Set(x)
     case CIf(_, a, b) => nonChainMutatedCells(a) ++ nonChainMutatedCells(b)
     case CForeach(_, _, b) => nonChainMutatedCells(b)
-  }
-
-  private def isConsChain(e: Expr, t: String): Boolean = e match {
-    case EBinop(OCons, _, ELoc(`t`)) => true
-    case EBinop(OCons, _, rest) => isConsChain(rest, t)
-    case _ => false
   }
 
   /** Back-compat store-only view of `transform` (single-attribute tables;

@@ -96,15 +96,17 @@ object Interp {
             indexes = env.indexes + (x -> idx2))
         // cons-chain INSERT into a COMPOSED table: ONE delta updates EVERY
         // component (compo_idx_wf, fiat2/src/fiat2/IndexTransf.v:32-50) and
-        // the base entry, so routed filters keep reading fresh keyed caches
+        // the base entry, so routed filters keep reading fresh keyed caches.
+        // The base entry reuses the same delta (prepended, cons semantics)
+        // instead of re-compiling the chain onto the old plan.
         case (_, Some(compo), Some(rows)) =>
-          val cols = compo.components.values.head.keyed.columns
-          val compo2 = compo.insert(deltaDF(rows, cols, env))
+          val base = env.store(x)
+          val delta = deltaDF(rows, base.columns, env)
+          val compo2 = compo.insert(delta)
           val compEntries = compo2.components.map { case (a, d) =>
             IndexTransf.componentName(x, a) -> d.keyed }
           env.copy(
-            store = env.store ++ compEntries +
-              (x -> toDF(compileProgram(e, env), env)),
+            store = env.store ++ compEntries + (x -> delta.union(base)),
             compoIndexes = env.compoIndexes + (x -> compo2))
         // any other write shape: the entry is replaced and the index handles
         // dropped (correct, no longer incremental)
@@ -132,13 +134,10 @@ object Interp {
       }
   }
 
-  /** `r1 :: … :: rn :: mut t` — the insert-chain shape `CAssign`
-    * recognizes for incremental index maintenance. */
-  private def consChainRows(e: Expr, t: String): Option[List[Expr]] = e match {
-    case EBinop(OCons, r, ELoc(`t`)) => Some(List(r))
-    case EBinop(OCons, r, rest) => consChainRows(rest, t).map(r :: _)
-    case _ => None
-  }
+  /** `r1 :: … :: rn :: mut t` — the shared insert-chain shape (the same
+    * matcher the static passes use, Rewrites.ConsChain). */
+  private def consChainRows(e: Expr, t: String): Option[List[Expr]] =
+    Rewrites.ConsChain.rowsOnto(e, t)
 
   /** Compile insert-chain rows into a delta DataFrame with `cols`. */
   private def deltaDF(rows: List[Expr], cols: Array[String],

@@ -44,21 +44,17 @@ object IvmTransf {
 
   def cellName(table: String, attr: String): String = s"$table@sum@$attr"
   def minCellName(table: String, attr: String): String = s"$table@min@$attr"
-  def countCellName(table: String): String = s"$table@count"
+  // "()" cannot appear in a column name, so this can never collide with an
+  // IndexTransf component entry `t@attr` (a table could have an attribute
+  // literally named "count")
+  def countCellName(table: String): String = s"$table@count()"
 
   private sealed trait MAgg
   private case object MSum extends MAgg
   private case object MMin extends MAgg
   private case object MCount extends MAgg
 
-  /** `r1 :: r2 :: … :: mut t` — the insert chain shape. */
-  private object ConsChain {
-    def unapply(e: Expr): Option[(List[Expr], String)] = e match {
-      case EBinop(OCons, r, ELoc(t)) => Some((List(r), t))
-      case EBinop(OCons, r, ConsChain(rs, t)) => Some((r :: rs, t))
-      case _ => None
-    }
-  }
+  private val ConsChain = Rewrites.ConsChain
 
   private def stripBags(e: Expr): Expr = e match {
     case EBagOf(l) => stripBags(l)
@@ -135,9 +131,12 @@ object IvmTransf {
     maintained.foldLeft((c, env)) { case ((cmd, acc), (t, a, agg)) =>
       agg match {
         case MSum =>
-          // one distributed aggregation primes the cell (sum of empty = 0)
+          // one distributed aggregation primes the cell (sum of empty = 0);
+          // the column's own numeric type is preserved — casting to long
+          // would truncate a double-typed sum and diverge from the
+          // interpreter's un-cast aggregate
           val init = acc.store(t)
-            .agg(coalesce(sum(col(a)), lit(0L)).cast("long")).head().getLong(0)
+            .agg(coalesce(sum(col(a)), lit(0L)).as("s")).head().get(0)
           val cell = cellName(t, a)
           (rewrite(cmd, t, a, cell, MSum),
             acc.copy(scalars = acc.scalars + (cell -> lit(init))))

@@ -226,6 +226,24 @@ object Rewrites {
     case ESetOf(l) => freeVars(l)
   }
 
+  /** `r1 :: r2 :: … :: mut t` — the insert-chain shape shared by the
+    * aggregate/index maintenance transforms (static analysis) and the
+    * interpreter (runtime recognition). ONE matcher, so a later extension
+    * of the recognized shape cannot drift between the pass that promises
+    * maintenance and the interpreter that performs it. */
+  object ConsChain {
+    def unapply(e: Expr): Option[(List[Expr], String)] = e match {
+      case EBinop(OCons, r, ELoc(t)) => Some((List(r), t))
+      case EBinop(OCons, r, ConsChain(rs, t)) => Some((r :: rs, t))
+      case _ => None
+    }
+    /** The chain's rows when it inserts into exactly table `t`. */
+    def rowsOnto(e: Expr, t: String): Option[List[Expr]] = unapply(e) match {
+      case Some((rows, t2)) if t2 == t => Some(rows)
+      case _ => None
+    }
+  }
+
   /** Rebuild a command with `f` applied to every embedded expression. */
   def mapExprs(c: Command)(f: Expr => Expr): Command = c match {
     case CSkip => CSkip

@@ -201,6 +201,10 @@ object Dedup {
     // operator; this row proves they COMPOSE (the near-dup stage sees the
     // deduped survivors, not the raw corpus). Same shuffle budget as its
     // parts: one digest window, one shingle groupBy, candidate-sized joins.
+    // Like q_dedup_ngram_jaccard, the engine applies the hot-shingle
+    // frequency cap while the oracle computes uncapped Jaccard — a green
+    // row proves the cap changed nothing on this corpus (see class doc for
+    // why it cannot at θ ≥ 0.5 short of ≥128 near-identical docs).
     GraftQuery.sql("q_pipeline_clean",
       """WITH w AS (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
         |q AS (SELECT doc_id, text, ws FROM w WHERE len(ws) >= 10),

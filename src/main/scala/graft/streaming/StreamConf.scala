@@ -10,9 +10,15 @@ import org.apache.spark.sql.SparkSession
   * arrival rate. This scopes the conf to one stream and restores it.
   */
 private[streaming] object StreamConf {
-  def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  // The conf is session-global: without mutual exclusion two concurrent
+  // streaming queries (e.g. served by QueryServer's handler pool) would
+  // interleave save/restore and could leak the reduced value to the whole
+  // session. Serializing the demos is fine — they are bounded.
+  private val lock = new Object
+  def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A =
+    lock.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 }
