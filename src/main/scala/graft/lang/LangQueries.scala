@@ -562,6 +562,35 @@ object LangQueries {
       IndexTransf.runIndexed(prog, env).store("result").orderBy("k")
     },
 
+    // The ENTIRE lifecycle from surface text through the whole-pipeline
+    // optimizer: parse → recognition → collection annotation (len and the
+    // hand-written sum fold become declarative aggregates) → incremental
+    // maintenance (count + sum cells bumped by each chain insert) →
+    // interpret. Per iteration the program reads the table's running count
+    // and custkey-sum in O(1); the oracle computes both closed-form.
+    GraftQuery.sql("q_optimize_surface",
+      """SELECT CAST(k AS BIGINT) AS k,
+        |  (SELECT COUNT(*) FROM orders) + k AS n,
+        |  (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM orders)
+        |    + CAST((k*(k+1))/2 AS BIGINT) AS s
+        |FROM (VALUES (1), (2), (3)) t(k) ORDER BY k""".stripMargin) { (s, dir) =>
+      val src =
+        """let mut out := nil[{k : int, n : int, s : int}] in
+          |for kv in [1, 2, 3] :
+          |  set orders := { o_orderkey : kv + 1000000, o_custkey : kv } :: mut orders;
+          |  set out := { k : kv,
+          |    n : len(mut orders),
+          |    s : fold (o <- mut orders; ret o[o_custkey]) 0 v acc v + acc
+          |  } :: mut out
+          |end;
+          |set result := mut out""".stripMargin
+      val prog = Parser.parseCommand(src)
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Optimize.run(prog, Env(Map.empty, Map("orders" -> orders), s))
+        .store("result").orderBy("k")
+    },
+
     // The full reference lifecycle from SOURCE TEXT (SURVEY.md §3.1): a
     // program written in the surface comprehension notation
     // (fiat2/src/fiat2/Notations.v:144-149 — `x <- t; check(p); ret r`) is

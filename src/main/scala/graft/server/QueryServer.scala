@@ -70,6 +70,7 @@ final class QueryServer(spark: SparkSession, dataDir: String,
       case Array("query", name) =>
         graft.SparkEntry.queries.get(name).map(f => f(spark, dataDir))
       case Array("run") if method == "POST" => Some(runProgram(body))
+      case Array("runc") if method == "POST" => Some(runCommand(body))
       case Array("extract") if method == "POST" => Some(extractProgram(body))
       case _ => None
     }
@@ -89,6 +90,22 @@ final class QueryServer(spark: SparkSession, dataDir: String,
       case Compiler.TV(df) => df
       case Compiler.CV(c) => spark.range(1).select(c.as("value"))
     }
+  }
+
+  /** `POST /runc` — the body is a surface-syntax COMMAND program. It runs
+    * through the whole optimization pipeline (`Optimize`: recognition,
+    * collection annotation, incremental aggregate maintenance, index
+    * introduction) against the full store, and the store cell named
+    * `result` is returned — the reference's optimize-then-interpret
+    * lifecycle behind one route. */
+  private def runCommand(src: String): DataFrame = {
+    import graft.lang.{Compiler, Optimize, Parser}
+    val prog = Parser.parseCommand(src)
+    val store = graft.core.Tables.all
+      .map(n => n -> Tables.load(spark, dataDir, n)).toMap
+    val end = Optimize.run(prog, Compiler.Env(Map.empty, store, spark))
+    end.store.getOrElse("result", throw new IllegalArgumentException(
+      "program must assign a table to `result`"))
   }
 
   /** `POST /extract` — same surface-syntax body as /run, but instead of
@@ -126,6 +143,7 @@ final class QueryServer(spark: SparkSession, dataDir: String,
     import spark.implicits._
     (Seq("/get_artist_less_than/{n}", "/get_album_and_artist/{n}",
       "POST /run  (body: surface-syntax expression)",
+      "POST /runc  (body: surface-syntax command; returns `result`)",
       "POST /extract  (body: surface-syntax expression; returns SQL)") ++
       graft.SparkEntry.queries.keys.toSeq.sorted.map(q => s"/query/$q"))
       .toDF("route")

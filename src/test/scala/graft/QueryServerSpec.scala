@@ -94,6 +94,31 @@ class QueryServerSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /runc runs a command program through the Optimize pipeline") {
+    withServer { port =>
+      val program =
+        """let mut out := nil[{k : int, n : int}] in
+          |for kv in [1, 2] :
+          |  set out := { k : kv,
+          |    n : len(n <- mut nation; check(n[n_regionkey] == kv); ret n)
+          |  } :: mut out
+          |end;
+          |set result := mut out""".stripMargin
+      val (code, body) = post(s"http://localhost:$port/runc", program)
+      assert(code === 200)
+      val expected = (1L to 2L).map { k =>
+        graft.core.Tables.load(spark, TestSpark.sfDir, "nation")
+          .filter(org.apache.spark.sql.functions.col("n_regionkey") === k)
+          .count()
+      }
+      for ((n, k) <- expected.zip(Seq(1, 2)))
+        assert(body.contains(s""""k":$k,"n":$n"""), s"$body")
+      // a program without a `result` assignment reports the contract
+      val (c2, b2) = post(s"http://localhost:$port/runc", "skip")
+      assert(c2 === 500 && b2.contains("result"))
+    }
+  }
+
   test("POST /extract returns portable SQL for a surface-syntax program") {
     withServer { port =>
       val program =
