@@ -14,6 +14,7 @@ object SparkEntry {
       operators.Collections.queries ++
       operators.Workloads.queries ++
       operators.TextAnalysis.queries ++
+      operators.Temporal.queries ++
       operators.Stats.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++

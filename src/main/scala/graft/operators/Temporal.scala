@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{GraftQuery, Tables}
+
+/** Temporal joins over the event stream — beyond the reference's operator
+  * set (its θ-join covers these semantically but a naive nested-loop plan
+  * dies at scale), these are the two shapes every event pipeline needs:
+  *
+  *  - AS-OF: each right event joined to the LATEST left event at or before
+  *    it. One window over (user, time) — a single shuffle, no join at all,
+  *    which is the plan that survives any data size (the classic
+  *    sort-merge as-of join expressed as lag-carry).
+  *  - RANGE: pairs within a time interval. Bucketize time at the interval
+  *    width; a pair within the window can only span adjacent buckets, so
+  *    the LEFT side claims buckets (b, b+1) and the join is a plain
+  *    equi-join on (user, bucket) + an exact residual filter — candidate
+  *    pairs are bucket-local, never user-cross-product. Each true pair is
+  *    produced exactly once (the right event's bucket is fixed).
+  *
+  * All event times are compared as integer epoch-MICROSECONDS on both
+  * engines (the engine's timestamp precision), so ordering and the range
+  * residual are exact — no float or ns-vs-µs edge.
+  */
+object Temporal {
+
+  private val HourUs = 3600000000L
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // AS-OF join: for every purchase, the latest prior click of the same
+    // user (NULL when the user never clicked before purchasing).
+    GraftQuery.sql("q_asof_join",
+      """WITH u AS (SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS t,
+        |                  event_id, event_type
+        |           FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT *, last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |        OVER (PARTITION BY user_id ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+        |      FROM u)
+        |SELECT event_id AS purchase_id, user_id, prior_click
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u = Tables.load(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", unix_micros(Tables.tsCol($"ts")).as("t"),
+          $"event_id", $"event_type")
+      val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      u.withColumn("prior_click",
+          last(when($"event_type" === "click", $"event_id"),
+            ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"prior_click")
+        .orderBy("purchase_id")
+    },
+
+    // Bucketed RANGE join: every error within the hour after a click by
+    // the same user. The exact pair set — the bucketing only prunes
+    // candidates; the residual filter re-checks the true interval.
+    GraftQuery.sql("q_range_join",
+      s"""WITH u AS (SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS t,
+        |                  event_id, event_type FROM events),
+        |c AS (SELECT user_id, t, event_id FROM u WHERE event_type = 'click'),
+        |er AS (SELECT user_id, t, event_id FROM u WHERE event_type = 'error')
+        |SELECT c.event_id AS click_id, er.event_id AS error_id,
+        |       c.user_id AS user_id
+        |FROM c JOIN er ON c.user_id = er.user_id
+        | AND er.t >= c.t AND er.t < c.t + $HourUs
+        |ORDER BY click_id, error_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u = Tables.load(s, dir, "events")
+        .select($"user_id", unix_micros(Tables.tsCol($"ts")).as("t"),
+          $"event_id", $"event_type")
+      val bucket = (t: org.apache.spark.sql.Column) =>
+        (t / lit(HourUs)).cast("long")
+      val clicks = u.filter($"event_type" === "click")
+        .select($"user_id", $"t".as("ct"), $"event_id".as("click_id"))
+        .withColumn("bucket",
+          explode(array(bucket($"ct"), bucket($"ct") + 1)))
+      val errors = u.filter($"event_type" === "error")
+        .select($"user_id", $"t".as("et"), $"event_id".as("error_id"),
+          bucket($"t").as("bucket"))
+      clicks.join(errors, Seq("user_id", "bucket"))
+        .filter($"et" >= $"ct" && $"et" < $"ct" + HourUs)
+        .select($"click_id", $"error_id", $"user_id")
+        .orderBy("click_id", "error_id")
+    },
+  )
+}
