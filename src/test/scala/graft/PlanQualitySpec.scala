@@ -100,6 +100,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"cell assignment must not shuffle the corpus:\n$p")
   }
 
+  test("as-of join compiles to one window shuffle, not a join node") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), s"as-of must be a window, not a join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected the single by-user shuffle:\n$p")
+  }
+
   test("native dot product runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayMath
