@@ -88,5 +88,29 @@ object Temporal {
         .select($"click_id", $"error_id", $"user_id")
         .orderBy("click_id", "error_id")
     },
+
+    // SLIDING windows (1 hour every 30 minutes): every event lands in
+    // exactly two overlapping windows — Spark's `window(slide)` generator
+    // in a batch aggregation. The oracle derives the two epoch-aligned
+    // window starts per event arithmetically (integer µs), so window
+    // boundary semantics are checked exactly.
+    GraftQuery.sql("q_sliding_window",
+      """WITH u AS (SELECT epoch_us(date_trunc('microseconds', ts)) AS t,
+        |                  event_type FROM events),
+        |w AS (SELECT t, event_type, (t // 1800000000) * 1800000000 AS ws1 FROM u),
+        |x AS (SELECT event_type, ws1 AS ws FROM w
+        |      UNION ALL SELECT event_type, ws1 - 1800000000 FROM w)
+        |SELECT CAST(ws AS BIGINT) AS window_start_us, event_type,
+        |       COUNT(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .withColumn("tstamp", Tables.tsCol($"ts"))
+        .groupBy(window($"tstamp", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros($"window.start").as("window_start_us"),
+          $"event_type", $"n")
+        .orderBy("window_start_us", "event_type")
+    },
   )
 }
