@@ -74,8 +74,11 @@ object Temporal {
       val u = Tables.load(s, dir, "events")
         .select($"user_id", unix_micros(Tables.tsCol($"ts")).as("t"),
           $"event_id", $"event_type")
+      // integral division (like Tables.tsCol) — long/long `/` would be a
+      // double divide whose rounding could misbucket an extreme timestamp
+      // and silently drop a pair the residual filter can't recover
       val bucket = (t: org.apache.spark.sql.Column) =>
-        (t / lit(HourUs)).cast("long")
+        call_function("div", t, lit(HourUs))
       val clicks = u.filter($"event_type" === "click")
         .select($"user_id", $"t".as("ct"), $"event_id".as("click_id"))
         .withColumn("bucket",

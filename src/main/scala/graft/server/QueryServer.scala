@@ -81,12 +81,14 @@ final class QueryServer(spark: SparkSession, dataDir: String,
     * distributed plan — the haskellServer's elaborate-then-run request path
     * (haskellServer/src/Extracted.hs:2217) with the whole engine behind it.
     */
+  private def fullStore: Map[String, DataFrame] =
+    graft.core.Tables.all
+      .map(n => n -> Tables.load(spark, dataDir, n)).toMap
+
   private def runProgram(src: String): DataFrame = {
     import graft.lang.{Compiler, Parser, Rewrites}
     val prog = Rewrites.normalize(Parser.parseExpr(src))
-    val store = graft.core.Tables.all
-      .map(n => n -> Tables.load(spark, dataDir, n)).toMap
-    Compiler.compile(prog, Compiler.Env(Map.empty, store, spark)) match {
+    Compiler.compile(prog, Compiler.Env(Map.empty, fullStore, spark)) match {
       case Compiler.TV(df) => df
       case Compiler.CV(c) => spark.range(1).select(c.as("value"))
     }
@@ -101,11 +103,17 @@ final class QueryServer(spark: SparkSession, dataDir: String,
   private def runCommand(src: String): DataFrame = {
     import graft.lang.{Compiler, Optimize, Parser}
     val prog = Parser.parseCommand(src)
-    val store = graft.core.Tables.all
-      .map(n => n -> Tables.load(spark, dataDir, n)).toMap
-    val end = Optimize.run(prog, Compiler.Env(Map.empty, store, spark))
-    end.store.getOrElse("result", throw new IllegalArgumentException(
+    val end = Optimize.run(prog, Compiler.Env(Map.empty, fullStore, spark))
+    val res = end.store.getOrElse("result", throw new IllegalArgumentException(
       "program must assign a table to `result`"))
+    // materialize the response rows BEFORE releasing the caches the
+    // Optimize pipeline pinned (keyed indexes) — otherwise a long-lived
+    // server accumulates dead cached RDDs request after request
+    val rows = res.limit(maxRows).collect()
+    end.indexes.values.foreach(_.unpersist())
+    end.compoIndexes.values.foreach(_.unpersist())
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), res.schema)
   }
 
   /** `POST /extract` — same surface-syntax body as /run, but instead of

@@ -12,8 +12,11 @@ import org.apache.spark.sql.SparkSession
 private[streaming] object StreamConf {
   // The conf is session-global: without mutual exclusion two concurrent
   // streaming queries (e.g. served by QueryServer's handler pool) would
-  // interleave save/restore and could leak the reduced value to the whole
-  // session. Serializing the demos is fine — they are bounded.
+  // interleave save/restore and could PERMANENTLY leak the reduced value.
+  // The lock prevents that corruption by serializing StreamConf users;
+  // a concurrent batch query on the same session still plans with the
+  // reduced width for the window's duration (correct results, fewer
+  // reducers) — acceptable for these bounded demos.
   private val lock = new Object
   def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A =
     lock.synchronized {
