@@ -238,6 +238,43 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Near-dup CLUSTERS: connected components over the pair graph, with
+    // the smallest doc_id as each cluster's canonical keeper — what a
+    // pipeline actually does with near-dup PAIRS (pairwise removal is
+    // order-dependent; component-canonical removal is not). Min-label
+    // propagation (plans/Graph.connectedComponents): O(diameter) rounds,
+    // one edge join + one min-agg per round, lineage checkpointed. The
+    // oracle computes the same components via a recursive closure.
+    GraftQuery.sql("q_dedup_clusters",
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |)
+        |SELECT src AS doc_id,
+        |  LEAST(src, MIN(dst)) AS component,
+        |  src = LEAST(src, MIN(dst)) AS keep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dsets = cachedShingleSets(s, dir)
+      val pairs = jaccardPairs(dsets).filter($"jaccard" >= 0.5)
+        .select($"a", $"b")
+      graft.plans.Graph.connectedComponents(
+          graft.plans.Graph.symmetrize(pairs))
+        .select($"node".as("doc_id"), $"component",
+          ($"node" === $"component").as("keep"))
+        .orderBy("doc_id")
+    },
+
     // MinHash + LSH: map-side per-doc signature (min over the shingle array
     // of xxhash64(seed_i, shingle) for 16 seeds); 8 bands of 2 rows
     // bucket-joined; candidates verified with exact Jaccard. Only

@@ -52,4 +52,41 @@ object Graph {
     edges.unpersist()
     visited
   }
+
+  /** Connected components by min-label propagation: every node starts
+    * labeled with itself; each round every node takes the min of its own
+    * label and its neighbors' labels, until a round changes nothing.
+    * Converges in O(component diameter) rounds; per round one shuffle
+    * (edge join) + one aggregation, with `localCheckpoint` keeping the
+    * plan O(1) in rounds. Returns (node, component) where component is
+    * the smallest node id in the node's component.
+    */
+  def connectedComponents(symEdges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val spark = symEdges.sparkSession
+    import spark.implicits._
+    val edges = symEdges.toDF("src", "dst")
+      .repartition(spark.sparkContext.defaultParallelism, col("src"))
+      .cache()
+    var labels = edges.select($"src".as("node"))
+      .distinct().withColumn("label", $"node").localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      iter += 1
+      // neighbor labels flow along edges; min with the node's own label
+      val prop = edges.join(labels, $"src" === $"node")
+        .select($"dst".as("node"), $"label")
+      val next = labels.union(prop)
+        .groupBy($"node").agg(min($"label").as("label"))
+        .localCheckpoint()
+      val stable = next.join(labels.select($"node".as("n2"),
+          $"label".as("l2")), $"node" === $"n2")
+        .filter($"label" =!= $"l2").isEmpty
+      if (stable) done = true // fixpoint: no label changed this round
+      labels = next
+    }
+    edges.unpersist()
+    labels.select($"node", $"label".as("component"))
+  }
 }
