@@ -70,6 +70,12 @@ object Graph {
       .cache()
     var labels = edges.select($"src".as("node"))
       .distinct().withColumn("label", $"node").localCheckpoint()
+    // labels only ever DECREASE (min with neighbors), so the label sum
+    // strictly decreases until the fixpoint — one tiny aggregate per round
+    // detects convergence, no compare-join needed
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum($"label"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -80,10 +86,9 @@ object Graph {
       val next = labels.union(prop)
         .groupBy($"node").agg(min($"label").as("label"))
         .localCheckpoint()
-      val stable = next.join(labels.select($"node".as("n2"),
-          $"label".as("l2")), $"node" === $"n2")
-        .filter($"label" =!= $"l2").isEmpty
-      if (stable) done = true // fixpoint: no label changed this round
+      val s = labelSum(next)
+      if (s == prevSum) done = true // fixpoint
+      prevSum = s
       labels = next
     }
     edges.unpersist()

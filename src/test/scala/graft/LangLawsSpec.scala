@@ -74,6 +74,36 @@ class LangLawsSpec extends AnyFunSuite {
     assert(rowsOf(lhs, store) === rowsOf(rhs, store))
   }
 
+  test("annotate_collection preserves semantics on random list pipelines") {
+    // the CollectionTransf analog of the reference's soundness statement:
+    // annotated (bag/set aggregate) and source (sequential fold) agree on
+    // random inputs, including the empty-filter-result edge
+    def litList(xs: Seq[Long]): Expr = xs.foldRight[Expr](EAtom(ANil(TInt))) {
+      (x, a) => EBinop(OCons, EAtom(AInt(x)), a)
+    }
+    def evalv(e: Expr): Any = spark.range(1).select(
+      asScalar(compile(e, Env(Map.empty, Map.empty, spark))).as("v"))
+      .head().get(0)
+    for (_ <- 1 to 15) {
+      val xs = Seq.fill(rnd.nextInt(8))(rnd.nextInt(100).toLong)
+      val th = rnd.nextInt(120).toLong // sometimes filters everything out
+      val src = EFilter(LikeList, litList(xs), "x",
+        EBinop(OLess, EAtom(AInt(th)), EVar("x")))
+      val sumIdiom = EFold(src, EAtom(AInt(0)), "v", "acc",
+        EBinop(OPlus, EVar("v"), EVar("acc")))
+      val minIdiom = EFold(src, EAtom(ANone(TInt)), "v", "acc",
+        EOptMatch(EVar("acc"), EUnop(OSome, EVar("v")), "m",
+          EIf(EBinop(OLess, EVar("v"), EVar("m")),
+            EUnop(OSome, EVar("v")), EVar("acc"))))
+      for (e <- Seq(sumIdiom, EUnop(OLength, src), minIdiom)) {
+        val annotated = CollectionTransf.annotate(e)
+        assert(annotated !== e, s"annotation must fire on $e")
+        assert(Option(evalv(annotated)) === Option(evalv(e)),
+          s"divergence on xs=$xs th=$th for $e")
+      }
+    }
+  }
+
   test("set_of(concat(a,b)) == set_of(concat(set_of(a), set_of(b)))") {
     val store = Map("a" -> randTable(100), "b" -> randTable(100))
     val lhs = ESetOf(EBinop(OConcat, ELoc("a"), ELoc("b")))
