@@ -46,7 +46,14 @@ object DictIndex {
     * proportionally to its size (capped only by a runaway guard). */
   def partitionsFor(df: DataFrame): Int = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    ((bytes / (64L << 20)) + 1).min(BigInt(1 << 17)).max(BigInt(1)).toInt
+    // upper bound relative to the cluster's parallelism: Catalyst's size
+    // estimate for a DERIVED plan (joins, explodes) can be off by orders
+    // of magnitude, and an estimate-driven six-figure partition count
+    // would swamp every later lookup in task overhead. Scan-backed
+    // estimates (file sizes) stay well inside this bound at any scale.
+    val cap = math.max(1024,
+      32 * df.sparkSession.sparkContext.defaultParallelism)
+    ((bytes / (64L << 20)) + 1).min(BigInt(cap)).max(BigInt(1)).toInt
   }
 
   /** Build = one shuffle by the key + cache; amortized over many lookups,

@@ -65,6 +65,10 @@ object Graph {
       maxIter: Int = 50): DataFrame = {
     val spark = symEdges.sparkSession
     import spark.implicits._
+    // NB deliberately the cluster's parallelism, not a stats-derived
+    // count: plan statistics of a derived join pipeline (a near-dup pair
+    // graph) can be wildly overestimated, and a six-figure partition
+    // count here would grind the iterative rounds to a halt
     val edges = symEdges.toDF("src", "dst")
       .repartition(spark.sparkContext.defaultParallelism, col("src"))
       .cache()
@@ -83,8 +87,16 @@ object Graph {
       // neighbor labels flow along edges; min with the node's own label
       val prop = edges.join(labels, $"src" === $"node")
         .select($"dst".as("node"), $"label")
-      val next = labels.union(prop)
+      // checkpoint BEFORE the self-join below, which reads it twice
+      val stepped = labels.union(prop)
         .groupBy($"node").agg(min($"label").as("label"))
+        .localCheckpoint()
+      // pointer jumping: also take the label OF the label (every label is
+      // itself a node id), shortcutting chains — O(log diameter) rounds
+      // instead of O(diameter)
+      val next = stepped.join(stepped.select($"node".as("jn"),
+          $"label".as("jl")), $"label" === $"jn")
+        .select($"node", least($"label", $"jl").as("label"))
         .localCheckpoint()
       val s = labelSum(next)
       if (s == prevSum) done = true // fixpoint
