@@ -45,15 +45,25 @@ object DictIndex {
     * not a 32-task fan-out — while a 100 TB source still partitions
     * proportionally to its size (capped only by a runaway guard). */
   def partitionsFor(df: DataFrame): Int = {
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    // upper bound relative to the cluster's parallelism: Catalyst's size
-    // estimate for a DERIVED plan (joins, explodes) can be off by orders
-    // of magnitude, and an estimate-driven six-figure partition count
-    // would swamp every later lookup in task overhead. Scan-backed
-    // estimates (file sizes) stay well inside this bound at any scale.
-    val cap = math.max(1024,
-      32 * df.sparkSession.sparkContext.defaultParallelism)
-    ((bytes / (64L << 20)) + 1).min(BigInt(cap)).max(BigInt(1)).toInt
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    val plan = df.queryExecution.optimizedPlan
+    // Catalyst's size estimate is trustworthy for scan-backed plans (file
+    // sizes) but can be off by orders of magnitude for DERIVED plans —
+    // joins and generators multiply estimates — and an estimate-driven
+    // six-figure partition count swamps every later lookup in task
+    // overhead. So: data-proportional cap for scans (a 100 TB source
+    // fans out fully), parallelism-relative cap when a join/generate
+    // makes the estimate unreliable.
+    val derived = plan.collectFirst {
+      case j: Join => j
+      case g: Generate => g
+    }.isDefined
+    val cap =
+      if (derived)
+        math.max(1024, 32 * df.sparkSession.sparkContext.defaultParallelism)
+      else 1 << 17
+    ((plan.stats.sizeInBytes / (64L << 20)) + 1)
+      .min(BigInt(cap)).max(BigInt(1)).toInt
   }
 
   /** Build = one shuffle by the key + cache; amortized over many lookups,

@@ -74,12 +74,14 @@ object Graph {
       .cache()
     var labels = edges.select($"src".as("node"))
       .distinct().withColumn("label", $"node").localCheckpoint()
-    // labels only ever DECREASE (min with neighbors), so the label sum
-    // strictly decreases until the fixpoint — one tiny aggregate per round
-    // detects convergence, no compare-join needed
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum($"label"), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
+    // labels only ever DECREASE (min with neighbors), so a cheap per-round
+    // CHECKSUM detects candidate fixpoints: hash-based, so it works for
+    // any id type and a (vanishingly unlikely) checksum collision is
+    // caught by the exact confirmation join before terminating
+    def checksum(df: DataFrame): Long =
+      df.agg(coalesce(sum(xxhash64($"node", $"label")), lit(0L)))
+        .head().getLong(0)
+    var prevSum = checksum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -87,10 +89,11 @@ object Graph {
       // neighbor labels flow along edges; min with the node's own label
       val prop = edges.join(labels, $"src" === $"node")
         .select($"dst".as("node"), $"label")
-      // checkpoint BEFORE the self-join below, which reads it twice
+      // cache (not a second checkpoint): the self-join below reads it
+      // twice; released as soon as `next` has materialized
       val stepped = labels.union(prop)
         .groupBy($"node").agg(min($"label").as("label"))
-        .localCheckpoint()
+        .cache()
       // pointer jumping: also take the label OF the label (every label is
       // itself a node id), shortcutting chains — O(log diameter) rounds
       // instead of O(diameter)
@@ -98,8 +101,13 @@ object Graph {
           $"label".as("jl")), $"label" === $"jn")
         .select($"node", least($"label", $"jl").as("label"))
         .localCheckpoint()
-      val s = labelSum(next)
-      if (s == prevSum) done = true // fixpoint
+      stepped.unpersist()
+      val s = checksum(next)
+      if (s == prevSum) {
+        // confirm exactly — the checksum is a filter, not the proof
+        done = next.join(labels.select($"node".as("n2"), $"label".as("l2")),
+          $"node" === $"n2").filter($"label" =!= $"l2").isEmpty
+      }
       prevSum = s
       labels = next
     }
