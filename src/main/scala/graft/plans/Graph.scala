@@ -79,7 +79,11 @@ object Graph {
     // any id type and a (vanishingly unlikely) checksum collision is
     // caught by the exact confirmation join before terminating
     def checksum(df: DataFrame): Long =
-      df.agg(coalesce(sum(xxhash64($"node", $"label")), lit(0L)))
+      // addends bounded to [0, 1e6) so the ANSI-mode sum cannot overflow
+      // Long for any realistic row count; collisions are caught by the
+      // exact confirmation below
+      df.agg(coalesce(sum(pmod(xxhash64($"node", $"label"),
+          lit(1000003L))), lit(0L)))
         .head().getLong(0)
     var prevSum = checksum(labels)
     var iter = 0
