@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked run's stdout verbatim (no "[info] " log prefix): the
+// bench driver json-parses our single output line and the prefix breaks it.
+run / outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
