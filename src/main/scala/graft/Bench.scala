@@ -13,7 +13,14 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't charged ~4s of
     // session startup
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b benches a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

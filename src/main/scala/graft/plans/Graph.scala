@@ -65,15 +65,23 @@ object Graph {
       maxIter: Int = 50): DataFrame = {
     val spark = symEdges.sparkSession
     import spark.implicits._
-    // NB deliberately the cluster's parallelism, not a stats-derived
-    // count: plan statistics of a derived join pipeline (a near-dup pair
-    // graph) can be wildly overestimated, and a six-figure partition
-    // count here would grind the iterative rounds to a halt
-    val edges = symEdges.toDF("src", "dst")
-      .repartition(spark.sparkContext.defaultParallelism, col("src"))
-      .cache()
+    // NB deliberately NOT a stats-derived count: plan statistics of a
+    // derived join pipeline (a near-dup pair graph) can be wildly
+    // overestimated, and a six-figure partition count here would grind the
+    // iterative rounds to a halt. Instead the edge set is materialized
+    // once and the iteration is sized from its MEASURED cardinality — a
+    // near-dup pair graph is orders of magnitude smaller than the corpus
+    // that produced it, and running O(log diameter) rounds at full cluster
+    // width pays per-round scheduling for no data. ~1M edges per partition
+    // keeps tasks meaningful; huge graphs still get full parallelism.
+    val edgesRaw = symEdges.toDF("src", "dst").cache()
+    val nEdges = edgesRaw.count()
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 1000000L + 1L)).toInt
+    val edges = edgesRaw.repartition(parts, col("src")).cache()
     var labels = edges.select($"src".as("node"))
-      .distinct().withColumn("label", $"node").localCheckpoint()
+      .distinct().withColumn("label", $"node")
+      .repartition(parts, col("node")).localCheckpoint()
     // labels only ever DECREASE (min with neighbors), so a cheap per-round
     // CHECKSUM detects candidate fixpoints: hash-based, so it works for
     // any id type and a (vanishingly unlikely) checksum collision is
@@ -116,6 +124,7 @@ object Graph {
       labels = next
     }
     edges.unpersist()
+    edgesRaw.unpersist()
     labels.select($"node", $"label".as("component"))
   }
 }
