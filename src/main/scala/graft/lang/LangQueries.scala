@@ -591,6 +591,45 @@ object LangQueries {
         .store("result").orderBy("k")
     },
 
+    // The Optimize.v COLUMN family end-to-end: a surface join over
+    // FULL-WIDTH store tables (9-column orders, 8-column customer) runs
+    // through the whole pipeline; the narrowing pass (proj_pushdown_left/
+    // right/filter, Optimize.v:966-1135 via Pruning.narrow) wraps each join
+    // input in a make_record projection of just the used columns — asserted
+    // on the transformed AST below — and the routed program still matches
+    // the oracle. Catalyst would prune the physical scan regardless; the
+    // assertion is that OUR optimizer performs the reference's rewrite.
+    GraftQuery.sql("q_pruned_join",
+      """SELECT o_orderkey AS okey, c_name AS cust
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_custkey < 40
+        |ORDER BY okey, cust""".stripMargin) { (s, dir) =>
+      val src =
+        """set result := (o <- mut orders;
+          |c <- mut customer;
+          |check(o[o_custkey] == c[c_custkey] && o[o_custkey] < 40);
+          |ret { okey : o[o_orderkey], cust : c[c_name] })""".stripMargin
+      val prog = Parser.parseCommand(src)
+      val env = Env(Map.empty, Map(
+        "orders" -> Tables.load(s, dir, "orders"),
+        "customer" -> Tables.load(s, dir, "customer")), s)
+      val (cmd, primed) = Optimize.transform(prog, env)
+      def narrowCols(e: Expr): Option[Seq[String]] = e match {
+        case EProj(_, ELoc(_), _, ERecord(fs)) => Some(fs.map(_._1))
+        case EFilter(_, inner, _, _) => narrowCols(inner)
+        case _ => None
+      }
+      cmd match {
+        case CAssign("result", EJoin(_, l1, l2, _, _, _, _)) =>
+          require(narrowCols(l1).contains(Seq("o_custkey", "o_orderkey")),
+            s"left join input not narrowed: $l1")
+          require(narrowCols(l2).contains(Seq("c_custkey", "c_name")),
+            s"right join input not narrowed: $l2")
+        case other => sys.error(s"unexpected optimized command: $other")
+      }
+      Interp.run(cmd, primed).store("result").orderBy("okey", "cust")
+    },
+
     // The full reference lifecycle from SOURCE TEXT (SURVEY.md §3.1): a
     // program written in the surface comprehension notation
     // (fiat2/src/fiat2/Notations.v:144-149 — `x <- t; check(p); ret r`) is

@@ -33,7 +33,17 @@ object Optimize {
     val scoped = IvmTransf.transformScoped(annotated, requireLoop = false)
     val (ivmed, primed) =
       IvmTransf.transform(scoped, env, requireLoop = false)
-    IndexTransf.transform(ivmed, primed, requireLoop = false)
+    val (indexed, idxEnv) =
+      IndexTransf.transform(ivmed, primed, requireLoop = false)
+    // The reference's Optimize.v column family LAST: proj/filter fusion
+    // (proj_proj / efilter_efilter / filter_into_join / proj_into_join)
+    // then schema-aware early narrowing (proj_pushdown_left/right/filter)
+    // against the store's actual field sets. After the index transforms so
+    // the eq-filter shapes those passes pattern-match are still intact.
+    val fused = Pruning.fuseCommand(indexed)
+    val narrowed = Pruning.narrow(fused,
+      t => idxEnv.store.get(t).map(_.columns.toSeq))
+    (narrowed, idxEnv)
   }
 
   /** Optimize then interpret — the reference lifecycle's entry point A
