@@ -62,7 +62,7 @@ object IndexTransf {
     // not composed. The single-attribute case needs no such guard: the
     // table entry itself is swapped, and CAssign overwrites that entry.
     val mutated = nonChainMutatedCells(c)
-    byTable.foldLeft((c, env)) { case ((cmd, acc), (t, attrs0)) =>
+    val dicted = byTable.foldLeft((c, env)) { case ((cmd, acc), (t, attrs0)) =>
       acc.store.get(t) match {
         case Some(df) =>
           val attrs = attrs0.filter(df.columns.contains)
@@ -86,6 +86,113 @@ object IndexTransf {
         case None => (cmd, acc)
       }
     }
+    introduceBitmaps(dicted._1, dicted._2, requireLoop)
+  }
+
+  // --- bitmap index (BitmapIndex.v:331-335, :709-831) ---
+
+  /** Canonical binder for keying predicates modulo alpha-renaming. `@` keeps
+    * it out of the surface identifier space. */
+  private val canonBinder = "@row"
+
+  /** The precomputed-predicate field added to a bitmap-extended table. */
+  private val bitField = "@bit"
+
+  /** Constant-predicate loop filters become BITMAP indexes — the
+    * reference's other filter structure (`filter_to_bitmap_lookup_head`,
+    * fiat2/src/fiat2/BitmapIndex.v:811-831): a boolean vector aligned with
+    * the rows, built by evaluating the predicate ONCE, after which every
+    * use selects by the precomputed bit instead of re-evaluating.
+    *
+    * Spark realization: the table is re-materialized with the predicate as
+    * an extra boolean column and cached; routed filters test the column
+    * (`use_bitmap_head`, BitmapIndex.v:709) and a projection strips it, so
+    * the rewritten expression's value is unchanged. Eligible predicates
+    * depend on nothing but the row (no loop variables — those are the dict
+    * index's shape — and no store reads, which could change between
+    * iterations); eligible tables are never written in the command (the
+    * reference maintains bitmaps through inserts, cons_to_bitmap_update_head
+    * BitmapIndex.v:650-665 — here a write simply downgrades to no bitmap).
+    */
+  private def introduceBitmaps(c: Command, env: Compiler.Env,
+      requireLoop: Boolean): (Command, Compiler.Env) = {
+    val written = writtenCells(c)
+    val cands = loopConstFilters(c, inLoop = !requireLoop).distinct
+      .filterNot { case (t, _) => written.contains(t) }
+      .filter { case (t, _) => env.store.contains(t) }
+    cands.zipWithIndex.foldLeft((c, env)) {
+      case ((cmd, acc), ((t, pCanon), i)) =>
+        val cell = s"$t@bitmap$i"
+        val df = acc.store(t)
+        val fields = df.columns.toList.sorted
+        val body = ERecord((fields.map(f =>
+          f -> (EAccess(EVar(canonBinder), f): Expr)) :+
+          (bitField -> pCanon)).sortBy(_._1))
+        val extended = Compiler.compile(
+          EProj(LikeBag, ELoc(t), canonBinder, body), acc)
+          .asInstanceOf[Compiler.TV].df.cache()
+        (routeBitmap(cmd, t, pCanon, cell, fields),
+          acc.copy(store = acc.store + (cell -> extended)))
+    }
+  }
+
+  /** Rewrite every filter of `t` whose predicate is alpha-equal to `pCanon`
+    * into bit-test-then-strip over the bitmap cell. */
+  private def routeBitmap(c: Command, t: String, pCanon: Expr, cell: String,
+      fields: List[String]): Command =
+    Rewrites.mapExprs(c)(e => Rewrites.foldExpr(e) {
+      case f @ EFilter(tag, SrcLoc(`t`), x, p) =>
+        if (Rewrites.rename(p, x, canonBinder).contains(pCanon))
+          EProj(tag,
+            EFilter(tag, ELoc(cell), x, EAccess(EVar(x), bitField)),
+            x, Pruning.makeRecord(x, fields))
+        else f
+      case other => other
+    })
+
+  /** Store cells the command writes at all (bitmaps are not maintained —
+    * any write disqualifies, unlike the chain-maintained dict/compo case). */
+  private def writtenCells(c: Command): Set[String] = c match {
+    case CSkip => Set.empty
+    case CSeq(a, b) => writtenCells(a) ++ writtenCells(b)
+    case CLet(_, _, b) => writtenCells(b)
+    case CLetMut(_, x, b) => writtenCells(b) + x
+    case CAssign(x, _) => Set(x)
+    case CIf(_, a, b) => writtenCells(a) ++ writtenCells(b)
+    case CForeach(_, _, b) => writtenCells(b)
+  }
+
+  /** (table, canonical predicate) for loop filters whose predicate uses
+    * only the row: not an attr-eq point lookup (the dict index owns those)
+    * and free of loop variables and store reads. */
+  private def loopConstFilters(c: Command,
+      inLoop: Boolean): Seq[(String, Expr)] = c match {
+    case CSkip => Nil
+    case CSeq(a, b) => loopConstFilters(a, inLoop) ++ loopConstFilters(b, inLoop)
+    case CLet(e, _, b) => constFilters(e, inLoop) ++ loopConstFilters(b, inLoop)
+    case CLetMut(e, _, b) => constFilters(e, inLoop) ++ loopConstFilters(b, inLoop)
+    case CAssign(_, e) => constFilters(e, inLoop)
+    case CIf(e, a, b) =>
+      constFilters(e, inLoop) ++ loopConstFilters(a, inLoop) ++
+        loopConstFilters(b, inLoop)
+    case CForeach(e, _, b) =>
+      constFilters(e, inLoop) ++ loopConstFilters(b, inLoop = true)
+  }
+
+  private def constFilters(e: Expr, inLoop: Boolean): Seq[(String, Expr)] = {
+    val here = e match {
+      case EFilter(_, SrcLoc(t), x, p)
+          if inLoop && eqAttr(x, p).isEmpty &&
+            (Rewrites.freeVars(p) - x).isEmpty && !readsStore(p) =>
+        Rewrites.rename(p, x, canonBinder).map(t -> _).toSeq
+      case _ => Nil
+    }
+    here ++ children(e).flatMap(constFilters(_, inLoop))
+  }
+
+  private def readsStore(e: Expr): Boolean = e match {
+    case ELoc(_) => true
+    case _ => children(e).exists(readsStore)
   }
 
   /** Store cells the command re-binds, or assigns with anything OTHER

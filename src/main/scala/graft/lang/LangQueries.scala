@@ -591,6 +591,47 @@ object LangQueries {
         .store("result").orderBy("k")
     },
 
+    // The reference's BITMAP index end-to-end
+    // (filter_to_bitmap_lookup_head, fiat2/src/fiat2/BitmapIndex.v:811-831):
+    // a loop re-filters orders with the same CONSTANT predicate every
+    // iteration; IndexTransf precomputes the predicate once as a boolean
+    // column on a cached cell and routes each filter to a bit test + strip
+    // (use_bitmap_head, BitmapIndex.v:709) — asserted structurally below.
+    // The dict index cannot claim this shape (no attr-eq key); the bitmap
+    // is the reference's structure for exactly these repeated scans.
+    GraftQuery.sql("q_bitmap_routed",
+      """SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(k AS BIGINT) * (SELECT COUNT(*) FROM orders WHERE o_custkey < 40
+        |                       AND o_orderkey % 2 = 0) AS n
+        |FROM (VALUES (1), (2), (3)) t(k) ORDER BY k""".stripMargin) { (s, dir) =>
+      val src =
+        """let mut out := nil[{k : int, n : int}] in
+          |for kv in [1, 2, 3] :
+          |  set out := { k : kv,
+          |    n : kv * len(o <- mut orders;
+          |                 check(o[o_custkey] < 40 && o[o_orderkey] % 2 == 0);
+          |                 ret o) } :: mut out
+          |end;
+          |set result := mut out""".stripMargin
+      val prog = Parser.parseCommand(src)
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val env = Env(Map.empty, Map("orders" -> orders), s)
+      val (cmd, idxEnv) = IndexTransf.transform(
+        Rewrites.normalizeCommand(prog), env)
+      require(idxEnv.store.contains("orders@bitmap0"),
+        "bitmap cell was not introduced")
+      var routed = false
+      Rewrites.mapExprs(cmd)(e => Rewrites.foldExpr(e) {
+        case pr @ EProj(_, EFilter(_, ELoc("orders@bitmap0"), x,
+            EAccess(EVar(x2), "@bit")), _, _) if x == x2 =>
+          routed = true; pr
+        case other => other
+      })
+      require(routed, s"filter not bitmap-routed:\n$cmd")
+      Interp.run(cmd, idxEnv).store("result").orderBy("k")
+    },
+
     // The Optimize.v COLUMN family end-to-end: a surface join over
     // FULL-WIDTH store tables (9-column orders, 8-column customer) runs
     // through the whole pipeline; the narrowing pass (proj_pushdown_left/

@@ -246,4 +246,66 @@ class IndexTransfSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(plain === fast)
   }
+
+  private def constPredLoop(pred: Expr): Command = {
+    val keys = List(1L, 2L).foldRight[Expr](EAtom(ANil(TInt))) {
+      (k, acc) => EBinop(OCons, EAtom(AInt(k)), acc)
+    }
+    CLetMut(
+      EAtom(ANil(TRecord.sorted("k" -> TInt, "n" -> TInt))), "out",
+      CSeq(
+        CForeach(keys, "kv",
+          CAssign("out", EBinop(OCons,
+            ERecord(List("k" -> EVar("kv"), "n" -> EUnop(OLength,
+              EFilter(LikeBag, ELoc("orders"), "o", pred)))),
+            ELoc("out")))),
+        CAssign("result", ELoc("out"))))
+  }
+
+  test("constant-predicate loop filter routes through a bitmap cell") {
+    val orders = Tables.load(spark, TestSpark.sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val pred = EBinop(OLess, EAccess(EVar("o"), "o_custkey"), EAtom(AInt(40)))
+    val prog = constPredLoop(pred)
+    val env = Env(Map.empty, Map("orders" -> orders), spark)
+    val (cmd, idxEnv) = IndexTransf.transform(prog, env)
+    // the bitmap cell exists: the table extended with the precomputed bit
+    assert(idxEnv.store.contains("orders@bitmap0"))
+    val cell = idxEnv.store("orders@bitmap0")
+    assert(cell.columns.contains("@bit"))
+    // the routed filter tests the bit and strips it back to the row fields
+    var routed = false
+    Rewrites.mapExprs(cmd)(e => Rewrites.foldExpr(e) {
+      case pr @ EProj(_, EFilter(_, ELoc("orders@bitmap0"), x,
+          EAccess(EVar(x2), "@bit")), _, _) if x == x2 =>
+        routed = true; pr
+      case other => other
+    })
+    assert(routed, s"no bitmap-routed filter in:\n$cmd")
+    // semantics: routed run equals plain run
+    val plain = Interp.run(prog, env).store("result")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val fast = Interp.run(cmd, idxEnv).store("result")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(plain === fast)
+    cell.unpersist()
+  }
+
+  test("bitmap not introduced for written tables or loop-varying predicates") {
+    val orders = Tables.load(spark, TestSpark.sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val env = Env(Map.empty, Map("orders" -> orders), spark)
+    // predicate mentions the loop variable → dict-index territory, no bitmap
+    val varying = constPredLoop(
+      EBinop(OLess, EAccess(EVar("o"), "o_custkey"), EVar("kv")))
+    val (_, e1) = IndexTransf.transform(varying, env)
+    assert(!e1.store.keys.exists(_.contains("@bitmap")))
+    // table written in the command → bitmap would go stale, must skip
+    val written = CSeq(constPredLoop(
+      EBinop(OLess, EAccess(EVar("o"), "o_custkey"), EAtom(AInt(40)))),
+      CAssign("orders", EBinop(OConcat, ELoc("orders"), ELoc("orders"))))
+    val (c2, e2) = IndexTransf.transform(written, env)
+    assert(!e2.store.keys.exists(_.contains("@bitmap")))
+    assert(c2 === written)
+  }
 }
