@@ -385,6 +385,41 @@ object LangQueries {
       }
     },
 
+    // WHOLE-PROGRAM extraction (`program_py`, fiat2/src/fiat2/ToPython.v:
+    // 231-232, which renders a full command for another engine to run): a
+    // straight-line two-binding command extracts as TEMP VIEW DDL
+    // statements. Spark executes the SCRIPT; the oracle is built from the
+    // SAME extracted query texts with the view chain inlined as a CTE —
+    // so the script path and the single-query path are proved equal
+    // across engines.
+    {
+      val src =
+        """let mut big := (o <- mut orders;
+          |check(o[o_custkey] < 100);
+          |ret { ck : o[o_custkey], ok : o[o_orderkey] }) in
+          |set result := (b <- mut big;
+          |c <- mut customer;
+          |check(b[ck] == c[c_custkey]);
+          |ret { ok : b[ok], cust : c[c_name] })""".stripMargin
+      val prog = Rewrites.normalizeCommand(Parser.parseCommand(src))
+      val script = ToSql.program(prog)
+      require(script.length == 2 &&
+        script.forall(_.startsWith("CREATE OR REPLACE TEMP VIEW")),
+        s"unexpected extracted script: $script")
+      val (sql1, sql2) = prog match {
+        case CLetMut(e1, "big", CAssign("result", e2)) =>
+          (ToSql(e1), ToSql(e2))
+        case other => sys.error(s"unexpected program shape: $other")
+      }
+      val oracleText =
+        s"WITH big AS ($sql1) SELECT * FROM ($sql2) ORDER BY ok, cust"
+      GraftQuery.sql("q_to_sql_program", oracleText) { (s, dir) =>
+        Tables.registerAll(s, dir)
+        script.foreach(s.sql)
+        s.sql("SELECT * FROM result ORDER BY ok, cust")
+      }
+    },
+
     // Extraction of the set/bag algebra: distinct-count of the UNION ALL
     // of two projections (ESetOf ∘ OConcat — CollectionTransf's target
     // forms rendered as DISTINCT / UNION ALL, portable to both engines).

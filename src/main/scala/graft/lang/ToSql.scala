@@ -22,6 +22,48 @@ object ToSql {
   final case class Unextractable(what: String)
       extends RuntimeException(s"no SQL extraction for $what")
 
+  /** Extract a whole COMMAND as a SQL script — the analog of the
+    * reference's whole-program extraction (`program_py`,
+    * fiat2/src/fiat2/ToPython.v:231-232): each binding becomes a
+    * `CREATE OR REPLACE TEMP VIEW`, sequencing becomes statement order.
+    *
+    * The honest subset is SINGLE-ASSIGNMENT straight-line programs:
+    * Spark resolves a view's definition at CREATE time while DuckDB
+    * resolves at query time, so re-assigning a name that an earlier view
+    * reads would give the two engines different answers — extraction
+    * refuses re-definition outright (same stance as the expression
+    * subset). `CIf`/`CForeach` (driver control flow) have no SQL-script
+    * form and refuse too.
+    */
+  def program(c: Command): List[String] = {
+    def go(c: Command, defined: Set[String]): (List[String], Set[String]) =
+      c match {
+        case CSkip => (Nil, defined)
+        case CSeq(a, b) =>
+          val (s1, d1) = go(a, defined)
+          val (s2, d2) = go(b, d1)
+          (s1 ++ s2, d2)
+        case CLet(e, x, body) => define(x, e, body, defined)
+        case CLetMut(e, x, body) => define(x, e, body, defined)
+        case CAssign(x, e) =>
+          if (defined.contains(x)) throw Unextractable(
+            s"re-assignment of '$x' (view semantics diverge across engines)")
+          (List(s"CREATE OR REPLACE TEMP VIEW ${ident(x)} AS ${apply(e)}"),
+            defined + x)
+        case CIf(_, _, _) => throw Unextractable("CIf")
+        case CForeach(_, _, _) => throw Unextractable("CForeach")
+      }
+    def define(x: String, e: Expr, body: Command,
+        defined: Set[String]): (List[String], Set[String]) = {
+      if (defined.contains(x)) throw Unextractable(
+        s"re-definition of '$x' (view semantics diverge across engines)")
+      val stmt = s"CREATE OR REPLACE TEMP VIEW ${ident(x)} AS ${apply(e)}"
+      val (rest, d) = go(body, defined + x)
+      (stmt :: rest, d)
+    }
+    go(c, Set.empty)._1
+  }
+
   /** Extract a table-valued expression to a standalone SQL query. */
   def apply(e: Expr): String = e match {
     case ELoc(t) => s"SELECT * FROM ${ident(t)}"

@@ -90,4 +90,30 @@ class ToSqlSpec extends AnyFunSuite {
     assert(viaSql === viaCompile)
     assert(viaSql === Seq((1L, "x!"), (2L, "y!")))
   }
+
+  test("whole-program extraction: bindings become view DDL in order") {
+    val q1 = EFilter(LikeBag, ELoc("t"), "x",
+      EBinop(OLess, EAccess(EVar("x"), "k"), EAtom(AInt(5))))
+    val q2 = EProj(LikeBag, ELoc("big"), "y",
+      ERecord(List("a" -> EAccess(EVar("y"), "k"))))
+    val prog = CLetMut(q1, "big", CAssign("result", q2))
+    assert(ToSql.program(prog) === List(
+      "CREATE OR REPLACE TEMP VIEW big AS SELECT * FROM t AS x WHERE (x.k < 5)",
+      "CREATE OR REPLACE TEMP VIEW result AS SELECT y.k AS a FROM big AS y"))
+  }
+
+  test("whole-program extraction refuses re-assignment and control flow") {
+    val q = ELoc("t")
+    // re-assignment: Spark freezes a view's definition at CREATE time,
+    // DuckDB resolves at query time — divergent, must refuse
+    assertThrows[ToSql.Unextractable](ToSql.program(
+      CLetMut(q, "v", CAssign("v", ELoc("u")))))
+    assertThrows[ToSql.Unextractable](ToSql.program(
+      CForeach(EAtom(ANil(TInt)), "x", CAssign("out", q))))
+    assertThrows[ToSql.Unextractable](ToSql.program(
+      CIf(EAtom(ABool(true)), CAssign("a", q), CSkip)))
+    // straight-line single assignment is fine
+    assert(ToSql.program(CSeq(CAssign("a", q), CAssign("b", ELoc("a"))))
+      .length === 2)
+  }
 }
