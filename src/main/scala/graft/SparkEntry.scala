@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       streaming.StreamAgg.queries ++
+      streaming.LateData.queries ++
       streaming.StreamDedup.queries ++
       streaming.Sessionize.queries ++
       functions.TypedAgg.queries ++
