@@ -36,7 +36,13 @@ object Compiler {
       indexes: Map[String, graft.operators.DictIndex] = Map.empty,
       // composed-index handles (compo_idx): base table name → the record of
       // components; a cons-insert updates EVERY component (compo_idx_wf)
-      compoIndexes: Map[String, graft.operators.CompoIndex] = Map.empty) {
+      compoIndexes: Map[String, graft.operators.CompoIndex] = Map.empty,
+      // SCOPED index annotations (IndexTransf.transformScoped): CLetMut
+      // binder → attributes its body loop-point-filters on. The analog of
+      // the reference's per-program index_choices (Ex_Orders.v:56-67);
+      // Interp.CLetMut performs the physical re-representation at bind
+      // time (transf_to_idx under the letmut, OptimizeAnno.v:282-288)
+      indexHints: Map[String, Seq[String]] = Map.empty) {
     def bind(x: String, v: Val): Env =
       copy(vars = vars + (x -> v), rowVars = rowVars - x)
     /** Bind a PLAN-ATTRIBUTE row variable (a table operator's binder). Such

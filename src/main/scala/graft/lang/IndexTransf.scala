@@ -86,8 +86,71 @@ object IndexTransf {
         case None => (cmd, acc)
       }
     }
-    introduceBitmaps(dicted._1, dicted._2, requireLoop)
+    val bitmapped = introduceBitmaps(dicted._1, dicted._2, requireLoop)
+    transformScoped(bitmapped._1, bitmapped._2, requireLoop)
   }
+
+  /** SCOPED index introduction — the reference applies `transf_to_idx`
+    * UNDER each CLetMut (`apply_below_n_letmuts`,
+    * fiat2/src/fiat2/OptimizeAnno.v:282-288), re-representing the scoped
+    * table itself. A CLetMut-bound table whose body loop-point-filters it
+    * gets an index annotation (`Env.indexHints` — the analog of the
+    * reference's per-program index_choices, Ex_Orders.v:56-67); Interp
+    * builds the physical keyed representation when the cell binds, and
+    * the existing CAssign maintenance then covers chain inserts in the
+    * body. Several filtered attributes → composed index: the body's point
+    * filters are routed to per-attribute component cells here, and Interp
+    * binds those cells at CLetMut time.
+    *
+    * Only UNIQUELY-bound names that don't shadow a store table are
+    * annotated — a name bound by two different CLetMuts would make one
+    * hint apply to both scopes.
+    */
+  def transformScoped(c: Command, env: Compiler.Env,
+      requireLoop: Boolean): (Command, Compiler.Env) = {
+    val counts = letMutBindCounts(c)
+    def eligible(n: String) =
+      counts.getOrElse(n, 0) == 1 && !env.store.contains(n)
+    var hints = Map.empty[String, Seq[String]]
+    def go(c: Command, inLoop: Boolean): Command = c match {
+      case CSkip => CSkip
+      case CSeq(a, b) => CSeq(go(a, inLoop), go(b, inLoop))
+      case CLet(e, x, b) => CLet(e, x, go(b, inLoop))
+      case CLetMut(e, x, body) =>
+        val body2 = go(body, inLoop)
+        lazy val attrs = loopEqFilters(body2, inLoop = inLoop || !requireLoop)
+          .collect { case (`x`, a) => a }.distinct
+        if (!eligible(x)) CLetMut(e, x, body2)
+        else attrs match {
+          case Seq() => CLetMut(e, x, body2)
+          case Seq(a) =>
+            hints += (x -> Seq(a)); CLetMut(e, x, body2)
+          case several if !nonChainMutatedCells(body2).contains(x) =>
+            hints += (x -> several)
+            CLetMut(e, x, routeFilters(body2, x, several.toSet))
+          case _ => CLetMut(e, x, body2) // non-chain writes: can't compose
+        }
+      case CAssign(x, e) => CAssign(x, e)
+      case CIf(e, a, b) => CIf(e, go(a, inLoop), go(b, inLoop))
+      case CForeach(e, x, b) => CForeach(e, x, go(b, inLoop = true))
+    }
+    val rewritten = go(c, inLoop = !requireLoop)
+    (rewritten, env.copy(indexHints = env.indexHints ++ hints))
+  }
+
+  private def letMutBindCounts(c: Command): Map[String, Int] = c match {
+    case CSkip => Map.empty
+    case CSeq(a, b) => merge(letMutBindCounts(a), letMutBindCounts(b))
+    case CLet(_, _, b) => letMutBindCounts(b)
+    case CLetMut(_, x, b) => merge(Map(x -> 1), letMutBindCounts(b))
+    case CAssign(_, _) => Map.empty
+    case CIf(_, a, b) => merge(letMutBindCounts(a), letMutBindCounts(b))
+    case CForeach(_, _, b) => letMutBindCounts(b)
+  }
+
+  private def merge(a: Map[String, Int], b: Map[String, Int]): Map[String, Int] =
+    (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0))).toMap
 
   // --- bitmap index (BitmapIndex.v:331-335, :709-831) ---
 

@@ -43,20 +43,46 @@ object Interp {
         case tv => // table cell
           // shadow a same-named outer SCALAR cell too: ELoc resolution and
           // CAssign both consult env.scalars first, so leaving it bound would
-          // make the inner table cell invisible to the body. The inner cell
-          // is a fresh unindexed table, so any outer index handle is
-          // likewise shadowed and restored.
-          val saved = env.store.get(x)
+          // make the inner table cell invisible to the body. Index handles
+          // are likewise shadowed and restored — unless this binder carries
+          // a SCOPED index annotation (IndexTransf.transformScoped), in
+          // which case the cell binds as its keyed index (the reference's
+          // transf_to_idx under the letmut, OptimizeAnno.v:282-288) and the
+          // body's chain inserts maintain it through the CAssign paths.
+          val df = toDF(tv, env)
+          val hintAttrs = env.indexHints.getOrElse(x, Seq.empty)
+          val compNames = hintAttrs.map(IndexTransf.componentName(x, _))
+          val savedStore = (x +: compNames).map(n => n -> env.store.get(n))
           val savedScalar = env.scalars.get(x)
           val savedIdx = env.indexes.get(x)
           val savedCompo = env.compoIndexes.get(x)
-          val after = run(body,
-            env.copy(store = env.store + (x -> toDF(tv, env)),
-              scalars = env.scalars - x, indexes = env.indexes - x,
-              compoIndexes = env.compoIndexes - x))
-          val restored = saved match {
-            case Some(df) => after.copy(store = after.store + (x -> df))
-            case None => after.copy(store = after.store - x)
+          val cleared = env.copy(scalars = env.scalars - x,
+            indexes = env.indexes - x, compoIndexes = env.compoIndexes - x)
+          val bound = hintAttrs match {
+            case Seq(a) if df.columns.contains(a) =>
+              val idx = graft.operators.DictIndex.build(df, a)
+              cleared.copy(store = cleared.store + (x -> idx.keyed),
+                indexes = cleared.indexes + (x -> idx))
+            case attrs if attrs.length > 1 =>
+              // the body's filters were routed to component cells, so the
+              // cells must bind regardless; keyed when the attribute exists
+              // in the runtime schema, the plain table otherwise
+              if (attrs.forall(df.columns.contains)) {
+                val compo = graft.operators.CompoIndex.build(df, attrs)
+                cleared.copy(store = cleared.store + (x -> df) ++
+                  attrs.map(a => IndexTransf.componentName(x, a) ->
+                    compo.component(a).keyed),
+                  compoIndexes = cleared.compoIndexes + (x -> compo))
+              } else cleared.copy(store = cleared.store + (x -> df) ++
+                compNames.map(_ -> df))
+            case _ => cleared.copy(store = cleared.store + (x -> df))
+          }
+          val after = run(body, bound)
+          val restored = savedStore.foldLeft(after) { case (acc, (n, old)) =>
+            old match {
+              case Some(d) => acc.copy(store = acc.store + (n -> d))
+              case None => acc.copy(store = acc.store - n)
+            }
           }
           val restored2 = savedScalar match {
             case Some(old) =>

@@ -597,6 +597,49 @@ object LangQueries {
       IndexTransf.runIndexed(prog, env).store("result").orderBy("k")
     },
 
+    // SCOPED composed index (the reference applies transf_to_idx UNDER
+    // each CLetMut — apply_below_n_letmuts, OptimizeAnno.v:282-288): the
+    // table is CLetMut-BOUND, not store-bound; the transform annotates the
+    // binder (Env.indexHints), routes the two point filters to component
+    // cells, and Interp builds the composed index when the cell binds.
+    // Chain inserts in the loop maintain every component (compo_idx_wf),
+    // which the oracle checks: nb counts exactly the row inserted that
+    // iteration through the routed o_orderkey component.
+    GraftQuery.sql("q_scoped_compo",
+      """SELECT CAST(k AS BIGINT) AS k,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey = k) + 1 AS na,
+        |  CAST(1 AS BIGINT) AS nb
+        |FROM (VALUES (1), (2), (3)) t(k) ORDER BY k""".stripMargin) { (s, dir) =>
+      val src =
+        """let mut tbl := mut orders in
+          |let mut out := nil[{k : int, na : int, nb : int}] in
+          |for kv in [1, 2, 3] :
+          |  set tbl := { o_orderkey : kv + 2000000, o_custkey : kv } :: mut tbl;
+          |  set out := { k : kv,
+          |    na : len(o <- mut tbl; check(o[o_custkey] == kv); ret o),
+          |    nb : len(o <- mut tbl; check(o[o_orderkey] == kv + 2000000); ret o)
+          |  } :: mut out
+          |end;
+          |set result := mut out""".stripMargin
+      val prog = Parser.parseCommand(src)
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val env = Env(Map.empty, Map("orders" -> orders), s)
+      val (cmd, idxEnv) = IndexTransf.transform(
+        Rewrites.normalizeCommand(prog), env)
+      require(idxEnv.indexHints.get("tbl").exists(_.toSet ==
+        Set("o_custkey", "o_orderkey")), "scoped binder not annotated")
+      var routed = Set.empty[String]
+      Rewrites.mapExprs(cmd)(e => Rewrites.foldExpr(e) {
+        case f @ EFilter(_, ELoc(t), _, _) if t.contains("@") =>
+          routed += t; f
+        case other => other
+      })
+      require(routed == Set("tbl@o_custkey", "tbl@o_orderkey"),
+        s"filters not routed to components: $routed")
+      Interp.run(cmd, idxEnv).store("result").orderBy("k")
+    },
+
     // The ENTIRE lifecycle from surface text through the whole-pipeline
     // optimizer: parse → recognition → collection annotation (len and the
     // hand-written sum fold become declarative aggregates) → incremental

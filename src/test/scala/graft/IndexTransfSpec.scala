@@ -291,6 +291,80 @@ class IndexTransfSpec extends AnyFunSuite {
     cell.unpersist()
   }
 
+  test("scoped CLetMut table gets a bind-time index annotation") {
+    val orders = Tables.load(spark, TestSpark.sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val keys = List(1L, 2L).foldRight[Expr](EAtom(ANil(TInt))) {
+      (k, acc) => EBinop(OCons, EAtom(AInt(k)), acc)
+    }
+    val prog = CLetMut(ELoc("orders"), "t",
+      CLetMut(EAtom(ANil(TRecord.sorted("k" -> TInt, "n" -> TInt))), "out",
+        CSeq(
+          CForeach(keys, "kv", CAssign("out", EBinop(OCons,
+            ERecord(List("k" -> EVar("kv"), "n" -> EUnop(OLength,
+              EFilter(LikeBag, ELoc("t"), "o",
+                EBinop(OEq, EAccess(EVar("o"), "o_custkey"), EVar("kv")))))),
+            ELoc("out")))),
+          CAssign("result", ELoc("out")))))
+    val env = Env(Map.empty, Map("orders" -> orders), spark)
+    val (cmd, e2) = IndexTransf.transform(prog, env)
+    assert(e2.indexHints.get("t") === Some(Seq("o_custkey")))
+    assert(cmd === prog, "single-attribute case needs no routing")
+    val plain = Interp.run(prog, env).store("result")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val fast = Interp.run(cmd, e2).store("result")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(plain === fast)
+  }
+
+  test("scoped composed index: filters routed, chain inserts maintained") {
+    val orders = Tables.load(spark, TestSpark.sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val keys = List(1L, 2L).foldRight[Expr](EAtom(ANil(TInt))) {
+      (k, acc) => EBinop(OCons, EAtom(AInt(k)), acc)
+    }
+    def cnt(attr: String, key: Expr) = EUnop(OLength,
+      EFilter(LikeBag, ELoc("t"), "o",
+        EBinop(OEq, EAccess(EVar("o"), attr), key)))
+    val newKey = EBinop(OPlus, EVar("kv"), EAtom(AInt(1000000L)))
+    val prog = CLetMut(ELoc("orders"), "t",
+      CLetMut(EAtom(ANil(
+        TRecord.sorted("k" -> TInt, "na" -> TInt, "nb" -> TInt))), "out",
+        CSeq(
+          CForeach(keys, "kv", CSeq(
+            CAssign("t", EBinop(OCons,
+              ERecord(List("o_custkey" -> EVar("kv"), "o_orderkey" -> newKey)),
+              ELoc("t"))),
+            CAssign("out", EBinop(OCons,
+              ERecord(List("k" -> EVar("kv"),
+                "na" -> cnt("o_custkey", EVar("kv")),
+                "nb" -> cnt("o_orderkey", newKey))),
+              ELoc("out"))))),
+          CAssign("result", ELoc("out")))))
+    val env = Env(Map.empty, Map("orders" -> orders), spark)
+    val (cmd, e2) = IndexTransf.transform(prog, env)
+    assert(e2.indexHints.get("t").map(_.toSet) ===
+      Some(Set("o_custkey", "o_orderkey")))
+    // body filters now read the per-attribute component cells
+    var routedCells = Set.empty[String]
+    Rewrites.mapExprs(cmd)(e => Rewrites.foldExpr(e) {
+      case f @ EFilter(_, ELoc(t), _, _) if t.contains("@") =>
+        routedCells += t; f
+      case other => other
+    })
+    assert(routedCells === Set(
+      IndexTransf.componentName("t", "o_custkey"),
+      IndexTransf.componentName("t", "o_orderkey")))
+    val plain = Interp.run(prog, env).store("result")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val fast = Interp.run(cmd, e2).store("result")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(plain === fast)
+    // the inserted row is visible through the routed component (nb counts
+    // exactly the row this iteration inserted)
+    assert(fast.forall(_._3 === 1L))
+  }
+
   test("bitmap not introduced for written tables or loop-varying predicates") {
     val orders = Tables.load(spark, TestSpark.sfDir, "orders")
       .select($"o_orderkey", $"o_custkey")
