@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Temporal.queries ++
       operators.Stats.queries ++
       operators.Dedup.queries ++
+      operators.Curation.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       streaming.StreamAgg.queries ++

@@ -116,10 +116,31 @@ case class MinHashSignature(child: Expression, perms: Int) extends UnaryExpressi
     copy(child = newChild)
 }
 
+case class Md5Low64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_md5_low64"
+
+  override def nullSafeEval(s: Any): Any =
+    TextHashes.md5Low64(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHashes.md5Low64($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Low64 =
+    copy(child = newChild)
+}
+
 object Fingerprints {
   /** 64-bit simhash of a string-array column. */
   def simhash(toks: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(toks)))
+
+  /** Low 64 bits of md5 of a string column — bit-identical to DuckDB's
+    * `md5_number_lower`, the deterministic cross-engine hash for sampling
+    * decisions (xxh64 has no DuckDB counterpart). */
+  def md5Low64(s: Column): Column =
+    GraftBridge.column(Md5Low64(GraftBridge.expression(s)))
 
   /** array<long> minhash signature of a string-array column (null if empty). */
   def minhash(shingles: Column, perms: Int): Column =

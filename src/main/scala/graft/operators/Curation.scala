@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{GraftQuery, Tables}
+import graft.functions.Fingerprints
+
+/** Training-data CURATION operators — the decisions a pipeline makes after
+  * dedup/quality scoring: which rows enter the mix (stratified sampling),
+  * which rows must NOT (benchmark contamination), and which rows are
+  * degenerate (intra-document repetition, the Gopher-style rule). All three
+  * are deterministic — sampling by cross-engine hash, not RNG — so each has
+  * an exact DuckDB oracle.
+  *
+  * Scale notes: sampling and repetition are MAP-ONLY (one projection, no
+  * shuffle — the plan at 100 TB is "scan, filter, write"). Contamination is
+  * one semi-join of the corpus' shingle postings against the benchmark's
+  * distinct shingle set; the benchmark side is tiny and broadcasts, so the
+  * corpus never shuffles.
+  */
+object Curation {
+
+  import graft.core.Text.toks
+
+  /** Per-mille sampling bucket from the cross-engine md5-low64 hash,
+    * masked to 31 bits so the signed (Spark) and unsigned (DuckDB)
+    * readings of the low word agree. Salted so the bucket is independent
+    * of any other hash-of-doc_id decision in the pipeline. */
+  private def bucket1000(c: org.apache.spark.sql.Column) =
+    Fingerprints.md5Low64(concat(lit("smp:"), c.cast("string")))
+      .bitwiseAND(0x7fffffffL) % 1000
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // STRATIFIED SAMPLING: per-language rates (the "data mix") decided by
+    // a deterministic hash of the id — reproducible across runs, engines,
+    // and cluster sizes, unlike RNG sampling. en keeps 50%, every other
+    // language 25%. Map-only: the 100 TB plan is scan → filter.
+    GraftQuery.sql("q_sample_stratified",
+      """SELECT doc_id, lang FROM documents
+        |WHERE (md5_number_lower('smp:' || CAST(doc_id AS VARCHAR)) & 2147483647) % 1000
+        |      < CASE WHEN lang = 'en' THEN 500 ELSE 250 END
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .filter(bucket1000($"doc_id") <
+          when($"lang" === "en", 500).otherwise(250))
+        .select($"doc_id", $"lang")
+        .orderBy("doc_id")
+    },
+
+    // BENCHMARK CONTAMINATION: corpus documents sharing any word-3-gram
+    // with a held-out benchmark set (here: doc_id % 97 = 0) must be
+    // flagged before training. One pass builds the benchmark's distinct
+    // shingle set (tiny — broadcasts); the corpus' shingle postings
+    // semi-join it and count DISTINCT shared shingle types per document.
+    GraftQuery.sql("q_contamination",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_shared
+        |         FROM sh JOIN bench USING (s)
+        |         WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+        |SELECT doc_id, n_shared FROM hits ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val t = col("tk")
+      val idx = when(size(t) >= 3, sequence(lit(0), size(t) - 3))
+        .otherwise(array().cast("array<int>"))
+      val sh = docs.select($"doc_id", toks($"text").as("tk"))
+        .select($"doc_id", explode(array_distinct(
+          transform(idx, i => concat_ws(" ", get(t, i), get(t, i + 1),
+            get(t, i + 2))))).as("s"))
+      val bench = broadcast(
+        sh.filter($"doc_id" % 97 === 0).select($"s").distinct())
+      sh.filter($"doc_id" % 97 =!= 0)
+        .join(bench, "s")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+
+    // INTRA-DOCUMENT REPETITION (the Gopher-style quality rule): the
+    // fraction of a document's word-3-grams that are repeats of an
+    // earlier 3-gram in the same document. Entirely map-side — the
+    // per-doc total and distinct counts come from one higher-order-
+    // function pass over the token array. The ratio is one int division,
+    // bit-identical across engines.
+    GraftQuery.sql("q_repetition",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |         FOR i IN range(1, len(ws) - 1)] AS gs
+        |      FROM w WHERE len(ws) >= 3)
+        |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+        |  CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs) AS dup_ratio,
+        |  (CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)) > 0.2 AS repetitive
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val t = col("tk")
+      val idx = when(size(t) >= 3, sequence(lit(0), size(t) - 3))
+        .otherwise(array().cast("array<int>"))
+      val gs = col("gs")
+      Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", toks($"text").as("tk"))
+        .select($"doc_id", transform(idx, i =>
+          concat_ws(" ", get(t, i), get(t, i + 1), get(t, i + 2))).as("gs"))
+        .filter(size(gs) > 0)
+        .select($"doc_id", size(gs).cast("long").as("n_grams"),
+          ((size(gs) - size(array_distinct(gs))).cast("double") / size(gs))
+            .as("dup_ratio"),
+          (((size(gs) - size(array_distinct(gs))).cast("double") / size(gs))
+            > 0.2).as("repetitive"))
+        .orderBy("doc_id")
+    },
+  )
+}
