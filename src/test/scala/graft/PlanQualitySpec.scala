@@ -107,6 +107,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected the single by-user shuffle:\n$p")
   }
 
+  test("sampling and repetition plans are map-only; contamination broadcasts") {
+    // stratified sampling: scan → filter, nothing else — the only Exchange
+    // is the presentation sort's range partitioning; no hash shuffle means
+    // the 100 TB plan moves zero rows between executors to DECIDE the
+    // sample
+    val ps = plan("q_sample_stratified")
+    assert(!ps.contains("Exchange hashpartitioning"),
+      s"sampling must not hash-shuffle:\n$ps")
+    // repetition scoring: one projection pass, same property
+    val pr = plan("q_repetition")
+    assert(!pr.contains("Exchange hashpartitioning"),
+      s"repetition must be map-side:\n$pr")
+    // contamination: benchmark side must broadcast — the corpus postings
+    // never hash-shuffle against it
+    val pc = plan("q_contamination")
+    assert(pc.contains("BroadcastHashJoin"), pc)
+  }
+
   test("native dot product runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayMath
