@@ -176,16 +176,32 @@ object Rewrites {
     go(e)
   }
 
-  /** `join t1 t2 (p1 && p) r` with p1 not mentioning the right binder →
-    * `join (filter t1 p1) t2 p r` (filter_pushdown_head,
-    * fiat2/src/fiat2/RelTransf.v:441-448). Catalyst performs the same move
-    * on the physical plan regardless; doing it at the Lang level
-    * additionally EXPOSES `EFilter(ELoc …)` shapes to the index
-    * transforms, which pattern-match structured filters. */
+  /** `join t1 t2 (p1 && p) r` with a one-sided conjunct → the conjunct
+    * becomes a filter on its own source (filter_pushdown_head,
+    * fiat2/src/fiat2/RelTransf.v:441-448; the right side and the
+    * second-conjunct cases are the reference's `swap_conjuncts_head`
+    * RelTransf.v:503-508 composed with the pushdown — here matched
+    * directly, so each firing strictly shrinks the join predicate and
+    * no pure-swap loop exists). Catalyst performs the same move on the
+    * physical plan regardless; doing it at the Lang level additionally
+    * EXPOSES `EFilter(ELoc …)` shapes to the index transforms, which
+    * pattern-match structured filters. */
   val filterPushdownHead: Expr => Expr = {
+    // first conjunct, left-only
     case EJoin(tag, l1, l2, x, y, EBinop(OAnd, p1, p), r)
         if !freeVars(p1).contains(y) =>
       EJoin(tag, EFilter(tag, l1, x, p1), l2, x, y, p, r)
+    // first conjunct, right-only
+    case EJoin(tag, l1, l2, x, y, EBinop(OAnd, p1, p), r)
+        if !freeVars(p1).contains(x) =>
+      EJoin(tag, l1, EFilter(tag, l2, y, p1), x, y, p, r)
+    // second conjunct, one-sided (swap_conjuncts + pushdown)
+    case EJoin(tag, l1, l2, x, y, EBinop(OAnd, p, p1), r)
+        if !freeVars(p1).contains(y) =>
+      EJoin(tag, EFilter(tag, l1, x, p1), l2, x, y, p, r)
+    case EJoin(tag, l1, l2, x, y, EBinop(OAnd, p, p1), r)
+        if !freeVars(p1).contains(x) =>
+      EJoin(tag, l1, EFilter(tag, l2, y, p1), x, y, p, r)
     case e => e
   }
 

@@ -58,10 +58,23 @@ class RewritesSpec extends AnyFunSuite {
     assert(normalize(j) === EJoin(LikeBag,
       EFilter(LikeBag, ELoc("t1"), "x", pLeft), ELoc("t2"), "x", "y",
       pJoin, r))
-    // a left conjunct mentioning the RIGHT binder must stay in the join
+    // SECOND-conjunct one-sided predicate also pushes (swap_conjuncts_head,
+    // RelTransf.v:503-508, composed with the pushdown)
     val j2 = EJoin(LikeBag, ELoc("t1"), ELoc("t2"), "x", "y",
       EBinop(OAnd, pJoin, pLeft), r)
-    assert(normalize(j2) === j2)
+    assert(normalize(j2) === EJoin(LikeBag,
+      EFilter(LikeBag, ELoc("t1"), "x", pLeft), ELoc("t2"), "x", "y",
+      pJoin, r))
+    // a RIGHT-only conjunct pushes into the right source
+    val pRight = EBinop(OLess, EAccess(EVar("y"), "v"), EAtom(AInt(3)))
+    val j3 = EJoin(LikeBag, ELoc("t1"), ELoc("t2"), "x", "y",
+      EBinop(OAnd, pRight, pJoin), r)
+    assert(normalize(j3) === EJoin(LikeBag,
+      ELoc("t1"), EFilter(LikeBag, ELoc("t2"), "y", pRight), "x", "y",
+      pJoin, r))
+    // a two-sided predicate must stay in the join
+    val j4 = EJoin(LikeBag, ELoc("t1"), ELoc("t2"), "x", "y", pJoin, r)
+    assert(normalize(j4) === j4)
   }
 
   test("correlated inner source is NOT rewritten to a join") {
