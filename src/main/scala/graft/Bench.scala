@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ~96 queries × several codegen stages far exceeds the default
+      // 100-entry generated-class cache; evictions force Janino
+      // recompiles of the hot dedup/fingerprint expressions mid-run
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query isn't charged ~4s of

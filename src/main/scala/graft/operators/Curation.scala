@@ -63,15 +63,13 @@ object Curation {
         |         WHERE doc_id % 97 <> 0 GROUP BY doc_id)
         |SELECT doc_id, n_shared FROM hits ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-      val t = col("tk")
-      val idx = when(size(t) >= 3, sequence(lit(0), size(t) - 3))
-        .otherwise(array().cast("array<int>"))
-      val sh = docs.select($"doc_id", toks($"text").as("tk"))
-        .select($"doc_id", explode(array_distinct(
-          transform(idx, i => concat_ws(" ", get(t, i), get(t, i + 1),
-            get(t, i + 2))))).as("s"))
+      // one cached pass builds the distinct per-doc shingle sets (the
+      // same structure the dedup family shares); BOTH sides of the
+      // contamination join derive from it, so the corpus is shingled once
+      val dsets = Dedup.shingleSets(Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)).cache()
+      dsets.count()
+      val sh = dsets.select($"doc_id", explode($"ss").as("s"))
       val bench = broadcast(
         sh.filter($"doc_id" % 97 === 0).select($"s").distinct())
       sh.filter($"doc_id" % 97 =!= 0)
@@ -98,15 +96,22 @@ object Curation {
         |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val t = col("tk")
-      val idx = when(size(t) >= 3, sequence(lit(0), size(t) - 3))
-        .otherwise(array().cast("array<int>"))
+      // trigrams via zipped SLICES, not an index lambda reading the outer
+      // token column: Catalyst may collapse the token projection into the
+      // lambda, and an outer-column reference inside a higher-order
+      // function re-evaluates its whole expression PER ELEMENT ACCESS
+      // (observed 11x: split() recomputed 3x per trigram). The zip form's
+      // lambda touches only its own variable, so re-evaluation stays
+      // bounded per ROW no matter how projections collapse.
+      val zips = arrays_zip(slice(t, lit(1), size(t) - 2),
+        slice(t, lit(2), size(t) - 2), slice(t, lit(3), size(t) - 2))
       val gs = col("gs")
       Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", toks($"text").as("tk"))
-        .select($"doc_id", transform(idx, i =>
-          concat_ws(" ", get(t, i), get(t, i + 1), get(t, i + 2))).as("gs"))
-        .filter(size(gs) > 0)
+        .filter(size(t) >= 3)
+        .select($"doc_id", transform(zips,
+          s3 => concat_ws(" ", s3("0"), s3("1"), s3("2"))).as("gs"))
         .select($"doc_id", size(gs).cast("long").as("n_grams"),
           ((size(gs) - size(array_distinct(gs))).cast("double") / size(gs))
             .as("dup_ratio"),
