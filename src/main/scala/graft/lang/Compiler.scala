@@ -293,13 +293,38 @@ object Compiler {
     }
 
     case EFlatmap2(e1, e2, x1, x2, e3) =>
-      // lockstep zip, stopping at the SHORTER list (flat_map2,
-      // fiat2/src/fiat2/Interpret.v:7-11) — zip_with pads with null, so slice
-      // both sides to the common length first.
-      val a1 = asCV(compile(e1, env)); val a2 = asCV(compile(e2, env))
-      val n = least(size(a1), size(a2))
-      CV(flatten(zip_with(slice(a1, lit(1), n), slice(a2, lit(1), n),
-        (v1, v2) => asCV(compile(e3, env.bind(x1, CV(v1)).bind(x2, CV(v2)))))))
+      (compile(e1, env), compile(e2, env)) match {
+        case (TV(d1), TV(d2)) =>
+          // lockstep zip of two TABLES. A top-level list's observable
+          // order is canonical value order (the table-level EFold takes
+          // the same stance), so positions come from zipWithIndex over
+          // each canonically-sorted side — a DISTRIBUTED zip (one count
+          // pass for per-partition offsets), not a single-partition
+          // window — and the inner position join cuts at the shorter
+          // side (flat_map2, fiat2/src/fiat2/Interpret.v:7-11).
+          assertUncorrelated(env, Set(x1, x2), e3)
+          val z1 = zipIndexed(d1).alias("__zip_l")
+          val z2 = zipIndexed(d2).alias("__zip_r")
+          def side(cols: Array[String], q: String): Column = {
+            val sorted = cols.sorted
+            if (sorted.sameElements(Array("value"))) col(s"$q.value")
+            else struct(sorted.map(c => col(s"$q.$c").as(c)): _*)
+          }
+          val joined = z1.join(z2,
+            col("__zip_l.__pos") === col("__zip_r.__pos"), "inner")
+          val bound = env
+            .bindRow(x1, CV(side(d1.columns, "__zip_l")))
+            .bindRow(x2, CV(side(d2.columns, "__zip_r")))
+          TV(flattenExploded(joined, asCV(compile(e3, bound))))
+        case (v1, v2) =>
+          // nested lists: zip_with pads with null, so slice both sides
+          // to the common length first
+          val a1 = asCV(v1); val a2 = asCV(v2)
+          val n = least(size(a1), size(a2))
+          CV(flatten(zip_with(slice(a1, lit(1), n), slice(a2, lit(1), n),
+            (w1, w2) => asCV(compile(e3,
+              env.bind(x1, CV(w1)).bind(x2, CV(w2)))))))
+      }
 
     case EFold(l, z, x, acc, step) => compile(l, env) match {
       case CV(c) =>
@@ -376,6 +401,19 @@ object Compiler {
       else lit(row.getAs[Any](c))
     if (cols.sameElements(Array("value"))) cell("value")
     else struct(cols.map(c => cell(c).as(c)): _*)
+  }
+
+  /** Contiguous 0-based positions over the canonical (all-columns,
+    * name-sorted) order — `zipWithIndex` computes per-partition offsets
+    * from one count pass and never funnels the data through a single
+    * partition, unlike a global `row_number` window. */
+  private def zipIndexed(df: DataFrame): DataFrame = {
+    val ordered = df.orderBy(df.columns.sorted.map(col): _*)
+    val schema2 = ordered.schema.add("__pos", LongType, nullable = false)
+    val rdd = ordered.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema2)
   }
 
   private def flattenExploded(df: DataFrame, arr: Column): DataFrame = {

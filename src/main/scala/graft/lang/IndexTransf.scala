@@ -86,7 +86,7 @@ object IndexTransf {
         case None => (cmd, acc)
       }
     }
-    val bitmapped = introduceBitmaps(dicted._1, dicted._2, requireLoop)
+    val bitmapped = introduceBitmaps(dicted._1, dicted._2)
     transformScoped(bitmapped._1, bitmapped._2, requireLoop)
   }
 
@@ -176,11 +176,18 @@ object IndexTransf {
     * iterations); eligible tables are never written in the command (the
     * reference maintains bitmaps through inserts, cons_to_bitmap_update_head
     * BitmapIndex.v:650-665 — here a write simply downgrades to no bitmap).
+    *
+    * Bitmaps are LOOP-ONLY in every mode, including the unconditional
+    * optimizer pipeline: unlike the dict/compo/scoped transforms — which
+    * re-KEY existing data — a bitmap is a new materialized artifact whose
+    * build costs exactly one full predicate evaluation, so introducing it
+    * for a one-shot filter (e.g. a conjunct the pushdown just exposed on
+    * a join input) is a strict loss.
     */
-  private def introduceBitmaps(c: Command, env: Compiler.Env,
-      requireLoop: Boolean): (Command, Compiler.Env) = {
+  private def introduceBitmaps(c: Command,
+      env: Compiler.Env): (Command, Compiler.Env) = {
     val written = writtenCells(c)
-    val cands = loopConstFilters(c, inLoop = !requireLoop).distinct
+    val cands = loopConstFilters(c, inLoop = false).distinct
       .filterNot { case (t, _) => written.contains(t) }
       .filter { case (t, _) => env.store.contains(t) }
     cands.zipWithIndex.foldLeft((c, env)) {

@@ -597,6 +597,36 @@ object LangQueries {
       IndexTransf.runIndexed(prog, env).store("result").orderBy("k")
     },
 
+    // EFlatmap2 at TABLE level (fiat2/src/fiat2/Interpret.v:300-312): zip
+    // the canonically-ordered customer and nation tables positionally —
+    // the compiler's distributed zipWithIndex path (no single-partition
+    // window) — cutting at the shorter side (25 nations), one record per
+    // pair. The oracle replays canonical order with row_number.
+    GraftQuery.sql("q_flatmap2_tables",
+      """WITH a AS (SELECT c_custkey, c_name,
+        |            row_number() OVER (ORDER BY c_custkey, c_name) AS rn
+        |           FROM customer),
+        |b AS (SELECT n_name, n_nationkey,
+        |       row_number() OVER (ORDER BY n_name, n_nationkey) AS rn
+        |      FROM nation)
+        |SELECT a.c_custkey AS ck, b.n_nationkey AS nk, b.n_name AS nname
+        |FROM a JOIN b USING (rn) ORDER BY ck, nk""".stripMargin) { (s, dir) =>
+      val rowT = TRecord.sorted(
+        "ck" -> TInt, "nk" -> TInt, "nname" -> TString)
+      val prog = EFlatmap2(ELoc("customer"), ELoc("nation"), "c", "n",
+        EBinop(OCons, ERecord(List(
+          "ck" -> EAccess(EVar("c"), "c_custkey"),
+          "nk" -> EAccess(EVar("n"), "n_nationkey"),
+          "nname" -> EAccess(EVar("n"), "n_name"))),
+          EAtom(ANil(rowT))))
+      val env = Env(Map.empty, Map(
+        "customer" -> Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name")),
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_name"), col("n_nationkey"))), s)
+      compile(prog, env).asInstanceOf[TV].df.orderBy("ck", "nk")
+    },
+
     // SCOPED composed index (the reference applies transf_to_idx UNDER
     // each CLetMut — apply_below_n_letmuts, OptimizeAnno.v:282-288): the
     // table is CLetMut-BOUND, not store-bound; the transform annotates the
