@@ -21,7 +21,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not registered: " +
+          unknown.mkString(", "))
+        SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
     val results = selected.map { case (name, fn) =>

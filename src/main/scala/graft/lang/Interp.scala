@@ -78,6 +78,19 @@ object Interp {
             case _ => cleared.copy(store = cleared.store + (x -> df))
           }
           val after = run(body, bound)
+          // release the scope's index caches: the cells are unreachable
+          // after restore, and a hint-annotated CLetMut inside a loop
+          // would otherwise accumulate one cached build per iteration.
+          // (Only hinted binders — a plain cell can alias an OUTER
+          // DataFrame, e.g. `CLetMut(ELoc(outer), x, …)`, whose cache
+          // must survive. Chain-insert delta caches inside evolved
+          // handles are row-sized and tolerated.)
+          if (hintAttrs.nonEmpty) {
+            for (e <- Seq(bound, after)) {
+              e.indexes.get(x).foreach(_.unpersist())
+              e.compoIndexes.get(x).foreach(_.unpersist())
+            }
+          }
           val restored = savedStore.foldLeft(after) { case (acc, (n, old)) =>
             old match {
               case Some(d) => acc.copy(store = acc.store + (n -> d))
@@ -137,8 +150,19 @@ object Interp {
         // any other write shape: the entry is replaced and the index handles
         // dropped (correct, no longer incremental)
         case _ =>
-          env.copy(store = env.store + (x -> toDF(compileProgram(e, env), env)),
+          val newDf = toDF(compileProgram(e, env), env)
+          val base = env.copy(store = env.store + (x -> newDf),
             indexes = env.indexes - x, compoIndexes = env.compoIndexes - x)
+          // DEGRADED scoped components — the binder was hint-annotated and
+          // its filters routed, but no CompoIndex handle exists (some
+          // hinted attribute was absent from the runtime schema, or an
+          // earlier non-chain write dropped it). Routed filters read the
+          // component cells, so EVERY write must re-point them at the new
+          // value or they'd serve a stale snapshot.
+          val comps = env.indexHints.getOrElse(x, Seq.empty)
+            .map(IndexTransf.componentName(x, _))
+            .filter(base.store.contains)
+          base.copy(store = base.store ++ comps.map(_ -> newDf))
       }
 
     case CIf(e, c1, c2) =>

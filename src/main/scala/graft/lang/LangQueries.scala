@@ -578,7 +578,7 @@ object LangQueries {
     GraftQuery.sql("q_compo_insert",
       """SELECT CAST(k AS BIGINT) AS k,
         |  (SELECT COUNT(*) FROM orders WHERE o_custkey = k) + 1 AS na,
-        |  CAST(1 AS BIGINT) AS nb
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey = k + 1000000) + 1 AS nb
         |FROM (VALUES (1), (2), (3)) t(k) ORDER BY k""".stripMargin) { (s, dir) =>
       val src =
         """let mut out := nil[{k : int, na : int, nb : int}] in
@@ -638,7 +638,7 @@ object LangQueries {
     GraftQuery.sql("q_scoped_compo",
       """SELECT CAST(k AS BIGINT) AS k,
         |  (SELECT COUNT(*) FROM orders WHERE o_custkey = k) + 1 AS na,
-        |  CAST(1 AS BIGINT) AS nb
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey = k + 2000000) + 1 AS nb
         |FROM (VALUES (1), (2), (3)) t(k) ORDER BY k""".stripMargin) { (s, dir) =>
       val src =
         """let mut tbl := mut orders in

@@ -152,6 +152,11 @@ object Pruning {
     def narrowSrc(tag: CollectionTag, src: Expr,
         used: Option[List[String]]): Option[Expr] =
       src match {
+        // `@`-named cells are engine-introduced physical structures
+        // (index components, bitmap cells): a projection between a routed
+        // point filter and its keyed cache would rebuild the access path
+        // as scan+project — never narrow those
+        case ELoc(t) if t.contains("@") => None
         case ELoc(t) =>
           for {
             fields <- schema(t)

@@ -36,32 +36,47 @@ object ToSql {
     * form and refuse too.
     */
   def program(c: Command): List[String] = {
-    def go(c: Command, defined: Set[String]): (List[String], Set[String]) =
+    // `used` = names already defined by the script OR read (as a table
+    // location) by any earlier emitted statement. Defining either kind
+    // again diverges: Spark froze the earlier reader's plan against the
+    // OLD binding (base table or view) at CREATE time, while DuckDB
+    // would re-resolve it to the new view at query time.
+    def go(c: Command, used: Set[String]): (List[String], Set[String]) =
       c match {
-        case CSkip => (Nil, defined)
+        case CSkip => (Nil, used)
         case CSeq(a, b) =>
-          val (s1, d1) = go(a, defined)
-          val (s2, d2) = go(b, d1)
-          (s1 ++ s2, d2)
-        case CLet(e, x, body) => define(x, e, body, defined)
-        case CLetMut(e, x, body) => define(x, e, body, defined)
-        case CAssign(x, e) =>
-          if (defined.contains(x)) throw Unextractable(
-            s"re-assignment of '$x' (view semantics diverge across engines)")
-          (List(s"CREATE OR REPLACE TEMP VIEW ${ident(x)} AS ${apply(e)}"),
-            defined + x)
+          val (s1, u1) = go(a, used)
+          val (s2, u2) = go(b, u1)
+          (s1 ++ s2, u2)
+        case CLet(e, x, body) => define(x, e, body, used)
+        case CLetMut(e, x, body) => define(x, e, body, used)
+        case CAssign(x, e) => define(x, e, CSkip, used)
         case CIf(_, _, _) => throw Unextractable("CIf")
         case CForeach(_, _, _) => throw Unextractable("CForeach")
       }
     def define(x: String, e: Expr, body: Command,
-        defined: Set[String]): (List[String], Set[String]) = {
-      if (defined.contains(x)) throw Unextractable(
+        used: Set[String]): (List[String], Set[String]) = {
+      if (used.contains(x) || locs(e).contains(x)) throw Unextractable(
         s"re-definition of '$x' (view semantics diverge across engines)")
       val stmt = s"CREATE OR REPLACE TEMP VIEW ${ident(x)} AS ${apply(e)}"
-      val (rest, d) = go(body, defined + x)
-      (stmt :: rest, d)
+      val (rest, u) = go(body, used + x ++ locs(e))
+      (stmt :: rest, u)
     }
     go(c, Set.empty)._1
+  }
+
+  /** Every table location an expression reads. */
+  private def locs(e: Expr): Set[String] = {
+    val here = e match { case ELoc(t) => Set(t); case _ => Set.empty[String] }
+    here ++ e.asInstanceOf[Product].productIterator.flatMap {
+      case c: Expr => locs(c)
+      case l: List[_] => l.flatMap {
+        case c: Expr => locs(c)
+        case (_, c: Expr) => locs(c)
+        case _ => Nil
+      }
+      case _ => Nil
+    }
   }
 
   /** Extract a table-valued expression to a standalone SQL query. */

@@ -63,12 +63,9 @@ object Curation {
         |         WHERE doc_id % 97 <> 0 GROUP BY doc_id)
         |SELECT doc_id, n_shared FROM hits ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      // one cached pass builds the distinct per-doc shingle sets (the
-      // same structure the dedup family shares); BOTH sides of the
-      // contamination join derive from it, so the corpus is shingled once
-      val dsets = Dedup.shingleSets(Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)).cache()
-      dsets.count()
+      // the dedup family's cached per-doc shingle sets; BOTH sides of the
+      // contamination join derive from one materialized pass
+      val dsets = Dedup.cachedShingleSets(s, dir)
       val sh = dsets.select($"doc_id", explode($"ss").as("s"))
       val bench = broadcast(
         sh.filter($"doc_id" % 97 === 0).select($"s").distinct())

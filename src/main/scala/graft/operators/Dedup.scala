@@ -70,7 +70,7 @@ object Dedup {
     * multiple sides of joins, and without the barrier AQE submits them
     * concurrently — each recomputing the unmaterialized cache redundantly
     * (observed 3×8.7s single-task stages for a ~2s computation). */
-  private def cachedShingleSets(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def cachedShingleSets(s: SparkSession, dir: String): DataFrame = {
     val dsets = shingleSets(Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)).cache()
     dsets.count()

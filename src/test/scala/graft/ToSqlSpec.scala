@@ -115,5 +115,16 @@ class ToSqlSpec extends AnyFunSuite {
     // straight-line single assignment is fine
     assert(ToSql.program(CSeq(CAssign("a", q), CAssign("b", ELoc("a"))))
       .length === 2)
+    // redefining a BASE table an earlier view already read diverges the
+    // same way (Spark froze view `a`'s plan against the base `t`; DuckDB
+    // would re-resolve it to the new view) — must refuse
+    assertThrows[ToSql.Unextractable](ToSql.program(
+      CSeq(CAssign("a", ELoc("t")),
+        CSeq(CAssign("t", ELoc("u")), CAssign("r", ELoc("a"))))))
+    // a self-referential definition resolves to the base table on Spark
+    // but to the view itself on DuckDB — refuse
+    assertThrows[ToSql.Unextractable](ToSql.program(
+      CAssign("t", EFilter(LikeBag, ELoc("t"), "x",
+        EBinop(OLess, EAccess(EVar("x"), "k"), EAtom(AInt(5)))))))
   }
 }
