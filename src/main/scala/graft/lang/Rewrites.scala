@@ -213,6 +213,33 @@ object Rewrites {
     case e => e
   }
 
+  /** `flatmap t (λx. if p body [])` with `p` independent of the row →
+    * `if p (flatmap t body) []` (swap_flatmap_if_head,
+    * fiat2/src/fiat2/RelTransf.v:131-138) — decorrelation-lite: the
+    * hoisted condition is decided ONCE (the compiler's eager EIf probe
+    * folds a row-free condition on the driver) instead of per row.
+    * Ordered after the to_filter/to_join heads so the singleton
+    * comprehension shapes become structured filters first; this head
+    * catches the remaining non-singleton bodies. */
+  val swapFlatmapIf: Expr => Expr = {
+    case EFlatmap(tag, l, x, EIf(p, body, n @ Nil0()))
+        if !freeVars(p).contains(x) =>
+      EIf(p, EFlatmap(tag, l, x, body), n)
+    case e => e
+  }
+
+  /** `join t1 t2 x y p r` → `join t2 t1 y x p r` — join commutativity
+    * under bag semantics (swap_join_likebag_head,
+    * fiat2/src/fiat2/RelTransf.v:698-704; Optimize.v:1356 join_comm).
+    * NOT in the `normalize` pipeline: a commute has no normal form to
+    * reach (applying it twice is the identity), and physical join-order
+    * choice is Catalyst's job (ReorderJoin/CBO). Exposed for callers —
+    * and the law test — as the reference's proved equivalence. */
+  val joinComm: Expr => Expr = {
+    case EJoin(LikeBag, l1, l2, x, y, p, r) => EJoin(LikeBag, l2, l1, y, x, p, r)
+    case e => e
+  }
+
   def freeVars(e: Expr): Set[String] = e match {
     case EVar(x) => Set(x)
     case ELoc(_) | EAtom(_) => Set.empty
@@ -278,7 +305,7 @@ object Rewrites {
 
   private val heads: Seq[Expr => Expr] =
     Seq(mergeIf, toJoinHead, toFilterHead, toProjHead, dependentBodyToJoin,
-      toFilterProjHead, filterPushdownHead)
+      toFilterProjHead, swapFlatmapIf, filterPushdownHead)
 
   /** Apply all recognition rewrites bottom-up to a fixpoint (bounded like
     * the reference's `repeat_transf 10000` — ours converges in a few). */
