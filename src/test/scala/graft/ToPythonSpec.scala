@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lang._
+import graft.lang.Lang._
+
+/** The Python extraction backend: emitted shape, refusal stance, and a
+  * DIFFERENTIAL run — the same program executed by CPython (the
+  * reference's actual deployment path for program_py) and by the compiled
+  * Spark path must produce identical values. Guarded by python3
+  * availability so the suite stays green in minimal environments.
+  */
+class ToPythonSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def litList(xs: Seq[Long]): Expr =
+    xs.foldRight[Expr](EAtom(ANil(TInt))) { (x, a) =>
+      EBinop(OCons, EAtom(AInt(x)), a)
+    }
+
+  test("scalar/collection operators render as the reference's Python forms") {
+    assert(ToPython(EBinop(OPlus, EAtom(AInt(1)), EAtom(AInt(2)))) ===
+      "(1 + 2)")
+    assert(ToPython(EBinop(ODiv, EAtom(AInt(-7)), EAtom(AInt(2)))) ===
+      "(-7 // 2)", "floor division IS Z.div — extraction allowed")
+    assert(ToPython(EFilter(LikeBag, ELoc("t"), "x",
+      EBinop(OLess, EVar("x"), EAtom(AInt(5))))) ===
+      "[x for x in t if (x < 5)]")
+    assert(ToPython(EACIFold(AGMin, ELoc("t"))) === "min(t, default=None)")
+    // word ops lose wrap semantics in unbounded Python ints — refuse
+    assertThrows[ToPython.Unextractable](
+      ToPython(EBinop(OWDivU, EVar("a"), EVar("b"))))
+    // a command renders as an indented program with the prelude
+    val prog = ToPython.program(CLetMut(litList(Seq(1, 2)), "t",
+      CForeach(ELoc("t"), "x", CAssign("out", EVar("x")))))
+    assert(prog.contains("import functools"))
+    assert(prog.contains("for x in t:\n    out = x"))
+  }
+
+  test("extracted Python computes exactly what the compiled engine computes") {
+    import scala.sys.process._
+    val havePython = try {
+      Seq("python3", "-c", "print(1)").!!.trim == "1"
+    } catch { case _: Exception => false }
+    assume(havePython, "python3 not available")
+
+    // join of two literal record lists + filter + sort + fold + dict ops —
+    // a cross-section of the operator surface with a deterministic value
+    val rowT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    def rec(k: Long, v: Long): Expr =
+      ERecord(List("k" -> EAtom(AInt(k)), "v" -> EAtom(AInt(v))))
+    def recs(xs: (Long, Long)*): Expr =
+      xs.foldRight[Expr](EAtom(ANil(rowT))) { (x, a) =>
+        EBinop(OCons, rec(x._1, x._2), a)
+      }
+    val t1 = recs((1, 10), (2, 20), (3, 30), (2, 25))
+    val t2 = recs((2, 7), (3, 9), (4, 11))
+    val joined = EJoin(LikeBag, t1, t2, "a", "b",
+      EBinop(OAnd,
+        EBinop(OEq, EAccess(EVar("a"), "k"), EAccess(EVar("b"), "k")),
+        EBinop(OLess, EAtom(AInt(-5)), EAccess(EVar("a"), "v"))),
+      ERecord(List(
+        "k" -> EAccess(EVar("a"), "k"),
+        "s" -> EBinop(OPlus, EAccess(EVar("a"), "v"),
+          EAccess(EVar("b"), "v")))))
+    val folded = EFold(
+      EProj(LikeList, ESort(LikeList, joined), "r", EAccess(EVar("r"), "s")),
+      EAtom(AInt(0)), "x", "acc",
+      EBinop(OPlus,
+        EBinop(OTimes, EVar("acc"), EAtom(AInt(31))),
+        EBinop(OMod, EVar("x"), EAtom(AInt(-4)))))
+    // engine value
+    val env = Compiler.Env(Map.empty, Map.empty, spark)
+    val engine = spark.range(1)
+      .select(Compiler.asScalar(Compiler.compile(folded, env)).as("v"))
+      .head().getLong(0)
+    // CPython value
+    val py = ToPython.prelude + s"print(${ToPython(folded)})\n"
+    val f = java.nio.file.Files.createTempFile("graft_topy_", ".py")
+    java.nio.file.Files.writeString(f, py)
+    val out = Seq("python3", f.toString).!!.trim
+    java.nio.file.Files.delete(f)
+    assert(out.toLong === engine,
+      s"python=$out engine=$engine for program:\n$py")
+  }
+}
