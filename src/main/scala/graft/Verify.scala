@@ -18,7 +18,7 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       // drop any dump from a previous run FIRST: if this query fails now,
       // a stale success must not masquerade as a pass in a reused outDir
-      deleteRecursively(new java.io.File(s"$outDir/$name"))
+      graft.core.Tables.deleteTree(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -46,8 +46,4 @@ object Verify {
     spark.stop()
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
 }

@@ -139,7 +139,9 @@ object Fiat2 {
     * (fiat2/src/fiat2/Interpret.v:346-350). */
   def dictFold(dict: Column, init: Column,
       step: (Column, Column) => Column): Column =
-    aggregate(dict, init, (acc, e) => step(acc, e))
+    // the reference folds dict entries RIGHT (fold_right over the sorted
+    // entry list, Interpret.v:346-350): left-aggregate over the reverse
+    aggregate(reverse(dict), init, (acc, e) => step(acc, e))
 
   // ---------------------------------------------------------------------------
   // Ranges.

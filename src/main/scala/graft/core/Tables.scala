@@ -7,6 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * which get Catalyst predicate pushdown + column pruning for free.
   */
 object Tables {
+  /** Recursive delete for scratch dirs (verify dumps, stream feeds). */
+  def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteTree))
+    f.delete()
+  }
+
+
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

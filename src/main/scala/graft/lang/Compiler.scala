@@ -96,6 +96,32 @@ object Compiler {
     else struct(cols.map(c => df.col(c).as(c)): _*)
   }
 
+  /** The same row-struct convention through a dataset ALIAS — for binary
+    * operators (join, zip) whose two sides must resolve independently. */
+  private def qualifiedRow(cols: Array[String], q: String): Column = {
+    val sorted = cols.sorted
+    if (sorted.sameElements(Array("value"))) col(s"$q.value")
+    else struct(sorted.map(c => col(s"$q.$c").as(c)): _*)
+  }
+
+  /** Materialize any compiled value as a table DataFrame (array value →
+    * table of its elements; scalar → one-row table). */
+  def toDF(v: Val, env: Env): DataFrame = v match {
+    case TV(df) => df
+    case CV(c) =>
+      val probe = env.spark.range(1).select(c.as("v"))
+      probe.schema.head.dataType match {
+        case _: ArrayType =>
+          val ex = probe.select(explode(col("v")).as("__elem"))
+          ex.schema.head.dataType match {
+            case st: StructType =>
+              ex.select(st.fieldNames.map(f => col("__elem")(f).as(f)): _*)
+            case _ => ex.select(col("__elem").as("value"))
+          }
+        case _ => probe.select(col("v").as("value"))
+      }
+  }
+
   /** Optimize-then-compile — the reference's pipeline entry
     * (`apply_optimize_anno`, fiat2/src/fiat2/OptimizeAnno.v:307-312): run the
     * recognition rewrites so comprehension-style programs (nested
@@ -202,7 +228,8 @@ object Compiler {
         v => asCV(compile(some, env.bind(x, CV(v))))))
 
     case EDictFold(d, z, k, v, acc, step) =>
-      CV(aggregate(asCV(compile(d, env)), asCV(compile(z, env)),
+      // fold_right over the sorted entries (Interpret.v:346-350)
+      CV(aggregate(reverse(asCV(compile(d, env))), asCV(compile(z, env)),
         (a, entry) => asCV(compile(step,
           env.bind(k, CV(entry("key"))).bind(v, CV(entry("value")))
             .bind(acc, CV(a))))))
@@ -231,14 +258,9 @@ object Compiler {
           assertUncorrelated(env, Set(x, y), p, r)
           val la = d1.alias("__join_l")
           val ra = d2.alias("__join_r")
-          def qualified(cols: Array[String], q: String): Column = {
-            val sorted = cols.sorted
-            if (sorted.sameElements(Array("value"))) col(s"$q.value")
-            else struct(sorted.map(c => col(s"$q.$c").as(c)): _*)
-          }
           val bound = env
-            .bindRow(x, CV(qualified(d1.columns, "__join_l")))
-            .bindRow(y, CV(qualified(d2.columns, "__join_r")))
+            .bindRow(x, CV(qualifiedRow(d1.columns, "__join_l")))
+            .bindRow(y, CV(qualifiedRow(d2.columns, "__join_r")))
           val pred = asCV(compile(p, bound))
           val res = asCV(compile(r, bound))
           TV(flattenResult(la.join(ra, pred, "inner"), res))
@@ -294,7 +316,11 @@ object Compiler {
 
     case EFlatmap2(e1, e2, x1, x2, e3) =>
       (compile(e1, env), compile(e2, env)) match {
-        case (TV(d1), TV(d2)) =>
+        // at least one TABLE side: lift the other (a typed list value) to
+        // a table too and zip positionally
+        case (v1, v2) if v1.isInstanceOf[TV] || v2.isInstanceOf[TV] =>
+          val d1 = toDF(v1, env)
+          val d2 = toDF(v2, env)
           // lockstep zip of two TABLES. A top-level list's observable
           // order is canonical value order (the table-level EFold takes
           // the same stance), so positions come from zipWithIndex over
@@ -305,16 +331,11 @@ object Compiler {
           assertUncorrelated(env, Set(x1, x2), e3)
           val z1 = zipIndexed(d1).alias("__zip_l")
           val z2 = zipIndexed(d2).alias("__zip_r")
-          def side(cols: Array[String], q: String): Column = {
-            val sorted = cols.sorted
-            if (sorted.sameElements(Array("value"))) col(s"$q.value")
-            else struct(sorted.map(c => col(s"$q.$c").as(c)): _*)
-          }
           val joined = z1.join(z2,
             col("__zip_l.__pos") === col("__zip_r.__pos"), "inner")
           val bound = env
-            .bindRow(x1, CV(side(d1.columns, "__zip_l")))
-            .bindRow(x2, CV(side(d2.columns, "__zip_r")))
+            .bindRow(x1, CV(qualifiedRow(d1.columns, "__zip_l")))
+            .bindRow(x2, CV(qualifiedRow(d2.columns, "__zip_r")))
           TV(flattenExploded(joined, asCV(compile(e3, bound))))
         case (v1, v2) =>
           // nested lists: zip_with pads with null, so slice both sides
@@ -328,7 +349,9 @@ object Compiler {
 
     case EFold(l, z, x, acc, step) => compile(l, env) match {
       case CV(c) =>
-        CV(aggregate(c, asCV(compile(z, env)),
+        // the reference's EFold is a RIGHT fold (fold_right,
+        // Interpret.v:313-319): left-aggregate over the reversed list
+        CV(aggregate(reverse(c), asCV(compile(z, env)),
           (a, v) => asCV(compile(step, env.bind(x, CV(v)).bind(acc, CV(a))))))
       case TV(df) =>
         // General fold over a table is inherently sequential (SURVEY.md §7);
@@ -356,7 +379,8 @@ object Compiler {
           if (cols.sameElements(Array("value"))) df.schema("value").dataType
           else StructType(cols.map(c => df.schema(c)))))
         else array(elems.toIndexedSeq: _*)
-        CV(aggregate(arr, asCV(compile(z, env)),
+        // right fold (Interpret.v:313-319) over the canonical order
+        CV(aggregate(reverse(arr), asCV(compile(z, env)),
           (a, v) => asCV(compile(step, env.bind(x, CV(v)).bind(acc, CV(a))))))
     }
 

@@ -229,19 +229,5 @@ object Interp {
   }
 
   /** Materialize an expression result as a table DataFrame. */
-  def toDF(v: Val, env: Env): DataFrame = v match {
-    case TV(df) => df
-    case CV(c) => // array value → table of its elements; scalar → 1-row table
-      val probe = env.spark.range(1).select(c.as("v"))
-      probe.schema.head.dataType match {
-        case _: org.apache.spark.sql.types.ArrayType =>
-          val ex = probe.select(explode(col("v")).as("__elem"))
-          ex.schema.head.dataType match {
-            case st: org.apache.spark.sql.types.StructType =>
-              ex.select(st.fieldNames.map(f => col("__elem")(f).as(f)): _*)
-            case _ => ex.select(col("__elem").as("value"))
-          }
-        case _ => probe.select(col("v").as("value"))
-      }
-  }
+  def toDF(v: Val, env: Env): DataFrame = Compiler.toDF(v, env)
 }

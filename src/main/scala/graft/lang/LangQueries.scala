@@ -108,11 +108,12 @@ object LangQueries {
       compileProgram(prog, env).asInstanceOf[TV].df
     },
 
-    // General EFold over a (small) table: defined on canonical value order;
-    // the non-associative step (rolling hash) is exactly what EACFold can't
-    // express. The oracle folds the same ordered list with list_reduce.
+    // General EFold over a (small) table: a RIGHT fold (Interpret.v:
+    // 313-319) defined on canonical value order; the non-associative step
+    // (rolling hash) is exactly what EACFold can't express. The oracle
+    // replays the right fold as list_reduce over the DESCENDING list.
     GraftQuery.sql("q_lang_fold",
-      """SELECT CAST(list_reduce(list(CAST(r_regionkey AS BIGINT) ORDER BY r_regionkey),
+      """SELECT CAST(list_reduce(list(CAST(r_regionkey AS BIGINT) ORDER BY r_regionkey DESC),
         |                        (a, b) -> a * 31 + b) AS BIGINT) AS h
         |FROM region""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.functions.col

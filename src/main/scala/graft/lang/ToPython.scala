@@ -36,8 +36,30 @@ object ToPython {
       |    return v
       |""".stripMargin
 
-  /** Whole-command extraction (`program_py`): prelude + indented body. */
-  def program(c: Command): String = prelude + command(0, c)
+  /** Whole-command extraction (`program_py`): prelude + indented body.
+    * Binder SHADOWING refuses: Python has no block scope, so a flat
+    * rendering would leak an inner `CLet`/`CLetMut` value past its scope
+    * where the interpreter restores the outer binding (the reference's
+    * own printer has exactly this bug; for non-shadowing well-typed
+    * programs flat assignment is faithful, since a binding that ended is
+    * unreadable anyway). */
+  def program(c: Command): String = {
+    def checkShadow(c: Command, bound: Set[String]): Unit = c match {
+      case CSkip =>
+      case CSeq(a, b) => checkShadow(a, bound); checkShadow(b, bound)
+      case CLet(_, x, body) =>
+        if (bound(x)) throw Unextractable(s"shadowed binder '$x'")
+        checkShadow(body, bound + x)
+      case CLetMut(_, x, body) =>
+        if (bound(x)) throw Unextractable(s"shadowed binder '$x'")
+        checkShadow(body, bound + x)
+      case CAssign(_, _) =>
+      case CIf(_, a, b) => checkShadow(a, bound); checkShadow(b, bound)
+      case CForeach(_, x, body) => checkShadow(body, bound + x)
+    }
+    checkShadow(c, Set.empty)
+    prelude + command(0, c)
+  }
 
   private def command(n: Int, c: Command): String = c match {
     case CSkip => line(n, "pass")
@@ -98,12 +120,14 @@ object ToPython {
     case EACFold(AGCount, l) => s"len(${apply(l)})"
     case EACIFold(AGMin, l) => s"min(${apply(l)}, default=None)"
     case EACIFold(AGMax, l) => s"max(${apply(l)}, default=None)"
-    case EBagOf(l) => s"list(${apply(l)})"
-    case ESetOf(l) => // dedup keeping first occurrence (set_insert's effect
-      // on observation; the reference printer renders plain list(),
-      // diverging from its own interpreter)
-      s"(lambda __l: [__v for __i, __v in enumerate(__l) " +
-        s"if __l.index(__v) == __i])(${apply(l)})"
+    // nested bags/sets observe as CANONICALLY SORTED arrays (the engine's
+    // convention, = the reference's set_insert/bag canonical forms;
+    // the reference printer renders plain list(), diverging from its own
+    // interpreter)
+    case EBagOf(l) => s"sorted(${apply(l)}, key=__key)"
+    case ESetOf(l) =>
+      s"sorted((lambda __l: [__v for __i, __v in enumerate(__l) " +
+        s"if __l.index(__v) == __i])(${apply(l)}), key=__key)"
   }
 
   private def atom(a: Atom): String = a match {
@@ -141,8 +165,9 @@ object ToPython {
     case OEq => s"($a == $b)"
     case OCons => s"([$a] + $b)"
     case ORange => s"list(range($a, $b))"
-    case OBagInsert => s"([$b] + $a)"
-    case OSetInsert => s"([$b] + [__x for __x in $a if __x != $b])"
+    // canonical sorted insert (bag_insert/set_insert, Interpret.v:112-135)
+    case OBagInsert => s"sorted([$b] + $a, key=__key)"
+    case OSetInsert => s"sorted([$b] + [__x for __x in $a if __x != $b], key=__key)"
     case OLookup => s"$a.get($b)"
     case ODelete => s"{__k: __v for __k, __v in $a.items() if __k != $b}"
     case other => throw Unextractable(s"$other (word semantics)")
@@ -158,8 +183,19 @@ object ToPython {
     } + "\""
 
   private val identPat = "[A-Za-z_][A-Za-z0-9_]*".r
+  /** Python keywords plus every name the generated code itself uses —
+    * a binder colliding with either would change the program's meaning
+    * (e.g. a variable named `zip` breaking the EFlatmap2 rendering). */
+  private val reserved = Set(
+    "False", "None", "True", "and", "as", "assert", "async", "await",
+    "break", "class", "continue", "def", "del", "elif", "else", "except",
+    "finally", "for", "from", "global", "if", "import", "in", "is",
+    "lambda", "nonlocal", "not", "or", "pass", "raise", "return", "try",
+    "while", "with", "yield",
+    "functools", "sorted", "zip", "sum", "len", "min", "max", "enumerate",
+    "list", "range", "str", "reversed", "print")
   private def ident(s: String): String = s match {
-    case identPat() => s
+    case identPat() if !reserved(s) && !s.startsWith("__") => s
     case _ => throw Unextractable(s"identifier '$s'")
   }
 }

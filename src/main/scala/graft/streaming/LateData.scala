@@ -30,13 +30,6 @@ import graft.core.{GraftQuery, Tables}
   */
 object LateData {
 
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    val f = p.toFile
-    if (f.isDirectory) Option(f.listFiles)
-      .foreach(_.foreach(c => deleteTree(c.toPath)))
-    f.delete()
-  }
-
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery.sql("q_stream_late",
@@ -65,7 +58,7 @@ object LateData {
           .getOrElse(sys.error(s"no parquet part written under $tmp"))
         java.nio.file.Files.move(part.toPath,
           watchDir.resolve(f"batch$seq%02d.parquet"))
-        deleteTree(tmp) // leftover _SUCCESS/metadata files
+        Tables.deleteTree(tmp.toFile) // leftover _SUCCESS/metadata files
       }
       val stream = s.readStream.schema(schema).parquet(watchDir.toString)
       val agg = stream
@@ -95,7 +88,7 @@ object LateData {
         } finally q.stop()
       }
       // the memory sink holds the rows; the watched files are done with
-      deleteTree(watchDir)
+      Tables.deleteTree(watchDir.toFile)
       s.table(sink).orderBy("window_start", "event_type")
     },
   )

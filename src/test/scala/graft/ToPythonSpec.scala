@@ -53,7 +53,7 @@ class ToPythonSpec extends AnyFunSuite {
       xs.foldRight[Expr](EAtom(ANil(rowT))) { (x, a) =>
         EBinop(OCons, rec(x._1, x._2), a)
       }
-    val t1 = recs((1, 10), (2, 20), (3, 30), (2, 25))
+    val t1 = recs((1, 10), (2, 20), (3, 31), (2, 25))
     val t2 = recs((2, 7), (3, 9), (4, 11))
     val joined = EJoin(LikeBag, t1, t2, "a", "b",
       EBinop(OAnd,
