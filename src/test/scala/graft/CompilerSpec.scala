@@ -113,6 +113,19 @@ class CompilerSpec extends AnyFunSuite {
     assert(evalv(prog) === 24L)
   }
 
+  test("EFlatmap2 zips a table against a nested-list value (mixed operands)") {
+    import org.apache.spark.sql.functions.col
+    val keys = Seq(10L, 20L, 30L).toDF("value")
+    val prog = EFlatmap2(ELoc("t"), EBinop(ORange, EAtom(AInt(0)), EAtom(AInt(2))),
+      "a", "b",
+      EBinop(OCons, EBinop(OPlus, EVar("a"), EVar("b")), EAtom(ANil(TInt))))
+    val out = compile(prog, Env(Map.empty, Map("t" -> keys), spark))
+      .asInstanceOf[TV].df.orderBy(col("value"))
+      .collect().map(_.getLong(0)).toSeq
+    // canonical order of t = [10,20,30]; range = [0,1]; shorter cuts
+    assert(out === Seq(10L, 21L))
+  }
+
   test("EFlatmap2 stops at the shorter list (Interpret.v:7-11)") {
     // zip [1,2,3] [10,20] with (x+y) singleton → [11, 22]
     val prog = EFlatmap2(listOf(1, 2, 3), listOf(10, 20), "x", "y",
