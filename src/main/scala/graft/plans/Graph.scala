@@ -93,7 +93,9 @@ object Graph {
       df.agg(coalesce(sum(pmod(xxhash64($"node", $"label"),
           lit(1000003L))), lit(0L)))
         .head().getLong(0)
-    var prevSum = checksum(labels)
+    // sentinel: the first round never reads a meaningful previous sum,
+    // so don't pay a job computing one
+    var prevSum = -1L
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
