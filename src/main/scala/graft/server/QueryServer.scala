@@ -72,6 +72,8 @@ final class QueryServer(spark: SparkSession, dataDir: String,
       case Array("run") if method == "POST" => Some(runProgram(body))
       case Array("runc") if method == "POST" => Some(runCommand(body))
       case Array("extract") if method == "POST" => Some(extractProgram(body))
+      case Array("extract_py") if method == "POST" =>
+        Some(extractProgramPy(body))
       case _ => None
     }
 
@@ -130,6 +132,18 @@ final class QueryServer(spark: SparkSession, dataDir: String,
     Seq(text).toDF("sql")
   }
 
+  /** `POST /extract_py` — the reference's actual extraction target
+    * (program_py run under CPython): the surface expression is parsed,
+    * recognized, and rendered as a self-contained Python program whose
+    * final statement prints the value. Returns one row {python: "..."}. */
+  private def extractProgramPy(src: String): DataFrame = {
+    import graft.lang.{Parser, Rewrites, ToPython}
+    import spark.implicits._
+    val e = Rewrites.normalize(Parser.parseExpr(src))
+    val text = ToPython.prelude + s"print(${ToPython(e)})\n"
+    Seq(text).toDF("python")
+  }
+
   /** `exported_get_artist` (Lib.hs:42-43): artists (customers) with id
     * below the captured bound. */
   private def artistLessThan(n: Long): DataFrame =
@@ -152,7 +166,8 @@ final class QueryServer(spark: SparkSession, dataDir: String,
     (Seq("/get_artist_less_than/{n}", "/get_album_and_artist/{n}",
       "POST /run  (body: surface-syntax expression)",
       "POST /runc  (body: surface-syntax command; returns `result`)",
-      "POST /extract  (body: surface-syntax expression; returns SQL)") ++
+      "POST /extract  (body: surface-syntax expression; returns SQL)",
+      "POST /extract_py  (body: surface-syntax expression; returns Python)") ++
       graft.SparkEntry.queries.keys.toSeq.sorted.map(q => s"/query/$q"))
       .toDF("route")
   }

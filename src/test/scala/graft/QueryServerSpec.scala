@@ -143,6 +143,34 @@ class QueryServerSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /extract_py returns a runnable Python program") {
+    withServer { port =>
+      val program =
+        """x <- range(0, 5);
+          |check(1 < x);
+          |ret x * 2""".stripMargin
+      val (code, body) = post(s"http://localhost:$port/extract_py", program)
+      assert(code === 200)
+      assert(body.contains("print(") && body.contains("import functools"),
+        body)
+      // the returned program actually runs under CPython and computes the
+      // comprehension's value (guarded: skip silently if no python3)
+      import scala.sys.process._
+      val have = try {
+        Seq("python3", "-c", "print(1)").!!.trim == "1"
+      } catch { case _: Exception => false }
+      if (have) {
+        val text = body.stripPrefix("""[{"python":"""").stripSuffix("\"}]")
+          .replace("\\\"", "\"").replace("\\n", "\n")
+        val f = java.nio.file.Files.createTempFile("graft_srv_py_", ".py")
+        java.nio.file.Files.writeString(f, text)
+        val out = Seq("python3", f.toString).!!.trim
+        java.nio.file.Files.delete(f)
+        assert(out === "[4, 6, 8]", s"python output: $out\nprogram:\n$text")
+      }
+    }
+  }
+
   test("route listing, 404 on unknown, non-numeric capture rejected") {
     withServer { port =>
       val (c0, listing) = get(s"http://localhost:$port/")
