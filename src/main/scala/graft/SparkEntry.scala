@@ -14,12 +14,14 @@ object SparkEntry {
       operators.Collections.queries ++
       operators.Workloads.queries ++
       operators.TextAnalysis.queries ++
+      operators.Search.queries ++
       operators.Temporal.queries ++
       operators.Stats.queries ++
       operators.Dedup.queries ++
       operators.Curation.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
+      sources.SourceSink.queries ++
       streaming.StreamAgg.queries ++
       streaming.LateData.queries ++
       streaming.StreamDedup.queries ++

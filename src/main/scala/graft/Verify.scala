@@ -15,7 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter (same contract as Bench): SPARK_GRAFT_ONLY=q_a,q_b
+    // dumps a subset; the driver never sets it, so driver runs dump everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not registered: " +
+          unknown.mkString(", "))
+        SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // drop any dump from a previous run FIRST: if this query fails now,
       // a stale success must not masquerade as a pass in a reused outDir
       graft.core.Tables.deleteTree(new java.io.File(s"$outDir/$name"))

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{GraftQuery, Tables}
+
+/** Full-text SEARCH over the documents corpus — the retrieval side of a
+  * training-data pipeline (mining examples by keyword, scoring relevance,
+  * auditing vocabulary). The reference's signature move is turning scans
+  * into index lookups (`DictIndexImpl.v:374-389`); these operators are that
+  * idea at text scale: a posting-list (inverted) index, conjunctive term
+  * search, TF-IDF term weighting, and BM25 ranked retrieval.
+  *
+  * Scale notes (the 100 TB plan for each):
+  *  - `q_inverted_index`: the query-term filter is applied map-side BEFORE
+  *    the groupBy, so only postings of the queried terms shuffle — never the
+  *    corpus token stream. A standing inverted index is this same plan
+  *    without the filter, written bucketed by term.
+  *  - `q_search_conjunctive`: pure map-only (`array_intersect` against a
+  *    literal query array) — scan → filter → project; zero shuffles. This is
+  *    the one-off-query dual of the standing index above.
+  *  - `q_tfidf`: document frequencies aggregate with map-side partial
+  *    aggregation (one corpus-wide shuffle of (term, partial-count) rows —
+  *    the irreducible cost of corpus statistics); the scored-document side is
+  *    small and broadcasts into the join against the vocabulary.
+  *  - `q_bm25`: per-document term frequencies for literal query terms are
+  *    computed by array expressions (no explode); corpus constants (N, df_i,
+  *    avgdl) reduce to ONE row that cross-joins back (broadcast); scoring is
+  *    map-side. The only corpus shuffle is the final global top-k sort, which
+  *    TakeOrderedAndProject keeps at k rows per partition.
+  *
+  * Floating-point contract with the oracle: scores avoid transcendentals
+  * (no ln) — TF-IDF uses the rational weight tf·N/df and BM25 the rational
+  * idf' = (N − df + 0.5)/(df + 0.5), both monotone transforms of the
+  * textbook ln forms, so rankings agree and every arithmetic step is an
+  * IEEE-exact +,·,/ evaluated in the same association order the oracle
+  * spells out — the hash comparison is bit-exact, not approximate.
+  */
+object Search {
+
+  import graft.core.Text.toks
+
+  /** The fixed retrieval query used by the search operators. */
+  val queryTerms: Seq[String] = Seq("table", "query", "fast")
+
+  private val wsCte =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents)"""
+
+  private def termList = queryTerms.map("'" + _ + "'").mkString(", ")
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // Inverted-index postings for the query terms: document frequency and
+    // posting-list bounds per term. The term filter runs map-side (an
+    // array_intersect against the 3-term literal array), so the shuffle
+    // carries only the queried terms' postings.
+    GraftQuery.sql("q_inverted_index",
+      s"""$wsCte,
+         |p AS (SELECT DISTINCT doc_id, t.w AS term FROM w, unnest(ws) AS t(w)
+         |      WHERE t.w IN ($termList))
+         |SELECT term, COUNT(*) AS df, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM p GROUP BY term ORDER BY term""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val q = array(queryTerms.map(lit): _*)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          explode(array_intersect(array_distinct(toks($"text")), q)).as("term"))
+        .groupBy($"term")
+        .agg(count(lit(1)).as("df"), min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy("term")
+    },
+
+    // Conjunctive (AND) term search: documents containing every query term.
+    // Map-only — scan, array_intersect against the literal query, filter.
+    GraftQuery.sql("q_search_conjunctive",
+      s"""$wsCte
+         |SELECT doc_id FROM w
+         |WHERE len(list_intersect(list_distinct(ws), [$termList])) = ${queryTerms.size}
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val q = array(queryTerms.map(lit): _*)
+      Tables.load(s, dir, "documents")
+        .filter(size(array_intersect(array_distinct(toks($"text")), q))
+          === queryTerms.size)
+        .select($"doc_id")
+        .orderBy("doc_id")
+    },
+
+    // TF-IDF top-3 terms for a deterministic document sample (doc_id%100=0),
+    // weighted against WHOLE-corpus document frequencies. Weight is the
+    // rational tf·N/df (see class doc); ties broken by term.
+    GraftQuery.sql("q_tfidf",
+      s"""$wsCte,
+         |df AS (SELECT t.w AS term, COUNT(DISTINCT doc_id) AS df
+         |       FROM w, unnest(ws) AS t(w) GROUP BY t.w),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |tf AS (SELECT doc_id, t.w AS term, COUNT(*) AS tf
+         |       FROM w, unnest(ws) AS t(w) WHERE doc_id % 100 = 0 GROUP BY doc_id, t.w),
+         |scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |             (CAST(tf.tf AS DOUBLE) * n.n) / df.df AS weight
+         |           FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (SELECT *, row_number() OVER
+         |             (PARTITION BY doc_id ORDER BY weight DESC, term) AS rk
+         |           FROM scored)
+         |SELECT doc_id, term, tf, df, weight FROM ranked WHERE rk <= 3
+         |ORDER BY doc_id, weight DESC, term""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val terms = docs.select($"doc_id", explode(toks($"text")).as("term"))
+      // corpus statistics: one shuffle with map-side partial aggregation
+      val df = terms.groupBy($"term")
+        .agg(count_distinct($"doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      // scored sample is tiny → broadcast side of the vocabulary join
+      val tf = terms.filter($"doc_id" % 100 === 0)
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val scored = df.join(broadcast(tf), "term").crossJoin(broadcast(n))
+        .withColumn("weight", ($"tf".cast("double") * $"n") / $"df")
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"weight".desc, $"term")))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"term", $"tf", $"df", $"weight")
+        .orderBy($"doc_id", $"weight".desc, $"term")
+    },
+
+    // BM25 ranked retrieval (k1=1.2, b=0.75, rational idf' — see class doc):
+    // top-10 documents for the fixed query. Per-doc term frequencies come
+    // from array expressions over the token array (map-side, no explode);
+    // corpus constants reduce to one broadcast row; the score sums the three
+    // per-term contributions in fixed left-to-right order so the oracle's
+    // doubles match bit-for-bit.
+    GraftQuery.sql("q_bm25", {
+      val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(", ")
+      val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(ws, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(",\n  ")
+      val contrib = queryTerms.indices.map { i =>
+        s"""((CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) *
+           | ((CAST(tf$i AS DOUBLE) * 2.2) /
+           |  (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + (0.75 * dl) / avgdl)))""".stripMargin
+      }.mkString(" + ")
+      s"""$wsCte,
+         |d AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+         |c AS (SELECT COUNT(*) AS n, $dfCols,
+         |        CAST(SUM(CAST(len(ws) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+         |      FROM w),
+         |t AS (SELECT doc_id, dl, $tfCols FROM d),
+         |scored AS (SELECT doc_id, $contrib AS score FROM t CROSS JOIN c)
+         |SELECT doc_id, score FROM scored WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val tk = toks($"text")
+      val d = Tables.load(s, dir, "documents")
+        .select($"doc_id", tk.as("tk"), size(tk).cast("double").as("dl"))
+      // one corpus pass → one row of constants (N, df_i, avgdl); broadcast
+      val constCols = (count(lit(1)).as("n") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains($"tk", t), 1L).otherwise(0L)).as(s"df$i")
+        }) :+
+        (sum(size($"tk").cast("long")).cast("double") / count(lit(1))).as("avgdl")
+      val consts = d.agg(constCols.head, constCols.tail: _*)
+      val withTf = d.select(
+        ($"doc_id" +: $"dl" +: queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter($"tk", x => x === t)).cast("long").as(s"tf$i")
+        }): _*)
+      val contrib = queryTerms.indices.map { i =>
+        ((($"n" - col(s"df$i")).cast("double") + 0.5) / (col(s"df$i").cast("double") + 0.5)) *
+          ((col(s"tf$i").cast("double") * 2.2) /
+            (col(s"tf$i").cast("double") + lit(1.2) * (lit(0.25) + (lit(0.75) * $"dl") / $"avgdl")))
+      }.reduceLeft(_ + _)
+      withTf.crossJoin(broadcast(consts))
+        .select($"doc_id", contrib.as("score"))
+        .filter($"score" > 0)
+        .orderBy($"score".desc, $"doc_id")
+        .limit(10)
+    },
+
+    // Corpus vocabulary heavy hitters: top-20 terms by total frequency.
+    // Map-side partial aggregation makes the shuffle vocabulary-sized;
+    // TakeOrderedAndProject keeps the sort at 20 rows per partition.
+    GraftQuery.sql("q_heavy_hitters",
+      s"""$wsCte
+         |SELECT t.w AS term, COUNT(*) AS freq FROM w, unnest(ws) AS t(w)
+         |GROUP BY t.w ORDER BY freq DESC, term LIMIT 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(explode(toks($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"term")
+        .limit(20)
+    },
+
+    // Vocabulary cardinality: exact distinct count next to the
+    // HyperLogLog++ sketch (rsd 2%) the 100 TB plan would use — the sketch
+    // is merge-order-insensitive (register-max), so its value is
+    // deterministic for a given dataset; the row asserts it lands within
+    // ±5% of exact. The oracle states the exact count and the bound.
+    GraftQuery.sql("q_approx_distinct",
+      s"""$wsCte
+         |SELECT CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n_exact, true AS approx_ok
+         |FROM w, unnest(ws) AS t(w)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(explode(toks($"text")).as("term"))
+        .agg(count_distinct($"term").as("n_exact"),
+          approx_count_distinct($"term", 0.02).as("approx"))
+        .select($"n_exact",
+          (abs($"approx" - $"n_exact").cast("double") / $"n_exact" < 0.05)
+            .as("approx_ok"))
+    },
+  )
+}
