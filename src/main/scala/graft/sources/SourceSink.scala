@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GraftQuery, Tables}
+
+/** Source/sink format coverage beyond parquet: CSV, JSON-lines, ORC, and a
+  * PARTITIONED parquet sink. The reference has no file formats at all —
+  * its sources are environment bindings and its sink is `CAssign`
+  * (`fiat2/src/fiat2/Language.v:210-217`) — so this family is the Spark
+  * face of §2.1: every query writes a deterministic slice through the
+  * format and reads it back, proving the round trip preserves values
+  * (the DuckDB oracle computes the same result straight from parquet).
+  *
+  * Scale notes: CSV and JSON-lines are splittable line formats — a 100 TB
+  * read parallelizes by input split exactly like parquet, minus column
+  * pruning/statistics (the queries here project narrow slices up front
+  * for that reason). The partitioned-parquet sink is the layout decision
+  * that matters at scale: `partitionBy(status)` turns the read-back's
+  * status filter into PartitionFilters (directory pruning — the scan
+  * never touches non-matching files; asserted in SourceSinkSpec).
+  *
+  * Sinks land under java.io.tmpdir/graft_sinks/<query>/<sf> — per-scale
+  * paths so sf0.01 verify runs and sf0.1 bench runs never read each
+  * other's output; rewritten (Overwrite) on every invocation so reruns
+  * see current data.
+  */
+object SourceSink {
+
+  private def sinkDir(name: String, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_sinks"),
+      s"$name/$sf").getAbsolutePath
+  }
+
+  /** The deterministic slice every roundtrip writes: one narrow projection
+    * of orders (key, customer, status, priority) — wide enough to exercise
+    * strings + longs, narrow enough that the sink stays format-bound. */
+  private def ordersSlice(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+
+  /** Shared read-back aggregate: per-status counts + long sums — integer
+    * arithmetic only, so the roundtrip compare is exact in any format. */
+  private def rollup(df: DataFrame): DataFrame =
+    df.groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("status")
+
+  private val rollupSql =
+    """SELECT o_orderstatus AS status, COUNT(*) AS n,
+      |  SUM(o_custkey) AS sum_cust, MAX(o_orderkey) AS max_key
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // CSV sink + source: header round trip with an explicit read schema
+    // (schema inference at 100 TB means an extra full pass — never infer).
+    GraftQuery.sql("q_csv_roundtrip", rollupSql) { (s, dir) =>
+      val out = sinkDir("csv", dir)
+      ordersSlice(s, dir).write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(out)
+      rollup(s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, status STRING, priority STRING")
+        .option("header", "true").csv(out))
+    },
+
+    // JSON-lines sink + source — the interchange format of most public
+    // text-corpus dumps; same explicit-schema discipline.
+    GraftQuery.sql("q_jsonl_roundtrip", rollupSql) { (s, dir) =>
+      val out = sinkDir("jsonl", dir)
+      ordersSlice(s, dir).write.mode(SaveMode.Overwrite).json(out)
+      rollup(s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, status STRING, priority STRING")
+        .json(out))
+    },
+
+    // ORC sink + source — the other columnar container; pruning and
+    // predicate pushdown work as for parquet.
+    GraftQuery.sql("q_orc_roundtrip", rollupSql) { (s, dir) =>
+      val out = sinkDir("orc", dir)
+      ordersSlice(s, dir).write.mode(SaveMode.Overwrite).orc(out)
+      rollup(s.read.orc(out))
+    },
+
+    // Partitioned parquet sink: partitionBy(status), read back with a
+    // status filter — the filter becomes a PartitionFilter (directory
+    // pruning), so the scan reads only the 'F' partition's files.
+    GraftQuery.sql("q_partitioned_sink",
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+        |  SUM(o_custkey) AS sum_cust
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY priority""".stripMargin) { (s, dir) =>
+      val out = sinkDir("part_parquet", dir)
+      ordersSlice(s, dir).write.mode(SaveMode.Overwrite)
+        .partitionBy("status").parquet(out)
+      s.read.parquet(out)
+        .filter(col("status") === "F")
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+        .orderBy("priority")
+    },
+  )
+}
