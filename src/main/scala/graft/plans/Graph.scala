@@ -60,22 +60,61 @@ object Graph {
     * (edge join) + one aggregation, with `localCheckpoint` keeping the
     * plan O(1) in rounds. Returns (node, component) where component is
     * the smallest node id in the node's component.
+    *
+    * SIZE-GATED LOCAL FAST PATH: when the MEASURED edge count fits
+    * trivially in driver memory (default gate 4M edges = 64 MB of long
+    * pairs), a driver union-find replaces the loop — at that size the
+    * distributed rounds cost pure scheduling, not compute. This is the
+    * stance the reference takes for its driver event loops and the one
+    * production CC implementations ship; a pair graph distilled from a
+    * 100 TB corpus that exceeds the gate takes the distributed loop.
     */
   def connectedComponents(symEdges: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      localEdgeThreshold: Long = 4L << 20): DataFrame = {
     val spark = symEdges.sparkSession
     import spark.implicits._
+    // SIZE-GATED LOCAL FAST PATH. A near-dup pair graph is orders of
+    // magnitude smaller than the corpus that produced it; when the
+    // MEASURED edge count fits trivially in driver memory (4M edges =
+    // 64 MB of long pairs), a driver union-find replaces O(log d) rounds
+    // of distributed jobs whose cost is pure scheduling at that size —
+    // the same stance the reference takes for its driver event loops and
+    // the one production CC implementations (e.g. GraphFrames) ship.
+    // Larger graphs take the distributed label-propagation loop below;
+    // the gate is a measured cardinality, never a guessed statistic.
     // NB deliberately NOT a stats-derived count: plan statistics of a
     // derived join pipeline (a near-dup pair graph) can be wildly
     // overestimated, and a six-figure partition count here would grind the
     // iterative rounds to a halt. Instead the edge set is materialized
-    // once and the iteration is sized from its MEASURED cardinality — a
-    // near-dup pair graph is orders of magnitude smaller than the corpus
-    // that produced it, and running O(log diameter) rounds at full cluster
-    // width pays per-round scheduling for no data. ~1M edges per partition
-    // keeps tasks meaningful; huge graphs still get full parallelism.
+    // once and everything downstream — the local/distributed choice and
+    // the iteration width — is sized from its MEASURED cardinality.
     val edgesRaw = symEdges.toDF("src", "dst").cache()
     val nEdges = edgesRaw.count()
+    val isLongIds = symEdges.schema.fields.take(2).forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (isLongIds && nEdges <= localEdgeThreshold) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edgesRaw.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by min label: the root IS the component id
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      edgesRaw.unpersist()
+      val out = parent.keysIterator.map(v => (v, find(v))).toSeq
+      return spark.createDataset(out).toDF("node", "component")
+    }
+    // distributed label propagation: ~1M edges per partition keeps tasks
+    // meaningful; huge graphs still get full parallelism
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nEdges / 1000000L + 1L)).toInt
     val edges = edgesRaw.repartition(parts, col("src")).cache()
