@@ -40,6 +40,35 @@ object Ivm {
       (st.toSeq ++ v.toSeq).reduceOption((a: Double, b: Double) => math.min(a, b))
     }
 
+  /** Incrementally maintained JOIN view — the delta-rule generalization of
+    * the reference's aggregate views to binary operators: with batches
+    * ΔA/ΔB arriving each tick,
+    *   ΔV = (ΔA ⋈ (B ∪ ΔB)) ∪ (A ⋈ ΔB)
+    * and V accumulates the deltas — the accumulated A⋈B is NEVER
+    * recomputed. Deltas are batch-sized (broadcast side of each delta
+    * join at scale); the accumulated sides grow but are only ever probed,
+    * not re-joined to each other. `localCheckpoint` bounds lineage across
+    * ticks. Both inputs may advance in the same tick (the ΔA⋈ΔB cross-delta
+    * term is covered by ΔA joining B∪ΔB).
+    */
+  def incrementalJoin(batchesA: Seq[DataFrame], batchesB: Seq[DataFrame],
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    require(batchesA.nonEmpty && batchesA.length == batchesB.length,
+      "one ΔA and one ΔB per tick (either may be empty)")
+    var accA, accB, view = Option.empty[DataFrame]
+    batchesA.zip(batchesB).foreach { case (dA, dB) =>
+      val bNew = accB.map(_.union(dB)).getOrElse(dB)
+      val delta = accA match {
+        case Some(a) => join(dA, bNew).union(join(a, dB))
+        case None => join(dA, bNew)
+      }
+      view = Some(view.map(_.union(delta)).getOrElse(delta).localCheckpoint())
+      accA = Some(accA.map(_.union(dA)).getOrElse(dA).localCheckpoint())
+      accB = Some(bNew.localCheckpoint())
+    }
+    view.get
+  }
+
   /** Split a table into deterministic micro-batches by a modulus — stands in
     * for the reference's CForeach-over-events arrival order
     * (fiat2/src/fiat2/Ex_Sum.v:30).

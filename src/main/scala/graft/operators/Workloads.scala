@@ -74,6 +74,58 @@ object Workloads {
       Seq(m).toDF("min_value")
     },
 
+    // Bloom semi-join pruning (functions/Bloom): lineitem rows are
+    // pre-filtered by a distributed-built sketch of the URGENT orders'
+    // keys BEFORE the join shuffle — ~80% of the fact side never leaves
+    // its input partition. The sketch is sized from the MEASURED filtered
+    // dimension count; the exact join after the pre-filter absorbs false
+    // positives, so the result is row-identical to the plain join (the
+    // oracle). The explicit form of Spark's InjectRuntimeFilter, minus
+    // its session-global conf requirements.
+    GraftQuery.sql("q_bloom_join",
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val urgent = Tables.load(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+        .cache()
+      val bloom = graft.functions.Bloom.buildLong(
+        urgent, "o_orderkey", urgent.count())
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice")
+        .filter(graft.functions.Bloom.mightContain(bloom, $"l_orderkey"))
+      li.join(urgent, $"l_orderkey" === $"o_orderkey")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"l_extendedprice")).cast("double").as("revenue"))
+    },
+
+    // Incrementally maintained JOIN view (Ivm.incrementalJoin): orders AND
+    // customers both arrive in 4 micro-batches; each tick appends only the
+    // delta joins ΔO⋈(C∪ΔC) ∪ O⋈ΔC — the accumulated O⋈C is never
+    // recomputed. The oracle is the full join, proving the delta algebra
+    // reconstructs it exactly.
+    GraftQuery.sql("q_join_ivm",
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n,
+        |  SUM(o_orderkey) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ordersB = Ivm.microBatches(
+        Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"o_orderkey", 4)
+      val custB = Ivm.microBatches(
+        Tables.load(s, dir, "customer").select($"c_custkey", $"c_mktsegment"),
+        $"c_custkey", 4)
+      Ivm.incrementalJoin(ordersB, custB,
+          (o, c) => o.join(c, o("o_custkey") === c("c_custkey")))
+        .groupBy($"c_mktsegment".as("segment"))
+        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+        .orderBy("segment")
+    },
+
     // Skew-salted fact-fact join (plans/Salting.scala): each join key is
     // spread over 8 reducers (deterministic row-hash salt) and the other
     // side replicated per salt — the remedy when a handful of hot keys
