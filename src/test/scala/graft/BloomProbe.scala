@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe (test scope): does InjectRuntimeFilter add a bloom filter to
+  * the fact side of a selective shuffle join on this data? */
+object BloomProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val plan = j.queryExecution.optimizedPlan.toString
+    println("HAS_BLOOM=" + (plan.contains("bloom") || plan.contains("Bloom")))
+    println(plan.take(3000))
+    spark.stop()
+  }
+}

@@ -125,6 +125,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pc.contains("BroadcastHashJoin"), pc)
   }
 
+  test("bloom semi-join prunes the fact side before the shuffle, codegen'd") {
+    val df = SparkEntry.queries("q_bloom_join")(spark, TestSpark.sfDir)
+    df.collect() // finalize the adaptive plan so codegen stages are marked
+    val p = df.queryExecution.executedPlan.toString
+    // the membership test must sit on the lineitem scan side (pre-join),
+    // inside whole-stage codegen
+    // tree connectors (`:-`) may prefix the `*(n)` codegen marker
+    val line = p.linesIterator.find(l =>
+      l.contains("graft_might_contain") && l.contains("Filter"))
+    assert(line.isDefined, s"bloom filter missing from plan:\n$p")
+    assert(line.exists(_.contains("*(")),
+      s"graft_might_contain not codegen'd:\n$p")
+    // and it must genuinely prune: fewer fact rows enter the join than
+    // the full table
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val li = graft.core.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val urgent = li.sparkSession.read
+      .parquet(TestSpark.sfDir + "/orders.parquet")
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val bloom = graft.functions.Bloom.buildLong(urgent, "o_orderkey",
+      urgent.count())
+    val kept = li.filter(
+      graft.functions.Bloom.mightContain(bloom, $"l_orderkey")).count()
+    val total = li.count()
+    assert(kept < total / 2, s"bloom kept $kept of $total — not selective")
+  }
+
   test("native dot product runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayMath
