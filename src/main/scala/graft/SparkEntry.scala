@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Stats.queries ++
       operators.Dedup.queries ++
       operators.Curation.queries ++
+      operators.Changelog.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       sources.SourceSink.queries ++

@@ -195,6 +195,35 @@ object Search {
         .limit(20)
     },
 
+    // OOV / vocabulary-coverage rate: fraction of each document's tokens
+    // outside the corpus top-20 vocabulary — the "UNK rate" a tokenizer
+    // pipeline tracks. Two passes: the tiny top-k vocabulary (one
+    // partial-aggregated shuffle + 20-row collect, same stance as the IVF
+    // centroid literals), then a MAP-ONLY projection scoring every doc
+    // against the literal vocab array.
+    GraftQuery.sql("q_oov_rate",
+      s"""$wsCte,
+         |top AS (SELECT t.w AS term FROM w, unnest(ws) AS t(w)
+         |        GROUP BY t.w ORDER BY COUNT(*) DESC, t.w LIMIT 20),
+         |v AS (SELECT list(term) AS vocab FROM top)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(ws, x -> NOT list_contains(vocab, x))) AS BIGINT) AS n_oov,
+         |  CAST(len(list_filter(ws, x -> NOT list_contains(vocab, x))) AS DOUBLE)
+         |    / len(ws) AS oov_rate
+         |FROM w CROSS JOIN v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = docs.select(explode(toks($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"term").limit(20)
+        .collect().map(_.getString(0)).toSeq
+      val tk = toks($"text")
+      val oov = size(filter(tk, x => !x.isin(vocab: _*)))
+      docs.select($"doc_id", oov.cast("long").as("n_oov"),
+          (oov.cast("double") / size(tk)).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+
     // Vocabulary cardinality: exact distinct count next to the
     // HyperLogLog++ sketch (rsd 2%) the 100 TB plan would use — the sketch
     // is merge-order-insensitive (register-max), so its value is

@@ -73,5 +73,51 @@ object Stats {
           max(when($"rn" === $"n", $"value")).cast("double").as("mx"))
         .orderBy("event_type")
     },
+
+    // Arg-max per group — "keep the best row per key" (best doc per
+    // cluster, latest record per entity): native `max_by` with a composite
+    // (value, -key) order so ties break deterministically, one shuffle
+    // with map-side partial max — no window sort, no group
+    // materialization.
+    GraftQuery.sql("q_argmax_group",
+      """SELECT c_mktsegment AS segment, c_custkey AS top_cust,
+        |  CAST(c_acctbal AS DOUBLE) AS top_bal
+        |FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |        ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer)
+        |WHERE rn = 1 ORDER BY segment""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .groupBy($"c_mktsegment".as("segment"))
+        .agg(max_by($"c_custkey", struct($"c_acctbal", -$"c_custkey"))
+            .as("top_cust"),
+          max($"c_acctbal").cast("double").as("top_bal"))
+        .orderBy("segment")
+    },
+
+    // The SKETCH path for percentiles at 100 TB: percentile_approx
+    // (Greenwald-Khanna, mergeable partial sketches — one map-side pass,
+    // no per-group materialization, no window sort) next to the exact
+    // selection percentile, asserting the sketch lands within 5% relative
+    // error. GK is deterministic for a given dataset and accuracy, so the
+    // boolean is stable; the oracle states the bound.
+    GraftQuery.sql("q_approx_quantiles",
+      """SELECT 0.5 AS p, true AS approx_ok FROM (SELECT 1)
+        |UNION ALL SELECT 0.9, true
+        |ORDER BY p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sorted = sort_array(collect_list($"value"))
+      def exact(p: Double) =
+        get(sorted, ceil(lit(p) * size(sorted)).cast("int") - 1)
+      val r = Tables.load(s, dir, "events")
+        .agg(exact(0.5).as("e50"), exact(0.9).as("e90"),
+          percentile_approx($"value", lit(0.5), lit(1000)).as("a50"),
+          percentile_approx($"value", lit(0.9), lit(1000)).as("a90"))
+        .select(
+          (abs($"a50" - $"e50") / abs($"e50") < 0.05).as("ok50"),
+          (abs($"a90" - $"e90") / abs($"e90") < 0.05).as("ok90"))
+      r.select(lit(0.5).as("p"), $"ok50".as("approx_ok"))
+        .union(r.select(lit(0.9), $"ok90"))
+        .orderBy("p")
+    },
   )
 }
