@@ -37,8 +37,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries build private caches (indexes, shingle sets); drop them so
-      // 50+ queries don't accumulate executor memory
+      // 100+ queries don't accumulate executor memory. localCheckpoint
+      // blocks live outside the SQL cache manager — drop them too
       spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
