@@ -402,5 +402,77 @@ object Similarity {
         .select($"qid", $"vec_id", $"sim", $"rnk")
         .orderBy("qid", "rnk")
     },
+
+    // PRODUCT QUANTIZATION (PQ) ANN with ADC scoring — the memory-bound
+    // scale path: the 64-dim corpus compresses to 8 one-byte codes per
+    // vector (8 subspaces × 16-entry codebooks), and each query scores a
+    // row by EIGHT table lookups instead of a 64-dim fold. Codebooks are
+    // deterministic sub-vectors of the first 16 corpus rows (the same
+    // fixed-sample stance as q_ann_ivf_topk; q_ivf_kmeans shows the
+    // trained path). Encoding is one MAP-SIDE projection (argmin over 16
+    // codebook literals per subspace, no Exchange); each query computes
+    // its 8×16 lookup table map-side once, then the broadcast-join scoring
+    // touches only code bytes. Approximate distances sum the 8 LUT entries
+    // strictly left-to-right, and the oracle replays codebooks, encoding,
+    // LUTs, and ranking in SQL — hash-exact, not a recall proxy.
+    GraftQuery.sql("q_ann_pq_topk", {
+      def l2(v: String, c: String) =
+        s"list_reduce(list_transform(range(1, len($v)+1), i -> ($v[i]-$c[i])*($v[i]-$c[i])), (a,b) -> a+b)"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cb AS (SELECT m.m, j.vec_id AS j, j.v[m.m*8+1 : m.m*8+8] AS cv
+         |       FROM (SELECT UNNEST(range(0, 8)) AS m) m,
+         |            (SELECT vec_id, v FROM e WHERE vec_id < 16) j),
+         |codes AS (SELECT vec_id, m, j AS code FROM (
+         |  SELECT e.vec_id, cb.m, cb.j, row_number() OVER (PARTITION BY e.vec_id, cb.m
+         |    ORDER BY ${l2("e.v[cb.m*8+1 : cb.m*8+8]", "cb.cv")}, cb.j) AS rn
+         |  FROM e, cb) WHERE rn = 1),
+         |lut AS (SELECT e.vec_id AS qid, cb.m, cb.j,
+         |          ${l2("e.v[cb.m*8+1 : cb.m*8+8]", "cb.cv")} AS d
+         |        FROM e, cb WHERE e.vec_id < 5),
+         |scored AS (SELECT lut.qid, codes.vec_id,
+         |    list_reduce(list(lut.d ORDER BY lut.m), (a, b) -> a + b) AS adist
+         |  FROM codes JOIN lut ON lut.m = codes.m AND lut.j = codes.code
+         |  WHERE codes.vec_id != lut.qid
+         |  GROUP BY lut.qid, codes.vec_id)
+         |SELECT qid, vec_id, adist, CAST(rnk AS BIGINT) AS rnk FROM
+         | (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk FROM scored)
+         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val subs = 8; val codesPerSub = 16; val subDim = 64 / subs
+      val e = corpus(Tables.load(s, dir, "embeddings")).select($"vec_id", $"v")
+      // codebooks: subspace m → 16 literal sub-vectors (rows vec_id < 16)
+      val cbRows = e.filter($"vec_id" < codesPerSub).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      def codebook(m: Int): IndexedSeq[Seq[Double]] =
+        cbRows.map { case (_, v) => v.slice(m * subDim, (m + 1) * subDim) }
+          .toIndexedSeq
+      def sub(v: Column, m: Int) = slice(v, m * subDim + 1, subDim)
+      // encode: per subspace the argmin (d, j) over the codebook literals —
+      // one projection, ties to the smallest code id
+      val codeCols = (0 until subs).map { m =>
+        array_min(array(codebook(m).zipWithIndex.map { case (cv, j) =>
+          struct(l2sq(sub($"v", m), typedlit(cv)).as("d"), lit(j).as("j"))
+        }: _*)).getField("j").as(s"c$m")
+      }
+      val encoded = e.select(($"vec_id" +: codeCols): _*)
+      // per-query LUT: lut[m][j] = d(q_sub_m, codebook_m[j]), map-side
+      val lutCol = array((0 until subs).map { m =>
+        array(codebook(m).map(cv => l2sq(sub($"v", m), typedlit(cv))): _*)
+      }: _*)
+      val qlut = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), lutCol.as("lut"))
+      // ADC: eight array lookups summed left-to-right
+      val adist = (0 until subs).map { m =>
+        element_at(element_at($"lut", m + 1), col(s"c$m") + 1)
+      }.reduceLeft(_ + _)
+      val scored = encoded.join(broadcast(qlut), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id", adist.as("adist"))
+      scored.withColumn("rnk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"adist", $"vec_id")).cast("long"))
+        .filter($"rnk" <= 10)
+        .select($"qid", $"vec_id", $"adist", $"rnk")
+        .orderBy("qid", "rnk")
+    },
   )
 }

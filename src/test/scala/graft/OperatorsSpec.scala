@@ -71,6 +71,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN rankings are well-formed and distance-ascending") {
+    // Same structural contract as IVF (the synthetic embeddings carry no
+    // cluster structure, so a recall floor is noise): contiguous ranks,
+    // ascending approximate distances, no self-match.
+    val rows = SparkEntry.queries("q_ann_pq_topk")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length).toSeq,
+        s"ranks not contiguous for query $qid")
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).toSeq.sorted,
+        s"approx distances not ascending for query $qid")
+      assert(!sorted.exists(_._2 == qid), "query must not match itself")
+    }
+  }
+
   test("incremental sum/min equal their full-scan counterparts") {
     val events = Tables.load(spark, TestSpark.sfDir, "events")
     val batches = Ivm.microBatches(events, $"event_id", 7)
