@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Curation.queries ++
       operators.Changelog.queries ++
+      operators.Analytics.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       sources.SourceSink.queries ++

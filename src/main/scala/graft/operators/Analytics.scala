@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.{GraftQuery, Tables}
+
+/** Product-analytics operators over the events feed plus a generic column
+  * profiler — the interactive-analysis side of the engine (the reference's
+  * HTTP-served queries are exactly this shape: parameterized aggregations
+  * over a mutable store, `haskellServer/src/Lib.hs:28-46`).
+  *
+  * Scale notes: the funnel and the cohort matrix are each ONE hash shuffle
+  * by user (conditional aggregates inside the group — no self-joins, no
+  * window sorts); the profiler is a single Expand-based pass producing all
+  * per-column statistics map-side before one exchange.
+  */
+object Analytics {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // FUNNEL: view → click conversion. Phase 1 is one groupBy(user) with
+    // conditional mins (first view, first click AFTER that view — computed
+    // with a min over a filtered struct, still inside the same aggregate);
+    // phase 2 is a global roll-up. No event-to-event self-join.
+    GraftQuery.sql("q_funnel",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT u.user_id, u.tv,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts > u.tv THEN e.ts END) AS tc
+        |  FROM u JOIN events e USING (user_id)
+        |  GROUP BY u.user_id, u.tv)
+        |SELECT COUNT(*) AS n_users,
+        |  COUNT(tv) AS n_viewed,
+        |  COUNT(CASE WHEN tc IS NOT NULL THEN 1 END) AS n_converted,
+        |  CAST(COUNT(CASE WHEN tc IS NOT NULL THEN 1 END) AS DOUBLE)
+        |    / COUNT(tv) AS conversion
+        |FROM c""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val events = Tables.load(s, dir, "events")
+      val u = events.groupBy($"user_id")
+        .agg(min(when($"event_type" === "view", $"ts")).as("tv"))
+      val c = events.join(u, "user_id")
+        .groupBy($"user_id", $"tv")
+        .agg(min(when($"event_type" === "click" && $"ts" > $"tv", $"ts"))
+          .as("tc"))
+      c.agg(count(lit(1)).as("n_users"),
+        count($"tv").as("n_viewed"),
+        count(when($"tc".isNotNull, 1)).as("n_converted"),
+        (count(when($"tc".isNotNull, 1)).cast("double") / count($"tv"))
+          .as("conversion"))
+    },
+
+    // COHORT RETENTION: users grouped by first-activity week; the matrix
+    // counts distinct users active k weeks after their cohort week. Two
+    // aggregations (first-activity per user, then the matrix) — both hash
+    // shuffles with map-side partials, no windows.
+    GraftQuery.sql("q_cohort_retention",
+      """WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort,
+        |        CAST((CAST(epoch(date_trunc('week', e.ts)) AS BIGINT)
+        |              - CAST(epoch(f.cohort) AS BIGINT)) / 604800 AS BIGINT) AS wk
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, wk, COUNT(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY cohort_week, wk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // events.ts arrives as epoch-nanos long (Tables.load); truncate to µs
+      // timestamps first — week-level truncation is unaffected
+      val events = Tables.load(s, dir, "events")
+        .withColumn("tstamp", Tables.tsCol($"ts"))
+      val f = events.groupBy($"user_id")
+        .agg(date_trunc("week", min($"tstamp")).as("cohort"))
+      events.join(f, "user_id")
+        .select($"user_id", $"cohort",
+          ((unix_timestamp(date_trunc("week", $"tstamp"))
+            - unix_timestamp($"cohort")) / 604800).cast("long").as("wk"))
+        .distinct()
+        .groupBy(date_format($"cohort", "yyyy-MM-dd").as("cohort_week"), $"wk")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "wk")
+    },
+
+    // COLUMN PROFILER: null counts + exact distinct cardinality for a
+    // column set in ONE aggregation pass (multiple count-distincts expand
+    // map-side); output unpivoted to a row per column. At 100 TB the
+    // distinct counts switch to the HLL sketch shown in q_approx_distinct.
+    GraftQuery.sql("q_profile",
+      """SELECT 'l_orderkey' AS col, COUNT(*) AS n,
+        |  COUNT(*) - COUNT(l_orderkey) AS n_null,
+        |  COUNT(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+        |  COUNT(DISTINCT l_quantity) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+        |  COUNT(DISTINCT l_returnflag) FROM lineitem
+        |ORDER BY col""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+        Seq(count(col(c)).as(s"nn_$c"), count_distinct(col(c)).as(s"nd_$c"))
+      }
+      val one = Tables.load(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map { c =>
+        one.select(lit(c).as("col"), $"n",
+          ($"n" - col(s"nn_$c")).as("n_null"),
+          col(s"nd_$c").as("n_distinct"))
+      }.reduceLeft(_.union(_))
+      stacked.orderBy("col")
+    },
+  )
+}
