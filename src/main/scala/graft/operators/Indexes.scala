@@ -30,6 +30,24 @@ object Indexes {
         .orderBy("o_orderkey")
     },
 
+    // The reference's AUTOMATIC rewrite at the Catalyst level
+    // (plans/KeyedIndexRule — eq_filter_to_lookup as a Rule[LogicalPlan]):
+    // after registration, the query below is a PLAIN DataFrame filter —
+    // no index API in sight — and the optimizer rule swaps its parquet
+    // scan for the keyed in-memory index. Plan-asserted in
+    // PlanQualitySpec; the oracle proves the rewrite preserved results.
+    GraftQuery.sql("q_rule_index_lookup",
+      """SELECT COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+        |FROM orders WHERE o_custkey = 17""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.plans.KeyedIndexRule.register(
+        s, Tables.load(s, dir, "orders"), "o_custkey")
+      // user code from here on: an ordinary filter over the ordinary table
+      Tables.load(s, dir, "orders")
+        .filter($"o_custkey" === 17L)
+        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+    },
+
     // bitmap index: precompute the predicate as a boolean column ONCE
     // (`filter_to_bitmap_lookup_head`, BitmapIndex.v:811-831); subsequent
     // queries aggregate the bitmap instead of re-evaluating the predicate.

@@ -125,6 +125,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pc.contains("BroadcastHashJoin"), pc)
   }
 
+  test("registered keyed index rewrites a plain equality filter off the scan") {
+    import org.apache.spark.sql.functions._
+    try {
+      val orders = graft.core.Tables.load(spark, TestSpark.sfDir, "orders")
+      graft.plans.KeyedIndexRule.register(spark, orders, "o_custkey")
+      // PLAIN user query — no index API
+      val q = graft.core.Tables.load(spark, TestSpark.sfDir, "orders")
+        .filter(col("o_custkey") === 17L)
+        .agg(count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"), s"index not used:\n$p")
+      // no parquet scan ABOVE the index (the InMemoryRelation's stored
+      // build plan legitimately renders the original scan below it)
+      val aboveIndex = p.substring(0, p.indexOf("InMemoryRelation"))
+      assert(!aboveIndex.contains("FileScan parquet"),
+        s"still scanning parquet:\n$p")
+      // and the rewrite preserves the answer
+      val direct = orders.filter(col("o_custkey") === 17L).count()
+      assert(q.collect().head.getLong(0) == direct)
+    } finally graft.plans.KeyedIndexRule.clear()
+  }
+
   test("bloom semi-join prunes the fact side before the shuffle, codegen'd") {
     val df = SparkEntry.queries("q_bloom_join")(spark, TestSpark.sfDir)
     df.collect() // finalize the adaptive plan so codegen stages are marked
