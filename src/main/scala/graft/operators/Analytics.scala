@@ -82,6 +82,61 @@ object Analytics {
         .orderBy("cohort_week", "wk")
     },
 
+    // CUMULATIVE WINDOW: per-user running event total over time — one
+    // window shuffle (hash by user, in-partition sort), decimal prefix
+    // sums so the cross-engine compare is exact at any prefix length.
+    GraftQuery.sql("q_window_cume",
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS running
+        |FROM events WHERE user_id < 5 ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, dir, "events")
+        .filter($"user_id" < 5)
+        .select($"user_id", $"event_id",
+          sum($"value".cast("decimal(18,2)")).over(
+            Window.partitionBy($"user_id").orderBy($"ts", $"event_id"))
+            .cast("double").as("running"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // PIVOT: event counts per user across a FIXED type set — Spark's
+    // .pivot with explicit values stays a single aggregate (no extra
+    // distinct-values job); the oracle spells the same conditional sums.
+    GraftQuery.sql("q_pivot",
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+        |FROM events WHERE user_id < 10 GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .filter($"user_id" < 10)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("view", "click", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select($"user_id", $"view".as("n_view"), $"click".as("n_click"),
+          $"error".as("n_error"))
+        .orderBy("user_id")
+    },
+
+    // ROLLUP: the grouping-sets lattice over (status, priority) — counts
+    // and long sums at every level in one pass (Expand + single shuffle).
+    GraftQuery.sql("q_rollup",
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  COUNT(*) AS n, SUM(o_custkey) AS cust_sum
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status NULLS FIRST, priority NULLS FIRST""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .rollup($"o_orderstatus".as("status"), $"o_orderpriority".as("priority"))
+        .agg(count(lit(1)).as("n"), sum($"o_custkey").as("cust_sum"))
+        .orderBy($"status".asc_nulls_first, $"priority".asc_nulls_first)
+    },
+
     // COLUMN PROFILER: null counts + exact distinct cardinality for a
     // column set in ONE aggregation pass (multiple count-distincts expand
     // map-side); output unpivoted to a row per column. At 100 TB the
