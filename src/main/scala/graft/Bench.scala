@@ -49,6 +49,10 @@ object Bench {
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // index registrations are per-query setup: dropping them with the
+      // cache keeps the rewrite rule from steering OTHER queries onto a
+      // no-longer-cached index
+      graft.plans.KeyedIndexRule.clear()
       // a failed query is reported as -1, never as a plausible fast time
       name -> (if (ok) dt else -1.0)
     }

@@ -43,6 +43,7 @@ object Verify {
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      graft.plans.KeyedIndexRule.clear()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
