@@ -6,7 +6,6 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .withExtensions(new graft.plans.GraftIndexExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // ~96 queries × several codegen stages far exceeds the default

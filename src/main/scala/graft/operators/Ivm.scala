@@ -47,9 +47,12 @@ object Ivm {
     * and V accumulates the deltas — the accumulated A⋈B is NEVER
     * recomputed. Deltas are batch-sized (broadcast side of each delta
     * join at scale); the accumulated sides grow but are only ever probed,
-    * not re-joined to each other. `localCheckpoint` bounds lineage across
-    * ticks. Both inputs may advance in the same tick (the ΔA⋈ΔB cross-delta
-    * term is covered by ΔA joining B∪ΔB).
+    * not re-joined to each other. Only each tick's DELTA is
+    * checkpointed (cutting its join lineage); the accumulators and the
+    * view are lazy unions of those materialized deltas — per-tick
+    * storage is O(|delta|), not a re-copy of the whole view. Both
+    * inputs may advance in the same tick (the ΔA⋈ΔB cross-delta term is
+    * covered by ΔA joining B∪ΔB).
     */
   def incrementalJoin(batchesA: Seq[DataFrame], batchesB: Seq[DataFrame],
       join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
@@ -58,13 +61,13 @@ object Ivm {
     var accA, accB, view = Option.empty[DataFrame]
     batchesA.zip(batchesB).foreach { case (dA, dB) =>
       val bNew = accB.map(_.union(dB)).getOrElse(dB)
-      val delta = accA match {
+      val delta = (accA match {
         case Some(a) => join(dA, bNew).union(join(a, dB))
         case None => join(dA, bNew)
-      }
-      view = Some(view.map(_.union(delta)).getOrElse(delta).localCheckpoint())
-      accA = Some(accA.map(_.union(dA)).getOrElse(dA).localCheckpoint())
-      accB = Some(bNew.localCheckpoint())
+      }).localCheckpoint()
+      view = Some(view.map(_.union(delta)).getOrElse(delta))
+      accA = Some(accA.map(_.union(dA)).getOrElse(dA))
+      accB = Some(bNew)
     }
     view.get
   }

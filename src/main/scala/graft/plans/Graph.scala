@@ -62,16 +62,18 @@ object Graph {
     * the smallest node id in the node's component.
     *
     * SIZE-GATED LOCAL FAST PATH: when the MEASURED edge count fits
-    * trivially in driver memory (default gate 4M edges = 64 MB of long
-    * pairs), a driver union-find replaces the loop — at that size the
-    * distributed rounds cost pure scheduling, not compute. This is the
-    * stance the reference takes for its driver event loops and the one
-    * production CC implementations ship; a pair graph distilled from a
-    * 100 TB corpus that exceeds the gate takes the distributed loop.
+    * trivially in driver memory (default gate 1M edges — collect()
+    * materializes boxed Rows plus a boxed-long hash map, so budget
+    * ~100s of bytes per edge, not 16), a driver union-find replaces the
+    * loop — at that size the distributed rounds cost pure scheduling,
+    * not compute. This is the stance the reference takes for its driver
+    * event loops and the one production CC implementations ship; a pair
+    * graph distilled from a 100 TB corpus that exceeds the gate takes
+    * the distributed loop.
     */
   def connectedComponents(symEdges: DataFrame,
       maxIter: Int = 50,
-      localEdgeThreshold: Long = 4L << 20): DataFrame = {
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val spark = symEdges.sparkSession
     import spark.implicits._
     // SIZE-GATED LOCAL FAST PATH. A near-dup pair graph is orders of
@@ -110,7 +112,10 @@ object Graph {
         if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
       }
       edgesRaw.unpersist()
-      val out = parent.keysIterator.map(v => (v, find(v))).toSeq
+      // snapshot the keys BEFORE the final find pass — find() path-
+      // compresses (mutates values) and must not race a live iterator
+      val nodes = parent.keys.toArray
+      val out = nodes.map(v => (v, find(v))).toSeq
       return spark.createDataset(out).toDF("node", "component")
     }
     // distributed label propagation: ~1M edges per partition keeps tasks

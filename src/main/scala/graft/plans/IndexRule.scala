@@ -30,10 +30,12 @@ import org.apache.spark.sql.functions.col
   * snapshot caveat applies exactly as in the reference: the index
   * reflects the relation at registration time.
   *
-  * Wiring: `GraftIndexExtensions` is the sanctioned
-  * `SparkSessionExtensions` path (builder-time); `register` also
-  * installs the rule via `spark.experimental.extraOptimizations` when
-  * the session was built without extensions (idempotent by class).
+  * Wiring: `register` installs the rule via
+  * `spark.experimental.extraOptimizations` (idempotent by class).
+  * `GraftIndexExtensions` is the builder-time `SparkSessionExtensions`
+  * path for applications that want the rule from session start — pick
+  * ONE of the two: `register`'s install cannot see builder-injected
+  * rules, so combining them runs the (idempotent) rule twice per query.
   */
 object KeyedIndexRule {
 

@@ -16,8 +16,10 @@ class SearchSpec extends AnyFunSuite {
     // scan → filter → project; the only exchange permitted is the final
     // presentation orderBy
     val p = plan("q_search_conjunctive")
-    val beforeSort = p.substring(p.indexOf("Sort"))
-    assert(beforeSort.sliding("Exchange".length).count(_ == "Exchange") <= 1, p)
+    val sortAt = p.indexOf("Sort")
+    assert(sortAt >= 0, s"expected the presentation sort in the plan:\n$p")
+    val fromSortDown = p.substring(sortAt) // the subtree at and below Sort
+    assert(fromSortDown.sliding("Exchange".length).count(_ == "Exchange") <= 1, p)
     // conjunctive semantics: every returned doc contains all query terms
     val docs = run("q_search_conjunctive").collect().map(_.getLong(0)).toSet
     assert(docs.nonEmpty)

@@ -5,9 +5,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev profiler (test scope): warm stage timings for the slow-query hunt.
-  * Run: Test/runMain graft.ProfMain <sfDir> <name> [name...]
-  * Each named query runs twice — cold (after cache clear) and warm —
-  * so one-time JIT/codegen cost is visible separately from plan cost.
+  * Run: Test/runMain graft.operators.ProfMain <sfDir> <name> [name...]
+  * (declared in graft.operators for access to the package-private
+  * shingle cache). Each named query runs twice — cold (after cache
+  * clear) and warm — so one-time JIT/codegen cost is visible separately
+  * from plan cost.
   */
 object ProfMain {
   def main(args: Array[String]): Unit = {
