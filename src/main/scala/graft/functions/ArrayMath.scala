@@ -48,11 +48,63 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance with the same strict left-to-right fold from 0.0 as
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)` — the form
+  * the DuckDB oracles replay — but inside whole-stage codegen (the
+  * higher-order-function form is CodegenFallback and interpreted).
+  * Assumes equal-length inputs (folds to the shorter).
+  */
+case class SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |double[] $x = $a.toDoubleArray();
+         |double[] $y = $b.toDoubleArray();
+         |int $n = Math.min($x.length, $y.length);
+         |double ${ev.value}_s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $x[$i] - $y[$i];
+         |  ${ev.value}_s += $d * $d;
+         |}
+         |${ev.value} = ${ev.value}_s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayMath {
   /** Dot product of two double-array columns (strict sequential sum). Inputs
     * are cast to array<double> here — the expression itself assumes it. */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(
+      GraftBridge.expression(a.cast("array<double>")),
+      GraftBridge.expression(b.cast("array<double>"))))
+
+  /** Squared L2 distance (strict sequential fold, codegen'd). */
+  def l2sq(a: Column, b: Column): Column =
+    GraftBridge.column(SquaredDistance(
       GraftBridge.expression(a.cast("array<double>")),
       GraftBridge.expression(b.cast("array<double>"))))
 }

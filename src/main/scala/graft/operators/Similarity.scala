@@ -39,10 +39,11 @@ object Similarity {
     s"list_reduce(list_transform(list_zip($a, $b), z -> z[1] * z[2]), (u, w) -> u + w)"
 
   /** Sequential-fold squared L2 from 0.0 — bit-exact vs the oracle's
-    * `list_reduce` (0.0 + x1 == x1 in IEEE, then the same add sequence). */
-  private def l2sq(v: Column, c: Column): Column =
-    aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    * `list_reduce` (0.0 + x1 == x1 in IEEE, then the same add sequence).
+    * Native codegen'd expression (`SquaredDistance`) — the higher-order
+    * `aggregate(zip_with(...))` form computes the identical value but is
+    * CodegenFallback, which dominated the IVF/k-means/PQ projections. */
+  private def l2sq(v: Column, c: Column): Column = ArrayMath.l2sq(v, c)
 
   /** The (d, cid) cell structs against centroid LITERALS — the map-side
     * argmin building block (`array_min` = min distance, ties to the
