@@ -86,6 +86,32 @@ object SourceSink {
       rollup(s.read.orc(out))
     },
 
+    // SCHEMA EVOLUTION: two parquet batches written with different
+    // schemas (the second adds `priority`) read back as ONE relation via
+    // mergeSchema — rows from the old batch surface the new column as
+    // null. This is how a long-lived corpus absorbs new metadata without
+    // rewriting history; mergeSchema is opt-in because reconciling
+    // footers costs a pass over file metadata at scale.
+    GraftQuery.sql("q_schema_evolution",
+      """SELECT priority, COUNT(*) AS n, SUM(o_custkey) AS cust_sum FROM (
+        |  SELECT NULL AS priority, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_custkey FROM orders WHERE o_orderkey % 2 = 1)
+        |GROUP BY priority ORDER BY priority NULLS FIRST""".stripMargin) { (s, dir) =>
+      val out = sinkDir("evolve", dir)
+      val slice = ordersSlice(s, dir)
+      slice.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/v1")
+      slice.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("priority"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"))
+        .orderBy(col("priority").asc_nulls_first)
+    },
+
     // Partitioned parquet sink: partitionBy(status), read back with a
     // status filter — the filter becomes a PartitionFilter (directory
     // pruning), so the scan reads only the 'F' partition's files.
