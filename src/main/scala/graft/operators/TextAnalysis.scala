@@ -84,6 +84,44 @@ object TextAnalysis {
       scored.withColumn("pred_lang", pred).orderBy("doc_id")
     },
 
+    // QUALITY CLASSIFIER: the decision step of a cleaning pipeline — a
+    // fixed-weight linear model over the extracted features (token count,
+    // mean word length, stopword ratio, punctuation density), thresholded
+    // into keep/drop. Map-only; every arithmetic step is IEEE-exact in a
+    // spelled order, so the oracle reproduces score and verdict exactly.
+    // (Weights are illustrative constants — the operator demonstrates the
+    // feature→score→decision plumbing, not a trained model.)
+    GraftQuery.sql("q_quality_score", {
+      val ws = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+      val sw = stopwords.map("'" + _ + "'").mkString(",")
+      s"""WITH f AS (SELECT doc_id,
+         |  CAST(len($ws) AS DOUBLE) AS n_tok,
+         |  CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / len($ws) AS mean_len,
+         |  CAST(len(list_filter($ws, w -> w IN ($sw))) AS DOUBLE) / len($ws) AS stop_r,
+         |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS punct_r
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ((0.002 * n_tok + 0.3 * mean_len) + 2.0 * stop_r) - 4.0 * punct_r AS score,
+         |  (((0.002 * n_tok + 0.3 * mean_len) + 2.0 * stop_r) - 4.0 * punct_r) > 1.5 AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = toks($"text")
+      val f = Tables.load(s, dir, "documents").select($"doc_id",
+        size(t).cast("double").as("n_tok"),
+        (length(regexp_replace(trim($"text"), " ", "")).cast("double") / size(t))
+          .as("mean_len"),
+        (size(filter(t, w => w.isin(stopwords: _*))).cast("double") / size(t))
+          .as("stop_r"),
+        (length(regexp_replace($"text", "[^.,;:!?]", "")).cast("double")
+          / length($"text")).as("punct_r"))
+      val score = ((lit(0.002) * $"n_tok" + lit(0.3) * $"mean_len")
+        + lit(2.0) * $"stop_r") - lit(4.0) * $"punct_r"
+      f.select($"doc_id", score.as("score"), (score > 1.5).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // Fingerprints: md5, first-8-bytes hex, and an order-sensitive rolling
     // hash folded over the token stream (seeded by the first token's code) —
     // Spark `aggregate` ≡ DuckDB `list_reduce`, both strict left folds.
