@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 local executor threads share the driver heap (execution + storage
+  // + cached indexes across 120+ queries). Fixed Xms=Xmx: incremental
+  // heap commit mid-run showed up as multi-second stalls on map-only
+  // queries; pre-committing once at JVM start removes that noise.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
