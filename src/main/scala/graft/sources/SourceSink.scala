@@ -86,6 +86,32 @@ object SourceSink {
       rollup(s.read.orc(out))
     },
 
+    // BUCKETED TABLES: both join sides written `bucketBy(custkey)` into
+    // the session catalog, then joined — the co-located layout that makes
+    // repeated fact-dim joins SHUFFLE-FREE at cluster scale (the §2.8
+    // dict index as a physical design; BucketingSpec plan-asserts the
+    // no-Exchange property). The oracle is the plain join.
+    GraftQuery.sql("q_bucketed_join",
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n,
+        |  SUM(o_orderkey) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
+      val sf = new java.io.File(dir).getName.replace('.', '_')
+      val (ot, ct) = (s"orders_bkt_$sf", s"customer_bkt_$sf")
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("segment")
+    },
+
     // SCHEMA EVOLUTION: two parquet batches written with different
     // schemas (the second adds `priority`) read back as ONE relation via
     // mergeSchema — rows from the old batch surface the new column as
