@@ -98,6 +98,15 @@ object SourceSink {
         |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
       val sf = new java.io.File(dir).getName.replace('.', '_')
       val (ot, ct) = (s"orders_bkt_$sf", s"customer_bkt_$sf")
+      // a fresh session's catalog doesn't know tables a PREVIOUS session
+      // left in the warehouse directory, and saveAsTable then refuses the
+      // existing location — drop both the entry and the stale directory
+      Seq(ot, ct).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        Tables.deleteTree(new java.io.File(wh, t))
+      }
       Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .write.mode(SaveMode.Overwrite)
