@@ -48,6 +48,14 @@ for name in names:
     try:
         pd.testing.assert_frame_equal(gs, es, check_dtype=False,
                                       check_exact=True)
+        # The driver's hash is TYPE-sensitive (e.g. DuckDB HUGEINT vs Spark
+        # BIGINT hash differently even when values match) — surface dtype
+        # drift here so it can't slip past the local gate again.
+        drift = [c for c in gs.columns if gs[c].dtype != es[c].dtype]
+        if drift:
+            print(f"WARN {name}: dtype drift (driver hash may fail): " +
+                  ", ".join(f"{c} spark={gs[c].dtype} oracle={es[c].dtype}"
+                            for c in drift))
         print(f"ok   {name}: {len(gs)} rows exact-match")
     except AssertionError as e:
         print(f"FAIL {name}: value mismatch\n{str(e)[:800]}")

@@ -127,7 +127,7 @@ object Analytics {
     // and long sums at every level in one pass (Expand + single shuffle).
     GraftQuery.sql("q_rollup",
       """SELECT o_orderstatus AS status, o_orderpriority AS priority,
-        |  COUNT(*) AS n, SUM(o_custkey) AS cust_sum
+        |  COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status NULLS FIRST, priority NULLS FIRST""".stripMargin) { (s, dir) =>
       import s.implicits._

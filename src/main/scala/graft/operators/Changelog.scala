@@ -45,7 +45,7 @@ object Changelog {
     // partial-aggregated group-by (integer sum, engine-exact).
     GraftQuery.sql("q_json_extract",
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       import s.implicits._
       Tables.load(s, dir, "events")

@@ -37,7 +37,7 @@ object Indexes {
     // scan for the keyed in-memory index. Plan-asserted in
     // PlanQualitySpec; the oracle proves the rewrite preserved results.
     GraftQuery.sql("q_rule_index_lookup",
-      """SELECT COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+      """SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_custkey = 17""".stripMargin) { (s, dir) =>
       import s.implicits._
       graft.plans.KeyedIndexRule.register(

@@ -58,18 +58,29 @@ object Similarity {
       cents: Seq[(Long, Seq[Double])]): DataFrame =
     df.withColumn("cid", array_min(cellStructsOf(cents))("cid"))
 
-  /** One Lloyd mean update: a single shuffle keyed (cell, dim), the fold
-    * pinned to vec_id order so the oracle's ordered list_reduce reproduces
-    * it; returns the centroids as driver values for the next literal-shipped
-    * assignment. */
+  /** Fixed-point quantum for the Lloyd mean: x * 2^30 is an EXACT double op
+    * (power-of-two multiply only shifts the exponent), floor is
+    * deterministic, and the resulting BIGINTs sum exactly in ANY order — so
+    * the mean update is a plain sum/count partial aggregate (bounded
+    * per-group state, map-side combine) yet still bit-replayable by the
+    * oracle. Headroom: |x| ≤ 2 and 2^53 / 2^31 = 4×10^6 members per cell
+    * before the double cast of the sum loses exactness; a 100 TB run would
+    * widen the sum to DECIMAL(38,0), which changes nothing else. */
+  private val Quantum = 1L << 30
+
+  /** One Lloyd mean update: a single shuffle keyed (cell, dim) carrying only
+    * (sum, count) partials — no per-member state (the round-5 collect_list
+    * materialized whole cell memberships). The mean is computed on
+    * 2^-30-quantized values so integer summation makes it order-free and
+    * engine-exact; returns the centroids as driver values for the next
+    * literal-shipped assignment. */
   private def lloydMeans(assigned: DataFrame): Seq[(Long, Seq[Double])] =
-    assigned.select(col("cid"), col("vec_id"), posexplode(col("v")))
+    assigned.select(col("cid"), posexplode(col("v")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
       .groupBy(col("cid"), col("i"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
+      .agg(sum(floor(col("x") * Quantum)).as("qsum"), count(lit(1)).as("n"))
       .select(col("cid"), col("i"),
-        (aggregate(col("xs"), lit(0.0), (acc, el) => acc + el("x")) /
-          size(col("xs"))).as("cx"))
+        (col("qsum").cast("double") / col("n") / Quantum).as("cx"))
       .groupBy(col("cid"))
       .agg(sort_array(collect_list(struct(col("i"), col("cx")))).as("ic"))
       .select(col("cid"), transform(col("ic"), el => el("cx")).as("cv"))
@@ -295,13 +306,13 @@ object Similarity {
     // step that q_ann_ivf_topk's fixed centroids stand in for. Each
     // iteration is (1) a MAP-SIDE assignment — centroids ship as literals,
     // argmin over k codegen'd L2 folds, no Exchange — and (2) one shuffle
-    // keyed (cell, dim) for the mean update; at 100 TB that is the minimal
-    // movement k-means can do. Every float fold (distances, means, digest)
-    // runs in a FIXED order in both engines, so the oracle — the whole
-    // algorithm replayed in SQL — is hash-exact, not a proxy: per-cell
-    // member counts and centroid digests after two iterations.
-    // (The per-(cell,dim) mean here folds a sorted collect_list to pin
-    // order for the oracle; a pure-throughput variant would decimal-sum.)
+    // keyed (cell, dim) for the mean update carrying only (sum, count)
+    // partials (map-side combine, bounded per-group state); at 100 TB that
+    // is the minimal movement k-means can do. The mean is defined on
+    // 2^-30-quantized members (exact power-of-two scale + floor + integer
+    // sum), so it is order-free AND bit-replayable: the oracle — the whole
+    // algorithm in SQL — is hash-exact, not a proxy: per-cell member
+    // counts and centroid digests after two iterations.
     GraftQuery.sql("q_ivf_kmeans",
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
@@ -311,7 +322,9 @@ object Similarity {
         |a1 AS (SELECT vec_id, cid FROM
         |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
         |       WHERE rn = 1),
-        |m1 AS (SELECT a1.cid, r.i, list_reduce(list(e.v[r.i] ORDER BY e.vec_id), (a,b) -> a+b) / COUNT(*) AS cx
+        |m1 AS (SELECT a1.cid, r.i,
+        |         CAST(SUM(CAST(floor(e.v[r.i] * 1073741824.0) AS BIGINT)) AS DOUBLE)
+        |           / COUNT(*) / 1073741824.0 AS cx
         |       FROM a1 JOIN e USING (vec_id), unnest(range(1, len(e.v)+1)) AS r(i)
         |       GROUP BY a1.cid, r.i),
         |c1 AS (SELECT cid, list(cx ORDER BY i) AS cv FROM m1 GROUP BY cid),
@@ -357,7 +370,9 @@ object Similarity {
          |a1 AS (SELECT vec_id, cid FROM
          |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
          |       WHERE rn = 1),
-         |m1 AS (SELECT a1.cid, r.i, list_reduce(list(e.v[r.i] ORDER BY e.vec_id), (a,b) -> a+b) / COUNT(*) AS cx
+         |m1 AS (SELECT a1.cid, r.i,
+         |         CAST(SUM(CAST(floor(e.v[r.i] * 1073741824.0) AS BIGINT)) AS DOUBLE)
+         |           / COUNT(*) / 1073741824.0 AS cx
          |       FROM a1 JOIN e USING (vec_id), unnest(range(1, len(e.v)+1)) AS r(i)
          |       GROUP BY a1.cid, r.i),
          |c1 AS (SELECT cid, list(cx ORDER BY i) AS cv FROM m1 GROUP BY cid),

@@ -109,7 +109,7 @@ object Workloads {
     // reconstructs it exactly.
     GraftQuery.sql("q_join_ivm",
       """SELECT c_mktsegment AS segment, COUNT(*) AS n,
-        |  SUM(o_orderkey) AS key_sum
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
       import s.implicits._

@@ -52,7 +52,7 @@ object SourceSink {
 
   private val rollupSql =
     """SELECT o_orderstatus AS status, COUNT(*) AS n,
-      |  SUM(o_custkey) AS sum_cust, MAX(o_orderkey) AS max_key
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust, MAX(o_orderkey) AS max_key
       |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
@@ -93,7 +93,7 @@ object SourceSink {
     // no-Exchange property). The oracle is the plain join.
     GraftQuery.sql("q_bucketed_join",
       """SELECT c_mktsegment AS segment, COUNT(*) AS n,
-        |  SUM(o_orderkey) AS key_sum
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
       val sf = new java.io.File(dir).getName.replace('.', '_')
@@ -128,7 +128,7 @@ object SourceSink {
     // rewriting history; mergeSchema is opt-in because reconciling
     // footers costs a pass over file metadata at scale.
     GraftQuery.sql("q_schema_evolution",
-      """SELECT priority, COUNT(*) AS n, SUM(o_custkey) AS cust_sum FROM (
+      """SELECT priority, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum FROM (
         |  SELECT NULL AS priority, o_custkey FROM orders WHERE o_orderkey % 2 = 0
         |  UNION ALL
         |  SELECT o_orderpriority, o_custkey FROM orders WHERE o_orderkey % 2 = 1)
@@ -152,7 +152,7 @@ object SourceSink {
     // pruning), so the scan reads only the 'F' partition's files.
     GraftQuery.sql("q_partitioned_sink",
       """SELECT o_orderpriority AS priority, COUNT(*) AS n,
-        |  SUM(o_custkey) AS sum_cust
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY 1 ORDER BY priority""".stripMargin) { (s, dir) =>
       val out = sinkDir("part_parquet", dir)
