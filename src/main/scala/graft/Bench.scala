@@ -33,27 +33,41 @@ object Bench {
         SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    // Median of 3 runs per query: single cold timings on this box swing
+    // ±40% on identical code (JIT/GC scheduling), which made round-over-
+    // round deltas unreadable. Every rep pays the full plan cost (caches
+    // are cleared between reps) — the median only filters runtime noise,
+    // it does not hide recomputation.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (1 to reps).flatMap { _ =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop per-query caches so later timings aren't skewed by memory
+        // pressure from earlier queries' cached indexes. clearCache only
+        // covers the SQL cache manager — localCheckpoint blocks (graph
+        // loops, IVM ticks) are plain persisted RDDs and must be dropped
+        // explicitly or they accumulate across 100+ queries. Scope the
+        // drop to RDDs persisted DURING this run: a blanket unpersist
+        // would destroy any checkpointed block a module may hold across
+        // queries (lineage-truncated blocks cannot be recomputed).
+        spark.sqlContext.clearCache()
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !before(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        // index registrations are per-query setup: dropping them with the
+        // cache keeps the rewrite rule from steering OTHER queries onto a
+        // no-longer-cached index
+        graft.plans.KeyedIndexRule.clear()
+        if (ok) Some(dt) else None
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query caches so later timings aren't skewed by memory
-      // pressure from earlier queries' cached indexes. clearCache only
-      // covers the SQL cache manager — localCheckpoint blocks (graph
-      // loops, IVM ticks) are plain persisted RDDs and must be dropped
-      // explicitly or they accumulate across 100+ queries
-      spark.sqlContext.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      // index registrations are per-query setup: dropping them with the
-      // cache keeps the rewrite rule from steering OTHER queries onto a
-      // no-longer-cached index
-      graft.plans.KeyedIndexRule.clear()
-      // a failed query is reported as -1, never as a plausible fast time
-      name -> (if (ok) dt else -1.0)
+      // a failed rep is reported as -1, never as a plausible fast time
+      name -> (if (times.size < reps) -1.0 else times.sorted.apply(reps / 2))
     }
     // keep the whole JSON line short: the harness that reads it keeps only
     // the tail of stdout, and a full-precision line for 80 queries
@@ -69,7 +83,8 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"queries":$qs,""" +
+      s""""n_queries":${results.size},"reps":$reps,"stat":"median",""" +
+      s""""queries":$qs,""" +
       s""""fast_omitted":${fast.size},"fast_total":${fmt(fast.values.sum)},""" +
       s""""sf":"$sfName"}""")
     spark.stop()

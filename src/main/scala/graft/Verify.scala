@@ -31,6 +31,7 @@ object Verify {
       // drop any dump from a previous run FIRST: if this query fails now,
       // a stale success must not masquerade as a pass in a reused outDir
       graft.core.Tables.deleteTree(new java.io.File(s"$outDir/$name"))
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -38,10 +39,14 @@ object Verify {
       }
       // queries build private caches (indexes, shingle sets); drop them so
       // 100+ queries don't accumulate executor memory. localCheckpoint
-      // blocks live outside the SQL cache manager — drop them too
+      // blocks live outside the SQL cache manager — drop them too, but
+      // only those persisted DURING this query: a blanket unpersist would
+      // destroy any lineage-truncated checkpoint a module holds across
+      // queries, making it permanently unrecomputable
       spark.sqlContext.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before(id) }
+        .values.foreach(_.unpersist(blocking = false))
       graft.plans.KeyedIndexRule.clear()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
