@@ -87,6 +87,10 @@ object Compiler {
       fs.sortBy(_._1).map { case (n, u) => StructField(n, sparkType(u)) })
   }
 
+  /** Fresh alias ids for flatmap decorrelation — nested correlated
+    * flatmaps each need distinct left/right join aliases. */
+  private val latIds = new java.util.concurrent.atomic.AtomicInteger
+
   /** Row variable of a table as a (name-sorted) struct; Catalyst's
     * SimplifyExtractValueOps collapses `struct(cols).field` back to the
     * column, so pushdown/pruning still reach the scan. */
@@ -286,28 +290,93 @@ object Compiler {
       case TV(df) =>
         def correlatedError(cause: Throwable) =
           new UnsupportedOperationException(
-            "correlated table-valued flatmap body — write the product as " +
-              "EJoin (or a flatmap/if/cons comprehension, which " +
-              "Rewrites.normalize recognizes as a join)", cause)
-        assertUncorrelated(env, Set(x), e2)
-        // A correlated body over a DIFFERENT table crashes inside the body
-        // compile (foreign attributes in a filter), so catch and redirect.
-        // x is a bindRow: a nested table operator referencing it trips
-        // assertUncorrelated (catching the silent same-table case too).
-        val body =
-          try compile(e2, env.bindRow(x, CV(rowStruct(df))))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if Rewrites.freeVars(e2).contains(x) =>
-              throw correlatedError(e)
+            "correlated table-valued flatmap body that neither " +
+              "Rewrites.normalize nor lateral decorrelation could lower — " +
+              "write the product as EJoin (or a flatmap/if/cons " +
+              "comprehension, which Rewrites.normalize recognizes as a join)",
+            cause)
+        // GENERAL DECORRELATION (the reference interpreter's arbitrary
+        // correlated body, fiat2/src/fiat2/Interpret.v:273-299): peel the
+        // body into [optional projection] over [a chain of filters] over an
+        // uncorrelated core, then lower the whole flatmap to ONE aliased
+        // θ-join — predicates from the correlated filters, projection
+        // applied over the join output. This is the dependent-join
+        // elimination a distributed plan needs: the nested loop the
+        // reference interprets becomes a join Catalyst is free to execute
+        // broadcast or sort-merge, instead of per-outer-row evaluation.
+        // (Deliberately NOT Spark's lateralJoin/Column.outer: chained
+        // eager-analyzed Datasets holding lazy outer references resolve
+        // nondeterministically in this Spark version.) Bodies whose
+        // correlation sits deeper than filter predicates / the final
+        // projection — e.g. a correlated aggregate — keep the directed
+        // error.
+        def decorrelate(): Val = {
+          val (relBody, peeledProj) = e2 match {
+            case EProj(_, l, u, r) => (l, Some((u, r)))
+            case _ => (e2, None)
           }
-        body match {
-          case CV(arr) => // per-row list → explode
-            TV(flattenExploded(df, arr))
-          case TV(inner) => // table-typed body: only sound when uncorrelated
-            if (Rewrites.freeVars(e2).contains(x))
-              throw correlatedError(null)
-            TV(df.crossJoin(inner))
+          // Peel correlated filters down to the first subtree that does
+          // not reference x at all — that subtree compiles as-is.
+          var filters = List.empty[(String, Expr)]
+          var core = relBody
+          while (Rewrites.freeVars(core).contains(x)) core match {
+            case EFilter(_, l, y, p) => filters ::= (y, p); core = l
+            case _ => throw correlatedError(null)
+          }
+          val id = latIds.incrementAndGet()
+          val la = s"__decor_l$id"; val ra = s"__decor_r$id"
+          val inner = compile(core, env) match {
+            case TV(d) => d
+            case CV(c) => toDF(CV(c), env)
+          }
+          val leftRow = qualifiedRow(df.columns, la)
+          val innerRow = qualifiedRow(inner.columns, ra)
+          // every filter binder sees the same right-side row (filters
+          // preserve schema), x sees the left row; plain bind for x so
+          // nested references don't trip assertUncorrelated
+          def bodyEnv(binder: String) = env.bind(x, CV(leftRow))
+            .bindRow(binder, CV(innerRow))
+          val pred = filters
+            .map { case (y, p) => asCV(compile(p, bodyEnv(y))) }
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val joined = df.alias(la).join(inner.alias(ra), pred, "inner")
+          peeledProj match {
+            case None => TV(joined.select(
+              inner.columns.map(c => col(s"$ra.$c").as(c)): _*))
+            case Some((u, r)) =>
+              TV(flattenResult(joined, asCV(compile(r, bodyEnv(u)))))
+          }
+        }
+        def directPath(): Val = {
+          assertUncorrelated(env, Set(x), e2)
+          // A correlated body over a DIFFERENT table crashes inside the
+          // body compile (foreign attributes in a filter), so catch and
+          // redirect. x is a bindRow: a nested table operator referencing
+          // it trips assertUncorrelated (catching the silent same-table
+          // case too).
+          val body =
+            try compile(e2, env.bindRow(x, CV(rowStruct(df))))
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if Rewrites.freeVars(e2).contains(x) =>
+                throw correlatedError(e)
+            }
+          body match {
+            case CV(arr) => // per-row list → explode
+              TV(flattenExploded(df, arr))
+            case TV(inner) => // table body: cross product when uncorrelated
+              if (Rewrites.freeVars(e2).contains(x))
+                throw correlatedError(null)
+              TV(df.crossJoin(inner))
+          }
+        }
+        try directPath()
+        catch {
+          case direct: UnsupportedOperationException
+              if Rewrites.freeVars(e2).contains(x) =>
+            try decorrelate()
+            catch { case dec: Throwable =>
+              direct.addSuppressed(dec); throw direct }
         }
       case CV(c) =>
         CV(flatten(transform(c,

@@ -108,6 +108,56 @@ object LangQueries {
       compileProgram(prog, env).asInstanceOf[TV].df
     },
 
+    // GENERAL DECORRELATION: a correlated table-valued flatmap body the
+    // recognition rewrites do NOT cover — the correlation sits in an INNER
+    // filter (non-equi, Ex_Triangle-style inequality) below another filter,
+    // so dependentBodyToJoin's pattern misses it and the reference would
+    // interpret it as a nested loop (fiat2/src/fiat2/Interpret.v:273-299).
+    // The compiler's decorrelate() peels the filter chain + projection and
+    // lowers the whole comprehension to ONE aliased θ-join: Catalyst
+    // extracts the equi conjunct for a hash join and keeps the inequality
+    // as a join residual — a distributed plan, not per-row evaluation.
+    GraftQuery.sql("q_lang_decorrelate",
+      """SELECT n_name AS nat, CAST(s_suppkey AS BIGINT) AS sk, s_name AS sup
+        |FROM nation JOIN supplier
+        |  ON s_suppkey * 4 < n_nationkey * 50 + 40
+        | AND s_nationkey = n_nationkey
+        |ORDER BY nat, sk, sup""".stripMargin) { (s, dir) =>
+      val rowT = TRecord.sorted(
+        "nat" -> TString, "sk" -> TInt, "sup" -> TString)
+      val prog = ESort(LikeList, EFlatmap(LikeBag, ELoc("nation"), "n",
+        EProj(LikeBag,
+          EFilter(LikeBag,
+            EFilter(LikeBag, ELoc("supplier"), "s",
+              EBinop(OLess,
+                EBinop(OTimes, EAccess(EVar("s"), "s_suppkey"), EAtom(AInt(4))),
+                EBinop(OPlus,
+                  EBinop(OTimes, EAccess(EVar("n"), "n_nationkey"),
+                    EAtom(AInt(50))),
+                  EAtom(AInt(40))))),
+            "t", EBinop(OEq, EAccess(EVar("t"), "s_nationkey"),
+              EAccess(EVar("n"), "n_nationkey"))),
+          "u", ERecord(List(
+            "nat" -> EAccess(EVar("n"), "n_name"),
+            "sk" -> EAccess(EVar("u"), "s_suppkey"),
+            "sup" -> EAccess(EVar("u"), "s_name"))))))
+      val storeTypes = Map(
+        "nation" -> TBag(TRecord.sorted(
+          "n_nationkey" -> TInt, "n_name" -> TString, "n_regionkey" -> TInt)),
+        "supplier" -> TBag(TRecord.sorted(
+          "s_suppkey" -> TInt, "s_name" -> TString, "s_nationkey" -> TInt)))
+      require(TypeCheck.synthesize(prog, Map.empty, storeTypes) == TList(rowT))
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_name"), col("s_nationkey").cast("long").as("s_nationkey"))),
+        s)
+      compileProgram(prog, env).asInstanceOf[TV].df
+    },
+
     // General EFold over a (small) table: a RIGHT fold (Interpret.v:
     // 313-319) defined on canonical value order; the non-associative step
     // (rolling hash) is exactly what EACFold can't express. The oracle

@@ -230,25 +230,68 @@ class CompilerSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1L, 3L))) // only the grp=10 pair, ordered
   }
 
-  test("cross-table correlated flatmap raises the directed error too") {
-    val t1 = Seq((1L, 2L)).toDF("k", "v")
-    val t2 = Seq((1L, 9L)).toDF("k", "w")
+  test("cross-table correlated flatmap DECORRELATES to a join") {
+    val t1 = Seq((1L, 2L), (5L, 6L)).toDF("k", "v")
+    val t2 = Seq((1L, 9L), (1L, 8L), (7L, 0L)).toDF("k", "w")
     val prog = EFlatmap(LikeBag, ELoc("t1"), "x",
       EFilter(LikeBag, ELoc("t2"), "y",
         EBinop(OEq, EAccess(EVar("y"), "k"), EAccess(EVar("x"), "k"))))
-    val ex = intercept[UnsupportedOperationException] {
-      compile(prog, Env(Map.empty, Map("t1" -> t1, "t2" -> t2), spark))
-    }
-    assert(ex.getMessage.contains("EJoin"))
+    val out = compile(prog, Env(Map.empty, Map("t1" -> t1, "t2" -> t2), spark))
+      .asInstanceOf[TV].df
+    // flatmap semantics: concatenation of the matching t2 rows per t1 row
+    assert(out.columns.toSeq === Seq("k", "w"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((1L, 8L), (1L, 9L)))
+    // and the equi conjunct must become a real join, not a cross product
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      s"decorrelated plan fell back to a cross product:\n$physical")
   }
 
-  test("correlated table-valued flatmap raises a directed error") {
-    val t = Seq((1L, 2L)).toDF("k", "v")
+  test("same-table correlated flatmap decorrelates with correct aliasing") {
+    val t = Seq((1L, 2L), (3L, 4L)).toDF("k", "v")
     val prog = EFlatmap(LikeBag, ELoc("t"), "x",
       EFilter(LikeBag, ELoc("t"), "y",
         EBinop(OEq, EAccess(EVar("y"), "k"), EAccess(EVar("x"), "k"))))
+    val rows = compile(prog, Env(Map.empty, Map("t" -> t), spark))
+      .asInstanceOf[TV].df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // each row matches exactly itself — a collapsed self-correlation would
+    // instead return every row for every outer row (4 pairs)
+    assert(rows.sorted.toSeq === Seq((1L, 2L), (3L, 4L)))
+  }
+
+  test("decorrelation handles non-equi filters and outer-referencing " +
+      "projections; correlated aggregates still raise the directed error") {
+    val t1 = Seq((1L, "a"), (3L, "b")).toDF("k", "n")
+    val t2 = Seq((0L, 10L), (2L, 20L), (9L, 30L)).toDF("j", "w")
+    // body: filter chain with the correlation in the INNER (non-equi)
+    // filter + a projection mixing outer and inner fields — the shape
+    // dependentBodyToJoin does not recognize
+    val prog = EFlatmap(LikeBag, ELoc("t1"), "x",
+      EProj(LikeBag,
+        EFilter(LikeBag,
+          EFilter(LikeBag, ELoc("t2"), "y",
+            EBinop(OLess, EAccess(EVar("y"), "j"), EAccess(EVar("x"), "k"))),
+          "z", EBinop(OLess, EAtom(AInt(0)), EAccess(EVar("z"), "w"))),
+        "u", ERecord(List(
+          "n" -> EAccess(EVar("x"), "n"),
+          "w" -> EAccess(EVar("u"), "w")))))
+    val rows = compile(prog, Env(Map.empty, Map("t1" -> t1, "t2" -> t2), spark))
+      .asInstanceOf[TV].df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.sorted.toSeq ===
+      Seq(("a", 10L), ("b", 10L), ("b", 20L)))
+    // correlation below an aggregate is genuinely non-relational for this
+    // lowering — the directed error must survive
+    val agg = EFlatmap(LikeBag, ELoc("t1"), "x",
+      EFilter(LikeBag, ELoc("t2"), "y",
+        EBinop(OLess,
+          EACFold(AGSum, EProj(LikeBag,
+            EFilter(LikeBag, ELoc("t2"), "q",
+              EBinop(OLess, EAccess(EVar("q"), "j"), EAccess(EVar("x"), "k"))),
+            "p", EAccess(EVar("p"), "w"))),
+          EAccess(EVar("y"), "w"))))
     val ex = intercept[UnsupportedOperationException] {
-      compile(prog, Env(Map.empty, Map("t" -> t), spark))
+      compile(agg, Env(Map.empty, Map("t1" -> t1, "t2" -> t2), spark))
     }
     assert(ex.getMessage.contains("EJoin"))
   }
