@@ -37,6 +37,9 @@ object Compiler {
       // composed-index handles (compo_idx): base table name → the record of
       // components; a cons-insert updates EVERY component (compo_idx_wf)
       compoIndexes: Map[String, graft.operators.CompoIndex] = Map.empty,
+      // opt-in unbounded-TInt mapping (DecimalType(38,0) instead of
+      // LongType) — see sparkType; set once when building the Env
+      wideInt: Boolean = false,
       // SCOPED index annotations (IndexTransf.transformScoped): CLetMut
       // binder → attributes its body loop-point-filters on. The analog of
       // the reference's per-program index_choices (Ex_Orders.v:56-67);
@@ -69,22 +72,30 @@ object Compiler {
           "recognizes as a join)")
   }
 
-  def sparkType(t: FType): DataType = t match {
+  /** `wideInt` widens `TInt` from LongType to DecimalType(38,0) — the
+    * opt-in path for programs whose Coq-`Z` arithmetic overflows a 64-bit
+    * long (README "Known divergences": TInt is unbounded in the reference;
+    * the widened mapping gives 10^38 headroom with ANSI overflow checking
+    * beyond that, while `TWord` keeps its machine-word wrap semantics). */
+  def sparkType(t: FType, wideInt: Boolean = false): DataType = t match {
     case THole => throw new UnsupportedOperationException(
       "unelaborated type hole — run TypeCheck.analyze against the expected " +
         "type before compiling")
+    case TInt if wideInt => DecimalType(38, 0)
     case TWord | TInt => LongType
     case TBool => BooleanType
     case TString => StringType
     case TUnit => NullType
-    case TOption(u) => sparkType(u)
-    case TList(u) => ArrayType(sparkType(u))
-    case TBag(u) => ArrayType(sparkType(u))
-    case TSet(u) => ArrayType(sparkType(u))
+    case TOption(u) => sparkType(u, wideInt)
+    case TList(u) => ArrayType(sparkType(u, wideInt))
+    case TBag(u) => ArrayType(sparkType(u, wideInt))
+    case TSet(u) => ArrayType(sparkType(u, wideInt))
     case TDict(k, v) => ArrayType(StructType(Seq(
-      StructField("key", sparkType(k)), StructField("value", sparkType(v)))))
+      StructField("key", sparkType(k, wideInt)),
+      StructField("value", sparkType(v, wideInt)))))
     case TRecord(fs) => StructType(
-      fs.sortBy(_._1).map { case (n, u) => StructField(n, sparkType(u)) })
+      fs.sortBy(_._1).map { case (n, u) =>
+        StructField(n, sparkType(u, wideInt)) })
   }
 
   /** Fresh alias ids for flatmap decorrelation — nested correlated
@@ -172,14 +183,16 @@ object Compiler {
 
     case EAtom(a) => CV(a match {
       case AWord(v) => lit(v)
+      case AInt(v) if env.wideInt => lit(v).cast(DecimalType(38, 0))
       case AInt(v) => lit(v)
       case ABool(v) => lit(v)
       case AString(v) => lit(v)
-      case ANil(t) => array().cast(ArrayType(sparkType(t)))
-      case ANone(t) => lit(null).cast(sparkType(t))
-      case AEmptyDict(k, v) => array().cast(sparkType(TDict(k, v)))
-      case AEmptyBag(t) => array().cast(ArrayType(sparkType(t)))
-      case AEmptySet(t) => array().cast(ArrayType(sparkType(t)))
+      case ANil(t) => array().cast(ArrayType(sparkType(t, env.wideInt)))
+      case ANone(t) => lit(null).cast(sparkType(t, env.wideInt))
+      case AEmptyDict(k, v) =>
+        array().cast(sparkType(TDict(k, v), env.wideInt))
+      case AEmptyBag(t) => array().cast(ArrayType(sparkType(t, env.wideInt)))
+      case AEmptySet(t) => array().cast(ArrayType(sparkType(t, env.wideInt)))
       case AUnit => lit(null)
     })
 

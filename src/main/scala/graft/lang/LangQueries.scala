@@ -48,6 +48,28 @@ object LangQueries {
         asScalar(compile(prog, env)).cast("long").as("total_qty"))
     },
 
+    // UNBOUNDED TInt (Coq Z) through the opt-in wideInt mapping: TInt
+    // compiles to DecimalType(38,0) instead of LongType, so arithmetic
+    // whose result exceeds 2^63 — here a sum of 10^15-scaled custkeys,
+    // ~10^22 at sf0.01 — computes exactly where the default mapping would
+    // raise an ANSI overflow (README "Known divergences" #1; the
+    // reference's TInt is Z, fiat2/src/fiat2/Value.v:12). The oracle
+    // replays the sum in DuckDB HUGEINT; both render as strings so the
+    // compare is representation-independent.
+    GraftQuery.sql("q_lang_wide_sum",
+      """SELECT CAST(SUM(CAST(o_custkey AS HUGEINT) * 1000000000000000)
+        |            AS VARCHAR) AS total
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val prog = EACFold(AGSum, EProj(LikeBag, ELoc("orders"), "o",
+        EBinop(OTimes, EAccess(EVar("o"), "o_custkey"),
+          EAtom(AInt(1000000000000000L)))))
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").cast("decimal(38,0)").as("o_custkey"))
+      val env = Env(Map.empty, Map("orders" -> orders), s, wideInt = true)
+      s.range(1).select(
+        asScalar(compile(prog, env)).cast("string").as("total"))
+    },
+
     // A monad-comprehension program — `c <- customer; n <- nation;
     // check(c.key == n.key); ret {cust, nat}` — exactly what the reference's
     // notation desugars to (nested flatmap/if/cons, Notations.v:144-149).

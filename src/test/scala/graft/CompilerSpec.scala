@@ -296,6 +296,28 @@ class CompilerSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("EJoin"))
   }
 
+  test("wideInt maps TInt to decimal(38,0): sums past 2^63 compute exactly") {
+    // 4 × 3 × (10^18 + 1) = 1.2e19 + 12: exceeds Long.MaxValue ≈ 9.2e18 —
+    // the default mapping must raise ANSI overflow, the wideInt mapping
+    // must give the exact 20-digit result
+    val big = 1000000000000000001L
+    val prog = EACFold(AGSum, EProj(LikeBag, ELoc("t"), "x",
+      EBinop(OTimes, EAccess(EVar("x"), "v"), EAtom(AInt(big)))))
+    val t = Seq(3L, 3L, 3L, 3L).toDF("v")
+    val wide = Env(Map.empty,
+      Map("t" -> t.select($"v".cast("decimal(38,0)").as("v"))),
+      spark, wideInt = true)
+    val out = spark.range(1)
+      .select(asColumn(compile(prog, wide)).cast("string").as("s"))
+      .head().getString(0)
+    assert(out === "12000000000000000012")
+    val narrow = Env(Map.empty, Map("t" -> t), spark)
+    val ex = intercept[Exception] {
+      spark.range(1).select(asColumn(compile(prog, narrow))).head()
+    }
+    assert(ex.getMessage.toLowerCase.contains("overflow"))
+  }
+
   test("command layer: CLetMut/CForeach/CAssign accumulate into a table") {
     val prog = CLetMut(EAtom(ANil(TInt)), "out",
       CSeq(
