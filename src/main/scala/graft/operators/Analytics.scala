@@ -159,12 +159,18 @@ object Analytics {
       }
       val one = Tables.load(s, dir, "lineitem")
         .agg(aggs.head, aggs.tail: _*)
-      val stacked = cols.map { c =>
-        one.select(lit(c).as("col"), $"n",
+      // unpivot by exploding per-column structs over the ONE-row aggregate
+      // — a union of per-column selects would re-execute the whole
+      // aggregation (three count-distinct Expands) once per branch
+      val perCol = cols.map { c =>
+        struct(lit(c).as("col"), $"n",
           ($"n" - col(s"nn_$c")).as("n_null"),
           col(s"nd_$c").as("n_distinct"))
-      }.reduceLeft(_.union(_))
-      stacked.orderBy("col")
+      }
+      one.select(explode(array(perCol: _*)).as("r"))
+        .select($"r.col".as("col"), $"r.n".as("n"),
+          $"r.n_null".as("n_null"), $"r.n_distinct".as("n_distinct"))
+        .orderBy("col")
     },
   )
 }

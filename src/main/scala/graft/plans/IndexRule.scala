@@ -39,22 +39,35 @@ import org.apache.spark.sql.functions.col
   */
 object KeyedIndexRule {
 
-  /** (sorted root paths, attr) → optimized logical plan of the cached index. */
+  /** (sorted root paths, attr) → (file-listing signature at registration,
+    * optimized logical plan of the cached index). The signature guards the
+    * snapshot: if the files under the root change after register(), the
+    * entry self-invalidates and the filter falls through to the scan
+    * instead of silently serving stale rows. */
   private val indexes =
-    new ConcurrentHashMap[(String, String), LogicalPlan]()
+    new ConcurrentHashMap[(String, String), (String, LogicalPlan)]()
 
   private def pathsKey(rel: HadoopFsRelation): String =
     rel.location.rootPaths.map(_.toString).sorted.mkString(",")
 
-  private def relationPaths(df: DataFrame): Option[String] =
+  /** Signature of the relation's CURRENT file listing: sorted file names +
+    * total bytes. Parquet rewrites produce new file names (part-UUIDs), so
+    * any overwrite/append under the same root changes the signature. The
+    * listing is already cached by the FileIndex — no extra FS round trip
+    * on the hot path. */
+  private def fileSignature(rel: HadoopFsRelation): String =
+    rel.location.inputFiles.sorted.mkString(",") +
+      "#" + rel.location.sizeInBytes
+
+  private def relationOf(df: DataFrame): Option[HadoopFsRelation] =
     df.queryExecution.analyzed.collectFirst {
-      case LogicalRelation(h: HadoopFsRelation, _, _, _, _) => pathsKey(h)
+      case LogicalRelation(h: HadoopFsRelation, _, _, _, _) => h
     }
 
   /** Build + cache the keyed index for `source`'s parquet relation and
     * register it for automatic use. Returns the index DataFrame. */
   def register(spark: SparkSession, source: DataFrame, attr: String): DataFrame = {
-    val key = relationPaths(source).getOrElse(
+    val rel = relationOf(source).getOrElse(
       throw new IllegalArgumentException(
         "source must scan a single file relation"))
     val index = source
@@ -62,7 +75,8 @@ object KeyedIndexRule {
       .sortWithinPartitions(attr)
       .cache()
     index.count() // materialize before registration — never mid-query
-    indexes.put((key, attr), index.queryExecution.optimizedPlan)
+    indexes.put((pathsKey(rel), attr),
+      (fileSignature(rel), index.queryExecution.optimizedPlan))
     install(spark)
     index
   }
@@ -80,8 +94,16 @@ object KeyedIndexRule {
   }
 
   private[plans] def lookup(rel: HadoopFsRelation,
-      attr: String): Option[LogicalPlan] =
-    Option(indexes.get((pathsKey(rel), attr)))
+      attr: String): Option[LogicalPlan] = {
+    val key = (pathsKey(rel), attr)
+    Option(indexes.get(key)).flatMap { case (sig, plan) =>
+      if (sig == fileSignature(rel)) Some(plan)
+      else { // files changed since registration: drop the stale entry
+        indexes.remove(key)
+        None
+      }
+    }
+  }
 }
 
 /** `Filter(…, attr = literal, …, scan)` → `Filter(…, keyed index)`. */

@@ -147,6 +147,29 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally graft.plans.KeyedIndexRule.clear()
   }
 
+  test("keyed index self-invalidates when the files under its root change") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = "/tmp/graft_idx_stale"
+    try {
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+        .write.mode("overwrite").parquet(root)
+      graft.plans.KeyedIndexRule.register(spark, spark.read.parquet(root), "k")
+      // overwrite the files AFTER registration: new rows, same root
+      Seq((1L, 11L), (1L, 12L), (3L, 30L)).toDF("k", "v")
+        .write.mode("overwrite").parquet(root)
+      val q = spark.read.parquet(root).filter($"k" === 1L)
+      // the stale snapshot (one k=1 row) must NOT be served — the entry
+      // self-invalidates on the changed file listing and the scan runs
+      assert(q.count() === 2L)
+      assert(!q.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"), "stale index still serving")
+    } finally {
+      graft.plans.KeyedIndexRule.clear()
+      graft.core.Tables.deleteTree(new java.io.File(root))
+    }
+  }
+
   test("bloom semi-join prunes the fact side before the shuffle, codegen'd") {
     val df = SparkEntry.queries("q_bloom_join")(spark, TestSpark.sfDir)
     df.collect() // finalize the adaptive plan so codegen stages are marked
