@@ -29,6 +29,7 @@ object SparkEntry {
       streaming.StreamDedup.queries ++
       streaming.Sessionize.queries ++
       functions.TypedAgg.queries ++
+      functions.GraftFunctions.queries ++
       lang.LangQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

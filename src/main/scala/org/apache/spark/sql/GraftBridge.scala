@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a SQL function on a LIVE session (the builder-time path is
+    * `SparkSessionExtensions.injectFunction`; an already-built session can
+    * only reach the registry through the `private[sql]` sessionState). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }
