@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Curation.queries ++
       operators.Changelog.queries ++
       operators.Analytics.queries ++
+      operators.Layout.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       sources.SourceSink.queries ++

@@ -37,6 +37,10 @@ object GraftFunctions {
       val Seq(a) = arity("graft_simhash64", 1, args); SimHash64(a) },
     "graft_md5_low64" -> { args: Seq[Expression] =>
       val Seq(a) = arity("graft_md5_low64", 1, args); Md5Low64(a) },
+    "graft_nfc" -> { args: Seq[Expression] =>
+      val Seq(a) = arity("graft_nfc", 1, args); NfcNormalize(a) },
+    "graft_zorder2" -> { args: Seq[Expression] =>
+      val Seq(a, b) = arity("graft_zorder2", 2, args); ZOrder2(a, b) },
     "graft_minhash" -> { args: Seq[Expression] =>
       val Seq(a, p) = arity("graft_minhash", 2, args)
       p match {

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{GraftQuery, Tables}
+import graft.functions.ZOrder
+
+/** Multi-dimensional data layout: Z-order clustering. Sorting a table by
+  * ONE lexicographic key bounds only that key's prefix per file; sorting by
+  * the interleaved Z-value bounds EVERY participating dimension at once, so
+  * min/max (parquet footer) pruning works for predicates on any of them —
+  * the layout step a 100 TB corpus runs before writing so later scans can
+  * skip most files regardless of which dimension they filter on.
+  */
+object Layout {
+
+  /** Range-partition + sort by the Z-value of (a, b): each output
+    * partition (→ file, when written) covers a tight hyper-rectangle of
+    * BOTH dimensions. The z column is dropped — layout is a physical
+    * property, not schema. */
+  def zorderRepartition(df: DataFrame, a: Column, b: Column,
+      numPartitions: Int): DataFrame = {
+    val z = ZOrder.zorder2(a, b).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** DuckDB replay of `Morton.spread` as a CTE chain (each step reads the
+    * previous one, so the expression tree stays linear). */
+  private val spreadSteps = Seq(
+    (16, "281470681808895"), // 0x0000FFFF0000FFFF
+    (8, "71777214294589695"), // 0x00FF00FF00FF00FF
+    (4, "1085102592571150095"), // 0x0F0F0F0F0F0F0F0F
+    (2, "3689348814741910323"), // 0x3333333333333333
+    (1, "6148914691236517205")) // 0x5555555555555555
+
+  private def spreadCtes: String =
+    spreadSteps.zipWithIndex.map { case ((sh, mask), i) =>
+      val prev = if (i == 0) "d" else s"s$i"
+      s"s${i + 1} AS (SELECT *, ((a${i} | (a${i} << $sh)) & $mask) AS a${i + 1}," +
+        s" ((b${i} | (b${i} << $sh)) & $mask) AS b${i + 1} FROM $prev)"
+    }.mkString(",\n")
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // Z-ORDER CLUSTERING, oracle-exact: 16-bit dims from part/supp keys,
+    // z-value via the native codegen'd bit-spread, bucketed by the top
+    // z-bits. The per-bucket MIN/MAX of BOTH dimensions is the point:
+    // every bucket bounds a and b simultaneously (a hyper-rectangle),
+    // which is what makes footer-stats pruning effective on either
+    // predicate after a z-ordered write. DuckDB replays the identical
+    // spread chain with 64-bit masks — bit-for-bit.
+    GraftQuery.sql("q_zorder_layout",
+      s"""WITH d AS (SELECT (l_partkey & 65535) AS a0, (l_suppkey & 65535) AS b0
+         |           FROM lineitem),
+         |$spreadCtes,
+         |z AS (SELECT (a5 | (b5 << 1)) AS zval, a0, b0 FROM s5)
+         |SELECT (zval >> 14) AS zbucket, COUNT(*) AS n,
+         |  MIN(a0) AS a_min, MAX(a0) AS a_max,
+         |  MIN(b0) AS b_min, MAX(b0) AS b_max
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem").select(
+        $"l_partkey".cast("long").bitwiseAND(65535L).as("a"),
+        $"l_suppkey".cast("long").bitwiseAND(65535L).as("b"))
+      li.select($"a", $"b", ZOrder.zorder2($"a", $"b").as("zval"))
+        .groupBy(shiftright($"zval", 14).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min($"a").as("a_min"), max($"a").as("a_max"),
+          min($"b").as("b_min"), max($"b").as("b_max"))
+        .orderBy("zbucket")
+    },
+  )
+}

@@ -144,5 +144,38 @@ object TextAnalysis {
           (a, b) => (a * 131 + b) % 1000000007L).as("fp_roll"))
         .orderBy("doc_id")
     },
+
+    // UNICODE NORMALIZATION — the cleaning step BEFORE any hash-based
+    // dedup/shingling: composed vs decomposed accents ("é" vs "e"+U+0301)
+    // must hash identically or near-dup detection silently misses. Spark
+    // has no NFC builtin; `graft_nfc` is a native codegen expression
+    // (functions/Normalize.scala) with an ASCII fast path, and DuckDB's
+    // `nfc_normalize` replays it byte-identically. The synthetic corpus is
+    // ASCII, so three unicode rows are appended IN the query (same VALUES
+    // in both engines) — the decomposed é provably shrinks by one
+    // codepoint, the ASCII rows pass through untouched.
+    GraftQuery.sql("q_text_normalize",
+      "WITH all_docs AS (SELECT doc_id, text FROM documents\n" +
+        "  UNION ALL SELECT * FROM (VALUES\n" +
+        "    (1000001, 'Café du  Monde'),\n" +
+        "    (1000002, 'Ångström\tunits'),\n" +
+        "    (1000003, 'ASCII stays identical')) t(doc_id, text)),\n" +
+        "norm AS (SELECT doc_id,\n" +
+        "    nfc_normalize(regexp_replace(trim(text), '\\s+', ' ', 'g'))\n" +
+        "      AS norm FROM all_docs)\n" +
+        "SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars\n" +
+        "FROM norm ORDER BY doc_id") { (s, dir) =>
+      import s.implicits._
+      val extra = Seq(
+        (1000001L, "Café du  Monde"),
+        (1000002L, "Ångström\tunits"),
+        (1000003L, "ASCII stays identical")).toDF("doc_id", "text")
+      Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        .union(extra)
+        .select($"doc_id", graft.functions.Normalize.nfc(
+          regexp_replace(trim($"text"), "\\s+", " ")).as("norm"))
+        .select($"doc_id", $"norm", length($"norm").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
   )
 }
