@@ -145,6 +145,38 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // CONTEXT-WINDOW CHUNKING — split each document into overlapping
+    // token windows (16 tokens, stride 8): the shape every
+    // embedding/training pipeline runs before vectorizing long documents.
+    // Map-only: window starts come from `sequence` (no shuffle, no UDF),
+    // each window is a 1-based array slice; the oracle replays range +
+    // list slicing. At 100 TB this parallelizes per document row —
+    // repartition the single-file documents table first (TESTDATA note).
+    GraftQuery.sql("q_chunk_windows",
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |st AS (SELECT doc_id, ws, UNNEST(range(0, len(ws), 8)) AS start
+        |       FROM w)
+        |SELECT doc_id, CAST(start / 8 AS BIGINT) AS chunk_id,
+        |  array_to_string(ws[start + 1 : start + 16], ' ') AS chunk,
+        |  CAST(LEAST(16, len(ws) - start) AS BIGINT) AS n_toks
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val win = 16; val stride = 8
+      val t = toks($"text")
+      Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", t.as("ws"))
+        .select($"doc_id", $"ws", explode(
+          sequence(lit(0), size($"ws") - 1, lit(stride))).as("start"))
+        .select($"doc_id",
+          ($"start" / stride).cast("long").as("chunk_id"),
+          concat_ws(" ", slice($"ws", $"start" + 1, lit(win))).as("chunk"),
+          least(lit(win), size($"ws") - $"start").cast("long").as("n_toks"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // UNICODE NORMALIZATION — the cleaning step BEFORE any hash-based
     // dedup/shingling: composed vs decomposed accents ("é" vs "e"+U+0301)
     // must hash identically or near-dup detection silently misses. Spark
