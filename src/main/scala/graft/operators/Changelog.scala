@@ -54,5 +54,44 @@ object Changelog {
           sum(get_json_object($"props", "$.k").cast("long")).as("k_sum"))
         .orderBy("event_type")
     },
+
+    // MERGE / UPSERT — the lakehouse write primitive: apply a small batch
+    // of whole-row upserts and deletes to a large keyed target. Spark-
+    // first shape: target LEFT ANTI join the batch's keys (matched rows
+    // drop out) ∪ the batch's non-delete rows — the big side shuffles
+    // never more than once, and the batch side BROADCASTS (plan-asserted
+    // in MergeSpec), which is the realistic big-target/small-delta
+    // geometry at 100 TB. The oracle is the textbook NOT IN + UNION ALL.
+    GraftQuery.sql("q_merge_upsert",
+      """WITH batch(o_orderkey, o_custkey, status, op) AS (VALUES
+        |    (1, 999999, 'X', 'U'),
+        |    (2, 999999, 'X', 'U'),
+        |    (9000001, 777777, 'N', 'I'),
+        |    (3, NULL, NULL, 'D')),
+        |tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus AS status
+        |        FROM orders)
+        |SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey, status
+        |FROM (
+        |  SELECT t.* FROM tgt t
+        |  WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, status FROM batch WHERE op <> 'D')
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val target = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey".cast("long").as("o_custkey"),
+          $"o_orderstatus".as("status"))
+      val batch = Seq(
+        (1L, Some(999999L), Some("X"), "U"),
+        (2L, Some(999999L), Some("X"), "U"),
+        (9000001L, Some(777777L), Some("N"), "I"),
+        (3L, None: Option[Long], None: Option[String], "D"))
+        .toDF("o_orderkey", "o_custkey", "status", "op")
+      target
+        .join(broadcast(batch.select($"o_orderkey")), Seq("o_orderkey"),
+          "left_anti")
+        .unionByName(batch.filter($"op" =!= "D").drop("op"))
+        .orderBy("o_orderkey")
+    },
   )
 }

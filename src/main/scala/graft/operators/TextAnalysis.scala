@@ -177,6 +177,48 @@ object TextAnalysis {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // SEQUENCE PACKING — assign each chunk to a training bin by its
+    // cumulative token offset within the document (budget 64 tokens/bin):
+    // the packing step that turns variable-length chunks into fixed-budget
+    // training sequences. ONE window shuffle keyed by doc_id (chunk_id is
+    // a unique, deterministic order), then map-only arithmetic; DuckDB
+    // replays the running sum identically.
+    GraftQuery.sql("q_pack_sequences",
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |st AS (SELECT doc_id, ws, UNNEST(range(0, len(ws), 8)) AS start
+        |       FROM w),
+        |ch AS (SELECT doc_id, CAST(start / 8 AS BIGINT) AS chunk_id,
+        |         CAST(LEAST(16, len(ws) - start) AS BIGINT) AS n_toks
+        |       FROM st),
+        |cum AS (SELECT doc_id, chunk_id, n_toks,
+        |          SUM(n_toks) OVER (PARTITION BY doc_id ORDER BY chunk_id)
+        |            AS cum_toks FROM ch)
+        |SELECT doc_id, chunk_id, n_toks,
+        |  CAST(FLOOR(CAST(cum_toks - n_toks AS DOUBLE) / 64) AS BIGINT) AS bin
+        |FROM cum ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val stride = 8; val win = 16
+      val chunks = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", toks($"text").as("ws"))
+        .select($"doc_id", explode(
+          sequence(lit(0), size($"ws") - 1, lit(stride))).as("start"),
+          size($"ws").as("n"))
+        .select($"doc_id", ($"start" / stride).cast("long").as("chunk_id"),
+          least(lit(win), $"n" - $"start").cast("long").as("n_toks"))
+      val cum = sum($"n_toks").over(
+        Window.partitionBy($"doc_id").orderBy($"chunk_id"))
+      chunks
+        .withColumn("cum_toks", cum)
+        .select($"doc_id", $"chunk_id", $"n_toks",
+          floor(($"cum_toks" - $"n_toks").cast("double") / 64)
+            .as("bin"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // UNICODE NORMALIZATION — the cleaning step BEFORE any hash-based
     // dedup/shingling: composed vs decomposed accents ("é" vs "e"+U+0301)
     // must hash identically or near-dup detection silently misses. Spark

@@ -147,6 +147,16 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally graft.plans.KeyedIndexRule.clear()
   }
 
+  test("merge/upsert broadcasts the batch; the target never sort-merges") {
+    val df = SparkEntry.queries("q_merge_upsert")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"batch not broadcast into the anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"big target sort-merged against a tiny batch:\n$p")
+  }
+
   test("keyed index self-invalidates when the files under its root change") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
