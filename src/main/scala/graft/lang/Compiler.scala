@@ -436,11 +436,16 @@ object Compiler {
         CV(aggregate(reverse(c), asCV(compile(z, env)),
           (a, v) => asCV(compile(step, env.bind(x, CV(v)).bind(acc, CV(a))))))
       case TV(df) =>
-        // General fold over a table is inherently sequential (SURVEY.md §7);
-        // localize it: collect to an array literal, then fold as a value.
+        // General fold over a table is inherently sequential (SURVEY.md §7).
         // A DataFrame has no intrinsic order, so the fold is DEFINED over
         // canonical value order (sort by all columns) — deterministic, and
-        // the order an ESort of the table would expose.
+        // the order an ESort of the table would expose. Small tables
+        // localize to an array literal and stay LAZY (they compose into
+        // larger expressions with no job); larger tables stream through
+        // the driver in canonical-DESC batches — a right fold is a left
+        // fold over the reversed order — evaluating one bounded batch per
+        // job, so memory is O(batch) at ANY row count and the reference's
+        // own O(n) sequential semantics is preserved instead of refused.
         df.schema.foreach { f =>
           val nested = f.dataType match {
             case _: ArrayType | _: StructType | _: MapType => true
@@ -450,20 +455,46 @@ object Compiler {
             s"EFold over a table with nested column ${f.name} — use " +
               "EACFold/EACIFold or fold a nested collection value instead")
         }
-        val rows = df.orderBy(df.columns.sorted.map(col): _*)
-          .limit(10001).collect()
-        require(rows.length <= 10000,
-          "EFold over a table >10k rows — use EACFold/EACIFold (parallel " +
-            "aggregation) or restructure; a sequential fold cannot scale")
+        val batchSize = 10000
         val cols = df.columns.sorted
-        val elems = rows.map(rowLiteral(_, df.schema, cols))
-        val arr = if (elems.isEmpty) array().cast(ArrayType(
-          if (cols.sameElements(Array("value"))) df.schema("value").dataType
-          else StructType(cols.map(c => df.schema(c)))))
-        else array(elems.toIndexedSeq: _*)
-        // right fold (Interpret.v:313-319) over the canonical order
-        CV(aggregate(reverse(arr), asCV(compile(z, env)),
-          (a, v) => asCV(compile(step, env.bind(x, CV(v)).bind(acc, CV(a))))))
+        def foldArr(arr: Column, accCol: Column): Column =
+          aggregate(arr, accCol, (a, v) =>
+            asCV(compile(step, env.bind(x, CV(v)).bind(acc, CV(a)))))
+        val zCol = asCV(compile(z, env))
+        val head = df.orderBy(cols.map(col): _*)
+          .limit(batchSize + 1).collect()
+        if (head.length <= batchSize) {
+          val elems = head.map(rowLiteral(_, df.schema, cols))
+          val arr = if (elems.isEmpty) array().cast(ArrayType(
+            if (cols.sameElements(Array("value"))) df.schema("value").dataType
+            else StructType(cols.map(c => df.schema(c)))))
+          else array(elems.toIndexedSeq: _*)
+          // right fold (Interpret.v:313-319) over the canonical order
+          CV(foldArr(reverse(arr), zCol))
+        } else {
+          // streamed batched fold, canonical-DESC order; the accumulator
+          // is re-literalized between batches, so it must stay scalar
+          import scala.jdk.CollectionConverters._
+          val it = df.orderBy(cols.map(c => col(c).desc): _*)
+            .toLocalIterator().asScala
+          var accCol = zCol
+          val buf = new scala.collection.mutable.ArrayBuffer[
+            org.apache.spark.sql.Row](batchSize)
+          def flush(): Unit = if (buf.nonEmpty) {
+            val elems = buf.map(rowLiteral(_, df.schema, cols)).toIndexedSeq
+            val res = evalScalar(env, foldArr(array(elems: _*), accCol))
+            accCol =
+              try lit(res)
+              catch { case _: RuntimeException =>
+                throw new UnsupportedOperationException(
+                  "EFold over a large table with a non-scalar " +
+                    "accumulator — use EACFold/EACIFold or restructure") }
+            buf.clear()
+          }
+          it.foreach { r => buf += r; if (buf.size >= batchSize) flush() }
+          flush()
+          CV(accCol)
+        }
     }
 
     // Table-level AC/ACI folds aggregate DISTRIBUTED, then surface the one

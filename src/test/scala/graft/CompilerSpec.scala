@@ -318,6 +318,25 @@ class CompilerSpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("overflow"))
   }
 
+  test("table EFold streams past 10k rows in batches, same right-fold result") {
+    // 25k rows: the round-5 cliff refused this outright; the batched
+    // stream must produce exactly the sequential right fold over
+    // canonical (sorted) order, computed here directly in Scala
+    val n = 25000L
+    val t = spark.range(n).select((col("id") * 7 % 26371).as("value"))
+    val prog = EFold(ELoc("t"), EAtom(AInt(0)), "x", "acc",
+      EBinop(OMod,
+        EBinop(OPlus, EBinop(OTimes, EVar("acc"), EAtom(AInt(31))), EVar("x")),
+        EAtom(AInt(1000000007))))
+    val got = spark.range(1)
+      .select(asColumn(compile(prog, Env(Map.empty, Map("t" -> t), spark))))
+      .head().getLong(0)
+    val vals = (0L until n).map(i => i * 7 % 26371).sorted
+    val want = vals.foldRight(0L)((x, a) =>
+      java.lang.Math.floorMod(a * 31 + x, 1000000007L))
+    assert(got === want)
+  }
+
   test("command layer: CLetMut/CForeach/CAssign accumulate into a table") {
     val prog = CLetMut(EAtom(ANil(TInt)), "out",
       CSeq(
