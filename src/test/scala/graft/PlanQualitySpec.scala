@@ -147,6 +147,25 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally graft.plans.KeyedIndexRule.clear()
   }
 
+  test("chunking is map-only; packing shuffles once; z-order aggregates once") {
+    // context-window chunking: explode over sequence() — a projection
+    // pipeline, no hash shuffle anywhere (the one Exchange is the
+    // presentation sort / repartition)
+    val pc = plan("q_chunk_windows")
+    assert(!pc.contains("Exchange hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$pc")
+    // sequence packing: exactly the one by-doc window shuffle
+    val pp = plan("q_pack_sequences")
+    assert(pp.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"packing should shuffle once (the doc window):\n$pp")
+    // z-order: the z-value is computed map-side (native codegen'd
+    // expression feeds the partial aggregate below ONE shuffle)
+    val pz = plan("q_zorder_layout")
+    assert(pz.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"z-bucket profile should aggregate over one shuffle:\n$pz")
+    assert(pz.contains("graft_zorder2"), s"native z expr missing:\n$pz")
+  }
+
   test("merge/upsert broadcasts the batch; the target never sort-merges") {
     val df = SparkEntry.queries("q_merge_upsert")(spark, TestSpark.sfDir)
     df.collect()
