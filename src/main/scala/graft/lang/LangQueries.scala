@@ -891,6 +891,45 @@ object LangQueries {
         .orderBy("okey", "cust", "bucket")
     },
 
+    // CORRELATED COMPREHENSION through the FULL user path: surface syntax
+    // → parse → typecheck (hole elaboration) → normalize → DECORRELATE.
+    // The inner comprehension's check references the outer binder with a
+    // non-equi predicate, so after normalization the body is
+    // EProj(EFilter(EFilter(supplier, <correlated non-equi>), <equi>)) —
+    // not a dependentBodyToJoin shape — and the compiler's decorrelate()
+    // lowers the whole thing to one aliased θ-join (the reference would
+    // interpret it as a nested loop, Interpret.v:273-299).
+    GraftQuery.sql("q_surface_decorrelate",
+      """SELECT n_name AS nat, s_name AS sup
+        |FROM nation JOIN supplier
+        |  ON s_suppkey * 4 < n_nationkey * 50 + 40
+        | AND s_nationkey = n_nationkey
+        |ORDER BY nat, sup""".stripMargin) { (s, dir) =>
+      val src =
+        """n <- mut nation;
+          |s <- (t <- mut supplier; check(t[s_suppkey] * 4 < n[n_nationkey] * 50 + 40); ret t);
+          |check(s[s_nationkey] == n[n_nationkey]);
+          |ret { nat : n[n_name], sup : s[s_name] }""".stripMargin
+      val rowT = TRecord.sorted("nat" -> TString, "sup" -> TString)
+      val storeT = Map(
+        "nation" -> TBag(TRecord.sorted(
+          "n_nationkey" -> TInt, "n_name" -> TString)),
+        "supplier" -> TBag(TRecord.sorted(
+          "s_suppkey" -> TInt, "s_name" -> TString, "s_nationkey" -> TInt)))
+      val parsed = Parser.parseExpr(src)
+      val prog = TypeCheck.analyze(parsed, TList(rowT), Map.empty, storeT)
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) == TList(rowT))
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_name"), col("s_nationkey").cast("long").as("s_nationkey"))),
+        s)
+      compileProgram(prog, env).asInstanceOf[TV].df.orderBy("nat", "sup")
+    },
+
     // TWord machine-word family (fiat2/src/fiat2/Language.v:80-107, semantics
     // Interpret.v:139-151): wrap-around multiply, unsigned/signed division
     // and modulo (TOTAL: x/0 = 0, x%0 = x, per coqutil word/Z), unsigned and

@@ -261,10 +261,32 @@ object TypeCheck {
         }
       // Comprehension spine (what `x <- e1; e2` parses to): the source
       // synthesizes, the body checks against the same collection type —
-      // this is where the `ret`/`check` nil-holes get filled.
+      // this is where the `ret`/`check` nil-holes get filled. A NESTED
+      // comprehension used as the source (`s <- (t <- tbl; ...; ret h)`)
+      // has no expected type from context, but its element type is
+      // derivable from its own `ret` head — derive it and elaborate the
+      // source first, so its trailing nil-holes fill too.
       case (EFlatmap(tag, e1, x, e2), TList(_) | TBag(_) | TSet(_)) =>
-        val et = elemOf(synthesize(e1, vars, store))
-        EFlatmap(tag, e1, x, go(e2, t, vars + (x -> et)))
+        def headOf(body: Expr): Option[Expr] = body match {
+          case EBinop(OCons, h, _) => Some(h)
+          case EIf(_, a, b) => headOf(a).orElse(headOf(b))
+          case _ => None
+        }
+        def elaborateSource(src: Expr): Expr = src match {
+          case EFlatmap(stag, s0, x0, b0) =>
+            (try {
+              val s0e = elaborateSource(s0)
+              val et0 = elemOf(synthesize(s0e, vars, store))
+              headOf(b0).map { h =>
+                val ht = synthesize(h, vars + (x0 -> et0), store)
+                go(src, tagged(stag, ht), vars)
+              }
+            } catch { case _: TypeError => None }).getOrElse(src)
+          case _ => src
+        }
+        val e1e = elaborateSource(e1)
+        val et = elemOf(synthesize(e1e, vars, store))
+        EFlatmap(tag, e1e, x, go(e2, t, vars + (x -> et)))
       case _ => // no structure to push through: synthesize and compare
         same(synthesize(e, vars, store), t, "analyze"); e
     }
