@@ -30,17 +30,21 @@ object Fiat2 {
   /** Euclidean-style modulo with the sign of the DIVISOR — Coq `Z.modulo`
     * (fiat2/src/fiat2/Interpret.v:150). Differs from Spark/Java `%`, which
     * takes the sign of the dividend. `((a % b) + b) % b` flips the sign in
-    * pure long arithmetic (codegen'd, no UDF).
+    * pure long arithmetic (codegen'd, no UDF). TOTAL like the reference:
+    * `a mod 0 = a` (Coq `Z.mod_0_r`) instead of an ANSI error — CASE WHEN
+    * evaluates branches lazily, so the `%` never sees a zero divisor.
     */
-  def emod(a: Column, b: Column): Column = ((a % b) + b) % b
+  def emod(a: Column, b: Column): Column =
+    when(b === 0, a).otherwise(((a % b) + b) % b)
 
   /** Floor division — Coq `Z.div` (fiat2/src/fiat2/Interpret.v:147). Differs
     * from Spark/Java truncation toward zero. `a - emod(a,b)` is exactly
     * divisible by `b`, so integral `div` (truncating) gives the floor result
-    * exactly, with no double-precision round-trip.
+    * exactly, with no double-precision round-trip. TOTAL like the reference:
+    * `a / 0 = 0` (Coq `Z.div_0_r`).
     */
   def ediv(a: Column, b: Column): Column =
-    call_function("div", a - emod(a, b), b)
+    when(b === 0, lit(0L)).otherwise(call_function("div", a - emod(a, b), b))
 
   // ---------------------------------------------------------------------------
   // Records (name-sorted structs).
@@ -72,11 +76,11 @@ object Fiat2 {
 
   /** `TList → TSet` on a nested array: sorted + deduplicated, fiat2
     * `list_to_set` (fiat2/src/fiat2/Interpret.v:126-135). */
-  def setOfArray(arr: Column): Column = array_sort(array_distinct(arr))
+  def setOfArray(arr: Column): Column = sort_array(array_distinct(arr))
 
   /** Sorted-insert preserving set canonical form (fiat2 `set_insert`). */
   def setInsert(arr: Column, v: Column): Column =
-    array_sort(array_union(arr, array(v)))
+    sort_array(array_union(arr, array(v)))
 
   /** The reference's EXACT nested-bag encoding — sorted (value, count)
     * pairs, fiat2 `list_to_bag` (fiat2/src/fiat2/Interpret.v:112-124) — for
@@ -91,7 +95,7 @@ object Fiat2 {
     * per-distinct-value rescan (O(n·d)) of the naive form.
     */
   def bagOfArray(arr: Column): Column = {
-    val s = array_sort(arr)
+    val s = sort_array(arr)
     val n = size(s)
     // 0-based first-occurrence positions of each run in the sorted array
     // (greatest(...) keeps `sequence` ascending on an empty input, where
@@ -106,7 +110,7 @@ object Fiat2 {
   /** Inverse boundary conversion: (value, count) bag encoding → the
     * engine's sorted element array. */
   def arrayOfBag(bag: Column): Column =
-    flatten(transform(array_sort(bag),
+    flatten(transform(sort_array(bag),
       e => array_repeat(e("value"), e("count").cast("int"))))
 
   // ---------------------------------------------------------------------------
@@ -115,25 +119,25 @@ object Fiat2 {
 
   /** Canonicalize an entries array: sort by key (fiat2 `dict_wf`,
     * fiat2/src/fiat2/Value.v:492-497). Assumes keys already unique. */
-  def dictCanon(entries: Column): Column = array_sort(entries)
+  def dictCanon(entries: Column): Column = sort_array(entries)
 
   /** Dict lookup → option (null when absent), fiat2 `dict_lookup`
     * (fiat2/src/fiat2/Interpret.v:92-110). `get` (0-based) returns null
     * out-of-bounds even under ANSI mode.
     */
   def dictLookup(dict: Column, key: Column): Column =
-    get(filter(dict, e => e("key") === key), lit(0))("value")
+    get(filter(dict, e => e("key") <=> key), lit(0))("value")
 
   /** Dict insert-or-overwrite, fiat2 `dict_insert`
     * (fiat2/src/fiat2/Interpret.v:92-110). */
   def dictInsert(dict: Column, key: Column, value: Column): Column =
-    array_sort(concat(
-      filter(dict, e => e("key") =!= key),
+    sort_array(concat(
+      filter(dict, e => !(e("key") <=> key)),
       array(struct(key.as("key"), value.as("value")))))
 
   /** Dict delete, fiat2 `dict_delete`. */
   def dictDelete(dict: Column, key: Column): Column =
-    filter(dict, e => e("key") =!= key)
+    filter(dict, e => !(e("key") <=> key))
 
   /** Fold over dict entries in sorted (= stored) order, fiat2 `EDictFold`
     * (fiat2/src/fiat2/Interpret.v:346-350). */

@@ -170,6 +170,26 @@ object Compiler {
   /** Public scalar view of a compiled value. */
   def asScalar(v: Val): Column = asCV(v)
 
+  /** Re-canonicalize a rebuilt NESTED collection by its tag — the
+    * reference's `list_to_bag`/`list_to_set` applied to the outputs of
+    * proj/flatmap/join (fiat2/src/fiat2/Interpret.v:373-501): a projected
+    * bag re-sorts, a projected set re-sorts AND dedups; filter needs
+    * neither (it preserves canonical order). Lists pass through. */
+  private def canonTag(tag: CollectionTag, c: Column): Column = tag match {
+    case LikeList => c
+    case LikeBag => sort_array(c)
+    case LikeSet => Fiat2.setOfArray(c)
+  }
+
+  /** The same per-tag canonicalization for TABLE results: DataFrames are
+    * bags natively (no order to restore), so only the set tag needs work
+    * (distinct). */
+  private def canonTagDF(tag: CollectionTag, df: DataFrame): DataFrame =
+    tag match {
+      case LikeSet => df.distinct()
+      case _ => df
+    }
+
   def compile(e: Expr, env: Env): Val = e match {
     case EVar(x) => env.vars.getOrElse(x,
       throw new NoSuchElementException(s"unbound variable $x"))
@@ -253,7 +273,7 @@ object Compiler {
 
     case ESort(_, l) => compile(l, env) match {
       case TV(df) => TV(df.orderBy(df.columns.sorted.map(col): _*))
-      case CV(c) => CV(array_sort(c))
+      case CV(c) => CV(sort_array(c))
     }
 
     case EFilter(_, l, x, p) => compile(l, env) match {
@@ -264,7 +284,7 @@ object Compiler {
         CV(filter(c, v => asCV(compile(p, env.bind(x, CV(v))))))
     }
 
-    case EJoin(_, l1, l2, x, y, p, r) =>
+    case EJoin(tag, l1, l2, x, y, p, r) =>
       (compile(l1, env), compile(l2, env)) match {
         case (TV(d1), TV(d2)) =>
           // Alias both sides and resolve row variables through the aliases:
@@ -283,23 +303,23 @@ object Compiler {
           TV(flattenResult(la.join(ra, pred, "inner"), res))
         case (v1, v2) => // nested-array nested-loop join, fused projection
           val a1 = asCV(v1); val a2 = asCV(v2)
-          CV(flatten(transform(a1, xv =>
+          CV(canonTag(tag, flatten(transform(a1, xv =>
             transform(
               filter(a2, yv => asCV(compile(p,
                 env.bind(x, CV(xv)).bind(y, CV(yv))))),
-              yv => asCV(compile(r, env.bind(x, CV(xv)).bind(y, CV(yv))))))))
+              yv => asCV(compile(r, env.bind(x, CV(xv)).bind(y, CV(yv)))))))))
       }
 
-    case EProj(_, l, x, r) => compile(l, env) match {
+    case EProj(tag, l, x, r) => compile(l, env) match {
       case TV(df) =>
         assertUncorrelated(env, Set(x), r)
         val res = asCV(compile(r, env.bindRow(x, CV(rowStruct(df)))))
-        TV(flattenResult(df, res))
+        TV(canonTagDF(tag, flattenResult(df, res)))
       case CV(c) =>
-        CV(transform(c, v => asCV(compile(r, env.bind(x, CV(v))))))
+        CV(canonTag(tag, transform(c, v => asCV(compile(r, env.bind(x, CV(v)))))))
     }
 
-    case EFlatmap(_, e1, x, e2) => compile(e1, env) match {
+    case EFlatmap(tag, e1, x, e2) => compile(e1, env) match {
       case TV(df) =>
         def correlatedError(cause: Throwable) =
           new UnsupportedOperationException(
@@ -392,8 +412,8 @@ object Compiler {
               direct.addSuppressed(dec); throw direct }
         }
       case CV(c) =>
-        CV(flatten(transform(c,
-          v => asCV(compile(e2, env.bind(x, CV(v)))))))
+        CV(canonTag(tag, flatten(transform(c,
+          v => asCV(compile(e2, env.bind(x, CV(v))))))))
     }
 
     case EFlatmap2(e1, e2, x1, x2, e3) =>
@@ -519,7 +539,7 @@ object Compiler {
 
     case EBagOf(l) => compile(l, env) match {
       case TV(df) => TV(df) // DataFrames are bags natively
-      case CV(c) => CV(array_sort(c)) // canonical nested bag
+      case CV(c) => CV(sort_array(c)) // canonical nested bag
     }
     case ESetOf(l) => compile(l, env) match {
       case TV(df) => TV(df.distinct())
@@ -587,7 +607,10 @@ object Compiler {
       case OOr => CV(asCV(v1) || asCV(v2))
       case OConcatString => CV(concat(asCV(v1), asCV(v2)))
       case OLess => CV(asCV(v1) < asCV(v2))
-      case OEq => CV(asCV(v1) === asCV(v2))
+      // value_eqb is TOTAL (Value.v:150): None == None is true, None ==
+      // Some _ is false. Spark `===` returns NULL on a null operand, so
+      // option-typed comparands need the null-safe `<=>` to match.
+      case OEq => CV(asCV(v1) <=> asCV(v2))
       case ORange => CV(Fiat2.rangeList(asCV(v1), asCV(v2)))
       case OLookup => CV(Fiat2.dictLookup(asCV(v1), asCV(v2)))
       case ODelete => CV(Fiat2.dictDelete(asCV(v1), asCV(v2)))
@@ -614,7 +637,7 @@ object Compiler {
       // fiat2/src/fiat2/Interpret.v:186-193.
       case OBagInsert => (v1, v2) match {
         case (TV(df), elem) => TV(consRow(asCV(elem), df))
-        case (a, b) => CV(array_sort(concat(asCV(a), array(asCV(b)))))
+        case (a, b) => CV(sort_array(concat(asCV(a), array(asCV(b)))))
       }
       case OSetInsert => (v1, v2) match {
         case (TV(df), elem) => TV(consRow(asCV(elem), df).distinct())

@@ -42,7 +42,10 @@ class PlanQualitySpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("l_quantity").cast("long").as("l_qty"))
     val p = compile(prog, Env(Map.empty, Map("lineitem" -> li), spark))
       .asInstanceOf[TV].df.queryExecution.executedPlan.toString
-    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), p)
+    // OEq compiles to the NULL-SAFE equality (reference value_eqb is
+    // total: None == None holds), which parquet still accepts as a pushed
+    // filter — just as EqualNullSafe rather than IsNotNull+EqualTo
+    assert(p.contains("PushedFilters: [EqualNullSafe(l_returnflag,R)]"), p)
   }
 
   test("comprehension program compiles to a hash join, not a cross product") {
@@ -55,9 +58,12 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q_surface_syntax")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the `o[o_custkey] < 50` conjunct must reach both parquet scans
+    // the `o[o_custkey] < 50` conjunct must reach the orders scan. (It no
+    // longer transits to c_custkey: InferFiltersFromConstraints only
+    // propagates across EqualTo, and the join key is the null-safe
+    // EqualNullSafe — the price of the reference's total value_eqb, where
+    // an inner join on option-typed keys matches None with None.)
     assert(p.contains("LessThan(o_custkey,50)"), p)
-    assert(p.contains("LessThan(c_custkey,50)"), p)
   }
 
   test("distributed percentiles shuffle ONCE: groupBy reuses the window partitioning") {
