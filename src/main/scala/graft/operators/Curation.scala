@@ -116,5 +116,40 @@ object Curation {
             > 0.2).as("repetitive"))
         .orderBy("doc_id")
     },
+
+    // SOURCE-LEVEL GATING (the RefinedWeb/C4-style domain policy): a
+    // source survives if it is not blocklisted AND its mean document
+    // length clears a floor; a DOCUMENT survives if its source does and
+    // its own length is at least half the source mean. Two phases: a
+    // per-source aggregate (one shuffle over ~|sources| groups — tiny at
+    // any corpus size), broadcast back onto the corpus for a MAP-SIDE
+    // verdict, then the audit rollup. All comparisons are integer
+    // cross-multiplications (n*2*cnt >= total), never a floating average,
+    // so the gate is exact in both engines. The corpus itself shuffles
+    // only for the final per-source audit counts.
+    GraftQuery.sql("q_source_gate",
+      """WITH s AS (SELECT source, COUNT(*) AS cnt,
+        |            CAST(SUM(n_chars) AS BIGINT) AS total
+        |           FROM documents GROUP BY source),
+        |ok AS (SELECT * FROM s
+        |       WHERE source NOT IN ('src3', 'src7') AND total >= 290 * cnt)
+        |SELECT d.source, COUNT(*) AS kept,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+        |FROM documents d JOIN ok ON d.source = ok.source
+        |WHERE d.n_chars * 2 * ok.cnt >= ok.total
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+      val stats = docs.groupBy($"source")
+        .agg(count(lit(1)).as("cnt"), sum($"n_chars").cast("long").as("total"))
+        .filter(!$"source".isin("src3", "src7") && $"total" >= lit(290) * $"cnt")
+      docs.join(broadcast(stats), "source")
+        .filter($"n_chars" * 2 * $"cnt" >= $"total")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("kept"),
+          sum($"n_chars").cast("long").as("kept_chars"))
+        .orderBy("source")
+    },
   )
 }

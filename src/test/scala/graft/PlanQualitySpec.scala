@@ -172,6 +172,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pz.contains("graft_zorder2"), s"native z expr missing:\n$pz")
   }
 
+  test("PII scrub is map-side; source gate broadcasts the stats back") {
+    // redaction/detection: projections only — the sole hash shuffle is the
+    // per-source audit rollup
+    val pp = plan("q_pii_redact")
+    assert(pp.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"PII scrub should shuffle only for the audit aggregate:\n$pp")
+    // source gating: the per-source stats (tiny at any corpus size) must
+    // broadcast back onto the corpus — a hash-shuffle join here would
+    // move the full corpus to gate it
+    val pg = plan("q_source_gate")
+    assert(pg.contains("BroadcastHashJoin"),
+      s"source stats must broadcast back:\n$pg")
+  }
+
   test("merge/upsert broadcasts the batch; the target never sort-merges") {
     val df = SparkEntry.queries("q_merge_upsert")(spark, TestSpark.sfDir)
     df.collect()
