@@ -46,6 +46,19 @@ object Fiat2 {
   def ediv(a: Column, b: Column): Column =
     when(b === 0, lit(0L)).otherwise(call_function("div", a - emod(a, b), b))
 
+  /** Floor division on the wideInt (DecimalType(38,0)) mapping. Spark's
+    * `div` always returns BIGINT, which would cap the wide path back at
+    * 2^63 — so divide exactly with decimal `/` (the numerator is made
+    * exactly divisible first, the fractional part is .000000) and cast the
+    * integral result back to scale 0. Quotients keep ~32 integral digits
+    * (decimal(38,6)); beyond that ANSI raises, same stance as the rest of
+    * the wide mapping. */
+  def edivWide(a: Column, b: Column): Column = {
+    val wide = org.apache.spark.sql.types.DecimalType(38, 0)
+    when(b === 0, lit(0L).cast(wide))
+      .otherwise(((a - emod(a, b)) / b).cast(wide))
+  }
+
   // ---------------------------------------------------------------------------
   // Records (name-sorted structs).
   // ---------------------------------------------------------------------------

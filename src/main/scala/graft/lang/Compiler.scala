@@ -589,7 +589,8 @@ object Compiler {
       case OPlus => CV(asCV(v1) + asCV(v2))
       case OMinus => CV(asCV(v1) - asCV(v2))
       case OTimes => CV(asCV(v1) * asCV(v2))
-      case ODiv => CV(Fiat2.ediv(asCV(v1), asCV(v2)))
+      case ODiv => CV(if (env.wideInt) Fiat2.edivWide(asCV(v1), asCV(v2))
+        else Fiat2.ediv(asCV(v1), asCV(v2)))
       case OMod => CV(Fiat2.emod(asCV(v1), asCV(v2)))
       // TWord machine-word family — wrap-around + total div/mod, never the
       // ANSI overflow-checked builtins (functions/WordOps.scala).

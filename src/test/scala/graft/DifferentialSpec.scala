@@ -90,6 +90,12 @@ class DifferentialSpec extends AnyFunSuite {
 
   private type Scope = Vector[(String, FType)]
 
+  // Globally fresh binder names: equal-depth binders in different subtrees
+  // must not shadow each other, or a variable lookup by type can resolve
+  // to the wrong (inner) binding.
+  private var uid = 0
+  private def fresh(p: String): String = { uid += 1; p + uid }
+
   /** Random well-typed expression of type `t`. `d` is remaining depth;
     * leaves are literals or in-scope variables. */
   private def genExpr(t: FType, scope: Scope, rnd: Random, d: Int): Expr = {
@@ -106,26 +112,28 @@ class DifferentialSpec extends AnyFunSuite {
     def generic(): Expr = rnd.nextInt(6) match {
       case 0 => // let
         val u = genType(rnd, 1)
-        ELet(sub(u), "l" + d, bound("l" + d, u, t))
+        val x = fresh("l")
+        ELet(sub(u), x, bound(x, u, t))
       case 1 => EIf(sub(TBool), sub(t), sub(t))
       case 2 => // option match (inner type never itself an option: the
         // nullable encoding flattens Some(None) — documented divergence)
         val u = genType(rnd, 1, allowOpt = false)
-        EOptMatch(sub(TOption(u)), sub(t), "o" + d, bound("o" + d, u, t))
+        val x = fresh("o")
+        EOptMatch(sub(TOption(u)), sub(t), x, bound(x, u, t))
       case 3 => // record access
         val rt = TRecord.sorted("a" -> t, "b" -> TInt)
         EAccess(sub(rt), "a")
       case 4 => // right fold of a list into t
         val u = genType(rnd, 1)
-        EFold(sub(TList(u), 1), sub(t, 1), "x" + d, "acc" + d,
-          genExpr(t, scope ++ Vector(("x" + d) -> u, ("acc" + d) -> t),
-            rnd, d - 1))
+        val x = fresh("x"); val a = fresh("acc")
+        EFold(sub(TList(u), 1), sub(t, 1), x, a,
+          genExpr(t, scope ++ Vector(x -> u, a -> t), rnd, d - 1))
       case 5 => // dict fold into t
         val kt = if (rnd.nextBoolean()) TInt else TString
         val vt = genType(rnd, 0)
-        EDictFold(sub(TDict(kt, vt), 1), sub(t, 1), "k" + d, "v" + d, "acc" + d,
-          genExpr(t, scope ++ Vector(("k" + d) -> kt, ("v" + d) -> vt,
-            ("acc" + d) -> t), rnd, d - 1))
+        val k = fresh("k"); val v = fresh("v"); val a = fresh("acc")
+        EDictFold(sub(TDict(kt, vt), 1), sub(t, 1), k, v, a,
+          genExpr(t, scope ++ Vector(k -> kt, v -> vt, a -> t), rnd, d - 1))
     }
     if (rnd.nextInt(100) < 18) return generic()
     t match {
@@ -186,42 +194,55 @@ class DifferentialSpec extends AnyFunSuite {
             case 1 => (LikeBag, TBag(u)); case 2 => (LikeSet, TSet(u))
           }
           ESort(src._1, sub(src._2))
-        case 3 => EFilter(LikeList, sub(TList(u)), "x" + d,
-          bound("x" + d, u, TBool))
+        case 3 =>
+          val x = fresh("x")
+          EFilter(LikeList, sub(TList(u)), x, bound(x, u, TBool))
         case 4 =>
           val u2 = genType(rnd, 1)
-          EProj(LikeList, sub(TList(u2)), "x" + d, bound("x" + d, u2, u))
-        case 5 =>
+          val x = fresh("x")
+          EProj(LikeList, sub(TList(u2)), x, bound(x, u2, u))
+        case 5 if rnd.nextBoolean() =>
           val u2 = genType(rnd, 1)
-          EFlatmap(LikeList, sub(TList(u2), 1), "x" + d,
-            bound("x" + d, u2, TList(u)))
+          val x = fresh("x")
+          EFlatmap(LikeList, sub(TList(u2), 1), x, bound(x, u2, TList(u)))
+        case 5 => // lockstep zip-flatmap, cut at the shorter side
+          val u1 = genType(rnd, 1); val u2 = genType(rnd, 1)
+          val zx = fresh("zx"); val zy = fresh("zy")
+          EFlatmap2(sub(TList(u1), 1), sub(TList(u2), 1), zx, zy,
+            genExpr(TList(u), scope ++ Vector(zx -> u1, zy -> u2),
+              rnd, d - 1))
         case 6 if u == TInt =>
           val lo = rnd.between(-5, 5)
           EBinop(ORange, EAtom(AInt(lo)), EAtom(AInt(lo + rnd.nextInt(6))))
         case 6 =>
           val u1 = genType(rnd, 1); val u2 = genType(rnd, 1)
-          val sc = scope ++ Vector(("jx" + d) -> u1, ("jy" + d) -> u2)
+          val jx = fresh("jx"); val jy = fresh("jy")
+          val sc = scope ++ Vector(jx -> u1, jy -> u2)
           EJoin(LikeList, sub(TList(u1), 1), sub(TList(u2), 1),
-            "jx" + d, "jy" + d, genExpr(TBool, sc, rnd, 1),
+            jx, jy, genExpr(TBool, sc, rnd, 1),
             genExpr(u, sc, rnd, d - 1))
       }
       case TBag(u) => rnd.nextInt(4) match {
         case 0 => EBinop(OBagInsert, sub(TBag(u)), sub(u))
         case 1 => EBagOf(sub(TList(u)))
-        case 2 => EFilter(LikeBag, sub(TBag(u)), "x" + d,
-          bound("x" + d, u, TBool))
+        case 2 =>
+          val x = fresh("x")
+          EFilter(LikeBag, sub(TBag(u)), x, bound(x, u, TBool))
         case 3 =>
           val u2 = genType(rnd, 1)
-          EProj(LikeBag, sub(TBag(u2)), "x" + d, bound("x" + d, u2, u))
+          val x = fresh("x")
+          EProj(LikeBag, sub(TBag(u2)), x, bound(x, u2, u))
       }
       case TSet(u) => rnd.nextInt(4) match {
         case 0 => EBinop(OSetInsert, sub(TSet(u)), sub(u))
         case 1 => ESetOf(sub(TList(u)))
-        case 2 => EFilter(LikeSet, sub(TSet(u)), "x" + d,
-          bound("x" + d, u, TBool))
+        case 2 =>
+          val x = fresh("x")
+          EFilter(LikeSet, sub(TSet(u)), x, bound(x, u, TBool))
         case 3 =>
           val u2 = genType(rnd, 1)
-          EProj(LikeSet, sub(TSet(u2)), "x" + d, bound("x" + d, u2, u))
+          val x = fresh("x")
+          EProj(LikeSet, sub(TSet(u2)), x, bound(x, u2, u))
       }
       case TDict(kt, vt) => rnd.nextInt(3) match {
         case 0 => ETernop(OInsert, sub(TDict(kt, vt)), sub(kt), sub(vt))
@@ -277,6 +298,41 @@ class DifferentialSpec extends AnyFunSuite {
     val m = Option(ex.getMessage).getOrElse("")
     m.contains("ARITHMETIC_OVERFLOW") || m.contains("overflow") ||
       Option(ex.getCause).exists(isOverflow)
+  }
+
+  test("wideInt differential: arithmetic past 2^63 matches Coq Z semantics") {
+    // the unbounded-TInt path (Env(wideInt = true), DecimalType(38,0)):
+    // sums/differences straddling 2^63, products to ~10^36, exact floor
+    // division — RefInterp computes in BigInt, which IS the reference
+    for (i <- 0 until 25) {
+      val rnd = new Random(6600 + i)
+      def genSum(d: Int): Expr = // no products: keeps div numerators in
+        // the ~2^63 band, whose quotients decimal(38,6) represents exactly
+        if (d <= 0) EAtom(AInt(rnd.between(1L << 58, 1L << 62)))
+        else EBinop(if (rnd.nextBoolean()) OPlus else OMinus,
+          genSum(d - 1), genSum(d - 1))
+      def gen(d: Int): Expr =
+        if (d <= 0) EAtom(AInt(rnd.between(1L << 58, 1L << 62)))
+        else rnd.nextInt(5) match {
+          case 0 => EBinop(OPlus, gen(d - 1), gen(d - 1))
+          case 1 => EBinop(OMinus, gen(d - 1), gen(d - 1))
+          case 2 => EBinop(OTimes, gen(0), gen(0)) // ≤ ~2^124 < 10^38
+          case 3 => EBinop(ODiv, genSum(1),
+            EAtom(AInt(rnd.between(-999, 1000))))
+          case 4 => EBinop(OMod, genSum(1),
+            EAtom(AInt(rnd.between(-999, 1000))))
+        }
+      val e = gen(3)
+      val expected = interp(e, REnv())
+      val env = Env(Map.empty, Map.empty, spark, wideInt = true)
+      Compiler.compileProgram(e, env) match {
+        case CV(c) =>
+          val got = fromSpark(spark.range(1).select(c.as("v")).head.get(0), TInt)
+          assert(cmp(got, expected) == 0,
+            s"[wide case $i] compiled=$got reference=$expected\n${show(e)}")
+        case TV(_) => fail("scalar expression compiled to a table")
+      }
+    }
   }
 
   // ---------------------------------------------------------------------
