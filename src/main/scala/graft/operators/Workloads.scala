@@ -204,6 +204,37 @@ object Workloads {
       Graph.bfs(Graph.symmetrize(edges), 0L, maxIter = 8).orderBy("node")
     },
 
+    // PageRank (3 iterations) on the directed mod-100 lineitem graph, in
+    // INTEGER FIXED-POINT (scale 10^6, damping as (85*x)//100) so the
+    // oracle unrolls the exact same arithmetic — no float accumulation
+    // order to diverge, hash-exact. Plan: per-iteration contribution
+    // shuffle + rank rebuild over a once-partitioned cached edge table
+    // (plans/Graph.pageRank).
+    GraftQuery.sql("q_pagerank",
+      """WITH e AS (SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst FROM lineitem),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT dst, CAST(SUM(rank // outdeg) AS BIGINT) AS inn
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY dst),
+        |r1 AS (SELECT node, 150000 + (85 * COALESCE(inn, 0)) // 100 AS rank
+        |       FROM nodes LEFT JOIN c1 ON node = dst),
+        |c2 AS (SELECT dst, CAST(SUM(rank // outdeg) AS BIGINT) AS inn
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY dst),
+        |r2 AS (SELECT node, 150000 + (85 * COALESCE(inn, 0)) // 100 AS rank
+        |       FROM nodes LEFT JOIN c2 ON node = dst),
+        |c3 AS (SELECT dst, CAST(SUM(rank // outdeg) AS BIGINT) AS inn
+        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY dst),
+        |r3 AS (SELECT node, 150000 + (85 * COALESCE(inn, 0)) // 100 AS rank
+        |       FROM nodes LEFT JOIN c3 ON node = dst)
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val edges = Tables.load(s, dir, "lineitem")
+        .select(($"l_orderkey" % 100).as("src"), ($"l_partkey" % 100).as("dst"))
+        .distinct()
+      Graph.pageRank(edges, iters = 3).orderBy("node")
+    },
+
     // Ex_Survey (fiat2/src/fiat2/Ex_Survey.v:30-38): star join customer →
     // nation → region with rollup; both dimensions broadcast.
     GraftQuery.sql("q_survey_rollup",

@@ -17,6 +17,47 @@ object Graph {
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
+  /** PageRank in INTEGER FIXED-POINT (rank scaled by `scale`, per-edge
+    * contribution = rank // outdeg, damping 0.85 applied as (85*x)//100):
+    * every operation is integer division/sum, so the result is bit-exact,
+    * order-free, and replayable by a SQL oracle — no float accumulation
+    * order to diverge. Dangling mass leaks (deterministically) like the
+    * original algorithm's simplest form.
+    *
+    * Scale shape: the edge table is hash-partitioned by src ONCE and
+    * cached; each iteration is one partial-aggregated contribution shuffle
+    * (by dst) and one rank rebuild join, with `localCheckpoint` cutting
+    * lineage so the plan stays O(1) across iterations — the standard
+    * bulk-synchronous PR loop, never a driver-side adjacency walk.
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.toDF("src", "dst")
+      .repartition(spark.sparkContext.defaultParallelism, col("src"))
+      .cache()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, "src").cache()
+    withDeg.count() // materialize once; iterations reuse the cached join
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    var rank = nodes.select(col("node"), lit(scale).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(rank, withDeg("src") === rank("node"))
+        .select(col("dst"),
+          call_function("div", col("rank"), col("outdeg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inn"))
+      rank = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"), (lit(scale * 15 / 100) +
+          call_function("div", lit(85L) * coalesce(col("inn"), lit(0L)),
+            lit(100L))).as("rank"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
   /** Min-depth BFS from `source`. Returns (node, depth), one row per node
     * reachable from the source. Frontier-at-depth-d joins the edge table,
     * anti-joins the visited set, repeats until the frontier is empty. The
