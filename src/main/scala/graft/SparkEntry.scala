@@ -29,6 +29,7 @@ object SparkEntry {
       streaming.StreamAgg.queries ++
       streaming.LateData.queries ++
       streaming.StreamDedup.queries ++
+      streaming.StreamUpsert.queries ++
       streaming.Sessionize.queries ++
       functions.TypedAgg.queries ++
       functions.GraftFunctions.queries ++
