@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lang._
+import graft.lang.Lang._
+import graft.lang.RefInterp._
+import graft.lang.Compiler.{CV, Env}
+
+/** The README "Known divergences" pinned EXECUTABLE: each test demonstrates
+  * the engine differing from the reference semantics exactly as documented
+  * — and nothing more. If an engine change closes one of these gaps, the
+  * failing test is the signal to update the README (and usually to
+  * celebrate); if a change widens a gap, `DifferentialSpec` is the side
+  * that catches it.
+  */
+class DivergenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def evalCompiled(e: Expr): Any =
+    Compiler.compile(e, Env(Map.empty, Map.empty, spark)) match {
+      case CV(c) => spark.range(1).select(c.as("v")).head.get(0)
+      case _ => fail("expected a scalar")
+    }
+
+  test("nested options flatten: Some(None) is indistinguishable from None") {
+    // match (Some None) with None => 1 | Some _ => 5
+    val e = EOptMatch(EUnop(OSome, EAtom(ANone(TInt))),
+      EAtom(AInt(1)), "x", EAtom(AInt(5)))
+    // reference: the Some branch
+    assert(interp(e, REnv()) == VI(5))
+    // engine: nullable encoding collapses Some(None) to null → None branch
+    assert(evalCompiled(e) == 1L)
+  }
+
+  test("collections of words sort signed in the engine, unsigned in the reference") {
+    val l = EBinop(OCons, EAtom(AWord(-1L)),
+      EBinop(OCons, EAtom(AWord(1L)), EAtom(ANil(TWord))))
+    val sorted = ESort(LikeList, l)
+    // reference: -1 as a word is 2^64-1, the LARGEST value
+    assert(interp(sorted, REnv()) == VList(Vector(VW(1L), VW(-1L))))
+    // engine: bare longs sort signed
+    assert(evalCompiled(sorted) ==
+      scala.collection.mutable.ArraySeq(-1L, 1L))
+    // the scalar comparison is exact in both: OWLessU is unsigned
+    assert(interp(EBinop(OWLessU, EAtom(AWord(1L)), EAtom(AWord(-1L))),
+      REnv()) == VB(true))
+    assert(evalCompiled(EBinop(OWLessU, EAtom(AWord(1L)),
+      EAtom(AWord(-1L)))) == true)
+  }
+
+  test("TInt overflows past 2^63 by default; wideInt and the reference grow") {
+    val big = EBinop(OTimes, EAtom(AInt(1L << 62)), EAtom(AInt(4)))
+    assert(interp(big, REnv()) == VI(BigInt(1L << 62) * 4)) // reference: Z
+    val err = intercept[Exception] { evalCompiled(big) } // default: ANSI
+    assert(err.getMessage.contains("ARITHMETIC_OVERFLOW") ||
+      err.getMessage.toLowerCase.contains("overflow"))
+    val wide = Compiler.compile(big,
+      Env(Map.empty, Map.empty, spark, wideInt = true)) match {
+      case CV(c) => spark.range(1).select(c.as("v")).head.get(0)
+      case _ => fail("expected a scalar")
+    }
+    assert(fromSpark(wide, TInt) == VI(BigInt(1L << 62) * 4))
+  }
+
+  test("bag sort position differs between element-array and (value,count) encodings") {
+    // {a,a,b} vs {a,c} with a<b<c: element arrays order them Lt; the
+    // reference's run-length pairs order them Gt — the one place the
+    // engine's bag encoding is OBSERVABLE, and only via sort position of
+    // bags nested inside ordered collections. Equality agrees everywhere.
+    def runLength(xs: Vector[V]): Vector[(V, Int)] =
+      xs.foldRight(Vector.empty[(V, Int)]) { (v, acc) =>
+        acc.headOption match {
+          case Some((w, n)) if cmp(v, w) == 0 => (w, n + 1) +: acc.tail
+          case _ => (v, 1) +: acc
+        }
+      }
+    def coqBagCompare(a: Vector[V], b: Vector[V]): Int = {
+      val (ra, rb) = (runLength(a), runLength(b))
+      ra.zip(rb).iterator.map { case ((v1, n1), (v2, n2)) =>
+        val c = cmp(v1, v2); if (c != 0) c else n1.compareTo(n2)
+      }.find(_ != 0).getOrElse(ra.size.compareTo(rb.size))
+    }
+    val bagA = Vector[V](VI(1), VI(1), VI(2)) // {a,a,b}
+    val bagB = Vector[V](VI(1), VI(3)) // {a,c}
+    assert(cmp(VBag(bagA), VBag(bagB)) < 0) // engine/RefInterp: element-wise
+    assert(coqBagCompare(bagA, bagB) > 0) // reference: (value,count) pairs
+  }
+}
