@@ -102,6 +102,190 @@ object Compiler {
     * flatmaps each need distinct left/right join aliases. */
   private val latIds = new java.util.concurrent.atomic.AtomicInteger
 
+  /** OUTERMOST aggregate nodes inside `r` whose SOURCE is correlated on
+    * the projection binder `x` — the correlated-scalar-subquery shape
+    * (`len(u <- T; check(u.k == x.k); ret u)` and friends) that
+    * `projCorrelatedAggs` unnests. */
+  private def collectCorrelatedAggs(r: Expr, x: String): List[Expr] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[Expr]
+    def kids(e: Expr): Seq[Expr] = e.asInstanceOf[Product]
+      .productIterator.flatMap {
+      case c: Expr => Seq(c)
+      case l: List[_] => l.flatMap {
+        case (_, ex: Expr) => Seq(ex)
+        case ex: Expr => Seq(ex)
+        case _ => Nil
+      }
+      case _ => Nil
+    }.toSeq
+    def walk(e: Expr): Unit = e match {
+      case EACFold(_, s0) if Rewrites.freeVars(s0).contains(x) => buf += e
+      case EACIFold(_, s0) if Rewrites.freeVars(s0).contains(x) => buf += e
+      case EUnop(OLength, s0) if Rewrites.freeVars(s0).contains(x) => buf += e
+      case _ => kids(e).foreach(walk)
+    }
+    walk(r)
+    buf.toList.distinct
+  }
+
+  /** Peel a correlated aggregate source into [optional value projection]
+    * over [a chain of filters] over an uncorrelated core. The projection
+    * value must not itself reference `x` (that would need a join-first
+    * plan, not a groupBy). */
+  private final case class PeeledSrc(core: Expr,
+      filters: List[(String, Expr)], proj: Option[(String, Expr)])
+  private def peelCorrelated(x: String, src0: Expr): Option[PeeledSrc] = {
+    var proj: Option[(String, Expr)] = None
+    var cur = src0
+    cur match {
+      case EProj(_, l0, pb, pv) if !Rewrites.freeVars(pv).contains(x) =>
+        proj = Some((pb, pv)); cur = l0
+      case _ => ()
+    }
+    var filters = List.empty[(String, Expr)]
+    while (Rewrites.freeVars(cur).contains(x)) cur match {
+      case EFilter(_, l0, b, p) => filters ::= ((b, p)); cur = l0
+      case _ => return None
+    }
+    if (filters.isEmpty) None else Some(PeeledSrc(cur, filters, proj))
+  }
+
+  /** UNNEST correlated scalar aggregates in a table projection — the
+    * classic subquery decorrelation (the reference interprets the nested
+    * loop, Interpret.v:273-299; a distributed plan needs the join form):
+    * for each aggregate over a correlated-filtered table, groupBy the
+    * inner side on its equi-keys, LEFT-join the per-key aggregates back
+    * onto the (aliased) outer table, and substitute the joined column for
+    * the aggregate node. Sum/count default to 0 on no-match; min/max stay
+    * null (the ACI None-on-empty). Outer-only conjuncts gate the result
+    * per row with CASE WHEN. Join-key equality is the null-safe `<=>`
+    * (value_eqb). Non-equi correlation under an aggregate keeps the
+    * directed error.
+    */
+  private def projCorrelatedAggs(tag: CollectionTag, df: DataFrame,
+      x: String, r: Expr, env: Env): Val = {
+    val peeled = collectCorrelatedAggs(r, x).flatMap { node =>
+      val src = node match {
+        case EACFold(_, s0) => s0
+        case EACIFold(_, s0) => s0
+        case EUnop(OLength, s0) => s0
+        case _ => throw new IllegalStateException("non-aggregate collected")
+      }
+      peelCorrelated(x, src).map(p => (node, p))
+    }
+    if (peeled.isEmpty) throw new UnsupportedOperationException(
+      "correlated aggregate whose source is not a filter chain over an " +
+        "uncorrelated table — rewrite with an explicit EJoin")
+    val id = latIds.incrementAndGet()
+    val la = s"__caggl$id"
+    val outerRow = qualifiedRow(df.columns, la)
+    var joined: DataFrame = df.alias(la)
+    var extraBinds = List.empty[(String, Val)]
+    var r2 = r
+    peeled.zipWithIndex.foreach { case ((node, pe), i) =>
+      val innerDF = compile(pe.core, env) match {
+        case TV(d) => d
+        case cv @ CV(_) => toDF(cv, env)
+      }
+      def conjuncts(p: Expr): List[Expr] = p match {
+        case EBinop(OAnd, a, b) => conjuncts(a) ++ conjuncts(b)
+        case other => List(other)
+      }
+      var keyPairs = List.empty[(Expr, (String, Expr))]
+      var residual = List.empty[(String, Expr)]
+      var outerOnly = List.empty[Expr]
+      pe.filters.foreach { case (b, p) =>
+        conjuncts(p).foreach { c =>
+          val fv = Rewrites.freeVars(c)
+          val usesX = fv.contains(x); val usesB = fv.contains(b)
+          c match {
+            case EBinop(OEq, a1, a2) if usesX && usesB =>
+              val f1 = Rewrites.freeVars(a1); val f2 = Rewrites.freeVars(a2)
+              if (f1.contains(x) && !f1.contains(b) &&
+                  f2.contains(b) && !f2.contains(x))
+                keyPairs ::= ((a1, (b, a2)))
+              else if (f2.contains(x) && !f2.contains(b) &&
+                  f1.contains(b) && !f1.contains(x))
+                keyPairs ::= ((a2, (b, a1)))
+              else throw new UnsupportedOperationException(
+                "equality mixing outer and inner rows on one side under a " +
+                  "correlated aggregate")
+            case _ if usesX && !usesB => outerOnly ::= c
+            case _ if !usesX => residual ::= ((b, c))
+            case _ => throw new UnsupportedOperationException(
+              "non-equi correlated predicate under an aggregate — rewrite " +
+                "with an explicit EJoin")
+          }
+        }
+      }
+      if (keyPairs.isEmpty) throw new UnsupportedOperationException(
+        "correlated aggregate without an equi-join key")
+      var inner = innerDF
+      residual.reverse.foreach { case (b, p) =>
+        inner = inner.filter(asCV(compile(p,
+          env.bindRow(b, CV(rowStruct(inner))))))
+      }
+      val kName = (j: Int) => s"__k${id}_${i}_$j"
+      val vName = s"__v${id}_$i"
+      val aName = s"__agg${id}_$i"
+      val innerKeyCols = keyPairs.zipWithIndex.map { case ((_, (b, ie)), j) =>
+        asCV(compile(ie, env.bindRow(b, CV(rowStruct(inner))))).as(kName(j))
+      }
+      // count/length never look at the element value; sum/min/max take the
+      // peeled projection's value, or the single `value` column of a
+      // scalar-element table
+      val countOnly = node match {
+        case EACFold(AGCount, _) | EUnop(OLength, _) => true
+        case _ => false
+      }
+      val valueCol =
+        if (countOnly) lit(1L)
+        else pe.proj match {
+          case Some((pb, pv)) =>
+            asCV(compile(pv, env.bindRow(pb, CV(rowStruct(inner)))))
+          case None => inner.col("value") // scalar-element table
+        }
+      val sel = inner.select(innerKeyCols :+ valueCol.as(vName): _*)
+      val aggCol = node match {
+        case EACFold(AGSum, _) => sum(col(vName))
+        case EACFold(AGCount, _) | EUnop(OLength, _) => count(lit(1))
+        case EACIFold(AGMin, _) => min(col(vName))
+        case EACIFold(AGMax, _) => max(col(vName))
+        case _ => throw new IllegalStateException("non-aggregate node")
+      }
+      val aggDF = sel.groupBy(keyPairs.indices.map(j => col(kName(j))): _*)
+        .agg(aggCol.as(aName))
+      val joinPred = keyPairs.zipWithIndex.map { case ((oe, _), j) =>
+        asCV(compile(oe, env.bind(x, CV(outerRow)))) <=> col(kName(j))
+      }.reduce(_ && _)
+      joined = joined.join(aggDF, joinPred, "left")
+      val base = node match {
+        case EACIFold(_, _) => col(aName) // null-on-empty (ACI None)
+        case _ => coalesce(col(aName), lit(0L))
+      }
+      val gated = outerOnly match {
+        case Nil => base
+        case os =>
+          val oc = os.map(o => asCV(compile(o, env.bind(x, CV(outerRow)))))
+            .reduce(_ && _)
+          node match {
+            case EACIFold(_, _) => when(oc, base)
+            case _ => when(oc, base).otherwise(lit(0L))
+          }
+      }
+      val name = s"__cagg_${id}_$i"
+      extraBinds ::= (name, CV(gated))
+      r2 = Rewrites.foldExpr(r2)(e0 => if (e0 == node) EVar(name) else e0)
+    }
+    // x stays a ROW variable: any remaining table-level correlation on it
+    // must trip assertUncorrelated, not silently mis-resolve
+    val benv = extraBinds.foldLeft(env.bindRow(x, CV(outerRow))) {
+      case (acc, (n, v)) => acc.bind(n, v)
+    }
+    val res = asCV(compile(r2, benv))
+    TV(canonTagDF(tag, flattenResult(joined, res)))
+  }
+
   /** Row variable of a table as a (name-sorted) struct; Catalyst's
     * SimplifyExtractValueOps collapses `struct(cols).field` back to the
     * column, so pushdown/pruning still reach the scan. */
@@ -313,8 +497,19 @@ object Compiler {
     case EProj(tag, l, x, r) => compile(l, env) match {
       case TV(df) =>
         assertUncorrelated(env, Set(x), r)
-        val res = asCV(compile(r, env.bindRow(x, CV(rowStruct(df)))))
-        TV(canonTagDF(tag, flattenResult(df, res)))
+        try {
+          val res = asCV(compile(r, env.bindRow(x, CV(rowStruct(df)))))
+          TV(canonTagDF(tag, flattenResult(df, res)))
+        } catch {
+          // projection body holds an aggregate over a CORRELATED-filtered
+          // table (a correlated scalar subquery) — unnest it: groupBy the
+          // inner side on its equi-keys, LEFT-join the aggregates back
+          case direct: UnsupportedOperationException
+              if collectCorrelatedAggs(r, x).nonEmpty =>
+            try projCorrelatedAggs(tag, df, x, r, env)
+            catch { case dec: Throwable =>
+              direct.addSuppressed(dec); throw direct }
+        }
       case CV(c) =>
         CV(canonTag(tag, transform(c, v => asCV(compile(r, env.bind(x, CV(v)))))))
     }

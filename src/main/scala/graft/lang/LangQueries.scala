@@ -180,6 +180,51 @@ object LangQueries {
       compileProgram(prog, env).asInstanceOf[TV].df
     },
 
+    // CORRELATED SCALAR AGGREGATES unnested (Compiler.projCorrelatedAggs):
+    // one projection computes, per nation, a correlated COUNT (via len),
+    // a correlated SUM, and a correlated MAX whose source carries an extra
+    // inner-only filter — the classic correlated-subquery triple. The
+    // reference interprets each as a per-row nested loop
+    // (Interpret.v:273-299); the engine lowers each aggregate to ONE
+    // groupBy of the inner table on its equi-key plus a LEFT join back —
+    // COUNT/SUM default to 0 on no-match, MAX stays null (ACI
+    // None-on-empty), which the oracle's NULL for Antarctica-style empty
+    // groups checks directly.
+    GraftQuery.sql("q_lang_corr_agg",
+      """SELECT n_name AS nat,
+        |  (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS ns,
+        |  CAST(COALESCE((SELECT SUM(s_suppkey) FROM supplier
+        |                 WHERE s_nationkey = n_nationkey), 0) AS BIGINT) AS ksum,
+        |  (SELECT MAX(s_suppkey) FROM supplier
+        |   WHERE s_nationkey = n_nationkey AND s_suppkey % 2 = 0) AS maxeven
+        |FROM nation ORDER BY nat""".stripMargin) { (s, dir) =>
+      def corrFilter(b: String) = EFilter(LikeBag, ELoc("supplier"), b,
+        EBinop(OEq, EAccess(EVar(b), "s_nationkey"),
+          EAccess(EVar("n"), "n_nationkey")))
+      val prog = EProj(LikeBag, ELoc("nation"), "n",
+        ERecord(List(
+          "nat" -> EAccess(EVar("n"), "n_name"),
+          "ns" -> EUnop(OLength, corrFilter("s0")),
+          "ksum" -> EACFold(AGSum, EProj(LikeBag, corrFilter("s1"), "p1",
+            EAccess(EVar("p1"), "s_suppkey"))),
+          "maxeven" -> EACIFold(AGMax, EProj(LikeBag,
+            EFilter(LikeBag, corrFilter("s2"), "r2",
+              EBinop(OEq,
+                EBinop(OMod, EAccess(EVar("r2"), "s_suppkey"), EAtom(AInt(2))),
+                EAtom(AInt(0)))),
+            "p2", EAccess(EVar("p2"), "s_suppkey"))))))
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_nationkey").cast("long").as("s_nationkey"))),
+        s)
+      compileProgram(prog, env).asInstanceOf[TV].df
+        .orderBy("nat")
+    },
+
     // General EFold over a (small) table: a RIGHT fold (Interpret.v:
     // 313-319) defined on canonical value order; the non-associative step
     // (rolling hash) is exactly what EACFold can't express. The oracle

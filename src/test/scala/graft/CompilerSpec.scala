@@ -159,17 +159,18 @@ class CompilerSpec extends AnyFunSuite {
     assert(evalv(set) === Seq(3L)) // idempotent
   }
 
-  test("same-table correlated subquery under OLength raises, not wrong rows") {
-    val t = Seq((1L, 2L)).toDF("k", "v")
-    // per-row count of same-table matches: attribute ids would collide and
-    // silently count everything — must be rejected with the EJoin pointer
+  test("same-table correlated count unnests with correct aliasing") {
+    val t = Seq((1L, 2L), (1L, 5L), (3L, 4L)).toDF("k", "v")
+    // per-row count of SAME-TABLE key matches: the rounds-5 engine had to
+    // reject this (unaliased attribute ids would silently count every
+    // row); the unnesting aliases the outer side, so it now computes —
+    // k=1 rows each see 2 matches, the k=3 row sees 1
     val prog = EProj(LikeBag, ELoc("t"), "x",
       EUnop(OLength, EFilter(LikeBag, ELoc("t"), "y",
         EBinop(OEq, EAccess(EVar("y"), "k"), EAccess(EVar("x"), "k")))))
-    val ex = intercept[UnsupportedOperationException] {
-      compile(prog, Env(Map.empty, Map("t" -> t), spark))
-    }
-    assert(ex.getMessage.contains("EJoin"))
+    val counts = compile(prog, Env(Map.empty, Map("t" -> t), spark))
+      .asInstanceOf[TV].df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(counts === Seq(1L, 2L, 2L))
   }
 
   test("ESetOf dedups+sorts, EACIFold min/max, EDictFold over entries") {
@@ -294,6 +295,56 @@ class CompilerSpec extends AnyFunSuite {
       compile(agg, Env(Map.empty, Map("t1" -> t1, "t2" -> t2), spark))
     }
     assert(ex.getMessage.contains("EJoin"))
+  }
+
+  test("correlated scalar aggregates in a projection unnest to groupBy + left join") {
+    import graft.lang.RefInterp
+    import graft.lang.RefInterp.{REnv, VI, VList, VRec, VOpt, V}
+    val t1 = Seq((1L, 5L), (2L, 6L), (3L, 7L)).toDF("k", "v")
+    val t2 = Seq((1L, 10L), (1L, 20L), (3L, 30L), (9L, 40L)).toDF("j", "w")
+    // per t1 row: count of matching t2 rows, sum of their w (with an
+    // inner-only filter), max of w gated by an OUTER-only conjunct
+    def matches(b: String) = EFilter(LikeBag, ELoc("t2"), b,
+      EBinop(OEq, EAccess(EVar(b), "j"), EAccess(EVar("x"), "k")))
+    val prog = EProj(LikeBag, ELoc("t1"), "x", ERecord(List(
+      "k" -> EAccess(EVar("x"), "k"),
+      "n" -> EUnop(OLength, matches("a")),
+      "s" -> EACFold(AGSum, EProj(LikeBag,
+        EFilter(LikeBag, matches("b"), "r",
+          EBinop(OLess, EAtom(AInt(10)), EAccess(EVar("r"), "w"))),
+        "p", EAccess(EVar("p"), "w"))),
+      "m" -> EACIFold(AGMax, EProj(LikeBag,
+        EFilter(LikeBag, matches("c"), "g",
+          EBinop(OLess, EAccess(EVar("x"), "v"), EAtom(AInt(7)))),
+        "q", EAccess(EVar("q"), "w"))))))
+    val df = compile(prog, Env(Map.empty, Map("t1" -> t1, "t2" -> t2), spark))
+      .asInstanceOf[TV].df
+    // differential vs the reference interpreter on the same tiny tables
+    val renv = REnv(
+      "t1" -> VList(Vector((1L, 5L), (2L, 6L), (3L, 7L)).map { case (k, v) =>
+        VRec(Vector("k" -> VI(k), "v" -> VI(v))): V }),
+      "t2" -> VList(Vector((1L, 10L), (1L, 20L), (3L, 30L), (9L, 40L)).map {
+        case (j, w) => VRec(Vector("j" -> VI(j), "w" -> VI(w))): V }))
+    val wantRaw = RefInterp.interp(prog, renv) match {
+      case RefInterp.VBag(xs) => xs
+      case RefInterp.VList(xs) => xs // store tables are lists (VList in)
+      case o => fail(s"expected a collection, got $o")
+    }
+    val got = df.collect().map { r =>
+      VRec(Vector[(String, V)](
+        "k" -> VI(r.getLong(r.fieldIndex("k"))),
+        "m" -> (if (r.isNullAt(r.fieldIndex("m"))) VOpt(None)
+          else VOpt(Some(VI(r.getLong(r.fieldIndex("m")))))),
+        "n" -> VI(r.getLong(r.fieldIndex("n"))),
+        "s" -> VI(r.getLong(r.fieldIndex("s"))))): V
+    }.toVector
+    // reference wraps the ACI result in an option; align got's m likewise
+    assert(RefInterp.sortedV(got) == RefInterp.sortedV(wantRaw),
+      s"got=$got want=$wantRaw")
+    // plan: no nested-loop residue
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      s"unnesting fell back to a cross product:\n$physical")
   }
 
   test("wideInt maps TInt to decimal(38,0): sums past 2^63 compute exactly") {
