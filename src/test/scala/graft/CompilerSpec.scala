@@ -399,4 +399,64 @@ class CompilerSpec extends AnyFunSuite {
       .store("result")
     assert(out.collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 4L, 9L))
   }
+
+  test("a record with several table lengths pre-counts them in ONE job") {
+    val t = spark.range(10).select(col("id").as("v"))
+    val lenBelow = (bound: Expr) => EUnop(OLength,
+      EFilter(LikeList, ELoc("t"), "x",
+        EBinop(OLess, EAccess(EVar("x"), "v"), bound)))
+    val rec = ERecord(List(
+      "a" -> lenBelow(EAtom(AInt(5L))),
+      "b" -> lenBelow(EAtom(AInt(8L)))))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // AQE materializes each shuffle stage as its own job, which would make
+    // a job count meaningless — with it off, one ACTION is one job, which
+    // is the thing the batch collapses (driver round-trips)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    val compiled = try {
+      val c = compile(rec, Env(Map.empty, Map("t" -> t), spark))
+      // listener events are async: wait for the one expected job to post,
+      // then a grace period in which no second job may appear
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(300)
+      c
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+    assert(jobs.get() === 1, "both lengths must share one batched count job")
+    val row = spark.range(1).select(asColumn(compiled).as("r"))
+      .select(col("r.a"), col("r.b")).head()
+    assert((row.getLong(0), row.getLong(1)) === (5L, 8L))
+  }
+
+  test("batched length memo is not served across a shadowing rebind") {
+    val t = spark.range(10).select(col("id").as("v"))
+    // both fields read len(σ[v < k] t) with the SAME operand AST; field b
+    // rebinds k locally, so serving a's pre-count there would be wrong
+    val lenK = EUnop(OLength,
+      EFilter(LikeList, ELoc("t"), "x",
+        EBinop(OLess, EAccess(EVar("x"), "v"), EVar("k"))))
+    // a second DISTINCT closed length so the batch fires (identical ASTs
+    // dedup to one target, which would skip batching and test nothing)
+    val lenConst = EUnop(OLength,
+      EFilter(LikeList, ELoc("t"), "x",
+        EBinop(OLess, EAccess(EVar("x"), "v"), EAtom(AInt(8L)))))
+    val rec = ERecord(List(
+      "a" -> lenK,
+      "a2" -> lenConst,
+      "b" -> ELet(EAtom(AInt(2L)), "k", lenK)))
+    val e = Env(Map.empty, Map("t" -> t), spark).bind("k", CV(lit(5L)))
+    val row = spark.range(1).select(asColumn(compile(rec, e)).as("r"))
+      .select(col("r.a"), col("r.b")).head()
+    assert((row.getLong(0), row.getLong(1)) === (5L, 2L))
+  }
 }
