@@ -243,6 +243,32 @@ object LangQueries {
       s.range(1).select(h.cast("long").as("h"))
     },
 
+    // The STREAMED table fold — same right fold as q_lang_fold but over
+    // 60k lineitem keys, past the 10k localization threshold, so the
+    // batched driver stream (canonical-DESC toLocalIterator,
+    // re-literalized accumulator) is exercised by the correctness gate
+    // itself, not only by CompilerSpec. The step is the modular rolling
+    // hash (acc*31+x) mod 1e9+7 — non-associative (no EACFold escape)
+    // and overflow-free at any length. The key filter keeps the row
+    // count ~constant across SFs (orderkeys are dense 0..N).
+    GraftQuery.sql("q_lang_fold_stream",
+      """SELECT CAST(list_reduce(
+        |         list(CAST(l_orderkey AS BIGINT) ORDER BY l_orderkey DESC),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS h
+        |FROM lineitem WHERE l_orderkey < 15000""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val step = EBinop(OMod,
+        EBinop(OPlus, EBinop(OTimes, EVar("acc"), EAtom(AInt(31))), EVar("x")),
+        EAtom(AInt(1000000007L)))
+      val prog = EFold(ELoc("keys"), EAtom(AInt(0)), "x", "acc", step)
+      val keys = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 15000)
+        .select(col("l_orderkey").cast("long").as("value"))
+      val env = Env(Map.empty, Map("keys" -> keys), s)
+      val h = compileProgram(prog, env).asInstanceOf[CV].c
+      s.range(1).select(h.cast("long").as("h"))
+    },
+
     // Command layer: CLetMut + CForeach + CAssign/OCons — the reference's
     // event-loop idiom (fiat2/src/fiat2/Ex_Orders.v:54): for each key in a
     // literal list, count matching events and cons the result onto an output

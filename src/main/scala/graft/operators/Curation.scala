@@ -151,5 +151,93 @@ object Curation {
           sum($"n_chars").cast("long").as("kept_chars"))
         .orderBy("source")
     },
+
+    // DETERMINISTIC EPOCH SHUFFLE: the global training order for one epoch
+    // is a total sort by a salted cross-engine hash of the id — every run,
+    // engine, and cluster size produces the SAME permutation (unlike RNG
+    // shuffles), and epoch 2 is just a different salt. At 100 TB the sort
+    // is a range-partitioned exchange (Spark samples the hash's
+    // distribution, which is uniform by construction, so partitions
+    // balance); a trainer reads the files in partition order. The check
+    // pins the head of the permutation.
+    GraftQuery.sql("q_epoch_shuffle",
+      """SELECT CAST(pos AS BIGINT) AS pos, doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        |  FROM documents)
+        |WHERE pos <= 40 ORDER BY pos""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", md5(concat(lit("ep1:"), $"doc_id".cast("string")))
+          .as("ek"))
+        .orderBy($"ek", $"doc_id")
+        .limit(40)
+        .select((row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"ek", $"doc_id"))).cast("long").as("pos"), $"doc_id")
+        .orderBy("pos")
+    },
+
+    // DATA-MIX WEIGHTED SAMPLING: each source gets its own keep-rate (the
+    // "mixture weights" of a training run — upweight curated sources,
+    // downsample the crawl), decided per document by the salted
+    // deterministic hash, then audited per source. Map-only until the
+    // audit's tiny per-source aggregate; the 100 TB plan is scan → filter
+    // → write, with the audit a byproduct. Rates are driver literals the
+    // way a mixture config would ship.
+    GraftQuery.sql("q_mixture_sample",
+      """WITH kept AS (
+        |  SELECT source, n_chars FROM documents
+        |  WHERE (md5_number_lower('mix:' || CAST(doc_id AS VARCHAR)) & 2147483647) % 1000
+        |        < CASE WHEN source IN ('src1', 'src4') THEN 900
+        |               WHEN source IN ('src3', 'src7') THEN 100
+        |               ELSE 400 END)
+        |SELECT source, COUNT(*) AS kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rate = when($"source".isin("src1", "src4"), 900)
+        .when($"source".isin("src3", "src7"), 100)
+        .otherwise(400)
+      Tables.load(s, dir, "documents")
+        .filter(Fingerprints.md5Low64(
+          concat(lit("mix:"), $"doc_id".cast("string")))
+          .bitwiseAND(0x7fffffffL) % 1000 < rate)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("kept"),
+          sum($"n_chars").cast("long").as("kept_chars"))
+        .orderBy("source")
+    },
+
+    // SPLIT-LEAKAGE AUDIT: the 90/10 train/val split is decided by the
+    // salted deterministic hash (reproducible; independent of the sampling
+    // and mixture salts), then audited for eval contamination: a val doc
+    // whose content digest also appears in train is LEAKED — its loss is
+    // memorization, not generalization. One digest projection feeds both
+    // sides; the audit is a digest-only left-semi join (16 bytes/doc at
+    // 100 TB, broadcast when train's distinct-digest set is small, shuffle
+    // otherwise) — document text never moves twice.
+    GraftQuery.sql("q_split_leakage",
+      """WITH s AS (SELECT doc_id, md5(text) AS dg,
+        |    (md5_number_lower('splt:' || CAST(doc_id AS VARCHAR)) & 2147483647) % 100 AS b
+        |  FROM documents)
+        |SELECT
+        |  (SELECT COUNT(*) FROM s WHERE b < 90) AS n_train,
+        |  (SELECT COUNT(*) FROM s WHERE b >= 90) AS n_val,
+        |  (SELECT COUNT(*) FROM s WHERE b >= 90
+        |     AND dg IN (SELECT dg FROM s WHERE b < 90)) AS n_leaked""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val split = Tables.load(s, dir, "documents")
+        .select($"doc_id", md5($"text").as("dg"),
+          (Fingerprints.md5Low64(concat(lit("splt:"), $"doc_id".cast("string")))
+            .bitwiseAND(0x7fffffffL) % 100).as("b"))
+      val counts = split.agg(
+        count(when($"b" < 90, 1)).as("n_train"),
+        count(when($"b" >= 90, 1)).as("n_val"))
+      val leaked = split.filter($"b" >= 90)
+        .join(split.filter($"b" < 90).select($"dg").distinct(),
+          Seq("dg"), "left_semi")
+        .agg(count(lit(1)).as("n_leaked"))
+      counts.crossJoin(leaked)
+    },
   )
 }

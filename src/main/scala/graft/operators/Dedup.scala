@@ -346,5 +346,37 @@ object Dedup {
         .select($"a", $"b", bit_count($"sa".bitwiseXOR($"sb")).cast("long").as("hamming"))
         .filter($"hamming" <= 6).orderBy("a", "b")
     },
+
+    // INCREMENTAL dedup against a HISTORICAL corpus — the nightly-batch
+    // shape: yesterday's corpus is already deduplicated, so only the new
+    // batch (here: doc_id >= 400) is checked, first against the historical
+    // DIGEST set (left anti join), then within itself (keep-first window).
+    // At 100 TB the historical side is digest-only (16 bytes/doc, not
+    // text), so the anti-join shuffles digests; when the digest store is
+    // small enough it broadcasts, and a bloom prefilter (q_bloom_semijoin's
+    // operator) slots in front of the shuffle when it is not. The batch is
+    // re-scanned never: one digest projection feeds both stages.
+    GraftQuery.sql("q_dedup_incremental",
+      """WITH hist AS (SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id < 400),
+        |batch AS (SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id >= 400),
+        |fresh AS (SELECT doc_id, dg FROM batch WHERE dg NOT IN (SELECT dg FROM hist))
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY dg ORDER BY doc_id) AS rn
+        |  FROM fresh)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val hist = docs.filter($"doc_id" < 400)
+        .select(md5($"text").as("dg")).distinct()
+      val batch = docs.filter($"doc_id" >= 400)
+        .select($"doc_id", md5($"text").as("dg"))
+      batch.join(hist, Seq("dg"), "left_anti")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"dg").orderBy($"doc_id")))
+        .filter($"rn" === 1)
+        .select($"doc_id")
+        .orderBy("doc_id")
+    },
   )
 }

@@ -72,5 +72,36 @@ object Layout {
           min($"b").as("b_min"), max($"b").as("b_max"))
         .orderBy("zbucket")
     },
+
+    // COMPACTION PLANNING (the small-files problem): assign input files to
+    // output bins of ~target size by chunking the cumulative size in
+    // manifest order — exactly what a compaction job computes before its
+    // bin-per-task rewrite (documents stand in as the manifest; n_chars as
+    // file size; target 25000). The single-partition window is CORRECT at
+    // scale here because it runs over the MANIFEST, not the data: 100 TB at
+    // 1 GB/file is 10^5 manifest rows — driver-trivial — while the rewrite
+    // itself is one task per bin. bin = starting-offset / target keeps
+    // every bin ≤ target + one file, never splits a file, and is exact
+    // integer math in both engines.
+    GraftQuery.sql("q_compaction_bins",
+      """WITH m AS (SELECT doc_id, n_chars,
+        |        SUM(n_chars) OVER (ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM documents)
+        |SELECT CAST((cum - n_chars) // 25000 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |FROM m GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"n_chars")
+        .withColumn("cum", sum($"n_chars").over(
+          Window.orderBy($"doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(floor(($"cum" - $"n_chars") / 25000).as("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum($"n_chars").cast("long").as("bytes"))
+        .orderBy("bin")
+    },
   )
 }

@@ -242,5 +242,53 @@ object Search {
           (abs($"approx" - $"n_exact").cast("double") / $"n_exact" < 0.05)
             .as("approx_ok"))
     },
+
+    // COUNT-MIN SKETCH: term-frequency estimation in FIXED memory — the
+    // d×w counter grid (3×64 here) is the whole aggregation state no
+    // matter the corpus size, so the shuffle after map-side combine is 192
+    // rows where an exact vocabulary count shuffles |vocab|. Estimates are
+    // biased high only (min over d salted-hash rows), checked here against
+    // the exact counts of the top-5 terms. The bucket hash is the
+    // cross-engine md5-low64, so DuckDB replays the whole sketch —
+    // counters, probe buckets, min — and the row is hash-exact, not a
+    // tolerance check. (A production w is 2^16+; 64 buckets at this corpus
+    // size exercises real collisions on purpose.)
+    GraftQuery.sql("q_countmin",
+      s"""$wsCte,
+         |tok AS (SELECT t.w AS w FROM w, unnest(ws) AS t(w)),
+         |cnt AS (SELECT j, (md5_number_lower('cms' || CAST(j AS VARCHAR) || ':' || w) & 2147483647) % 64 AS b,
+         |          COUNT(*) AS c
+         |        FROM tok, unnest(range(0, 3)) AS r(j) GROUP BY 1, 2),
+         |top AS (SELECT w AS term, COUNT(*) AS freq FROM tok
+         |        GROUP BY w ORDER BY freq DESC, term LIMIT 5)
+         |SELECT term, freq, CAST(MIN(c) AS BIGINT) AS cms_est
+         |FROM top JOIN cnt
+         |  ON cnt.b = (md5_number_lower('cms' || CAST(cnt.j AS VARCHAR) || ':' || term) & 2147483647) % 64
+         |GROUP BY term, freq ORDER BY term""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def bucketOf(term: org.apache.spark.sql.Column, j: Int) =
+        graft.functions.Fingerprints.md5Low64(
+          concat(lit(s"cms$j:"), term)).bitwiseAND(0x7fffffffL) % 64
+      val tok = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(toks($"text")).as("w"))
+        .cache()
+      tok.count() // force: both subtrees below read the one materialization
+      val cnt = tok
+        .select(explode(array((0 until 3).map(j =>
+          struct(lit(j).as("j"), bucketOf($"w", j).as("b"))): _*)).as("jb"))
+        .groupBy($"jb.j".as("j"), $"jb.b".as("b"))
+        .agg(count(lit(1)).as("c"))
+      val top = tok.groupBy($"w".as("term")).agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"term").limit(5)
+      val probe = top.select($"term", $"freq",
+          explode(array((0 until 3).map(j => struct(lit(j).as("j"),
+            bucketOf($"term", j).as("b"))): _*)).as("jb"))
+        .select($"term", $"freq", $"jb.j".as("j"), $"jb.b".as("b"))
+      cnt.join(broadcast(probe), Seq("j", "b"))
+        .groupBy($"term", $"freq")
+        .agg(min($"c").cast("long").as("cms_est"))
+        .orderBy("term")
+    },
   )
 }

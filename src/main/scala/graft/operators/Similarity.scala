@@ -219,6 +219,45 @@ object Similarity {
         .orderBy("qid", "rnk")
     },
 
+    // FILTERED vector search — top-5 neighbors among vectors satisfying an
+    // attribute predicate (label = 2), the retrieval shape of a curated
+    // corpus ("nearest English wiki documents", not nearest anything).
+    // Pre-filtering beats post-filtering a top-k: the predicate lands on
+    // the SCAN (PushedFilters prunes row groups at 100 TB) and the distance
+    // computation runs only on survivors; post-filtering k results would
+    // return fewer than k whenever the label is rare. Same broadcast-query
+    // plan as q_ann_topk otherwise.
+    GraftQuery.sql("q_ann_filtered",
+      s"""WITH el AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |enl AS (SELECT vec_id, label, v,
+        |          list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2
+        |        FROM el),
+        |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM enl WHERE vec_id < 5),
+        |scored AS (SELECT qid, vec_id,
+        |             ${dotSql("qv", "v")} / sqrt(qn2 * n2) AS sim
+        |           FROM q, enl WHERE label = 2 AND vec_id != qid)
+        |SELECT qid, vec_id, sim, CAST(rnk AS BIGINT) AS rnk FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk FROM scored)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val raw = Tables.load(s, dir, "embeddings")
+      val labeled = raw
+        .select($"vec_id", $"label", asDouble($"embedding").as("v"))
+        .withColumn("n2", ArrayMath.dot($"v", $"v"))
+      val q = labeled.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"n2".as("qn2"))
+      labeled.filter($"label" === 2)
+        .join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (ArrayMath.dot($"qv", $"v") / sqrt($"qn2" * $"n2")).as("sim"))
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy($"qid")
+            .orderBy($"sim".desc, $"vec_id")).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"qid", $"vec_id", $"sim", $"rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // Scale path: sign-LSH bucketing; exact cosine only within buckets, then
     // near-dup pairs above threshold. Bucket key join — never n² pairs.
     GraftQuery.sql("q_ann_lsh_pairs", lshOracleSql) { (s, dir) =>
