@@ -258,6 +258,54 @@ object Similarity {
         .orderBy("qid", "rnk")
     },
 
+    // k-NN LABEL PREDICTION: classify each query vector by the majority
+    // label of its 10 nearest labeled neighbors — the embedding-classifier
+    // shape a curation pipeline uses for quality/domain routing when no
+    // trained model ships with the job. Plan: broadcast the query batch,
+    // one pass over the labeled corpus computes similarities, a per-query
+    // top-k (rank window over qid — k rows of state per query), then a
+    // vote count and arg-max. Corpus never shuffles by itself: every
+    // exchange after the scan is query-batch-sized. Tie-break: higher
+    // vote count first, then smaller label — both engines replay it.
+    GraftQuery.sql("q_knn_label",
+      s"""WITH el AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |enl AS (SELECT vec_id, label, v,
+        |          list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2
+        |        FROM el),
+        |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM enl WHERE vec_id < 5),
+        |scored AS (SELECT qid, vec_id, label,
+        |             ${dotSql("qv", "v")} / sqrt(qn2 * n2) AS sim
+        |           FROM q, enl WHERE vec_id >= 5),
+        |nn AS (SELECT qid, label FROM (
+        |         SELECT qid, label,
+        |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        |         FROM scored) WHERE rnk <= 10),
+        |votes AS (SELECT qid, label, COUNT(*) AS n FROM nn GROUP BY qid, label)
+        |SELECT qid, label AS pred, n AS votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) AS r
+        |  FROM votes) WHERE r = 1 ORDER BY qid""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val labeled = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"label", asDouble($"embedding").as("v"))
+        .withColumn("n2", ArrayMath.dot($"v", $"v"))
+      val q = labeled.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"n2".as("qn2"))
+      labeled.filter($"vec_id" >= 5)
+        .join(broadcast(q))
+        .select($"qid", $"vec_id", $"label",
+          (ArrayMath.dot($"qv", $"v") / sqrt($"qn2" * $"n2")).as("sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+        .filter($"rnk" <= 10)
+        .groupBy($"qid", $"label")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy($"qid").orderBy($"n".desc, $"label")))
+        .filter($"r" === 1)
+        .select($"qid", $"label".as("pred"), $"n".as("votes"))
+        .orderBy("qid")
+    },
+
     // Scale path: sign-LSH bucketing; exact cosine only within buckets, then
     // near-dup pairs above threshold. Bucket key join — never n² pairs.
     GraftQuery.sql("q_ann_lsh_pairs", lshOracleSql) { (s, dir) =>

@@ -248,6 +248,45 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(kept < total / 2, s"bloom kept $kept of $total — not selective")
   }
 
+  test("split-leakage audit joins digests, never text") {
+    val p = plan("q_split_leakage")
+    // the leakage semi-join must run on the 16-byte digest column with the
+    // tiny train-digest side broadcast — document text must not appear in
+    // any Exchange (it is consumed by md5() at the scan projection)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(!exchangeLines.exists(_.contains("text")),
+      s"document text crosses an exchange:\n${exchangeLines.mkString("\n")}")
+  }
+
+  test("knn label prediction broadcasts the query batch") {
+    val p = plan("q_knn_label")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"corpus-side cartesian product — query batch not broadcast:\n$p")
+  }
+
+  test("mixture sampling is map-side: the hash filter precedes the one aggregate shuffle") {
+    val p = plan("q_mixture_sample")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"expected at most the per-source aggregate shuffle, got $exchanges:\n$p")
+    // the keep-rate filter must run before the exchange (map-only scan →
+    // filter), i.e. appear below the exchange in the plan tree
+    val lines = p.linesIterator.toList
+    val exIdx = lines.indexWhere(_.contains("Exchange"))
+    val fIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("md5"))
+    assert(fIdx > exIdx && exIdx >= 0,
+      s"hash filter not below the aggregate exchange:\n$p")
+  }
+
+  test("incremental dedup anti-join broadcasts the historical digest set") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"historical digests not broadcast:\n$p")
+  }
+
   test("native dot product runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayMath
