@@ -72,6 +72,47 @@ object Ivm {
     view.get
   }
 
+  /** RETRACTION-capable join view — the delta rule of incrementalJoin
+    * lifted to ℤ-weighted relations (Z-sets, after the published
+    * differential-dataflow/DBSP model): every delta row carries a signed
+    * weight column `w` (insert +1, delete −1), a joined row's weight is
+    * the PRODUCT of its inputs' weights, and the view is the weighted
+    * union of per-tick deltas
+    *   ΔV = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB
+    * This is what makes deletes O(|delta|): a retraction is just an
+    * arriving row with w = −1 whose products cancel every joined pair the
+    * original insert ever produced — no tombstone scan, no view rebuild.
+    * Consolidation (group by row value, sum w, drop zeros) is deliberately
+    * left to the consumer: a downstream aggregate reads the weights
+    * directly (SUM(w), SUM(w * x)) without materializing the consolidated
+    * set — aggregates compose over Z-sets. Reference anchor: the insert
+    * half IS fiat2's cons-to-head maintenance (SumAgg.v:150-155); the
+    * reference has no delete, which is exactly what the weights add. */
+  def incrementalJoinZ(batchesA: Seq[DataFrame], batchesB: Seq[DataFrame],
+      joinOn: (DataFrame, DataFrame) => Column): DataFrame = {
+    require(batchesA.nonEmpty && batchesA.length == batchesB.length,
+      "one ΔA and one ΔB per tick (either may be empty)")
+    def side(df: DataFrame, tag: String) =
+      df.withColumnRenamed("w", s"__w$tag")
+    def j(l: DataFrame, r: DataFrame) =
+      l.join(r, joinOn(l, r))
+        .withColumn("w", col("__wa") * col("__wb"))
+        .drop("__wa", "__wb")
+    var accA, accB, view = Option.empty[DataFrame]
+    batchesA.zip(batchesB).foreach { case (dA0, dB0) =>
+      val dA = side(dA0, "a"); val dB = side(dB0, "b")
+      val bNew = accB.map(_.union(dB)).getOrElse(dB)
+      val delta = (accA match {
+        case Some(a) => j(dA, bNew).union(j(a, dB))
+        case None => j(dA, bNew)
+      }).localCheckpoint()
+      view = Some(view.map(_.union(delta)).getOrElse(delta))
+      accA = Some(accA.map(_.union(dA)).getOrElse(dA))
+      accB = Some(bNew)
+    }
+    view.get
+  }
+
   /** Split a table into deterministic micro-batches by a modulus — stands in
     * for the reference's CForeach-over-events arrival order
     * (fiat2/src/fiat2/Ex_Sum.v:30).

@@ -126,6 +126,42 @@ object Workloads {
         .orderBy("segment")
     },
 
+    // RETRACTION-capable join view (Ivm.incrementalJoinZ): orders and
+    // lineitem arrive in 4 ticks; tick 3 additionally RETRACTS every
+    // F-status order that arrived in ticks 0-2 (weight −1 rows, whose
+    // joined products cancel each pair those inserts produced). The
+    // consuming aggregate reads the weights directly — SUM(w), SUM(w*qty)
+    // — never materializing a consolidated view. The oracle states the
+    // surviving set declaratively, proving insert+delete maintenance
+    // reconstructs it exactly.
+    GraftQuery.sql("q_join_ivm_retract",
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey < 200
+        |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 4 != 3)
+        |GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ord = Tables.load(s, dir, "orders").filter($"o_orderkey" < 200)
+        .select($"o_orderkey", $"o_orderstatus")
+      val li = Tables.load(s, dir, "lineitem").filter($"l_orderkey" < 200)
+        .select($"l_orderkey", $"l_quantity".cast("long").as("qty"))
+      val ordIns = (0 until 4).map(t =>
+        ord.filter(pmod($"o_orderkey", lit(4)) === t).withColumn("w", lit(1L)))
+      val retract = ord
+        .filter($"o_orderstatus" === "F" && pmod($"o_orderkey", lit(4)) =!= 3)
+        .withColumn("w", lit(-1L))
+      val ordB = ordIns.updated(3, ordIns(3).union(retract))
+      val liB = (0 until 4).map(t =>
+        li.filter(pmod($"l_orderkey", lit(4)) === t).withColumn("w", lit(1L)))
+      Ivm.incrementalJoinZ(ordB, liB,
+          (o, l) => o("o_orderkey") === l("l_orderkey"))
+        .groupBy($"o_orderstatus".as("status"))
+        .agg(sum($"w").cast("long").as("n"),
+          sum($"w" * $"qty").cast("long").as("qty"))
+        .orderBy("status")
+    },
+
     // Skew-salted fact-fact join (plans/Salting.scala): each join key is
     // spread over 8 reducers (deterministic row-hash salt) and the other
     // side replicated per salt — the remedy when a handful of hot keys

@@ -23,4 +23,48 @@ class IvmJoinSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.map(_._1) == Set(1L, 3L, 4L))
   }
+
+  test("incrementalJoinZ: retractions cancel exactly, per tick, at any prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A rows keyed 1..4; key 1 is inserted in tick 0 and RETRACTED in
+    // tick 2 — after B rows for key 1 arrived in tick 1, so the
+    // cancellation must reach pairs produced by a LATER B delta.
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w")).toDF("k", "av")
+    val b = Seq((1L, 10L), (1L, 11L), (3L, 30L), (4L, 40L)).toDF("bk", "bv")
+    def aw(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        w: Long) = f(a).withColumn("w", lit(w))
+    def bw(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        w: Long) = f(b).withColumn("w", lit(w))
+    val aB = Seq(
+      aw(_.filter($"k" <= 2), 1L),
+      aw(_.filter($"k" === 3), 1L),
+      aw(_.filter($"k" === 1), -1L).union(aw(_.filter($"k" === 4), 1L)))
+    val bB = Seq(
+      bw(_.filter($"bk" === 3), 1L),
+      bw(_.filter($"bk" === 1), 1L),
+      bw(_.filter($"bk" === 4), 1L))
+    // check EVERY prefix of ticks, not just the final state: the live set
+    // after tick t is the inserts-minus-retracts applied so far
+    val live = Seq(Set(1L, 2L) /* k=1 live, but its B rows haven't arrived */,
+      Set(1L, 2L, 3L), Set(2L, 3L, 4L))
+    (1 to 3).foreach { t =>
+      val view = Ivm.incrementalJoinZ(aB.take(t), bB.take(t),
+        (x, y) => x("k") === y("bk"))
+      val consolidated = view
+        .groupBy(view.columns.filter(_ != "w").map(col): _*)
+        .agg(sum($"w").as("w")).filter($"w" =!= 0)
+      val got = consolidated.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      val liveA = a.filter($"k".isin(live(t - 1).toSeq: _*))
+      val arrivedB = (0 until t).map(bB).map(_.drop("w"))
+        .reduce(_ union _)
+      val want = liveA.join(arrivedB, $"k" === $"bk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      assert(got == want, s"tick prefix $t: $got != $want")
+      // every consolidated weight is exactly 1 — duplicates and zombies
+      // would both show up here
+      assert(consolidated.collect().forall(_.getAs[Long]("w") == 1L))
+    }
+  }
 }
