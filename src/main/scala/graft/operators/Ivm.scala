@@ -72,6 +72,30 @@ object Ivm {
     view.get
   }
 
+  /** GROUPED aggregate view under retraction — the reference's SumAgg
+    * lifted to keyed groups AND deletes. Each tick's weighted delta
+    * (`w` = +1 insert / −1 delete) contributes one key-cardinality-bounded
+    * partial aggregate (SUM(w), SUM(w·x) per key — the map-side combine of
+    * a 100 TB delta); partials accumulate as a lazy union and reading the
+    * view is one consolidating groupBy that drops keys whose net count
+    * reached zero. Per-tick work is O(|delta| + |keys(delta)|); raw
+    * deltas are never re-scanned. The value column should be decimal-cast
+    * by the caller: weighted decimal sums are exact and order-free, so
+    * insert-then-delete cancels bit-exactly. */
+  def incrementalGroupSumZ(batches: Seq[DataFrame], keyCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    require(batches.nonEmpty, "at least one delta batch")
+    val partials = batches.map(b =>
+      b.groupBy(keyCols.map(col): _*)
+        .agg(sum(col("w")).as("__n"),
+          sum(col("w").cast("decimal(10,0)") * valueCol).as("__s"))
+        .localCheckpoint())
+    partials.reduce(_ union _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("s"))
+      .filter(col("n") =!= 0)
+  }
+
   /** RETRACTION-capable join view — the delta rule of incrementalJoin
     * lifted to ℤ-weighted relations (Z-sets, after the published
     * differential-dataflow/DBSP model): every delta row carries a signed

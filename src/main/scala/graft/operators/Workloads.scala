@@ -126,6 +126,39 @@ object Workloads {
         .orderBy("segment")
     },
 
+    // GROUPED aggregate view under retraction (Ivm.incrementalGroupSumZ):
+    // per-event-type sums maintained over 6 ticks; tick 5 retracts every
+    // 'error' event that arrived in ticks 0-4 (the moderation shape:
+    // a whole class of rows withdrawn after the fact). Each tick costs one
+    // key-bounded partial aggregate; the consolidating read drops keys
+    // whose net count is zero. Decimal weighting makes insert-then-delete
+    // cancel bit-exactly, so the oracle is the declarative surviving set.
+    GraftQuery.sql("q_sum_ivm_retract",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE NOT (event_type = 'error' AND event_id % 6 != 5)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // one materialized snapshot serves every tick filter (the
+      // microBatches discipline): n ticks, ONE source scan
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type", $"value")
+        .withColumn("__tick", pmod($"event_id", lit(6)))
+        .repartition(6, $"__tick").cache()
+      ev.count()
+      val ins = (0 until 6).map(t =>
+        ev.filter($"__tick" === t).drop("__tick").withColumn("w", lit(1L)))
+      val retract = ev
+        .filter($"event_type" === "error" && $"__tick" =!= 5)
+        .drop("__tick").withColumn("w", lit(-1L))
+      val ticks = ins.updated(5, ins(5).union(retract))
+      Ivm.incrementalGroupSumZ(ticks, Seq("event_type"), dec($"value"))
+        .select($"event_type", $"n".cast("long").as("n"),
+          $"s".cast("double").as("total"))
+        .orderBy("event_type")
+    },
+
     // RETRACTION-capable join view (Ivm.incrementalJoinZ): orders and
     // lineitem arrive in 4 ticks; tick 3 additionally RETRACTS every
     // F-status order that arrived in ticks 0-2 (weight −1 rows, whose
@@ -142,18 +175,25 @@ object Workloads {
         |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 4 != 3)
         |GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // one materialized snapshot per side serves every tick filter (the
+      // microBatches discipline): n ticks, ONE scan of each source
       val ord = Tables.load(s, dir, "orders").filter($"o_orderkey" < 200)
         .select($"o_orderkey", $"o_orderstatus")
+        .withColumn("__tick", pmod($"o_orderkey", lit(4)))
+        .repartition(4, $"__tick").cache()
       val li = Tables.load(s, dir, "lineitem").filter($"l_orderkey" < 200)
         .select($"l_orderkey", $"l_quantity".cast("long").as("qty"))
+        .withColumn("__tick", pmod($"l_orderkey", lit(4)))
+        .repartition(4, $"__tick").cache()
+      ord.count(); li.count()
       val ordIns = (0 until 4).map(t =>
-        ord.filter(pmod($"o_orderkey", lit(4)) === t).withColumn("w", lit(1L)))
+        ord.filter($"__tick" === t).drop("__tick").withColumn("w", lit(1L)))
       val retract = ord
-        .filter($"o_orderstatus" === "F" && pmod($"o_orderkey", lit(4)) =!= 3)
-        .withColumn("w", lit(-1L))
+        .filter($"o_orderstatus" === "F" && $"__tick" =!= 3)
+        .drop("__tick").withColumn("w", lit(-1L))
       val ordB = ordIns.updated(3, ordIns(3).union(retract))
       val liB = (0 until 4).map(t =>
-        li.filter(pmod($"l_orderkey", lit(4)) === t).withColumn("w", lit(1L)))
+        li.filter($"__tick" === t).drop("__tick").withColumn("w", lit(1L)))
       Ivm.incrementalJoinZ(ordB, liB,
           (o, l) => o("o_orderkey") === l("l_orderkey"))
         .groupBy($"o_orderstatus".as("status"))
