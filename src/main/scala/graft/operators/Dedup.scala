@@ -378,5 +378,43 @@ object Dedup {
         .select($"doc_id")
         .orderBy("doc_id")
     },
+
+    // EXACT-SUBSTRING duplication scoring — the other axis of near-dup:
+    // Jaccard measures whole-document set overlap; this measures VERBATIM
+    // runs (boilerplate, quoted passages, template text) as the fraction
+    // of a doc's 8-token windows that appear verbatim in ≥2 docs. The
+    // curation rule downstream drops or trims docs above a dup-window
+    // ratio. Two shuffles at any corpus size: windows hash-partition by
+    // window text for the document-frequency count, then by doc for the
+    // per-doc rollup — never a doc×doc pair space (the thing that makes
+    // window-level dedup tractable where suffix arrays are not
+    // distributable).
+    GraftQuery.sql("q_substring_dup",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |win AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+        |        FROM w, unnest(range(1, len(ws) - 6)) AS t(i) WHERE len(ws) >= 8),
+        |cnt AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS ndocs FROM win),
+        |per AS (SELECT doc_id, COUNT(*) AS n_windows,
+        |          COUNT(*) FILTER (ndocs >= 2) AS n_dup FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_windows, n_dup FROM per WHERE n_dup > 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val t = col("tk")
+      val idx = when(size(t) >= 8, sequence(lit(0), size(t) - 8))
+        .otherwise(array().cast("array<int>"))
+      Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", toks($"text").as("tk"))
+        .select($"doc_id", explode(array_distinct(transform(idx, i =>
+          concat_ws(" ", (0 until 8).map(k => get(t, i + lit(k))): _*))))
+          .as("g"))
+        .withColumn("ndocs", count(lit(1)).over(Window.partitionBy($"g")))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          count(when($"ndocs" >= 2, 1)).as("n_dup"))
+        .filter($"n_dup" > 0)
+        .orderBy("doc_id")
+    },
   )
 }
