@@ -128,5 +128,85 @@ object StreamAgg {
       }
       s.table(sink).orderBy("user_id", "click_id", "purchase_id")
     },
+
+    // Stream-stream LEFT OUTER interval join: clicks that found NO
+    // purchase within the hour must still emit (with a null purchase) —
+    // but only once the watermark proves no match can still arrive, which
+    // is the part an inner join never exercises: outer rows are
+    // state-store EVICTIONS, not matches. The feed arrives in three
+    // watermark-ordered files with completed micro-batches between them
+    // (LateData's determinism discipline), so eviction points are a pure
+    // function of the data: the joinable window is the first 2 days;
+    // the later files only advance the watermark past every batch-1
+    // click's match horizon, flushing the unmatched ones. The oracle is
+    // the equivalent batch LEFT JOIN over the same window.
+    GraftQuery.sql("q_stream_outer_join",
+      """WITH t0 AS (SELECT min(ts) + INTERVAL 2 DAY AS cut FROM events),
+        |c AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS cts
+        |      FROM events, t0 WHERE event_type = 'click' AND ts < t0.cut),
+        |p AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS pts
+        |      FROM events, t0 WHERE event_type = 'purchase' AND ts < t0.cut)
+        |SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |       p.event_id AS purchase_id
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val schema = ev.schema
+      val minNanos = ev.agg(min($"ts")).head().getLong(0)
+      val cut = minNanos + 2L * 86400L * 1000000000L
+      val cut2 = minNanos + 4L * 86400L * 1000000000L
+      val watchDir = java.nio.file.Files.createTempDirectory("graft_soj_")
+      def addBatch(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_soj_b$seq")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written under $tmp"))
+        java.nio.file.Files.move(part.toPath,
+          watchDir.resolve(f"batch$seq%02d.parquet"))
+        graft.core.Tables.deleteTree(tmp.toFile)
+      }
+      val src = s.readStream.schema(schema).parquet(watchDir.toString)
+      // The joinable-window cut must be a predicate ON THE WATERMARK
+      // COLUMN: Catalyst pushes any other filter below the
+      // EventTimeWatermark node (PushPredicateThroughNonJoin exempts only
+      // the event-time column), and a pushed cut would hide files 2-4 from
+      // the watermark — which must see them, because their advancement IS
+      // what flushes the unmatched outer rows.
+      val cutTs = lit(java.time.Instant.ofEpochSecond(
+        cut / 1000000000L, cut % 1000000000L / 1000L * 1000L))
+      val clicks = src.select($"event_id", $"user_id", $"event_type",
+          Tables.tsCol($"ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+        .filter($"event_type" === "click" && $"c_ts" < cutTs)
+        .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"c_ts")
+      val purchases = src.select($"event_id", $"user_id", $"event_type",
+          Tables.tsCol($"ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+        .filter($"event_type" === "purchase" && $"p_ts" < cutTs)
+        .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"p_ts")
+      val joined = clicks.join(purchases,
+        $"c_user" === $"p_user" && $"p_ts" >= $"c_ts" &&
+          $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+        .select($"c_user".as("user_id"), $"click_id", $"purchase_id")
+      val sink = s"graft_soj_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      StreamConf.withStatePartitions(s, 8) {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try {
+          addBatch(ev.filter($"ts" < cut), 1) // the joinable window
+          q.processAllAvailable()
+          addBatch(ev.filter($"ts" >= cut && $"ts" < cut2), 2) // advancer
+          q.processAllAvailable()
+          addBatch(ev.filter($"ts" >= cut2), 3) // advancer: flush stragglers
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      graft.core.Tables.deleteTree(watchDir.toFile)
+      s.table(sink).orderBy("user_id", "click_id", "purchase_id")
+    },
   )
 }
