@@ -490,12 +490,15 @@ object Compiler {
       case AUnit => lit(null)
     })
 
-    case EUnop(OLength, e1) if lenMemoHit(env, e1).isDefined =>
-      CV(lit(lenMemoHit(env, e1).get)) // pre-counted by batchLengths
+    case EUnop(OLength, e1) => lenMemoHit(env, e1) match {
+      case Some(n) => CV(lit(n)) // pre-counted by batchLengths
+      case None => compile(e1, env) match {
+        case TV(df) => CV(lit(df.count())) // eager, like the interp
+        case v => CV(size(asCV(v)).cast("long"))
+      }
+    }
 
     case EUnop(op, e1) => (op, compile(e1, env)) match {
-      case (OLength, TV(df)) => CV(lit(df.count())) // eager, like the interp
-      case (OLength, CV(c)) => CV(size(c).cast("long"))
       case (OWNeg, v) => CV(WordOps.wneg(asCV(v))) // wraps at Long.MinValue
       case (ONeg, v) => CV(-asCV(v))
       case (ONot, v) => CV(!asCV(v))

@@ -359,7 +359,8 @@ object Dedup {
     GraftQuery.sql("q_dedup_incremental",
       """WITH hist AS (SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id < 400),
         |batch AS (SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id >= 400),
-        |fresh AS (SELECT doc_id, dg FROM batch WHERE dg NOT IN (SELECT dg FROM hist))
+        |fresh AS (SELECT doc_id, dg FROM batch b
+        |          WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.dg = b.dg))
         |SELECT doc_id FROM (
         |  SELECT doc_id, row_number() OVER (PARTITION BY dg ORDER BY doc_id) AS rn
         |  FROM fresh)
@@ -384,11 +385,14 @@ object Dedup {
     // runs (boilerplate, quoted passages, template text) as the fraction
     // of a doc's 8-token windows that appear verbatim in ≥2 docs. The
     // curation rule downstream drops or trims docs above a dup-window
-    // ratio. Two shuffles at any corpus size: windows hash-partition by
-    // window text for the document-frequency count, then by doc for the
-    // per-doc rollup — never a doc×doc pair space (the thing that makes
-    // window-level dedup tractable where suffix arrays are not
-    // distributable).
+    // ratio. Window frequencies come from groupBy(g) — map-side partial
+    // aggregation, so a hot boilerplate window contributes ONE partial
+    // count per task instead of buffering every carrying row on one key
+    // (the WindowExec failure mode this replaced). Only windows with
+    // ndocs >= 2 survive into the join-back, so the join side is the
+    // duplicated-window set, not the corpus — never a doc×doc pair space
+    // (the thing that makes window-level dedup tractable where suffix
+    // arrays are not distributable).
     GraftQuery.sql("q_substring_dup",
       """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
         |win AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g
@@ -399,20 +403,26 @@ object Dedup {
         |SELECT doc_id, n_windows, n_dup FROM per WHERE n_dup > 0
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val t = col("tk")
       val idx = when(size(t) >= 8, sequence(lit(0), size(t) - 8))
         .otherwise(array().cast("array<int>"))
-      Tables.load(s, dir, "documents")
+      val win = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", toks($"text").as("tk"))
         .select($"doc_id", explode(array_distinct(transform(idx, i =>
           concat_ws(" ", (0 until 8).map(k => get(t, i + lit(k))): _*))))
           .as("g"))
-        .withColumn("ndocs", count(lit(1)).over(Window.partitionBy($"g")))
+      // (doc_id, g) pairs are distinct per doc, so count(*) per g = number
+      // of docs carrying the window. Partial-aggregated map-side; only
+      // genuinely duplicated windows flow into the join-back.
+      val dup = win.groupBy($"g")
+        .agg(count(lit(1)).as("ndocs"))
+        .filter($"ndocs" >= 2)
+        .select($"g", lit(1).as("isdup"))
+      win.join(dup, Seq("g"), "left")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_windows"),
-          count(when($"ndocs" >= 2, 1)).as("n_dup"))
+          count($"isdup").as("n_dup"))
         .filter($"n_dup" > 0)
         .orderBy("doc_id")
     },

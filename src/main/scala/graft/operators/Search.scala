@@ -274,13 +274,21 @@ object Search {
         .select(explode(toks($"text")).as("w"))
         .cache()
       tok.count() // force: both subtrees below read the one materialization
-      val cnt = tok
-        .select(explode(array((0 until 3).map(j =>
-          struct(lit(j).as("j"), bucketOf($"w", j).as("b"))): _*)).as("jb"))
-        .groupBy($"jb.j".as("j"), $"jb.b".as("b"))
-        .agg(count(lit(1)).as("c"))
-      val top = tok.groupBy($"w".as("term")).agg(count(lit(1)).as("freq"))
-        .orderBy($"freq".desc, $"term").limit(5)
+      // both aggregates are tiny (192 sketch cells / top-5 terms) — eagerly
+      // checkpointing them lets the token cache be dropped in the finally
+      // instead of leaking past the query
+      val (cnt, top) = try {
+        val cnt0 = tok
+          .select(explode(array((0 until 3).map(j =>
+            struct(lit(j).as("j"), bucketOf($"w", j).as("b"))): _*)).as("jb"))
+          .groupBy($"jb.j".as("j"), $"jb.b".as("b"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val top0 = tok.groupBy($"w".as("term")).agg(count(lit(1)).as("freq"))
+          .orderBy($"freq".desc, $"term").limit(5)
+          .localCheckpoint()
+        (cnt0, top0)
+      } finally tok.unpersist(blocking = false)
       val probe = top.select($"term", $"freq",
           explode(array((0 until 3).map(j => struct(lit(j).as("j"),
             bucketOf($"term", j).as("b"))): _*)).as("jb"))

@@ -147,16 +147,21 @@ object Workloads {
         .withColumn("__tick", pmod($"event_id", lit(6)))
         .repartition(6, $"__tick").cache()
       ev.count()
-      val ins = (0 until 6).map(t =>
-        ev.filter($"__tick" === t).drop("__tick").withColumn("w", lit(1L)))
-      val retract = ev
-        .filter($"event_type" === "error" && $"__tick" =!= 5)
-        .drop("__tick").withColumn("w", lit(-1L))
-      val ticks = ins.updated(5, ins(5).union(retract))
-      Ivm.incrementalGroupSumZ(ticks, Seq("event_type"), dec($"value"))
-        .select($"event_type", $"n".cast("long").as("n"),
-          $"s".cast("double").as("total"))
-        .orderBy("event_type")
+      try {
+        val ins = (0 until 6).map(t =>
+          ev.filter($"__tick" === t).drop("__tick").withColumn("w", lit(1L)))
+        val retract = ev
+          .filter($"event_type" === "error" && $"__tick" =!= 5)
+          .drop("__tick").withColumn("w", lit(-1L))
+        val ticks = ins.updated(5, ins(5).union(retract))
+        Ivm.incrementalGroupSumZ(ticks, Seq("event_type"), dec($"value"))
+          .select($"event_type", $"n".cast("long").as("n"),
+            $"s".cast("double").as("total"))
+          .orderBy("event_type")
+        // every tick partial is eagerly checkpointed inside the builder, so
+        // the snapshot cache is not referenced by the returned plan — drop
+        // it here instead of leaking it past the query
+      } finally ev.unpersist(blocking = false)
     },
 
     // RETRACTION-capable join view (Ivm.incrementalJoinZ): orders and
@@ -186,20 +191,24 @@ object Workloads {
         .withColumn("__tick", pmod($"l_orderkey", lit(4)))
         .repartition(4, $"__tick").cache()
       ord.count(); li.count()
-      val ordIns = (0 until 4).map(t =>
-        ord.filter($"__tick" === t).drop("__tick").withColumn("w", lit(1L)))
-      val retract = ord
-        .filter($"o_orderstatus" === "F" && $"__tick" =!= 3)
-        .drop("__tick").withColumn("w", lit(-1L))
-      val ordB = ordIns.updated(3, ordIns(3).union(retract))
-      val liB = (0 until 4).map(t =>
-        li.filter($"__tick" === t).drop("__tick").withColumn("w", lit(1L)))
-      Ivm.incrementalJoinZ(ordB, liB,
-          (o, l) => o("o_orderkey") === l("l_orderkey"))
-        .groupBy($"o_orderstatus".as("status"))
-        .agg(sum($"w").cast("long").as("n"),
-          sum($"w" * $"qty").cast("long").as("qty"))
-        .orderBy("status")
+      try {
+        val ordIns = (0 until 4).map(t =>
+          ord.filter($"__tick" === t).drop("__tick").withColumn("w", lit(1L)))
+        val retract = ord
+          .filter($"o_orderstatus" === "F" && $"__tick" =!= 3)
+          .drop("__tick").withColumn("w", lit(-1L))
+        val ordB = ordIns.updated(3, ordIns(3).union(retract))
+        val liB = (0 until 4).map(t =>
+          li.filter($"__tick" === t).drop("__tick").withColumn("w", lit(1L)))
+        Ivm.incrementalJoinZ(ordB, liB,
+            (o, l) => o("o_orderkey") === l("l_orderkey"))
+          .groupBy($"o_orderstatus".as("status"))
+          .agg(sum($"w").cast("long").as("n"),
+            sum($"w" * $"qty").cast("long").as("qty"))
+          .orderBy("status")
+        // per-tick join deltas are eagerly checkpointed inside the builder;
+        // the returned view never re-reads the snapshots — drop them here
+      } finally { ord.unpersist(blocking = false); li.unpersist(blocking = false) }
     },
 
     // Skew-salted fact-fact join (plans/Salting.scala): each join key is

@@ -143,9 +143,11 @@ object StreamAgg {
     GraftQuery.sql("q_stream_outer_join",
       """WITH t0 AS (SELECT min(ts) + INTERVAL 2 DAY AS cut FROM events),
         |c AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS cts
-        |      FROM events, t0 WHERE event_type = 'click' AND ts < t0.cut),
+        |      FROM events, t0 WHERE event_type = 'click'
+        |        AND date_trunc('microseconds', ts) < date_trunc('microseconds', t0.cut)),
         |p AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS pts
-        |      FROM events, t0 WHERE event_type = 'purchase' AND ts < t0.cut)
+        |      FROM events, t0 WHERE event_type = 'purchase'
+        |        AND date_trunc('microseconds', ts) < date_trunc('microseconds', t0.cut))
         |SELECT c.user_id AS user_id, c.event_id AS click_id,
         |       p.event_id AS purchase_id
         |FROM c LEFT JOIN p ON c.user_id = p.user_id

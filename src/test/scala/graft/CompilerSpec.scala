@@ -422,11 +422,9 @@ class CompilerSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     val compiled = try {
       val c = compile(rec, Env(Map.empty, Map("t" -> t), spark))
-      // listener events are async: wait for the one expected job to post,
-      // then a grace period in which no second job may appear
-      val deadline = System.nanoTime() + 5000000000L
-      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
-      Thread.sleep(300)
+      // listener events are async: drain the bus deterministically so every
+      // job posted by compile() is counted — no wall-clock grace window
+      org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext, 30000L)
       c
     } finally {
       spark.sparkContext.removeSparkListener(listener)

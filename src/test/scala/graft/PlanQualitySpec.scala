@@ -287,6 +287,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"historical digests not broadcast:\n$p")
   }
 
+  test("substring-dup counts window frequency via aggregate, not WindowExec") {
+    // count(*) OVER (PARTITION BY window-text) buffers every row of a hot
+    // boilerplate window on one key; the groupBy form partial-aggregates
+    // map-side so a hot window contributes one partial per task
+    val p = plan("q_substring_dup")
+    assert(!p.contains("Window"),
+      s"window-frequency must be groupBy (map-side combine), not WindowExec:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"expected an aggregate for window frequency:\n$p")
+  }
+
   test("native dot product runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayMath
