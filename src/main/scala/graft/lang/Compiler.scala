@@ -254,6 +254,27 @@ object Compiler {
     */
   private def projCorrelatedAggs(tag: CollectionTag, df: DataFrame,
       x: String, r: Expr, env: Env): Val = {
+    val (joined, benv, r2) = unnestCorrelatedAggs(df, x, r, env)._1
+    val res = asCV(compile(r2, benv))
+    TV(canonTagDF(tag, flattenResult(joined, res)))
+  }
+
+  /** The same unnesting applied to a FILTER predicate holding a correlated
+    * scalar aggregate (`filter(T, t => len(σ[s.k == t.k] S) > 2)` — the
+    * reference's arbitrary-body semantics put aggregates anywhere an
+    * expression goes, Interpret.v:273-299): LEFT-join the per-key
+    * aggregates on, evaluate the rewritten predicate, and project the
+    * outer row back out. The left join is key-grouped so it never
+    * duplicates outer rows — filter cardinality semantics survive. */
+  private def filterCorrelatedAggs(df: DataFrame, x: String, p: Expr,
+      env: Env): Val = {
+    val ((joined, benv, p2), la) = unnestCorrelatedAggs(df, x, p, env)
+    val kept = joined.filter(asCV(compile(p2, benv)))
+    TV(kept.select(df.columns.map(c => col(s"$la.$c").as(c)): _*))
+  }
+
+  private def unnestCorrelatedAggs(df: DataFrame, x: String, r: Expr,
+      env: Env): ((DataFrame, Env, Expr), String) = {
     val peeled = collectCorrelatedAggs(r, x).flatMap { node =>
       val src = node match {
         case EACFold(_, s0) => s0
@@ -372,8 +393,7 @@ object Compiler {
     val benv = extraBinds.foldLeft(env.bindRow(x, CV(outerRow))) {
       case (acc, (n, v)) => acc.bind(n, v)
     }
-    val res = asCV(compile(r2, benv))
-    TV(canonTagDF(tag, flattenResult(joined, res)))
+    ((joined, benv, r2), la)
   }
 
   /** Row variable of a table as a (name-sorted) struct; Catalyst's
@@ -559,8 +579,20 @@ object Compiler {
 
     case EFilter(_, l, x, p) => compile(l, env) match {
       case TV(df) =>
-        assertUncorrelated(env, Set(x), p)
-        TV(df.filter(asCV(compile(p, env.bindRow(x, CV(rowStruct(df)))))))
+        try {
+          assertUncorrelated(env, Set(x), p)
+          TV(df.filter(asCV(compile(p, env.bindRow(x, CV(rowStruct(df)))))))
+        } catch {
+          // predicate holds an aggregate over a CORRELATED-filtered table
+          // (a correlated scalar subquery in a WHERE clause) — unnest it:
+          // groupBy the inner side on its equi-keys, LEFT-join the
+          // aggregates on, filter, and project the outer row back
+          case direct: UnsupportedOperationException
+              if collectCorrelatedAggs(p, x).nonEmpty =>
+            try filterCorrelatedAggs(df, x, p, env)
+            catch { case dec: Throwable =>
+              direct.addSuppressed(dec); throw direct }
+        }
       case CV(c) =>
         CV(filter(c, v => asCV(compile(p, env.bind(x, CV(v))))))
     }

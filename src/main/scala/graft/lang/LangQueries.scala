@@ -225,6 +225,44 @@ object LangQueries {
         .orderBy("nat")
     },
 
+    // CORRELATED AGGREGATE INSIDE A FILTER PREDICATE
+    // (Compiler.filterCorrelatedAggs): the reference's arbitrary-body
+    // semantics put aggregates anywhere an expression goes
+    // (Interpret.v:273-299) — here the nested COUNT and SUM sit in the
+    // WHERE clause, not the projection. The engine LEFT-joins the
+    // key-grouped aggregates onto the outer table (no outer-row
+    // duplication: the join key is grouped), evaluates the rewritten
+    // predicate, and projects the nation row back out.
+    GraftQuery.sql("q_lang_corr_filter",
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+        |FROM nation n
+        |WHERE (SELECT COUNT(*) FROM supplier s
+        |       WHERE s.s_nationkey = n.n_nationkey) > 1
+        |  AND COALESCE((SELECT SUM(s_suppkey) FROM supplier s
+        |                WHERE s.s_nationkey = n.n_nationkey), 0) % 2 = 0
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      def corrFilter(b: String) = EFilter(LikeBag, ELoc("supplier"), b,
+        EBinop(OEq, EAccess(EVar(b), "s_nationkey"),
+          EAccess(EVar("n"), "n_nationkey")))
+      val cnt = EUnop(OLength, corrFilter("s0"))
+      val ksum = EACFold(AGSum, EProj(LikeBag, corrFilter("s1"), "p1",
+        EAccess(EVar("p1"), "s_suppkey")))
+      val prog = EFilter(LikeBag, ELoc("nation"), "n",
+        EBinop(OAnd,
+          EBinop(OLess, EAtom(AInt(1)), cnt),
+          EBinop(OEq, EBinop(OMod, ksum, EAtom(AInt(2))), EAtom(AInt(0)))))
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_nationkey").cast("long").as("s_nationkey"))),
+        s)
+      compileProgram(prog, env).asInstanceOf[TV].df
+        .orderBy("n_nationkey")
+    },
+
     // General EFold over a (small) table: a RIGHT fold (Interpret.v:
     // 313-319) defined on canonical value order; the non-associative step
     // (rolling hash) is exactly what EACFold can't express. The oracle

@@ -287,6 +287,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"historical digests not broadcast:\n$p")
   }
 
+  test("correlated aggregate in a filter predicate lowers to key-grouped left joins") {
+    // filter(T, t => count(σ[s.k == t.k] S) > 1 && sum(...) % 2 == 0):
+    // the unnesting must produce grouped aggregates LEFT-joined onto the
+    // outer table — never a per-outer-row nested loop or a cross product
+    val p = plan("q_lang_corr_filter")
+    assert(p.contains("LeftOuter"), s"expected left-join unnesting:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"expected key-grouped aggregates:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("substring-dup counts window frequency via aggregate, not WindowExec") {
     // count(*) OVER (PARTITION BY window-text) buffers every row of a hot
     // boilerplate window on one key; the groupBy form partial-aggregates
