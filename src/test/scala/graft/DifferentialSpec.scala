@@ -452,6 +452,40 @@ class DifferentialSpec extends AnyFunSuite {
   private def cmpValues(a: Vector[V], b: Vector[V]): Int =
     cmp(VList(a), VList(b))
 
+  test("streamed table EFold agrees with the reference exactly at and across the batch seam") {
+    // The table-level EFold switches representation at batchSize=10_000
+    // rows: below, one lazy array literal; above, driver-streamed batches
+    // whose accumulator is RE-LITERALIZED between flushes
+    // (Compiler.scala EFold TV branch). A non-commutative,
+    // non-associative, branchy step makes any seam error (row dropped or
+    // double-folded at a flush boundary, wrong batch order) change the
+    // result — pinned against RefInterp at 10_000±1 and ~25k rows.
+    val step = EIf(
+      EBinop(OEq, EBinop(OMod, EVar("x"), EAtom(AInt(2))), EAtom(AInt(0))),
+      EBinop(OMod,
+        EBinop(OPlus, EBinop(OTimes, EVar("acc"), EAtom(AInt(31))), EVar("x")),
+        EAtom(AInt(1000003))),
+      EBinop(OMod, EBinop(OMinus, EVar("acc"), EVar("x")),
+        EAtom(AInt(1000003))))
+    val prog = EFold(ELoc("t"), EAtom(AInt(7)), "x", "acc", step)
+    for (n <- Seq(9999, 10000, 10001, 25000)) {
+      // multiplication spreads the values; canonical order != insert order
+      val values = (0 until n).map(i => (i.toLong * 37L) % 50021L)
+      import org.apache.spark.sql.functions.col
+      val df = spark.range(n)
+        .select((col("id") * 37L % 50021L).as("value"))
+      val expected = interp(prog,
+        REnv("t" -> VList(values.sorted.map(v => VI(BigInt(v))).toVector)))
+      Compiler.compile(prog, Env(Map.empty, Map("t" -> df), spark)) match {
+        case CV(c) =>
+          val got = fromSpark(spark.range(1).select(c.as("v")).head.get(0), TInt)
+          assert(cmp(got, expected) == 0,
+            s"[n=$n] compiled=$got reference=$expected")
+        case TV(_) => fail(s"[n=$n] scalar fold compiled to a table")
+      }
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Command programs
   // ---------------------------------------------------------------------

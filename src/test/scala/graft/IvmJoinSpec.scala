@@ -67,4 +67,65 @@ class IvmJoinSpec extends AnyFunSuite {
       assert(consolidated.collect().forall(_.getAs[Long]("w") == 1L))
     }
   }
+
+  // -----------------------------------------------------------------------
+  // Seeded random interleavings: inserts and deletes in ANY order — deletes
+  // before their matching insert (net-negative intermediate weights),
+  // net-zero rows, empty deltas — against a recompute-from-scratch Z-set
+  // oracle computed in plain Scala. The tiny row domain (3 keys × 2 values)
+  // makes collisions and cancellations frequent at every seed.
+  // -----------------------------------------------------------------------
+
+  private val TICKS = 3
+  private type ZRow = (Long, Long) // (k, v)
+  private def genDeltas(seed: Int): Seq[Seq[(Long, Long, Long)]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(TICKS) {
+      Seq.fill(rnd.nextInt(5))((1L + rnd.nextInt(3), rnd.nextInt(2).toLong,
+        if (rnd.nextInt(3) == 0) -1L else 1L))
+    }
+  }
+  private def net(deltas: Seq[Seq[(Long, Long, Long)]]): Map[ZRow, Long] =
+    deltas.flatten.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(_._3).sum).toMap
+
+  test("incrementalJoinZ equals Z-set recompute over random retraction interleavings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (seed <- 0 until 50) {
+      val dA = genDeltas(seed)
+      val dB = genDeltas(seed + 1000)
+      val aB = dA.map(_.toDF("k", "av", "w"))
+      val bB = dB.map(_.toDF("bk", "bv", "w"))
+      val view = Ivm.incrementalJoinZ(aB, bB, (x, y) => x("k") === y("bk"))
+      val got = view.groupBy($"k", $"av", $"bk", $"bv")
+        .agg(sum($"w").as("w")).filter($"w" =!= 0)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+          r.getLong(4))).toMap
+      // oracle: joined weight = product of net input weights, zeros dropped
+      val want = (for {
+        ((ak, av), wa) <- net(dA); ((bk, bv), wb) <- net(dB)
+        if ak == bk && wa * wb != 0L
+      } yield ((ak, av, bk, bv), wa * wb)).toMap
+      assert(got == want, s"[seed=$seed] $got != $want")
+    }
+  }
+
+  test("incrementalGroupSumZ equals Z-set recompute over random retraction interleavings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (seed <- 0 until 50) {
+      val deltas = genDeltas(seed + 2000)
+      val ticks = deltas.map(_.toDF("g", "v", "w"))
+      val res = Ivm.incrementalGroupSumZ(ticks, Seq("g"),
+          col("v").cast("decimal(10,0)"))
+        .select($"g", $"n".cast("long").as("n"), $"s".cast("long").as("s"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val byKey = deltas.flatten.groupBy(_._1).view.mapValues { rs =>
+        (rs.map(_._3).sum, rs.map(r => r._3 * r._2).sum)
+      }.filter(_._2._1 != 0L).toMap
+      assert(res == byKey, s"[seed=$seed] $res != $byKey")
+    }
+  }
 }
