@@ -25,6 +25,27 @@ object WordMath {
     if (b == 0) a else java.lang.Long.remainderUnsigned(a, b)
   def mods(a: Long, b: Long): Long = if (b == 0) a else a % b
 
+  // WIDTH-32 family (the reference is width-parametric: `Section WithWord`,
+  // fiat2/src/fiat2/Language.v:4): a 32-bit word is represented as its
+  // SIGN-EXTENDED Int value in a Long column, so two's-complement wrap
+  // comes from Int arithmetic and the signed family is plain Int ops.
+  // (Java Int division MIN_VALUE / -1 wraps to MIN_VALUE per JLS 15.17.2 —
+  // the same wrap coqutil's word gives.)
+  def trunc32(a: Long): Long = a.toInt.toLong
+  def wadd32(a: Long, b: Long): Long = (a.toInt + b.toInt).toLong
+  def wsub32(a: Long, b: Long): Long = (a.toInt - b.toInt).toLong
+  def wmul32(a: Long, b: Long): Long = (a.toInt * b.toInt).toLong
+  def divu32(a: Long, b: Long): Long =
+    if (b == 0) 0L
+    else Integer.divideUnsigned(a.toInt, b.toInt).toLong
+  def divs32(a: Long, b: Long): Long =
+    if (b == 0) 0L else (a.toInt / b.toInt).toLong
+  def modu32(a: Long, b: Long): Long =
+    if (b == 0) trunc32(a)
+    else Integer.remainderUnsigned(a.toInt, b.toInt).toLong
+  def mods32(a: Long, b: Long): Long =
+    if (b == 0) trunc32(a) else (a.toInt % b.toInt).toLong
+
   def apply(op: String, a: Long, b: Long): Long = op match {
     case "wadd" => wadd(a, b)
     case "wsub" => wsub(a, b)
@@ -33,6 +54,13 @@ object WordMath {
     case "divs" => divs(a, b)
     case "modu" => modu(a, b)
     case "mods" => mods(a, b)
+    case "wadd32" => wadd32(a, b)
+    case "wsub32" => wsub32(a, b)
+    case "wmul32" => wmul32(a, b)
+    case "divu32" => divu32(a, b)
+    case "divs32" => divs32(a, b)
+    case "modu32" => modu32(a, b)
+    case "mods32" => mods32(a, b)
   }
 }
 
@@ -77,4 +105,41 @@ object WordOps {
     a.bitwiseXOR(m) < b.bitwiseXOR(m)
   }
   def lts(a: Column, b: Column): Column = a < b
+
+  /** Width-parametric op bundle (the reference's `Context {width: Z}`,
+    * fiat2/src/fiat2/Language.v:4). Supported widths: 64 (the default
+    * everywhere) and 32 (sign-extended-Int-in-Long representation,
+    * `WordMath.*32`). The compiler selects the bundle from
+    * `Env.wordWidth`. */
+  final class Width private[WordOps] (val width: Int) {
+    private val sfx = width match {
+      case 64 => ""
+      case 32 => "32"
+      case w => throw new IllegalArgumentException(
+        s"unsupported word width $w (32 and 64 are implemented)")
+    }
+    val wadd: (Column, Column) => Column = bin("wadd" + sfx)
+    val wsub: (Column, Column) => Column = bin("wsub" + sfx)
+    val wmul: (Column, Column) => Column = bin("wmul" + sfx)
+    val divu: (Column, Column) => Column = bin("divu" + sfx)
+    val divs: (Column, Column) => Column = bin("divs" + sfx)
+    val modu: (Column, Column) => Column = bin("modu" + sfx)
+    val mods: (Column, Column) => Column = bin("mods" + sfx)
+    def wneg(v: Column): Column = wsub(lit(0L), v)
+    def ltu(a: Column, b: Column): Column =
+      if (width == 64) WordOps.ltu(a, b)
+      // sign-extended 32-bit words: the unsigned value is the low 32 bits
+      else a.bitwiseAND(lit(0xFFFFFFFFL)) < b.bitwiseAND(lit(0xFFFFFFFFL))
+    def lts(a: Column, b: Column): Column = a < b
+    /** Canonicalize a literal into the width's representation. */
+    def literal(v: Long): Column =
+      if (width == 64) lit(v) else lit(WordMath.trunc32(v))
+  }
+  private val w64 = new Width(64)
+  private val w32 = new Width(32)
+  def forWidth(width: Int): Width = width match {
+    case 64 => w64
+    case 32 => w32
+    case w => new Width(w) // throws with the directed message
+  }
 }

@@ -40,6 +40,11 @@ object Compiler {
       // opt-in unbounded-TInt mapping (DecimalType(38,0) instead of
       // LongType) — see sparkType; set once when building the Env
       wideInt: Boolean = false,
+      // TWord width (the reference is width-parametric, `Section WithWord`
+      // fiat2/src/fiat2/Language.v:4): 64 (default) or 32 — selects the
+      // WordOps bundle and canonicalizes AWord literals. Set once when
+      // building the Env, like wideInt.
+      wordWidth: Int = 64,
       // SCOPED index annotations (IndexTransf.transformScoped): CLetMut
       // binder → attributes its body loop-point-filters on. The analog of
       // the reference's per-program index_choices (Ex_Orders.v:56-67);
@@ -496,7 +501,7 @@ object Compiler {
     }
 
     case EAtom(a) => CV(a match {
-      case AWord(v) => lit(v)
+      case AWord(v) => WordOps.forWidth(env.wordWidth).literal(v)
       case AInt(v) if env.wideInt => lit(v).cast(DecimalType(38, 0))
       case AInt(v) => lit(v)
       case ABool(v) => lit(v)
@@ -519,7 +524,8 @@ object Compiler {
     }
 
     case EUnop(op, e1) => (op, compile(e1, env)) match {
-      case (OWNeg, v) => CV(WordOps.wneg(asCV(v))) // wraps at Long.MinValue
+      case (OWNeg, v) => // wraps at the width's MinValue
+        CV(WordOps.forWidth(env.wordWidth).wneg(asCV(v)))
       case (ONeg, v) => CV(-asCV(v))
       case (ONot, v) => CV(!asCV(v))
       case (OLengthString, v) => CV(length(asCV(v)).cast("long"))
@@ -906,6 +912,9 @@ object Compiler {
     }
   }
 
+  private def wordOps(env: Env): WordOps.Width =
+    WordOps.forWidth(env.wordWidth)
+
   private def compileBinop(op: Binop, e1: Expr, e2: Expr, env: Env): Val = {
     lazy val v1 = compile(e1, env)
     lazy val v2 = compile(e2, env)
@@ -917,16 +926,17 @@ object Compiler {
         else Fiat2.ediv(asCV(v1), asCV(v2)))
       case OMod => CV(Fiat2.emod(asCV(v1), asCV(v2)))
       // TWord machine-word family — wrap-around + total div/mod, never the
-      // ANSI overflow-checked builtins (functions/WordOps.scala).
-      case OWPlus => CV(WordOps.wadd(asCV(v1), asCV(v2)))
-      case OWMinus => CV(WordOps.wsub(asCV(v1), asCV(v2)))
-      case OWTimes => CV(WordOps.wmul(asCV(v1), asCV(v2)))
-      case OWDivU => CV(WordOps.divu(asCV(v1), asCV(v2)))
-      case OWDivS => CV(WordOps.divs(asCV(v1), asCV(v2)))
-      case OWModU => CV(WordOps.modu(asCV(v1), asCV(v2)))
-      case OWModS => CV(WordOps.mods(asCV(v1), asCV(v2)))
-      case OWLessU => CV(WordOps.ltu(asCV(v1), asCV(v2)))
-      case OWLessS => CV(WordOps.lts(asCV(v1), asCV(v2)))
+      // ANSI overflow-checked builtins (functions/WordOps.scala). The op
+      // bundle is width-selected (64 default, 32 opt-in via Env.wordWidth).
+      case OWPlus => CV(wordOps(env).wadd(asCV(v1), asCV(v2)))
+      case OWMinus => CV(wordOps(env).wsub(asCV(v1), asCV(v2)))
+      case OWTimes => CV(wordOps(env).wmul(asCV(v1), asCV(v2)))
+      case OWDivU => CV(wordOps(env).divu(asCV(v1), asCV(v2)))
+      case OWDivS => CV(wordOps(env).divs(asCV(v1), asCV(v2)))
+      case OWModU => CV(wordOps(env).modu(asCV(v1), asCV(v2)))
+      case OWModS => CV(wordOps(env).mods(asCV(v1), asCV(v2)))
+      case OWLessU => CV(wordOps(env).ltu(asCV(v1), asCV(v2)))
+      case OWLessS => CV(wordOps(env).lts(asCV(v1), asCV(v2)))
       case OWRange => CV(Fiat2.rangeList(asCV(v1), asCV(v2)))
       case OAnd => CV(asCV(v1) && asCV(v2))
       case OOr => CV(asCV(v1) || asCV(v2))

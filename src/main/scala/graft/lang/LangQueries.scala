@@ -1088,6 +1088,61 @@ object LangQueries {
         .asInstanceOf[TV].df.orderBy("k")
     },
 
+    // WIDTH-32 words (the reference is width-parametric — `Section
+    // WithWord`, Context {width: Z}, fiat2/src/fiat2/Language.v:4; the
+    // engine's opt-in is Env.wordWidth = 32, selecting the WordMath.*32
+    // codegen family over the sign-extended-Int-in-Long representation).
+    // Same op battery as q_word_ops, plus a wrap-around add at
+    // Int.MaxValue; the multiply constant 2654435761 exceeds 2^31, so the
+    // AWord literal itself is canonicalized by truncation. The oracle
+    // replays 32-bit two's complement with BIGINT math wrapped mod 2^32.
+    GraftQuery.sql("q_word_ops32",
+      """WITH t AS (SELECT o_orderkey AS k, CAST(o_orderkey - 700 AS BIGINT) AS w FROM orders),
+        |u AS (SELECT k, w,
+        |        CASE WHEN w < 0 THEN w + 4294967296 ELSE w END AS uw,
+        |        (((w * 2654435761) % 4294967296) + 4294967296 + 2147483648)
+        |          % 4294967296 - 2147483648 AS wm32,
+        |        (((w + 2147483647) % 4294967296) + 4294967296 + 2147483648)
+        |          % 4294967296 - 2147483648 AS wa32
+        |      FROM t)
+        |SELECT k,
+        |  CAST(uw // 7 AS BIGINT) AS du,
+        |  CAST(w // -7 AS BIGINT) AS ds,
+        |  CAST(uw % 7 AS BIGINT) AS mu,
+        |  CAST(w % -7 AS BIGINT) AS ms,
+        |  CAST(0 AS BIGINT) AS dz,
+        |  w AS mz,
+        |  CAST(wm32 AS BIGINT) AS wm,
+        |  CAST(wa32 AS BIGINT) AS wa,
+        |  uw < 100 AS ult,
+        |  w < 100 AS slt
+        |FROM u ORDER BY k""".stripMargin) { (s, dir) =>
+      val w = EAccess(EVar("o"), "w")
+      def W(v: Long) = EAtom(AWord(v))
+      val prog = EProj(LikeBag, ELoc("t"), "o", ERecord(List(
+        "k" -> EAccess(EVar("o"), "k"),
+        "du" -> EBinop(OWDivU, w, W(7)),
+        "ds" -> EBinop(OWDivS, w, W(-7)),
+        "mu" -> EBinop(OWModU, w, W(7)),
+        "ms" -> EBinop(OWModS, w, W(-7)),
+        "dz" -> EBinop(OWDivU, w, W(0)),
+        "mz" -> EBinop(OWModS, w, W(0)),
+        "wm" -> EBinop(OWTimes, w, W(2654435761L)),
+        "wa" -> EBinop(OWPlus, w, W(2147483647L)),
+        "ult" -> EBinop(OWLessU, w, W(100)),
+        "slt" -> EBinop(OWLessS, w, W(100)))))
+      val rowT = TRecord.sorted("k" -> TInt, "du" -> TWord, "ds" -> TWord,
+        "mu" -> TWord, "ms" -> TWord, "dz" -> TWord, "mz" -> TWord,
+        "wm" -> TWord, "wa" -> TWord, "ult" -> TBool, "slt" -> TBool)
+      val storeT = Map("t" -> TBag(TRecord.sorted("k" -> TInt, "w" -> TWord)))
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) == TBag(rowT))
+      val t = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") - 700).cast("long").as("w"))
+      compileProgram(prog, Env(Map.empty, Map("t" -> t), s, wordWidth = 32))
+        .asInstanceOf[TV].df.orderBy("k")
+    },
+
     // Collection-kind annotation (fiat2/src/fiat2/CollectionTransf.v:6-51):
     // the SOURCE program is written with sequential list folds — the sum
     // idiom, OLength, and the option-match running-minimum — over a
