@@ -22,6 +22,7 @@ object Bench {
     // to run first and misattributes ~2-4s to it.
     spark.range(1000).selectExpr("sum(id)").collect()
     warmTextPipeline(spark)
+    warmStreaming(spark)
     // local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b benches a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -88,6 +89,33 @@ object Bench {
       s""""fast_omitted":${fast.size},"fast_total":${fmt(fast.values.sum)},""" +
       s""""sf":"$sfName"}""")
     spark.stop()
+  }
+
+  /** Exercise the Structured Streaming stack on a tiny feed: file-stream
+    * source, micro-batch planner, state store provider, memory sink. The
+    * stack's class-loading + JIT otherwise lands on whichever stream query
+    * runs first and misattributes seconds to it (the warmTextPipeline
+    * rationale, applied to streaming). */
+  private def warmStreaming(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warm_stream_")
+    val feed = dir.resolve("feed")
+    spark.range(100).select(col("id"), (col("id") % 5).as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(feed.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(feed.toString).schema)
+      .parquet(feed.toString)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_warm_stream").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.core.Tables.deleteTree(dir.toFile)
+    }
   }
 
   /** Exercise the text-pipeline expression machinery on tiny data: regex

@@ -47,19 +47,20 @@ object LateData {
       val ev = Tables.load(s, dir, "events")
       val schema = ev.schema
       // ts is epoch-nanos long in the parquet; the split threshold is
-      // min(ts) + 1 day in the same unit, so both engines cut identically
-      val cutNanos = ev.agg(min($"ts")).head().getLong(0) + 86400L * 1000000000L
-      val watchDir = java.nio.file.Files.createTempDirectory("graft_late_")
-      def addBatch(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_late_b$seq")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = tmp.toFile.listFiles()
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written under $tmp"))
-        java.nio.file.Files.move(part.toPath,
-          watchDir.resolve(f"batch$seq%02d.parquet"))
-        Tables.deleteTree(tmp.toFile) // leftover _SUCCESS/metadata files
+      // min(ts) + 1 day in the same unit, so both engines cut identically.
+      // Cut and split files are pure functions of the source — staged once,
+      // re-delivered per run (the arrival sequencing is the thing under test)
+      val cutNanos = StreamStage.scalarOnce("late_min", dir)(
+        ev.agg(min($"ts")).head().getLong(0)) + 86400L * 1000000000L
+      val staged = StreamStage.stagedOnce("late", dir) { p =>
+        StreamStage.writeBatchFile(
+          ev.filter($"ts" >= cutNanos), p, "batch01.parquet")
+        StreamStage.writeBatchFile(
+          ev.filter($"ts" < cutNanos), p, "batch02.parquet")
       }
+      val watchDir = java.nio.file.Files.createTempDirectory("graft_late_")
+      def addBatch(seq: Int): Unit =
+        StreamStage.deliver(staged, watchDir, f"batch$seq%02d.parquet")
       val stream = s.readStream.schema(schema).parquet(watchDir.toString)
       val agg = stream
         .withColumn("tstamp", Tables.tsCol($"ts"))
@@ -70,7 +71,7 @@ object LateData {
         .select($"window.start".as("window_start"), $"event_type",
           $"n", $"total")
       val sink = s"graft_late_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      StreamConf.withStatePartitions(s, 8) {
+      StreamConf.withStatePartitions(s, 2) {
         val q = agg.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try {
@@ -81,9 +82,9 @@ object LateData {
           // rows sail through), whereas a file that arrives after the
           // previous batch's commit is filtered with that batch's
           // watermark — the semantics an actually-arriving feed gets.
-          addBatch(ev.filter($"ts" >= cutNanos), 1) // advances the watermark
+          addBatch(1) // advances the watermark
           q.processAllAvailable()
-          addBatch(ev.filter($"ts" < cutNanos), 2) // stragglers: all dropped
+          addBatch(2) // stragglers: all dropped
           q.processAllAvailable()
         } finally q.stop()
       }

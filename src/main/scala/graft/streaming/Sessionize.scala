@@ -70,7 +70,7 @@ object Sessionize {
         .flatMapGroupsWithState(OutputMode.Append,
           GroupStateTimeout.NoTimeout)(step)
       val sink = s"graft_sess_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      StreamConf.withStatePartitions(s, 8) {
+      StreamConf.withStatePartitions(s, 2) {
         val q = sessions.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try q.processAllAvailable() finally q.stop()

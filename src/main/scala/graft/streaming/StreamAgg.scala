@@ -38,7 +38,7 @@ object StreamAgg {
           sum($"value".cast(DecimalType(18, 2))).cast("double").as("total"))
         .select($"window.start".as("window_start"), $"event_type", $"n", $"total")
       val sink = s"graft_stream_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      StreamConf.withStatePartitions(s, 8) {
+      StreamConf.withStatePartitions(s, 2) {
         val q = agg.writeStream.outputMode("complete")
           .format("memory").queryName(sink).start()
         try q.processAllAvailable() finally q.stop()
@@ -71,7 +71,7 @@ object StreamAgg {
         .agg(count(lit(1)).as("n"),
           sum($"value".cast(DecimalType(18, 2))).cast("double").as("total"))
       val sink = s"graft_sjoin_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      StreamConf.withStatePartitions(s, 8) {
+      StreamConf.withStatePartitions(s, 2) {
         val q = joined.writeStream.outputMode("complete")
           .format("memory").queryName(sink).start()
         try q.processAllAvailable() finally q.stop()
@@ -121,7 +121,7 @@ object StreamAgg {
       // (left/right × keyToNumValues/keyWithIndexToValue), each with its
       // own checkpoint commit per batch — per-partition overhead dominates
       // a modest feed (see StreamConf).
-      StreamConf.withStatePartitions(s, 8) {
+      StreamConf.withStatePartitions(s, 2) {
         val q = joined.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try q.processAllAvailable() finally q.stop()
@@ -156,20 +156,22 @@ object StreamAgg {
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
       val schema = ev.schema
-      val minNanos = ev.agg(min($"ts")).head().getLong(0)
+      val minNanos = StreamStage.scalarOnce("soj_min", dir)(
+        ev.agg(min($"ts")).head().getLong(0))
       val cut = minNanos + 2L * 86400L * 1000000000L
       val cut2 = minNanos + 4L * 86400L * 1000000000L
-      val watchDir = java.nio.file.Files.createTempDirectory("graft_soj_")
-      def addBatch(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_soj_b$seq")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = tmp.toFile.listFiles()
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written under $tmp"))
-        java.nio.file.Files.move(part.toPath,
-          watchDir.resolve(f"batch$seq%02d.parquet"))
-        graft.core.Tables.deleteTree(tmp.toFile)
+      // the three watermark-ordered arrival files are a pure function of
+      // the source — stage them once; every run re-delivers them between
+      // completed micro-batches (the arrival sequencing under test)
+      val staged = StreamStage.stagedOnce("soj", dir) { p =>
+        StreamStage.writeBatchFile(ev.filter($"ts" < cut), p, "batch01.parquet")
+        StreamStage.writeBatchFile(
+          ev.filter($"ts" >= cut && $"ts" < cut2), p, "batch02.parquet")
+        StreamStage.writeBatchFile(ev.filter($"ts" >= cut2), p, "batch03.parquet")
       }
+      val watchDir = java.nio.file.Files.createTempDirectory("graft_soj_")
+      def addBatch(seq: Int): Unit =
+        StreamStage.deliver(staged, watchDir, f"batch$seq%02d.parquet")
       val src = s.readStream.schema(schema).parquet(watchDir.toString)
       // The joinable-window cut must be a predicate ON THE WATERMARK
       // COLUMN: Catalyst pushes any other filter below the
@@ -195,15 +197,15 @@ object StreamAgg {
         "left_outer")
         .select($"c_user".as("user_id"), $"click_id", $"purchase_id")
       val sink = s"graft_soj_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      StreamConf.withStatePartitions(s, 8) {
+      StreamConf.withStatePartitions(s, 2) {
         val q = joined.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try {
-          addBatch(ev.filter($"ts" < cut), 1) // the joinable window
+          addBatch(1) // the joinable window
           q.processAllAvailable()
-          addBatch(ev.filter($"ts" >= cut && $"ts" < cut2), 2) // advancer
+          addBatch(2) // advancer
           q.processAllAvailable()
-          addBatch(ev.filter($"ts" >= cut2), 3) // advancer: flush stragglers
+          addBatch(3) // advancer: flush stragglers
           q.processAllAvailable()
         } finally q.stop()
       }

@@ -35,7 +35,7 @@ object StreamDedup {
         .select(md5($"text").as("digest"))
         .dropDuplicates("digest")
       val sink = s"graft_sdedup_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      StreamConf.withStatePartitions(s, 8) {
+      StreamConf.withStatePartitions(s, 2) {
         val q = deduped.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try q.processAllAvailable() finally q.stop()

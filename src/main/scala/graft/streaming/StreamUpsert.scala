@@ -37,9 +37,11 @@ object StreamUpsert {
         .select($"event_id", Tables.tsCol($"ts").as("ts"), $"user_id",
           $"value")
       // split the feed into arrival chunks so the merge loop really runs
-      // across several micro-batches
-      val feedDir = java.nio.file.Files.createTempDirectory("graft_supsert_")
-      events.repartition(4).write.mode("overwrite").parquet(feedDir.toString)
+      // across several micro-batches; the chunk files are a pure function
+      // of the source — staged once, shared by every run
+      val feedDir = StreamStage.stagedOnce("supsert", dir) { p =>
+        events.repartition(4).write.mode("overwrite").parquet(p.toString)
+      }
       val stream = s.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1).parquet(feedDir.toString)
 
