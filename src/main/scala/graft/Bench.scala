@@ -40,36 +40,79 @@ object Bench {
     // are cleared between reps) — the median only filters runtime noise,
     // it does not hide recomputation.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val before = spark.sparkContext.getPersistentRDDs.keySet
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop per-query caches so later timings aren't skewed by memory
-        // pressure from earlier queries' cached indexes. clearCache only
-        // covers the SQL cache manager — localCheckpoint blocks (graph
-        // loops, IVM ticks) are plain persisted RDDs and must be dropped
-        // explicitly or they accumulate across 100+ queries. Scope the
-        // drop to RDDs persisted DURING this run: a blanket unpersist
-        // would destroy any checkpointed block a module may hold across
-        // queries (lineage-truncated blocks cannot be recomputed).
-        spark.sqlContext.clearCache()
-        spark.sparkContext.getPersistentRDDs
-          .filter { case (id, _) => !before(id) }
-          .values.foreach(_.unpersist(blocking = false))
-        // index registrations are per-query setup: dropping them with the
-        // cache keeps the rewrite rule from steering OTHER queries onto a
-        // no-longer-cached index
-        graft.plans.KeyedIndexRule.clear()
-        if (ok) Some(dt) else None
+    // SPARK_GRAFT_PROF=1: per-query JVM-accumulation telemetry on stderr
+    // (GC time, JIT code cache, metaspace, loaded classes, storage blocks)
+    // — the signal for diagnosing cross-query interference in the full run.
+    val prof = sys.env.get("SPARK_GRAFT_PROF").exists(_ == "1")
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def poolUsed(frag: String): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.contains(frag)).map(_.getUsage.getUsed).sum
+    }
+    // PASS-MAJOR interleaving: run every query once per pass, not all reps
+    // back-to-back. Query-major reps let a transient contention window on
+    // the box (another JVM compiling, the harness doing driver-side work)
+    // inflate ALL reps of whichever few queries run inside it — the r7
+    // artifact recorded 3-6x inflation on mid-run queries that measure
+    // fast in isolation, with zero JVM-internal accumulation (code cache,
+    // metaspace, GC all flat under SPARK_GRAFT_PROF). Interleaved passes
+    // bound any such window's damage to ONE rep per query, which the
+    // per-query median then rejects.
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop per-query caches so later timings aren't skewed by memory
+      // pressure from earlier queries' cached indexes. clearCache only
+      // covers the SQL cache manager — localCheckpoint blocks (graph
+      // loops, IVM ticks) are plain persisted RDDs and must be dropped
+      // explicitly or they accumulate across 100+ queries. Scope the
+      // drop to RDDs persisted DURING this run: a blanket unpersist
+      // would destroy any checkpointed block a module may hold across
+      // queries (lineage-truncated blocks cannot be recomputed).
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      // index registrations are per-query setup: dropping them with the
+      // cache keeps the rewrite rule from steering OTHER queries onto a
+      // no-longer-cached index
+      graft.plans.KeyedIndexRule.clear()
+      if (ok) Some(dt) else None
+    }
+    val order = selected.toVector
+    val passes: Vector[Vector[(String, Option[Double])]] =
+      (1 to reps).toVector.map { p =>
+        val gc0 = gcMillis
+        val pass = order.map { case (name, fn) => name -> runOnce(name, fn) }
+        if (prof) {
+          val cl = java.lang.management.ManagementFactory.getClassLoadingMXBean
+          System.err.println(f"[prof] pass $p done: gc=${gcMillis - gc0}%5dms " +
+            f"code=${poolUsed("CodeHeap") / 1048576}%4dM " +
+            f"meta=${poolUsed("Metaspace") / 1048576}%5dM " +
+            f"classes=${cl.getLoadedClassCount}%6d " +
+            f"rdds=${spark.sparkContext.getPersistentRDDs.size}%3d")
+        }
+        pass
+      }
+    val results = order.map { case (name, _) =>
+      val times = passes.flatMap(_.collectFirst {
+        case (`name`, t) => t
+      }.get)
+      if (prof)
+        System.err.println(f"[prof] $name%-28s reps=${times.map(t => f"$t%.2f").mkString(",")}")
       // a failed rep is reported as -1, never as a plausible fast time
       name -> (if (times.size < reps) -1.0 else times.sorted.apply(reps / 2))
-    }
+    }.toMap
     // keep the whole JSON line short: the harness that reads it keeps only
     // the tail of stdout, and a full-precision line for 80 queries
     // overflows that window. Per-query entries are limited to the queries

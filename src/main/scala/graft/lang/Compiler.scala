@@ -679,35 +679,92 @@ object Compiler {
             case _ => (e2, None)
           }
           // Peel correlated filters down to the first subtree that does
-          // not reference x at all — that subtree compiles as-is.
+          // not reference x at all — that subtree compiles as-is. A core
+          // that still references x but is an EJoin is handled below
+          // (correlation inside the join's legs, Interpret.v:273-299).
           var filters = List.empty[(String, Expr)]
           var core = relBody
-          while (Rewrites.freeVars(core).contains(x)) core match {
+          while (Rewrites.freeVars(core).contains(x) &&
+              core.isInstanceOf[EFilter]) core match {
             case EFilter(_, l, y, p) => filters ::= (y, p); core = l
-            case _ => throw correlatedError(null)
+            case _ => ()
           }
           val id = latIds.incrementAndGet()
           val la = s"__decor_l$id"; val ra = s"__decor_r$id"
-          val inner = compile(core, env) match {
-            case TV(d) => d
-            case CV(c) => toDF(CV(c), env)
-          }
           val leftRow = qualifiedRow(df.columns, la)
-          val innerRow = qualifiedRow(inner.columns, ra)
-          // every filter binder sees the same right-side row (filters
-          // preserve schema), x sees the left row; plain bind for x so
-          // nested references don't trip assertUncorrelated
-          def bodyEnv(binder: String) = env.bind(x, CV(leftRow))
-            .bindRow(binder, CV(innerRow))
-          val pred = filters
-            .map { case (y, p) => asCV(compile(p, bodyEnv(y))) }
-            .reduceOption(_ && _).getOrElse(lit(true))
-          val joined = df.alias(la).join(inner.alias(ra), pred, "inner")
-          peeledProj match {
-            case None => TV(joined.select(
-              inner.columns.map(c => col(s"$ra.$c").as(c)): _*))
-            case Some((u, r)) =>
-              TV(flattenResult(joined, asCV(compile(r, bodyEnv(u)))))
+          if (!Rewrites.freeVars(core).contains(x)) {
+            val inner = compile(core, env) match {
+              case TV(d) => d
+              case CV(c) => toDF(CV(c), env)
+            }
+            val innerRow = qualifiedRow(inner.columns, ra)
+            // every filter binder sees the same right-side row (filters
+            // preserve schema), x sees the left row; plain bind for x so
+            // nested references don't trip assertUncorrelated
+            def bodyEnv(binder: String) = env.bind(x, CV(leftRow))
+              .bindRow(binder, CV(innerRow))
+            val pred = filters
+              .map { case (y, p) => asCV(compile(p, bodyEnv(y))) }
+              .reduceOption(_ && _).getOrElse(lit(true))
+            val joined = df.alias(la).join(inner.alias(ra), pred, "inner")
+            peeledProj match {
+              case None => TV(joined.select(
+                inner.columns.map(c => col(s"$ra.$c").as(c)): _*))
+              case Some((u, r)) =>
+                TV(flattenResult(joined, asCV(compile(r, bodyEnv(u)))))
+            }
+          } else core match {
+            // CORRELATION INSIDE A JOIN LEG (the last decorrelation shape
+            // vs Interpret.v:273-299): for-each outer row, join two inner
+            // tables each restricted by correlated filters. Lowered to ONE
+            // three-way join — outer ⋈(leg-1 preds) inner1 ⋈(leg-2 preds ∧
+            // join pred) inner2 — so Catalyst plans ordinary equi/θ-joins
+            // (broadcast or shuffle) instead of a per-outer-row nested
+            // loop. The join predicate and result may reference the outer
+            // row too (arbitrary-body semantics).
+            case EJoin(_, jl1, jl2, a, b, jp, jr) =>
+              def peelLeg(leg: Expr): (List[(String, Expr)], Expr) = {
+                var fs = List.empty[(String, Expr)]; var c = leg
+                while (Rewrites.freeVars(c).contains(x)) c match {
+                  case EFilter(_, l, y, p) => fs ::= (y, p); c = l
+                  case _ => throw correlatedError(null)
+                }
+                (fs, c)
+              }
+              val (fs1, c1) = peelLeg(jl1); val (fs2, c2) = peelLeg(jl2)
+              val r1a = s"__decor_j1_$id"; val r2a = s"__decor_j2_$id"
+              def legDF(c: Expr) = compile(c, env) match {
+                case TV(d) => d
+                case cv @ CV(_) => toDF(cv, env)
+              }
+              val in1 = legDF(c1); val in2 = legDF(c2)
+              val row1 = qualifiedRow(in1.columns, r1a)
+              val row2 = qualifiedRow(in2.columns, r2a)
+              val envL = env.bind(x, CV(leftRow))
+              val p1 = fs1.map { case (y, p) =>
+                  asCV(compile(p, envL.bindRow(y, CV(row1)))) }
+                .reduceOption(_ && _).getOrElse(lit(true))
+              val p2 = fs2.map { case (y, p) =>
+                  asCV(compile(p, envL.bindRow(y, CV(row2)))) }
+                .reduceOption(_ && _).getOrElse(lit(true))
+              val envJ = envL.bindRow(a, CV(row1)).bindRow(b, CV(row2))
+              val jpC = asCV(compile(jp, envJ))
+              val joined = df.alias(la)
+                .join(in1.alias(r1a), p1, "inner")
+                .join(in2.alias(r2a), p2 && jpC, "inner")
+              val elem = asCV(compile(jr, envJ))
+              // filters peeled ABOVE the join bind to the join's computed
+              // element (jr's value), not to plan attributes
+              val kept = filters.map { case (y, p) =>
+                  asCV(compile(p, envL.bind(y, CV(elem)))) }
+                .reduceOption(_ && _).map(joined.where).getOrElse(joined)
+              peeledProj match {
+                case None => TV(flattenResult(kept, elem))
+                case Some((u, r)) =>
+                  TV(flattenResult(kept,
+                    asCV(compile(r, envL.bind(u, CV(elem))))))
+              }
+            case _ => throw correlatedError(null)
           }
         }
         def directPath(): Val = {

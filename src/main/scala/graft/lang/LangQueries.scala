@@ -237,7 +237,7 @@ object LangQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
         |FROM nation n
         |WHERE (SELECT COUNT(*) FROM supplier s
-        |       WHERE s.s_nationkey = n.n_nationkey) > 1
+        |       WHERE s.s_nationkey = n.n_nationkey) > 0
         |  AND COALESCE((SELECT SUM(s_suppkey) FROM supplier s
         |                WHERE s.s_nationkey = n.n_nationkey), 0) % 2 = 0
         |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
@@ -249,7 +249,11 @@ object LangQueries {
         EAccess(EVar("p1"), "s_suppkey")))
       val prog = EFilter(LikeBag, ELoc("nation"), "n",
         EBinop(OAnd,
-          EBinop(OLess, EAtom(AInt(1)), cnt),
+          // COUNT > 0 (not > 1): sf0.001 has ~10 suppliers over 25 nations,
+          // so per-nation counts never exceed 1 and a >1 threshold is
+          // vacuous at the smoke scale. The two-aggregate filter shape
+          // (COUNT conjunct + SUM-parity conjunct) is what this query pins.
+          EBinop(OLess, EAtom(AInt(0)), cnt),
           EBinop(OEq, EBinop(OMod, ksum, EAtom(AInt(2))), EAtom(AInt(0)))))
       val env = Env(Map.empty, Map(
         "nation" -> Tables.load(s, dir, "nation")
@@ -261,6 +265,88 @@ object LangQueries {
         s)
       compileProgram(prog, env).asInstanceOf[TV].df
         .orderBy("n_nationkey")
+    },
+
+    // CORRELATED AGGREGATES IN A FILTER PREDICATE, TABLE-SCALE OUTER
+    // (supplier × lineitem): the same shape as q_lang_corr_filter but with
+    // a real-cardinality outer and a fact-table aggregate side, so the
+    // unnesting's grouped LEFT join must partial-aggregate map-side before
+    // the shuffle (plan-asserted in PlanQualitySpec) — the 100 TB posture
+    // for this rewrite.
+    GraftQuery.sql("q_lang_corr_filter_big",
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+        |FROM supplier s
+        |WHERE (SELECT COUNT(*) FROM lineitem l
+        |       WHERE l.l_suppkey = s.s_suppkey) > 0
+        |  AND COALESCE((SELECT SUM(l_orderkey) FROM lineitem l
+        |                WHERE l.l_suppkey = s.s_suppkey), 0) % 3 = 0
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      def corrFilter(b: String) = EFilter(LikeBag, ELoc("lineitem"), b,
+        EBinop(OEq, EAccess(EVar(b), "l_suppkey"),
+          EAccess(EVar("s"), "s_suppkey")))
+      val cnt = EUnop(OLength, corrFilter("l0"))
+      val ksum = EACFold(AGSum, EProj(LikeBag, corrFilter("l1"), "p1",
+        EAccess(EVar("p1"), "l_orderkey")))
+      val prog = EFilter(LikeBag, ELoc("supplier"), "s",
+        EBinop(OAnd,
+          EBinop(OLess, EAtom(AInt(0)), cnt),
+          EBinop(OEq, EBinop(OMod, ksum, EAtom(AInt(3))), EAtom(AInt(0)))))
+      val env = Env(Map.empty, Map(
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_name")),
+        "lineitem" -> Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").cast("long").as("l_orderkey"),
+            col("l_suppkey").cast("long").as("l_suppkey"))),
+        s)
+      compileProgram(prog, env).asInstanceOf[TV].df
+        .orderBy("s_suppkey")
+    },
+
+    // CORRELATION INSIDE A JOIN LEG (Compiler.decorrelate's EJoin-core
+    // path): for each nation, θ-join its suppliers against its customers —
+    // the outer row variable appears in BOTH legs' filters and in the
+    // result record. The reference interprets this nested-loop-style
+    // (Interpret.v:273-299); the engine lowers the whole comprehension to
+    // one three-way join that Catalyst plans as ordinary shuffled/broadcast
+    // hash joins (no per-outer-row evaluation, no cartesian product).
+    GraftQuery.sql("q_lang_corr_join",
+      """SELECT n.n_name, CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+        |       CAST(c.c_custkey AS BIGINT) AS c_custkey
+        |FROM nation n
+        |JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey % 7 = c.c_custkey % 7
+        |ORDER BY n_name, s_suppkey, c_custkey""".stripMargin) { (s, dir) =>
+      def legFilter(tbl: String, binder: String, keyFld: String) =
+        EFilter(LikeBag, ELoc(tbl), binder,
+          EBinop(OEq, EAccess(EVar(binder), keyFld),
+            EAccess(EVar("n"), "n_nationkey")))
+      val body = EJoin(LikeBag,
+        legFilter("supplier", "sf", "s_nationkey"),
+        legFilter("customer", "cf", "c_nationkey"),
+        "s2", "c2",
+        EBinop(OEq,
+          EBinop(OMod, EAccess(EVar("s2"), "s_suppkey"), EAtom(AInt(7))),
+          EBinop(OMod, EAccess(EVar("c2"), "c_custkey"), EAtom(AInt(7)))),
+        ERecord(List(
+          "n_name" -> EAccess(EVar("n"), "n_name"),
+          "s_suppkey" -> EAccess(EVar("s2"), "s_suppkey"),
+          "c_custkey" -> EAccess(EVar("c2"), "c_custkey"))))
+      val prog = EFlatmap(LikeBag, ELoc("nation"), "n", body)
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_nationkey").cast("long").as("s_nationkey")),
+        "customer" -> Tables.load(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            col("c_nationkey").cast("long").as("c_nationkey"))),
+        s)
+      compileProgram(prog, env).asInstanceOf[TV].df
+        .orderBy("n_name", "s_suppkey", "c_custkey")
     },
 
     // General EFold over a (small) table: a RIGHT fold (Interpret.v:

@@ -117,7 +117,14 @@ object RefInterp {
     }
 
   // --- Interpreter environment ---
-  final case class REnv(vars: Map[String, V], store: Map[String, V]) {
+  /** `width` mirrors the reference's section-level word parameter
+    * (fiat2/src/fiat2/Language.v:4, `Section WithWord {width: Z}`): 64
+    * (default) or 32. A 32-bit word is carried as its SIGN-EXTENDED value
+    * in the Long of `VW` — the same canonical form the Spark engine uses —
+    * so the universal value order (unsigned compare, Value.v) is preserved
+    * verbatim: sign extension is order-isomorphic to 32-bit unsigned order. */
+  final case class REnv(vars: Map[String, V], store: Map[String, V],
+      width: Int = 64) {
     def bind(x: String, v: V): REnv = copy(vars = vars + (x -> v))
   }
   object REnv {
@@ -148,7 +155,8 @@ object RefInterp {
     case ELoc(x) => env.store.getOrElse(x, err(s"unbound loc $x"))
 
     case EAtom(a) => a match {
-      case AWord(v) => VW(v)
+      case AWord(v) =>
+        VW(if (env.width == 32) graft.functions.WordMath.trunc32(v) else v)
       case AInt(v) => VI(BigInt(v))
       case ABool(v) => VB(v)
       case AString(v) => VS(v)
@@ -163,7 +171,9 @@ object RefInterp {
     case EUnop(op, e1) =>
       val v = interp(e1, env)
       op match {
-        case OWNeg => VW(-asW(v)) // word.opp wraps at Long.MinValue
+        case OWNeg => // word.opp wraps at the width's MinValue
+          VW(if (env.width == 32) graft.functions.WordMath.wsub32(0L, asW(v))
+             else -asW(v))
         case ONeg => VI(-asI(v))
         case ONot => VB(!asB(v))
         case OLength => VI(BigInt(elems(v).size))
@@ -181,13 +191,30 @@ object RefInterp {
         case OTimes => VI(asI(v1) * asI(v2))
         case ODiv => VI(zdiv(asI(v1), asI(v2)))
         case OMod => VI(zmod(asI(v1), asI(v2)))
-        case OWPlus => VW(asW(v1) + asW(v2))
-        case OWMinus => VW(asW(v1) - asW(v2))
-        case OWTimes => VW(asW(v1) * asW(v2))
-        case OWDivU => VW(graft.functions.WordMath.divu(asW(v1), asW(v2)))
-        case OWDivS => VW(graft.functions.WordMath.divs(asW(v1), asW(v2)))
-        case OWModU => VW(graft.functions.WordMath.modu(asW(v1), asW(v2)))
-        case OWModS => VW(graft.functions.WordMath.mods(asW(v1), asW(v2)))
+        case OWPlus | OWMinus | OWTimes | OWDivU | OWDivS | OWModU | OWModS =>
+          // width-dispatched machine arithmetic; the 32-bit family operates
+          // on the truncated Int view and re-sign-extends (WordMath *32)
+          import graft.functions.WordMath
+          val (a, b) = (asW(v1), asW(v2))
+          VW(if (env.width == 32) op match {
+            case OWPlus => WordMath.wadd32(a, b)
+            case OWMinus => WordMath.wsub32(a, b)
+            case OWTimes => WordMath.wmul32(a, b)
+            case OWDivU => WordMath.divu32(a, b)
+            case OWDivS => WordMath.divs32(a, b)
+            case OWModU => WordMath.modu32(a, b)
+            case _ => WordMath.mods32(a, b)
+          } else op match {
+            case OWPlus => a + b
+            case OWMinus => a - b
+            case OWTimes => a * b
+            case OWDivU => WordMath.divu(a, b)
+            case OWDivS => WordMath.divs(a, b)
+            case OWModU => WordMath.modu(a, b)
+            case _ => WordMath.mods(a, b)
+          })
+        // sign-extension is order-isomorphic for both families, so the
+        // 64-bit comparisons are width-correct on the canonical form
         case OWLessU => VB(java.lang.Long.compareUnsigned(asW(v1), asW(v2)) < 0)
         case OWLessS => VB(asW(v1) < asW(v2))
         case OAnd => VB(asB(v1) && asB(v2))
@@ -210,11 +237,15 @@ object RefInterp {
         // eval_range_word: length = unsigned(hi) - unsigned(lo), wrap adds
         case OWRange =>
           val lo = asW(v1); val hi = asW(v2)
-          val ulo = BigInt(java.lang.Long.toUnsignedString(lo))
-          val uhi = BigInt(java.lang.Long.toUnsignedString(hi))
+          def uns(x: Long): BigInt =
+            if (env.width == 32) BigInt(x.toInt & 0xFFFFFFFFL)
+            else BigInt(java.lang.Long.toUnsignedString(x))
+          val ulo = uns(lo); val uhi = uns(hi)
           val len = (uhi - ulo).max(0)
           require(len < (1 << 24), s"word range too large to materialize: $len")
-          VList(Vector.tabulate(len.toInt)(i => VW(lo + i)))
+          VList(Vector.tabulate(len.toInt)(i =>
+            VW(if (env.width == 32) graft.functions.WordMath.wadd32(lo, i)
+               else lo + i)))
         // NB (collection, element) order — Interpret.v:186-193
         case OBagInsert => v1 match {
           case VBag(xs) => VBag(sortedV(xs :+ v2))

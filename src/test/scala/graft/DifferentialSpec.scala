@@ -70,7 +70,8 @@ class DifferentialSpec extends AnyFunSuite {
 
   private def genValue(t: FType, rnd: Random): V = t match {
     case TInt => VI(BigInt(rnd.between(-9, 10)))
-    case TWord => VW(Vector(0L, 1L, 2L, 5L, -1L, -2L, 1L << 62)(rnd.nextInt(7)))
+    case TWord => VW(Vector(0L, 1L, 2L, 5L, -1L, -2L, 1L << 62,
+      Int.MaxValue.toLong, Int.MinValue.toLong, 1L << 31)(rnd.nextInt(10)))
     case TBool => VB(rnd.nextBoolean())
     case TString => VS(Random.javaRandomToRandom(new java.util.Random(rnd.nextLong()))
       .alphanumeric.take(rnd.nextInt(4)).mkString.toLowerCase)
@@ -292,6 +293,42 @@ class DifferentialSpec extends AnyFunSuite {
     }
     assert(skippedOverflow < n / 10,
       s"too many overflow-skipped cases: $skippedOverflow")
+  }
+
+  test("word expressions at widths 32 and 64: compiler == reference at each width") {
+    // The reference is width-parametric (Section WithWord, Language.v:4);
+    // the SAME random word program is run at both supported widths through
+    // both engines. Signed/unsigned div/mod/less and wrap-around behave
+    // differently at the two widths (e.g. divs(MinValue32, -1) wraps at 32
+    // but not at 64), so we also require that the widths actually disagree
+    // on a healthy fraction of programs — a truncation bug that made width
+    // 32 behave like 64 would otherwise pass vacuously.
+    var diverged = 0
+    val n = 60
+    for (i <- 0 until n) {
+      val rnd = new Random(8800 + i)
+      // word-rooted on most cases; OWLessU/OWLessS-rooted on the rest
+      val t: FType = if (i % 4 == 3) TBool else TWord
+      val e =
+        if (t == TWord) genExpr(TWord, Vector.empty, rnd, 2 + rnd.nextInt(2))
+        else EBinop(if (rnd.nextBoolean()) OWLessU else OWLessS,
+          genExpr(TWord, Vector.empty, rnd, 2), genExpr(TWord, Vector.empty, rnd, 2))
+      val results = for (w <- Seq(64, 32)) yield {
+        val expected = interp(e, REnv(Map.empty, Map.empty, width = w))
+        Compiler.compileProgram(e,
+          Env(Map.empty, Map.empty, spark, wordWidth = w)) match {
+          case CV(c) =>
+            val got = fromSpark(spark.range(1).select(c.as("v")).head.get(0), t)
+            assert(cmp(got, expected) == 0,
+              s"[width $w case $i] compiled=$got reference=$expected\n${show(e)}")
+            expected
+          case TV(_) => fail(s"[width $w case $i] scalar compiled to a table")
+        }
+      }
+      if (cmp(results.head, results.last) != 0) diverged += 1
+    }
+    assert(diverged >= n / 10,
+      s"widths 32/64 disagreed on only $diverged/$n programs — width plumbing suspiciously inert")
   }
 
   private def isOverflow(ex: Throwable): Boolean = {

@@ -298,6 +298,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("table-scale correlated filter partial-aggregates the fact side before its join") {
+    // q_lang_corr_filter_big: supplier outer, lineitem aggregate side. The
+    // unnested grouped aggregate over lineitem must combine map-side
+    // (HashAggregate partial → exchange on l_suppkey → final) so the
+    // shuffle carries one partial per (task, key), not raw fact rows —
+    // what makes the rewrite survive a 100 TB fact table.
+    val p = plan("q_lang_corr_filter_big")
+    assert(p.contains("LeftOuter"), s"expected left-join unnesting:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val aggIdx = p.indexOf("partial_count")
+    assert(aggIdx >= 0 || p.contains("partial_sum"),
+      s"expected partial (map-side) aggregation of the lineitem side:\n$p")
+  }
+
+  test("correlated join legs lower to ordinary joins, not per-row loops") {
+    // q_lang_corr_join: flatmap(nation, n => join(σ[corr] supplier,
+    // σ[corr] customer)) must become one three-way join — hash joins on
+    // the nationkey equi-predicates, no cartesian product, no WindowExec
+    val p = plan("q_lang_corr_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected hash/sort-merge joins from decorrelated legs:\n$p")
+  }
+
   test("substring-dup counts window frequency via aggregate, not WindowExec") {
     // count(*) OVER (PARTITION BY window-text) buffers every row of a hot
     // boilerplate window on one key; the groupBy form partial-aggregates

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-growth smoke for the quadratic-prone operators: runs each query on
+  * sf0.01 and on a synthetic 4× blow-up of the same tables, and asserts
+  * wall time grows ≲ linearly. This is the only way local testing can catch
+  * ACCIDENTAL QUADRATIC candidate generation (an uncapped hot shingle, an
+  * all-pairs self-join sneaking past a cap) — at 100 TB such a bug is the
+  * difference between hours and never-finishes, but at one fixed SF it just
+  * looks like a slightly slow query.
+  *
+  * Blow-up construction preserves problem STRUCTURE instead of densifying
+  * it: each of the 4 document copies gets offset doc_ids and a per-copy
+  * suffix on EVERY token, so shingles never collide across copies — the
+  * near-dup cluster structure replicates 4×, exactly what 4× more
+  * real-world data looks like. (A naive 4× duplication would give every
+  * document 4 exact copies, quadrupling cluster sizes — legitimately
+  * superlinear work, useless as a regression signal.) Lineitem copies get
+  * offset order/part keys so the derived pagerank edge set grows too.
+  *
+  * The bound is generous (7× wall for 4× data, vs ~16× for a quadratic
+  * dominant stage) because local wall-clock carries constant scheduling
+  * overhead and JIT noise; ratios are printed so rounds can track drift.
+  */
+class ScaleGrowthSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val baseDir = "/root/testdata/sf0.01"
+  private val queries =
+    Seq("q_substring_dup", "q_pipeline_clean", "q_dedup_clusters", "q_pagerank")
+  private val bound = 7.0
+
+  private def blowUp(tmp: String): Unit = {
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    (0 until 4).map { i =>
+      docs
+        .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1c" + i))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    (0 until 4).map { i =>
+      li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000003L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * 999983L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+  }
+
+  private def time(name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    spark.sqlContext.clearCache()
+    dt
+  }
+
+  test("wall time grows ≲ linearly under a 4x data blow-up") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_scale_smoke_").toString
+    try {
+      blowUp(tmp)
+      val ratios = queries.map { q =>
+        time(q, baseDir) // warm-up: JIT + codegen for this query's plan
+        val base = math.max(time(q, baseDir), 0.05)
+        val blown = time(q, tmp)
+        val r = blown / base
+        info(f"$q%-20s base=$base%.2fs 4x=$blown%.2fs ratio=$r%.1f")
+        q -> r
+      }
+      val offenders = ratios.filter(_._2 > bound)
+      assert(offenders.isEmpty,
+        s"superlinear growth under 4x blow-up (bound $bound): " +
+          offenders.map { case (q, r) => f"$q=$r%.1fx" }.mkString(", "))
+    } finally {
+      graft.core.Tables.deleteTree(new java.io.File(tmp))
+    }
+  }
+}
