@@ -418,12 +418,19 @@ object Compiler {
     else struct(sorted.map(c => col(s"$q.$c").as(c)): _*)
   }
 
+  /** A SINGLE-PARTITION one-row frame, the base for every literal/scalar
+    * plan. `spark.range(1)` defaults to defaultParallelism splits, so a
+    * driver loop that unions N one-row deltas would schedule N×cores
+    * empty tasks on its final action (800 tasks for 25 rows at
+    * local[32]) — measured 6× slower than the single-split form. */
+  def oneRow(spark: SparkSession): DataFrame = spark.range(0, 1, 1, 1).toDF()
+
   /** Materialize any compiled value as a table DataFrame (array value →
     * table of its elements; scalar → one-row table). */
   def toDF(v: Val, env: Env): DataFrame = v match {
     case TV(df) => df
     case CV(c) =>
-      val probe = env.spark.range(1).select(c.as("v"))
+      val probe = oneRow(env.spark).select(c.as("v"))
       probe.schema.head.dataType match {
         case _: ArrayType =>
           val ex = probe.select(explode(col("v")).as("__elem"))
@@ -448,7 +455,7 @@ object Compiler {
     * table-length reads — the reference interpreter is equally eager,
     * fiat2/src/fiat2/Interpret.v:515-518). */
   def evalScalar(env: Env, c: Column): Any =
-    env.spark.range(1).select(c.as("v")).head().get(0)
+    oneRow(env.spark).select(c.as("v")).head().get(0)
 
   /** Flatten a per-row result expression into table columns. */
   private def flattenResult(df: DataFrame, res: Column): DataFrame = {
@@ -596,7 +603,7 @@ object Compiler {
           case direct: UnsupportedOperationException
               if collectCorrelatedAggs(p, x).nonEmpty =>
             try filterCorrelatedAggs(df, x, p, env)
-            catch { case dec: Throwable =>
+            catch { case scala.util.control.NonFatal(dec) =>
               direct.addSuppressed(dec); throw direct }
         }
       case CV(c) =>
@@ -642,7 +649,7 @@ object Compiler {
           case direct: UnsupportedOperationException
               if collectCorrelatedAggs(r, x).nonEmpty =>
             try projCorrelatedAggs(tag, df, x, r, env)
-            catch { case dec: Throwable =>
+            catch { case scala.util.control.NonFatal(dec) =>
               direct.addSuppressed(dec); throw direct }
         }
       case CV(c) =>
@@ -795,7 +802,7 @@ object Compiler {
           case direct: UnsupportedOperationException
               if Rewrites.freeVars(e2).contains(x) =>
             try decorrelate()
-            catch { case dec: Throwable =>
+            catch { case scala.util.control.NonFatal(dec) =>
               direct.addSuppressed(dec); throw direct }
         }
       case CV(c) =>
@@ -1052,8 +1059,8 @@ object Compiler {
     val cols = df.columns.sorted
     val one =
       if (cols.sameElements(Array("value")))
-        spark.range(1).select(elem.as("value"))
-      else spark.range(1).select(cols.map(c => elem(c).as(c)): _*)
+        oneRow(spark).select(elem.as("value"))
+      else oneRow(spark).select(cols.map(c => elem(c).as(c)): _*)
     one.select(df.columns.map(col): _*).union(df)
   }
 }

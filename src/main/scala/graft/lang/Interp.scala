@@ -195,8 +195,8 @@ object Interp {
     rows.map { r =>
       val elem = Compiler.asScalar(compileProgram(r, env))
       if (cols.sameElements(Array("value")))
-        env.spark.range(1).select(elem.as("value"))
-      else env.spark.range(1).select(cols.map(c => elem(c).as(c)): _*)
+        Compiler.oneRow(env.spark).select(elem.as("value"))
+      else Compiler.oneRow(env.spark).select(cols.map(c => elem(c).as(c)): _*)
     }.reduce(_ union _)
 
   private def asBoolCol(v: Val) = v match {
@@ -218,6 +218,18 @@ object Interp {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.Project
+    // Fast path: the steady state of a driver-loop scalar cell is
+    // `Literal op Literal` — resolved and foldable — which evaluates
+    // directly (the ConstantFolding idiom), skipping Dataset construction
+    // and a full analyze+optimize round (~10-20ms of driver time PER TICK
+    // in event loops; q_scoped_ivm folds 25 of these per run). Failures
+    // (ANSI overflow, unresolved coercions) fall through to the plan
+    // path, preserving the existing stay-symbolic semantics.
+    try {
+      val e = GraftBridge.expression(c)
+      if (e.resolved && e.foldable)
+        return GraftBridge.column(Literal(e.eval(null), e.dataType))
+    } catch { case scala.util.control.NonFatal(_) => }
     try env.spark.range(1).select(c.as("__v")).queryExecution
       .optimizedPlan match {
       case Project(Seq(a: Alias), _) => a.child match {

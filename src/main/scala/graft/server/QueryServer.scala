@@ -92,7 +92,7 @@ final class QueryServer(spark: SparkSession, dataDir: String,
     val prog = Rewrites.normalize(Parser.parseExpr(src))
     Compiler.compile(prog, Compiler.Env(Map.empty, fullStore, spark)) match {
       case Compiler.TV(df) => df
-      case Compiler.CV(c) => spark.range(1).select(c.as("value"))
+      case Compiler.CV(c) => Compiler.oneRow(spark).select(c.as("value"))
     }
   }
 

@@ -14,21 +14,51 @@ import scala.collection.concurrent.TrieMap
   * under test — is exercised identically every run.
   */
 object StreamStage {
-  private val dirs = TrieMap.empty[(String, String), Path]
-  private val longs = TrieMap.empty[(String, String), Long]
+  // Memo keys include a FINGERPRINT of the source dir's parquet files
+  // (name, length, mtime): regenerating the tables under the same path in
+  // one JVM invalidates the memo instead of silently replaying stale
+  // staged batches. Builds run under a lock — TrieMap.getOrElseUpdate may
+  // evaluate its thunk more than once under concurrent first access,
+  // which would duplicate Spark write jobs and orphan a staging dir.
+  private type Key = (String, String, Long)
+  private val dirs = TrieMap.empty[Key, Path]
+  private val longs = TrieMap.empty[Key, Long]
+  private val buildLock = new Object
+
+  private def fingerprint(dir: String): Long = {
+    val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    fs.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .foldLeft(17L) { (h, f) =>
+        ((h * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
+      }
+  }
+
+  // staged dirs live in /tmp for the JVM's lifetime; delete them on exit
+  // so repeated short-lived JVMs don't accumulate orphaned staging trees
+  sys.addShutdownHook {
+    dirs.values.foreach(p => graft.core.Tables.deleteTree(p.toFile))
+  }
 
   /** Memoized scalar (e.g. the min-ts split cut) per (tag, source dir). */
-  def scalarOnce(tag: String, dir: String)(compute: => Long): Long =
-    longs.getOrElseUpdate((tag, dir), compute)
+  def scalarOnce(tag: String, dir: String)(compute: => Long): Long = {
+    val k = (tag, dir, fingerprint(dir))
+    longs.get(k).getOrElse(buildLock.synchronized {
+      longs.getOrElseUpdate(k, compute)
+    })
+  }
 
   /** Memoized staging directory holding the feed's batch files, built once
     * per (tag, source dir). `build` receives the empty directory. */
-  def stagedOnce(tag: String, dir: String)(build: Path => Unit): Path =
-    dirs.getOrElseUpdate((tag, dir), {
-      val p = Files.createTempDirectory(s"graft_stage_${tag}_")
-      build(p)
-      p
+  def stagedOnce(tag: String, dir: String)(build: Path => Unit): Path = {
+    val k = (tag, dir, fingerprint(dir))
+    dirs.get(k).getOrElse(buildLock.synchronized {
+      dirs.getOrElseUpdate(k, {
+        val p = Files.createTempDirectory(s"graft_stage_${tag}_")
+        build(p)
+        p
+      })
     })
+  }
 
   /** Write one DataFrame as a single parquet file named `name` inside
     * `staged` — the standard batch-file layout the file-stream source
