@@ -489,6 +489,78 @@ class DifferentialSpec extends AnyFunSuite {
   private def cmpValues(a: Vector[V], b: Vector[V]): Int =
     cmp(VList(a), VList(b))
 
+  test("correlated flatmap bodies: decorrelated plans == reference nested loops") {
+    // Random correlated comprehensions over the shapes the engine
+    // decorrelates — filter chains over an uncorrelated core, an optional
+    // outer-referencing projection on top, and EJoin cores whose LEGS
+    // carry correlated filters (this round's addition) — checked against
+    // the reference's nested-loop interpretation (Interpret.v:273-299).
+    // Predicates mix equi and non-equi correlation; the projection and
+    // join result reference the outer row.
+    val outT = TRecord.sorted("k" -> TInt, "s" -> TString)
+    val inT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    val rnd0 = new Random(2024)
+    val t1Rows = Vector.fill(12)(genValue(outT, rnd0))
+    val t2Rows = Vector.fill(15)(genValue(inT, rnd0))
+    val t3Rows = Vector.fill(9)(genValue(inT, rnd0))
+    val d1 = tableDF(t1Rows, outT)
+    val d2 = tableDF(t2Rows, inT)
+    val d3 = tableDF(t3Rows, inT)
+    val renv = REnv("t1" -> VList(t1Rows), "t2" -> VList(t2Rows),
+      "t3" -> VList(t3Rows))
+    def corrPred(rnd: Random, binder: String): Expr = rnd.nextInt(3) match {
+      case 0 => EBinop(OEq, EAccess(EVar(binder), "k"),
+        EAccess(EVar("x"), "k"))
+      case 1 => EBinop(OLess, EAccess(EVar(binder), "v"),
+        EAccess(EVar("x"), "k"))
+      case 2 => EBinop(OLess, EAccess(EVar("x"), "k"),
+        EAccess(EVar(binder), "k"))
+    }
+    for (i <- 0 until 40) {
+      val rnd = new Random(3300 + i)
+      def filterChain(src: Expr, depth: Int): Expr =
+        (0 until depth).foldLeft(src) { (l, j) =>
+          val b = s"f${i}_$j"
+          EFilter(LikeList, l, b, corrPred(rnd, b))
+        }
+      val joinCore = rnd.nextBoolean()
+      val body0 =
+        if (!joinCore) filterChain(ELoc(if (rnd.nextBoolean()) "t2" else "t3"),
+          1 + rnd.nextInt(2))
+        else {
+          val l1 = filterChain(ELoc("t2"), rnd.nextInt(2))
+          val l2 = filterChain(ELoc("t3"), rnd.nextInt(2))
+          // at least one leg correlated, else it's the plain product path
+          val l1c = if (Rewrites.freeVars(l1).contains("x")) l1
+            else filterChain(l1, 1)
+          EJoin(LikeList, l1c, l2, "ja", "jb",
+            EBinop(OEq, EAccess(EVar("ja"), "k"), EAccess(EVar("jb"), "k")),
+            ERecord(List(
+              "k" -> EAccess(EVar("ja"), "k"),
+              "v" -> EBinop(OPlus, EAccess(EVar("jb"), "v"),
+                EAccess(EVar("x"), "k")))))
+        }
+      val (body, elemT) =
+        if (rnd.nextBoolean())
+          (EProj(LikeList, body0, s"p$i", ERecord(List(
+            "a" -> EAccess(EVar(s"p$i"), "k"),
+            "b" -> EAccess(EVar("x"), "k")))),
+            TRecord.sorted("a" -> TInt, "b" -> TInt))
+        else (body0, inT)
+      val prog = EFlatmap(LikeList, ELoc("t1"), "x", body)
+      val expected = interp(prog, renv)
+      Compiler.compileProgram(prog, Env(Map.empty,
+        Map("t1" -> d1, "t2" -> d2, "t3" -> d3), spark)) match {
+        case TV(df) =>
+          val got = collectTable(df, elemT)
+          val want = sortedV(elems(expected))
+          assert(cmpValues(got, want) == 0,
+            s"[corr case $i]\ncompiled=$got\nreference=$want\n${show(prog)}")
+        case CV(_) => fail(s"[corr case $i] table flatmap compiled to a scalar")
+      }
+    }
+  }
+
   test("streamed table EFold agrees with the reference exactly at and across the batch seam") {
     // The table-level EFold switches representation at batchSize=10_000
     // rows: below, one lazy array literal; above, driver-streamed batches

@@ -63,6 +63,47 @@ class DivergenceSpec extends AnyFunSuite {
     assert(fromSpark(wide, TInt) == VI(BigInt(1L << 62) * 4))
   }
 
+  test("correlation beyond filter chains, join legs, and scalar aggregates raises the directed error") {
+    // The reference interprets ARBITRARY correlated bodies nested-loop-
+    // style (fiat2/src/fiat2/Interpret.v:273-299). The engine decorrelates
+    // every shape a distributed join can express — filter chains
+    // (q_lang_decorrelate), scalar aggregates in projections and filter
+    // predicates (q_lang_corr_agg, q_lang_corr_filter), and join legs
+    // (q_lang_corr_join) — and REFUSES the residue with an error directing
+    // the user to the EJoin/comprehension form, rather than silently
+    // falling back to a per-outer-row driver loop. Here the outer row
+    // feeds a nested table-level EFold (an order-dependent accumulation
+    // per outer row — no relational-join equivalent): the reference would
+    // interpret it; the engine must refuse with the directed message.
+    val foldBody = EFold(
+      EFilter(LikeList, ELoc("t2"), "y",
+        EBinop(OEq, EAccess(EVar("y"), "k"), EAccess(EVar("x"), "k"))),
+      EAtom(AInt(0)), "e", "acc",
+      EBinop(OMinus, EAccess(EVar("e"), "v"), EVar("acc")))
+    val prog = EProj(LikeList, ELoc("t1"), "x",
+      ERecord(List("k" -> EAccess(EVar("x"), "k"), "h" -> foldBody)))
+    val rowT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    // the reference side evaluates it fine (arbitrary-body semantics)
+    val rows = VList(Vector(VRec(Vector("k" -> VI(1), "v" -> VI(5)))))
+    val ref = interp(prog, REnv("t1" -> rows, "t2" -> rows))
+    assert(ref.isInstanceOf[VList])
+    // the engine refuses with the directed message
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, 5L)), schema)
+    val err = intercept[UnsupportedOperationException] {
+      Compiler.compileProgram(prog,
+        Env(Map.empty, Map("t1" -> df, "t2" -> df), spark)) match {
+        case Compiler.TV(out) => out.collect()
+        case other => other
+      }
+    }
+    assert(err.getMessage.contains("EJoin"),
+      s"expected the directed rewrite-as-EJoin error, got: ${err.getMessage}")
+  }
+
   test("bag sort position differs between element-array and (value,count) encodings") {
     // {a,a,b} vs {a,c} with a<b<c: element arrays order them Lt; the
     // reference's run-length pairs order them Gt — the one place the
