@@ -601,7 +601,24 @@ class DifferentialSpec extends AnyFunSuite {
 
   private def genCommand(rnd: Random, d: Int): Command =
     if (d <= 0) CSkip
-    else rnd.nextInt(6) match {
+    else rnd.nextInt(8) match {
+      case 6 => // scoped mutable TABLE cell shadowing the global `t`:
+        // the body mutates the inner cell; the outer binding must be
+        // restored on exit (Interp.CLetMut save/restore discipline)
+        CLetMut(EFilter(LikeList, ELoc("t"), "r",
+          EBinop(OLess, EAccess(EVar("r"), "k"), EAtom(AInt(rnd.between(-2, 6))))),
+          "t",
+          CSeq(
+            CAssign("t", EBinop(OCons, literal(genValue(rowU, rnd), rowU),
+              ELoc("t"))),
+            genCommand(rnd, d - 1)))
+      case 7 => // scoped mutable SCALAR cell read by a later filter; inner
+        // updates fold eagerly (Interpret.v:514); scope restores on exit
+        CLetMut(EAtom(AInt(rnd.between(-3, 4))), "lim",
+          CSeq(
+            CAssign("lim", EBinop(OPlus, ELoc("lim"), EAtom(AInt(1)))),
+            CAssign("out", EFilter(LikeList, ELoc("t"), "r",
+              EBinop(OLess, EAccess(EVar("r"), "k"), ELoc("lim"))))))
       case 0 => CSeq(genCommand(rnd, d - 1), genCommand(rnd, d - 1))
       case 1 => // rebuild out from a pipeline over t
         CAssign("out", EFilter(LikeList, ELoc("t"), "r",

@@ -312,6 +312,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected partial (map-side) aggregation of the lineitem side:\n$p")
   }
 
+  test("driver-loop delta unions stay single-partition per row") {
+    // Each cons-insert delta is a ONE-ROW frame; spark.range(1) would give
+    // it defaultParallelism splits, so an N-tick event loop's final union
+    // would schedule N×cores near-empty tasks (800 tasks for 25 rows at
+    // local[32] — measured 6× slower). Guard: the materialized result of
+    // the 25-tick loop carries at most one partition per output row.
+    val df = SparkEntry.queries("q_scoped_ivm")(spark, TestSpark.sfDir)
+    val rows = df.count()
+    val parts = df.rdd.getNumPartitions
+    assert(parts <= rows + 4,
+      s"$parts partitions for $rows rows — one-row deltas are multi-split again")
+  }
+
   test("correlated join legs lower to ordinary joins, not per-row loops") {
     // q_lang_corr_join: flatmap(nation, n => join(σ[corr] supplier,
     // σ[corr] customer)) must become one three-way join — hash joins on
