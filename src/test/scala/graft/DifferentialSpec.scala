@@ -561,6 +561,38 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("same-table correlated join legs resolve through aliases (three-way self-join)") {
+    // Outer table and BOTH join legs are the SAME table: every attribute
+    // id collides three ways, so this passes only if the decorrelated
+    // join's alias-qualified resolution (__decor_l/__decor_j1/__decor_j2)
+    // is airtight — the silent-wrong-result hazard assertUncorrelated
+    // exists to prevent, exercised on the supported path.
+    val rt = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    val rows = (1 to 6).map(i =>
+      VRec(Vector("k" -> VI(BigInt(i % 3)), "v" -> VI(BigInt(i))))).toVector
+    val df = tableDF(rows, rt)
+    def corrLeg(b: String) = EFilter(LikeList, ELoc("t"), b,
+      EBinop(OEq, EAccess(EVar(b), "k"), EAccess(EVar("x"), "k")))
+    val body = EJoin(LikeList, corrLeg("a1"), corrLeg("b1"), "ja", "jb",
+      EBinop(OLess, EAccess(EVar("ja"), "v"), EAccess(EVar("jb"), "v")),
+      ERecord(List(
+        "p" -> EAccess(EVar("ja"), "v"),
+        "q" -> EAccess(EVar("jb"), "v"),
+        "o" -> EAccess(EVar("x"), "v"))))
+    val prog = EFlatmap(LikeList, ELoc("t"), "x", body)
+    val expected = interp(prog, REnv("t" -> VList(rows)))
+    val outT = TRecord.sorted("o" -> TInt, "p" -> TInt, "q" -> TInt)
+    Compiler.compileProgram(prog,
+      Env(Map.empty, Map("t" -> df), spark)) match {
+      case TV(out) =>
+        val got = collectTable(out, outT)
+        val want = sortedV(elems(expected))
+        assert(cmpValues(got, want) == 0,
+          s"compiled=$got\nreference=$want")
+      case CV(_) => fail("table flatmap compiled to a scalar")
+    }
+  }
+
   test("streamed table EFold agrees with the reference exactly at and across the batch seam") {
     // The table-level EFold switches representation at batchSize=10_000
     // rows: below, one lazy array literal; above, driver-streamed batches
