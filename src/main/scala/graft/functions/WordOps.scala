@@ -46,6 +46,42 @@ object WordMath {
   def mods32(a: Long, b: Long): Long =
     if (b == 0) trunc32(a) else (a.toInt % b.toInt).toLong
 
+  // GENERIC width family (any 1 ≤ w ≤ 63; 64 and 32 have the specialized
+  // paths above): the canonical form of a width-w word is its
+  // SIGN-EXTENDED value in a Long, so wrap-around is shift-truncation and
+  // the unsigned view is a mask. Sign extension is order-isomorphic for
+  // both comparison families at every width, and |a % b| < |b| ≤ 2^(w-1)
+  // keeps signed rem in canonical range without re-truncation (kept for
+  // uniformity — truncW on an in-range value is the identity).
+  def truncW(a: Long, w: Int): Long = (a << (64 - w)) >> (64 - w)
+  def umaskW(a: Long, w: Int): Long =
+    if (w == 64) a else a & ((1L << w) - 1) // 1L<<64 wraps (JLS 15.19)
+  def waddW(a: Long, b: Long, w: Int): Long = truncW(a + b, w)
+  def wsubW(a: Long, b: Long, w: Int): Long = truncW(a - b, w)
+  def wmulW(a: Long, b: Long, w: Int): Long = truncW(a * b, w)
+  def divuW(a: Long, b: Long, w: Int): Long =
+    if (b == 0) 0L
+    else if (w == 64) java.lang.Long.divideUnsigned(a, b)
+    else truncW(umaskW(a, w) / umaskW(b, w), w)
+  def divsW(a: Long, b: Long, w: Int): Long =
+    if (b == 0) 0L else truncW(a / b, w)
+  def moduW(a: Long, b: Long, w: Int): Long =
+    if (b == 0) truncW(a, w)
+    else if (w == 64) java.lang.Long.remainderUnsigned(a, b)
+    else truncW(umaskW(a, w) % umaskW(b, w), w)
+  def modsW(a: Long, b: Long, w: Int): Long =
+    if (b == 0) truncW(a, w) else truncW(a % b, w)
+
+  def applyW(op: String, a: Long, b: Long, w: Int): Long = op match {
+    case "wadd" => waddW(a, b, w)
+    case "wsub" => wsubW(a, b, w)
+    case "wmul" => wmulW(a, b, w)
+    case "divu" => divuW(a, b, w)
+    case "divs" => divsW(a, b, w)
+    case "modu" => moduW(a, b, w)
+    case "mods" => modsW(a, b, w)
+  }
+
   def apply(op: String, a: Long, b: Long): Long = op match {
     case "wadd" => wadd(a, b)
     case "wsub" => wsub(a, b)
@@ -84,6 +120,29 @@ case class WordBinOp(left: Expression, right: Expression, op: String)
     copy(left = newLeft, right = newRight)
 }
 
+/** Width-parametric variant for widths without a specialized family:
+  * the width rides along as a constructor parameter and is baked into the
+  * generated call site as an int literal, so the hot path stays a static
+  * primitive call inside whole-stage codegen. */
+case class WordBinOpW(left: Expression, right: Expression, op: String,
+    width: Int) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"graft_word_${op}_$width"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    WordMath.applyW(op, a.asInstanceOf[Long], b.asInstanceOf[Long], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.WordMath.${op}W($a, $b, $width)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordBinOpW =
+    copy(left = newLeft, right = newRight)
+}
+
 object WordOps {
   private def bin(op: String)(a: Column, b: Column): Column =
     GraftBridge.column(WordBinOp(
@@ -107,39 +166,58 @@ object WordOps {
   def lts(a: Column, b: Column): Column = a < b
 
   /** Width-parametric op bundle (the reference's `Context {width: Z}`,
-    * fiat2/src/fiat2/Language.v:4). Supported widths: 64 (the default
-    * everywhere) and 32 (sign-extended-Int-in-Long representation,
-    * `WordMath.*32`). The compiler selects the bundle from
-    * `Env.wordWidth`. */
+    * fiat2/src/fiat2/Language.v:4). Any width 1..64 is supported: 64 (the
+    * default everywhere) and 32 route to the specialized `WordMath`
+    * families; every other width compiles `WordBinOpW`, which bakes the
+    * width into the codegen'd static call (`WordMath.*W(a, b, w)`) over
+    * the same sign-extended-in-Long canonical form. The compiler selects
+    * the bundle from `Env.wordWidth`. */
   final class Width private[WordOps] (val width: Int) {
-    private val sfx = width match {
-      case 64 => ""
-      case 32 => "32"
-      case w => throw new IllegalArgumentException(
-        s"unsupported word width $w (32 and 64 are implemented)")
+    require(width >= 1 && width <= 64,
+      s"unsupported word width $width (must be in 1..64)")
+    private def sel(op: String): (Column, Column) => Column = width match {
+      case 64 => bin(op)
+      case 32 => bin(op + "32")
+      case w => (a: Column, b: Column) => GraftBridge.column(WordBinOpW(
+        GraftBridge.expression(a), GraftBridge.expression(b), op, w))
     }
-    val wadd: (Column, Column) => Column = bin("wadd" + sfx)
-    val wsub: (Column, Column) => Column = bin("wsub" + sfx)
-    val wmul: (Column, Column) => Column = bin("wmul" + sfx)
-    val divu: (Column, Column) => Column = bin("divu" + sfx)
-    val divs: (Column, Column) => Column = bin("divs" + sfx)
-    val modu: (Column, Column) => Column = bin("modu" + sfx)
-    val mods: (Column, Column) => Column = bin("mods" + sfx)
+    val wadd: (Column, Column) => Column = sel("wadd")
+    val wsub: (Column, Column) => Column = sel("wsub")
+    val wmul: (Column, Column) => Column = sel("wmul")
+    val divu: (Column, Column) => Column = sel("divu")
+    val divs: (Column, Column) => Column = sel("divs")
+    val modu: (Column, Column) => Column = sel("modu")
+    val mods: (Column, Column) => Column = sel("mods")
     def wneg(v: Column): Column = wsub(lit(0L), v)
     def ltu(a: Column, b: Column): Column =
       if (width == 64) WordOps.ltu(a, b)
-      // sign-extended 32-bit words: the unsigned value is the low 32 bits
-      else a.bitwiseAND(lit(0xFFFFFFFFL)) < b.bitwiseAND(lit(0xFFFFFFFFL))
+      // sign-extended words: the unsigned value is the low `width` bits
+      else {
+        val m = lit((1L << width) - 1)
+        a.bitwiseAND(m) < b.bitwiseAND(m)
+      }
     def lts(a: Column, b: Column): Column = a < b
     /** Canonicalize a literal into the width's representation. */
     def literal(v: Long): Column =
-      if (width == 64) lit(v) else lit(WordMath.trunc32(v))
+      if (width == 64) lit(v) else lit(WordMath.truncW(v, width))
+    /** `eval_range_word` (fiat2/src/fiat2/Interpret.v:80-90): length =
+      * unsigned(hi) - unsigned(lo) (empty when ≤ 0), elements step by
+      * WRAPPING add from `lo` — all width-correct, unlike a signed
+      * `sequence(lo, hi-1)`, which disagrees whenever an endpoint is
+      * negative in the signed view. The length is the masked wrap-sub for
+      * sub-64 widths (the unsigned diff fits a signed Long); at width 64 a
+      * signed-negative diff means len ≥ 2^63, which `sequence` rejects at
+      * materialization — the same "too large" outcome the local
+      * interpreter's guard gives. */
+    def range(lo: Column, hi: Column): Column = {
+      import org.apache.spark.sql.functions.{array, sequence, transform, when}
+      val diff = wsub(hi, lo)
+      val len = if (width == 64) diff else diff.bitwiseAND(lit((1L << width) - 1))
+      when(!ltu(lo, hi), array().cast("array<long>"))
+        .otherwise(transform(sequence(lit(0L), len - lit(1L)), i => wadd(lo, i)))
+    }
   }
-  private val w64 = new Width(64)
-  private val w32 = new Width(32)
-  def forWidth(width: Int): Width = width match {
-    case 64 => w64
-    case 32 => w32
-    case w => new Width(w) // throws with the directed message
-  }
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Width]()
+  def forWidth(width: Int): Width =
+    cache.computeIfAbsent(width, w => new Width(w))
 }

@@ -1001,7 +1001,9 @@ object Compiler {
       case OWModS => CV(wordOps(env).mods(asCV(v1), asCV(v2)))
       case OWLessU => CV(wordOps(env).ltu(asCV(v1), asCV(v2)))
       case OWLessS => CV(wordOps(env).lts(asCV(v1), asCV(v2)))
-      case OWRange => CV(Fiat2.rangeList(asCV(v1), asCV(v2)))
+      // width-correct unsigned length + wrapping step (NOT the signed
+      // Int-range semantics of ORange/Fiat2.rangeList)
+      case OWRange => CV(wordOps(env).range(asCV(v1), asCV(v2)))
       case OAnd => CV(asCV(v1) && asCV(v2))
       case OOr => CV(asCV(v1) || asCV(v2))
       case OConcatString => CV(concat(asCV(v1), asCV(v2)))

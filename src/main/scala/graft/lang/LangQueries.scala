@@ -1229,6 +1229,63 @@ object LangQueries {
         .asInstanceOf[TV].df.orderBy("k")
     },
 
+    // WIDTH-16 words — exercises the GENERIC width family (WordBinOpW:
+    // width baked into the codegen'd static call over the sign-extended
+    // canonical form), not the specialized 64/32 paths. o_orderkey exceeds
+    // 2^15 at every SF, so the input column itself must be canonicalized
+    // (shiftleft/shiftright 48 = sign-extend the low 16 bits); the wrap
+    // multiply constant 40503 exceeds 2^15, so the AWord literal is
+    // canonicalized by truncation too. The oracle replays 16-bit two's
+    // complement with BIGINT math wrapped mod 2^16.
+    GraftQuery.sql("q_word_ops16",
+      """WITH t AS (SELECT o_orderkey AS k,
+        |             CAST(((o_orderkey - 700 + 32768) % 65536 + 65536)
+        |                  % 65536 - 32768 AS BIGINT) AS w
+        |           FROM orders),
+        |u AS (SELECT k, w,
+        |        CASE WHEN w < 0 THEN w + 65536 ELSE w END AS uw,
+        |        (((w * 40503) % 65536) + 65536 + 32768) % 65536 - 32768 AS wm16,
+        |        (((w + 32767) % 65536) + 65536 + 32768) % 65536 - 32768 AS wa16
+        |      FROM t)
+        |SELECT k,
+        |  CAST(uw // 7 AS BIGINT) AS du,
+        |  CAST(w // -7 AS BIGINT) AS ds,
+        |  CAST(uw % 7 AS BIGINT) AS mu,
+        |  CAST(w % -7 AS BIGINT) AS ms,
+        |  CAST(0 AS BIGINT) AS dz,
+        |  w AS mz,
+        |  CAST(wm16 AS BIGINT) AS wm,
+        |  CAST(wa16 AS BIGINT) AS wa,
+        |  uw < 100 AS ult,
+        |  w < 100 AS slt
+        |FROM u ORDER BY k""".stripMargin) { (s, dir) =>
+      val w = EAccess(EVar("o"), "w")
+      def W(v: Long) = EAtom(AWord(v))
+      val prog = EProj(LikeBag, ELoc("t"), "o", ERecord(List(
+        "k" -> EAccess(EVar("o"), "k"),
+        "du" -> EBinop(OWDivU, w, W(7)),
+        "ds" -> EBinop(OWDivS, w, W(-7)),
+        "mu" -> EBinop(OWModU, w, W(7)),
+        "ms" -> EBinop(OWModS, w, W(-7)),
+        "dz" -> EBinop(OWDivU, w, W(0)),
+        "mz" -> EBinop(OWModS, w, W(0)),
+        "wm" -> EBinop(OWTimes, w, W(40503L)),
+        "wa" -> EBinop(OWPlus, w, W(32767L)),
+        "ult" -> EBinop(OWLessU, w, W(100)),
+        "slt" -> EBinop(OWLessS, w, W(100)))))
+      val rowT = TRecord.sorted("k" -> TInt, "du" -> TWord, "ds" -> TWord,
+        "mu" -> TWord, "ms" -> TWord, "dz" -> TWord, "mz" -> TWord,
+        "wm" -> TWord, "wa" -> TWord, "ult" -> TBool, "slt" -> TBool)
+      val storeT = Map("t" -> TBag(TRecord.sorted("k" -> TInt, "w" -> TWord)))
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) == TBag(rowT))
+      val t = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          shiftright(shiftleft((col("o_orderkey") - 700).cast("long"), 48), 48)
+            .as("w"))
+      compileProgram(prog, Env(Map.empty, Map("t" -> t), s, wordWidth = 16))
+        .asInstanceOf[TV].df.orderBy("k")
+    },
+
     // Collection-kind annotation (fiat2/src/fiat2/CollectionTransf.v:6-51):
     // the SOURCE program is written with sequential list folds — the sum
     // idiom, OLength, and the option-match running-minimum — over a

@@ -156,7 +156,8 @@ object RefInterp {
 
     case EAtom(a) => a match {
       case AWord(v) =>
-        VW(if (env.width == 32) graft.functions.WordMath.trunc32(v) else v)
+        VW(if (env.width == 64) v
+           else graft.functions.WordMath.truncW(v, env.width))
       case AInt(v) => VI(BigInt(v))
       case ABool(v) => VB(v)
       case AString(v) => VS(v)
@@ -172,8 +173,8 @@ object RefInterp {
       val v = interp(e1, env)
       op match {
         case OWNeg => // word.opp wraps at the width's MinValue
-          VW(if (env.width == 32) graft.functions.WordMath.wsub32(0L, asW(v))
-             else -asW(v))
+          VW(if (env.width == 64) -asW(v)
+             else graft.functions.WordMath.wsubW(0L, asW(v), env.width))
         case ONeg => VI(-asI(v))
         case ONot => VB(!asB(v))
         case OLength => VI(BigInt(elems(v).size))
@@ -196,14 +197,18 @@ object RefInterp {
           // on the truncated Int view and re-sign-extends (WordMath *32)
           import graft.functions.WordMath
           val (a, b) = (asW(v1), asW(v2))
-          VW(if (env.width == 32) op match {
-            case OWPlus => WordMath.wadd32(a, b)
-            case OWMinus => WordMath.wsub32(a, b)
-            case OWTimes => WordMath.wmul32(a, b)
-            case OWDivU => WordMath.divu32(a, b)
-            case OWDivS => WordMath.divs32(a, b)
-            case OWModU => WordMath.modu32(a, b)
-            case _ => WordMath.mods32(a, b)
+          // sub-64 widths go through the generic mask/shift family — at
+          // width 32 this is a deliberately DIFFERENT implementation from
+          // the engine's specialized WordMath.*32 Int path, so the
+          // differential fuzz cross-checks the two
+          VW(if (env.width != 64) op match {
+            case OWPlus => WordMath.waddW(a, b, env.width)
+            case OWMinus => WordMath.wsubW(a, b, env.width)
+            case OWTimes => WordMath.wmulW(a, b, env.width)
+            case OWDivU => WordMath.divuW(a, b, env.width)
+            case OWDivS => WordMath.divsW(a, b, env.width)
+            case OWModU => WordMath.moduW(a, b, env.width)
+            case _ => WordMath.modsW(a, b, env.width)
           } else op match {
             case OWPlus => a + b
             case OWMinus => a - b
@@ -238,14 +243,14 @@ object RefInterp {
         case OWRange =>
           val lo = asW(v1); val hi = asW(v2)
           def uns(x: Long): BigInt =
-            if (env.width == 32) BigInt(x.toInt & 0xFFFFFFFFL)
-            else BigInt(java.lang.Long.toUnsignedString(x))
+            if (env.width == 64) BigInt(java.lang.Long.toUnsignedString(x))
+            else BigInt(graft.functions.WordMath.umaskW(x, env.width))
           val ulo = uns(lo); val uhi = uns(hi)
           val len = (uhi - ulo).max(0)
           require(len < (1 << 24), s"word range too large to materialize: $len")
           VList(Vector.tabulate(len.toInt)(i =>
-            VW(if (env.width == 32) graft.functions.WordMath.wadd32(lo, i)
-               else lo + i)))
+            VW(if (env.width == 64) lo + i
+               else graft.functions.WordMath.waddW(lo, i, env.width))))
         // NB (collection, element) order — Interpret.v:186-193
         case OBagInsert => v1 match {
           case VBag(xs) => VBag(sortedV(xs :+ v2))

@@ -295,14 +295,18 @@ class DifferentialSpec extends AnyFunSuite {
       s"too many overflow-skipped cases: $skippedOverflow")
   }
 
-  test("word expressions at widths 32 and 64: compiler == reference at each width") {
+  test("word expressions at widths 8/16/32/64: compiler == reference at each width") {
     // The reference is width-parametric (Section WithWord, Language.v:4);
-    // the SAME random word program is run at both supported widths through
+    // the SAME random word program is run at all four widths through
     // both engines. Signed/unsigned div/mod/less and wrap-around behave
-    // differently at the two widths (e.g. divs(MinValue32, -1) wraps at 32
+    // differently across widths (e.g. divs(MinValue32, -1) wraps at 32
     // but not at 64), so we also require that the widths actually disagree
-    // on a healthy fraction of programs — a truncation bug that made width
-    // 32 behave like 64 would otherwise pass vacuously.
+    // on a healthy fraction of programs — a truncation bug that made a
+    // narrow width behave like 64 would otherwise pass vacuously.
+    // Engine-side, 64/32 run the specialized WordMath families and 16/8
+    // the WordBinOpW generic codegen; reference-side every sub-64 width
+    // runs the generic mask/shift family — so width 32 additionally
+    // cross-checks the two implementations against each other.
     var diverged = 0
     val n = 60
     for (i <- 0 until n) {
@@ -313,7 +317,7 @@ class DifferentialSpec extends AnyFunSuite {
         if (t == TWord) genExpr(TWord, Vector.empty, rnd, 2 + rnd.nextInt(2))
         else EBinop(if (rnd.nextBoolean()) OWLessU else OWLessS,
           genExpr(TWord, Vector.empty, rnd, 2), genExpr(TWord, Vector.empty, rnd, 2))
-      val results = for (w <- Seq(64, 32)) yield {
+      val results = for (w <- Seq(64, 32, 16, 8)) yield {
         val expected = interp(e, REnv(Map.empty, Map.empty, width = w))
         Compiler.compileProgram(e,
           Env(Map.empty, Map.empty, spark, wordWidth = w)) match {
@@ -325,10 +329,38 @@ class DifferentialSpec extends AnyFunSuite {
           case TV(_) => fail(s"[width $w case $i] scalar compiled to a table")
         }
       }
-      if (cmp(results.head, results.last) != 0) diverged += 1
+      if (results.distinct.size > 1) diverged += 1
     }
     assert(diverged >= n / 10,
-      s"widths 32/64 disagreed on only $diverged/$n programs — width plumbing suspiciously inert")
+      s"widths 64/32/16/8 disagreed on only $diverged/$n programs — width plumbing suspiciously inert")
+  }
+
+  test("OWRange follows eval_range_word unsigned-length wrap semantics at every width") {
+    // eval_range_word (Interpret.v:80-90): length = unsigned(hi) -
+    // unsigned(lo), elements step by WRAPPING add. Endpoints are chosen to
+    // disagree with a signed sequence(lo, hi-1): a negative lo whose
+    // unsigned view exceeds hi (must be EMPTY, a signed range would emit
+    // [lo, hi)), windows crossing each width's sign boundary (the step
+    // must wrap to MinValue mid-range), and the top of the unsigned range.
+    val cases = Seq(
+      (0L, 7L), (5L, 5L), (7L, 3L), // plain / empty / reversed
+      (-5L, 3L),                    // uns(lo) > uns(hi) at every width
+      (-3L, -1L),                   // top of the unsigned range
+      (120L, 133L),                 // crosses the width-8 sign boundary
+      (32760L, 32770L))             // crosses the width-16 sign boundary
+    for (w <- Seq(64, 32, 16, 8); (lo, hi) <- cases) {
+      val e = EBinop(OWRange, EAtom(AWord(lo)), EAtom(AWord(hi)))
+      val expected = interp(e, REnv(Map.empty, Map.empty, width = w))
+      Compiler.compileProgram(e,
+        Env(Map.empty, Map.empty, spark, wordWidth = w)) match {
+        case CV(c) =>
+          val got = fromSpark(
+            spark.range(1).select(c.as("v")).head.get(0), TList(TWord))
+          assert(cmp(got, expected) == 0,
+            s"[width $w range($lo,$hi)] compiled=$got reference=$expected")
+        case TV(_) => fail(s"[width $w range($lo,$hi)] compiled to a table")
+      }
+    }
   }
 
   private def isOverflow(ex: Throwable): Boolean = {
