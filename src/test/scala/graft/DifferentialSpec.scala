@@ -154,13 +154,25 @@ class DifferentialSpec extends AnyFunSuite {
           }
           EACFold(if (rnd.nextBoolean()) AGSum else AGCount, sub(coll))
       }
-      case TWord => rnd.nextInt(5) match {
+      case TWord => rnd.nextInt(6) match {
         case 0 => EBinop(OWPlus, sub(TWord), sub(TWord))
         case 1 => EBinop(OWMinus, sub(TWord), sub(TWord))
         case 2 => EBinop(OWTimes, sub(TWord), sub(TWord))
         case 3 => EBinop(Vector(OWDivU, OWDivS, OWModU, OWModS)(rnd.nextInt(4)),
           sub(TWord), sub(TWord))
         case 4 => EUnop(OWNeg, sub(TWord))
+        case 5 =>
+          // wrap-fold an OWRange back to a word: hi = lo + small keeps the
+          // length ≤ 8 at every width (or empty when the add wraps past
+          // lo), so the unsigned-length wrap semantics get fuzzed without
+          // materializing a large range. TList(TWord) can't be generated
+          // via genType (signed-sort divergence), so this is OWRange's
+          // only random-program entry point.
+          val lo = fresh("lo"); val x = fresh("x"); val a = fresh("a")
+          EFold(
+            ELet(sub(TWord, 1), lo, EBinop(OWRange, EVar(lo),
+              EBinop(OWPlus, EVar(lo), EAtom(AWord(rnd.nextInt(9)))))),
+            sub(TWord, 1), x, a, EBinop(OWPlus, EVar(x), EVar(a)))
       }
       case TBool => rnd.nextInt(6) match {
         case 0 => EBinop(OLess, sub(TInt), sub(TInt))

@@ -346,6 +346,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected an aggregate for window frequency:\n$p")
   }
 
+  test("generic-width word ops run inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.WordOps
+    val w16 = WordOps.forWidth(16)
+    val df = spark.range(100)
+      .select(w16.wmul(w16.wadd(col("id"), lit(40503L)), lit(7L)).as("w"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("graft_word_wmul_16"))
+    assert(line.exists(_.trim.startsWith("*(")),
+      s"WordBinOpW not codegen'd:\n$p")
+  }
+
   test("native dot product runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayMath
