@@ -254,8 +254,8 @@ object Compiler {
     * the aggregate node. Sum/count default to 0 on no-match; min/max stay
     * null (the ACI None-on-empty). Outer-only conjuncts gate the result
     * per row with CASE WHEN. Join-key equality is the null-safe `<=>`
-    * (value_eqb). Non-equi correlation under an aggregate keeps the
-    * directed error.
+    * (value_eqb). Non-equi correlation takes the join-then-reaggregate
+    * path over zip positions instead (see unnestCorrelatedAggs).
     */
   private def projCorrelatedAggs(tag: CollectionTag, df: DataFrame,
       x: String, r: Expr, env: Env): Val = {
@@ -292,24 +292,25 @@ object Compiler {
     if (peeled.isEmpty) throw new UnsupportedOperationException(
       "correlated aggregate whose source is not a filter chain over an " +
         "uncorrelated table — rewrite with an explicit EJoin")
-    val id = latIds.incrementAndGet()
-    val la = s"__caggl$id"
-    val outerRow = qualifiedRow(df.columns, la)
-    var joined: DataFrame = df.alias(la)
-    var extraBinds = List.empty[(String, Val)]
-    var r2 = r
-    peeled.zipWithIndex.foreach { case ((node, pe), i) =>
-      val innerDF = compile(pe.core, env) match {
-        case TV(d) => d
-        case cv @ CV(_) => toDF(cv, env)
-      }
-      def conjuncts(p: Expr): List[Expr] = p match {
-        case EBinop(OAnd, a, b) => conjuncts(a) ++ conjuncts(b)
-        case other => List(other)
-      }
+    // Split each aggregate's filter conjuncts up front: clean outer=inner
+    // equalities (keyPairs — the groupBy-then-join path), inner-only
+    // (pre-aggregation filters), outer-only (CASE gates), and everything
+    // else mixing the two rows (`mixed` — one-sided equalities, non-equi
+    // comparisons). Any mixed conjunct forces the JOIN-THEN-REAGGREGATE
+    // path, which needs a stable per-outer-row identity, so the decision
+    // must precede the chain's base frame.
+    final case class ConjSplit(keyPairs: List[(Expr, (String, Expr))],
+        residual: List[(String, Expr)], outerOnly: List[Expr],
+        mixed: List[(String, Expr)])
+    def conjuncts(p: Expr): List[Expr] = p match {
+      case EBinop(OAnd, a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => List(other)
+    }
+    def splitConjuncts(pe: PeeledSrc): ConjSplit = {
       var keyPairs = List.empty[(Expr, (String, Expr))]
       var residual = List.empty[(String, Expr)]
       var outerOnly = List.empty[Expr]
+      var mixed = List.empty[(String, Expr)]
       pe.filters.foreach { case (b, p) =>
         conjuncts(p).foreach { c =>
           val fv = Rewrites.freeVars(c)
@@ -323,30 +324,50 @@ object Compiler {
               else if (f2.contains(x) && !f2.contains(b) &&
                   f1.contains(b) && !f1.contains(x))
                 keyPairs ::= ((a2, (b, a1)))
-              else throw new UnsupportedOperationException(
-                "equality mixing outer and inner rows on one side under a " +
-                  "correlated aggregate")
-            case _ if usesX && !usesB => outerOnly ::= c
-            case _ if !usesX => residual ::= ((b, c))
-            case _ => throw new UnsupportedOperationException(
-              "non-equi correlated predicate under an aggregate — rewrite " +
-                "with an explicit EJoin")
+              else mixed ::= ((b, c))
+            case _ if usesX && usesB => mixed ::= ((b, c))
+            case _ if usesX => outerOnly ::= c
+            case _ => residual ::= ((b, c))
           }
         }
       }
-      if (keyPairs.isEmpty) throw new UnsupportedOperationException(
-        "correlated aggregate without an equi-join key")
+      ConjSplit(keyPairs, residual, outerOnly, mixed)
+    }
+    val splits = peeled.map { case (node, pe) => (node, pe, splitConjuncts(pe)) }
+    splits.foreach { case (_, _, sp) =>
+      if (sp.keyPairs.isEmpty && sp.mixed.isEmpty)
+        throw new UnsupportedOperationException(
+          "correlated aggregate without a predicate tying outer and inner " +
+            "rows — rewrite with an explicit EJoin")
+    }
+    val id = latIds.incrementAndGet()
+    val la = s"__caggl$id"
+    val outerRow = qualifiedRow(df.columns, la)
+    // join-then-reaggregate joins a SECOND copy of the outer per
+    // aggregate; zipIndexed's contiguous positions over canonical order
+    // are deterministic, so the chain copy and the per-aggregate copies
+    // agree row-for-row (identical rows may swap positions between
+    // evaluations — harmless, their aggregates are identical too)
+    val needsPos = splits.exists(_._3.mixed.nonEmpty)
+    val ridBase = if (needsPos) zipIndexed(df) else df
+    var joined: DataFrame = ridBase.alias(la)
+    var extraBinds = List.empty[(String, Val)]
+    var r2 = r
+    splits.zipWithIndex.foreach { case ((node, pe, sp), i) =>
+      val innerDF = compile(pe.core, env) match {
+        case TV(d) => d
+        case cv @ CV(_) => toDF(cv, env)
+      }
+      val keyPairs = sp.keyPairs
+      val outerOnly = sp.outerOnly
       var inner = innerDF
-      residual.reverse.foreach { case (b, p) =>
+      sp.residual.reverse.foreach { case (b, p) =>
         inner = inner.filter(asCV(compile(p,
           env.bindRow(b, CV(rowStruct(inner))))))
       }
       val kName = (j: Int) => s"__k${id}_${i}_$j"
       val vName = s"__v${id}_$i"
       val aName = s"__agg${id}_$i"
-      val innerKeyCols = keyPairs.zipWithIndex.map { case ((_, (b, ie)), j) =>
-        asCV(compile(ie, env.bindRow(b, CV(rowStruct(inner))))).as(kName(j))
-      }
       // count/length never look at the element value; sum/min/max take the
       // peeled projection's value, or the single `value` column of a
       // scalar-element table
@@ -354,27 +375,72 @@ object Compiler {
         case EACFold(AGCount, _) | EUnop(OLength, _) => true
         case _ => false
       }
-      val valueCol =
-        if (countOnly) lit(1L)
-        else pe.proj match {
-          case Some((pb, pv)) =>
-            asCV(compile(pv, env.bindRow(pb, CV(rowStruct(inner)))))
-          case None => inner.col("value") // scalar-element table
-        }
-      val sel = inner.select(innerKeyCols :+ valueCol.as(vName): _*)
-      val aggCol = node match {
-        case EACFold(AGSum, _) => sum(col(vName))
-        case EACFold(AGCount, _) | EUnop(OLength, _) => count(lit(1))
-        case EACIFold(AGMin, _) => min(col(vName))
-        case EACIFold(AGMax, _) => max(col(vName))
+      def aggOf(v: Column): Column = node match {
+        case EACFold(AGSum, _) => sum(v)
+        case EACFold(AGCount, _) | EUnop(OLength, _) => count(v)
+        case EACIFold(AGMin, _) => min(v)
+        case EACIFold(AGMax, _) => max(v)
         case _ => throw new IllegalStateException("non-aggregate node")
       }
-      val aggDF = sel.groupBy(keyPairs.indices.map(j => col(kName(j))): _*)
-        .agg(aggCol.as(aName))
-      val joinPred = keyPairs.zipWithIndex.map { case ((oe, _), j) =>
-        asCV(compile(oe, env.bind(x, CV(outerRow)))) <=> col(kName(j))
-      }.reduce(_ && _)
-      joined = joined.join(aggDF, joinPred, "left")
+      if (sp.mixed.isEmpty) {
+        // GROUPBY-THEN-JOIN (pure equi-correlation): aggregate the inner
+        // side per key — map-side partials, key-sized shuffle — and
+        // left-join the per-key aggregates onto the outer.
+        val innerKeyCols = keyPairs.zipWithIndex.map { case ((_, (b, ie)), j) =>
+          asCV(compile(ie, env.bindRow(b, CV(rowStruct(inner))))).as(kName(j))
+        }
+        val valueCol =
+          if (countOnly) lit(1L)
+          else pe.proj match {
+            case Some((pb, pv)) =>
+              asCV(compile(pv, env.bindRow(pb, CV(rowStruct(inner)))))
+            case None => inner.col("value") // scalar-element table
+          }
+        val sel = inner.select(innerKeyCols :+ valueCol.as(vName): _*)
+        val aggDF = sel.groupBy(keyPairs.indices.map(j => col(kName(j))): _*)
+          .agg(aggOf(col(vName)).as(aName))
+        val joinPred = keyPairs.zipWithIndex.map { case ((oe, _), j) =>
+          asCV(compile(oe, env.bind(x, CV(outerRow)))) <=> col(kName(j))
+        }.reduce(_ && _)
+        joined = joined.join(aggDF, joinPred, "left")
+      } else {
+        // JOIN-THEN-REAGGREGATE (non-equi / one-sided-equality
+        // correlation): left-join the inner onto a second positioned copy
+        // of the outer on the FULL correlated predicate (equi conjuncts
+        // included, compiled through the normal null-safe OEq), aggregate
+        // per outer position, and equi-join the per-position aggregates
+        // back onto the chain. Count counts the inner-side marker so
+        // unmatched outer rows stay at 0. The non-equi join is the honest
+        // distributed cost of this shape — Catalyst picks a broadcast
+        // nested-loop or range join; the reference nested-loop-interprets
+        // the very same product (Interpret.v:273-299).
+        val lo = s"__cao${id}_$i"
+        val ib = s"__cai${id}_$i"
+        val mark = s"__cm${id}_$i"
+        val posK = s"__pk${id}_$i"
+        val oa = ridBase.alias(lo)
+        val oRow = qualifiedRow(df.columns, lo)
+        val ia = inner.withColumn(mark, lit(1L)).alias(ib)
+        val iRow = qualifiedRow(inner.columns, ib)
+        val predConjs =
+          sp.mixed.map { case (b, c) =>
+            asCV(compile(c, env.bindRow(x, CV(oRow)).bindRow(b, CV(iRow))))
+          } ++ keyPairs.map { case (oe, (b, ie)) =>
+            asCV(compile(oe, env.bindRow(x, CV(oRow)))) <=>
+              asCV(compile(ie, env.bindRow(b, CV(iRow))))
+          }
+        val vCol =
+          if (countOnly) col(s"$ib.$mark")
+          else pe.proj match {
+            case Some((pb, pv)) => asCV(compile(pv, env.bindRow(pb, CV(iRow))))
+            case None => col(s"$ib.value")
+          }
+        val aggDF = oa.join(ia, predConjs.reduce(_ && _), "left")
+          .groupBy(col(s"$lo.__pos").as(posK))
+          .agg(aggOf(vCol).as(aName))
+        joined = joined.join(aggDF, col(s"$la.__pos") === col(posK), "left")
+          .drop(posK)
+      }
       val base = node match {
         case EACIFold(_, _) => col(aName) // null-on-empty (ACI None)
         case _ => coalesce(col(aName), lit(0L))

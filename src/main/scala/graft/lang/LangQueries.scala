@@ -303,6 +303,61 @@ object LangQueries {
         .orderBy("s_suppkey")
     },
 
+    // NON-EQUI CORRELATED AGGREGATES (join-then-reaggregate): each nation
+    // aggregates the suppliers BELOW its key (s_nationkey < n_nationkey —
+    // no clean outer=inner equality) with a parity equi-conjunct mixed in.
+    // The unnesting joins supplier onto a positioned copy of nation on the
+    // full predicate and re-aggregates per outer position; the parity
+    // conjunct gives Catalyst a hash-join key, so the plan is an ordinary
+    // shuffled join + aggregate, not a cartesian product (plan-asserted).
+    // count/sum default 0 on no-match; min stays null (ACI None-on-empty).
+    GraftQuery.sql("q_lang_corr_nonequi",
+      """SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey,
+        |  CAST((SELECT COUNT(*) FROM supplier s
+        |        WHERE s.s_nationkey < n.n_nationkey
+        |          AND s.s_nationkey % 2 = n.n_nationkey % 2) AS BIGINT)
+        |    AS cnt_below,
+        |  CAST(COALESCE((SELECT SUM(s.s_suppkey) FROM supplier s
+        |        WHERE s.s_nationkey < n.n_nationkey
+        |          AND s.s_nationkey % 2 = n.n_nationkey % 2), 0) AS BIGINT)
+        |    AS sum_below,
+        |  CAST((SELECT MIN(s.s_suppkey) FROM supplier s
+        |        WHERE s.s_nationkey < n.n_nationkey
+        |          AND s.s_nationkey % 2 = n.n_nationkey % 2) AS BIGINT)
+        |    AS min_below
+        |FROM nation n ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      def corr(b: String) = EFilter(LikeBag, ELoc("supplier"), b,
+        EBinop(OAnd,
+          EBinop(OLess, EAccess(EVar(b), "s_nationkey"),
+            EAccess(EVar("n"), "n_nationkey")),
+          EBinop(OEq,
+            EBinop(OMod, EAccess(EVar(b), "s_nationkey"), EAtom(AInt(2))),
+            EBinop(OMod, EAccess(EVar("n"), "n_nationkey"), EAtom(AInt(2))))))
+      val prog = EProj(LikeBag, ELoc("nation"), "n", ERecord(List(
+        "n_nationkey" -> EAccess(EVar("n"), "n_nationkey"),
+        "cnt_below" -> EUnop(OLength, corr("s0")),
+        "sum_below" -> EACFold(AGSum, EProj(LikeBag, corr("s1"), "p1",
+          EAccess(EVar("p1"), "s_suppkey"))),
+        "min_below" -> EACIFold(AGMin, EProj(LikeBag, corr("s2"), "p2",
+          EAccess(EVar("p2"), "s_suppkey"))))))
+      val rowT = TRecord.sorted("n_nationkey" -> TInt, "cnt_below" -> TInt,
+        "sum_below" -> TInt, "min_below" -> TOption(TInt))
+      val storeT = Map(
+        "nation" -> TBag(TRecord.sorted("n_nationkey" -> TInt)),
+        "supplier" -> TBag(TRecord.sorted("s_suppkey" -> TInt,
+          "s_nationkey" -> TInt)))
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) == TBag(rowT))
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_nationkey").cast("long").as("s_nationkey"))),
+        s)
+      compileProgram(prog, env).asInstanceOf[TV].df
+        .orderBy("n_nationkey")
+    },
+
     // CORRELATION INSIDE A JOIN LEG (Compiler.decorrelate's EJoin-core
     // path): for each nation, θ-join its suppliers against its customers —
     // the outer row variable appears in BOTH legs' filters and in the

@@ -605,6 +605,76 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("non-equi correlated aggregates: join-then-reaggregate == reference nested loops") {
+    // Aggregates over NON-EQUI-correlated filters (plus one-sided mixed
+    // equalities like b.k + x.k == c) take the join-then-reaggregate path:
+    // inner joined to a positioned outer copy on the full predicate,
+    // aggregated per outer position. Random programs mix mixed/equi/
+    // inner-only/outer-only conjuncts in both projection and filter
+    // positions, checked against the reference's nested-loop semantics
+    // (Interpret.v:273-299) — incl. no-match defaults (count/sum 0,
+    // min/max None) and outer-only CASE gating.
+    val outT = TRecord.sorted("k" -> TInt, "s" -> TString)
+    val inT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    val rnd0 = new Random(7100)
+    val t1Rows = Vector.fill(10)(genValue(outT, rnd0))
+    val t2Rows = Vector.fill(14)(genValue(inT, rnd0))
+    val d1 = tableDF(t1Rows, outT)
+    val d2 = tableDF(t2Rows, inT)
+    val renv = REnv("t1" -> VList(t1Rows), "t2" -> VList(t2Rows))
+    for (i <- 0 until 30) {
+      val rnd = new Random(7200 + i)
+      val b = s"nb$i"
+      def conj(kind: Int): Expr = kind match {
+        case 0 => EBinop(OLess, EAccess(EVar(b), "v"), EAccess(EVar("x"), "k"))
+        case 1 => EBinop(OLess, EAccess(EVar("x"), "k"), EAccess(EVar(b), "k"))
+        case 2 => EBinop(OEq,
+          EBinop(OMod, EAccess(EVar(b), "k"), EAtom(AInt(2))),
+          EBinop(OMod, EAccess(EVar("x"), "k"), EAtom(AInt(2))))
+        case 3 => EBinop(OLess, EAccess(EVar(b), "v"), EAtom(AInt(3)))
+        case 4 => EBinop(OLess, EAtom(AInt(-2)), EAccess(EVar("x"), "k"))
+        case 5 => EBinop(OEq,
+          EBinop(OPlus, EAccess(EVar(b), "k"), EAccess(EVar("x"), "k")),
+          EAtom(AInt(4)))
+      }
+      // always at least one mixed conjunct (kinds 0/1/5) so every case
+      // exercises the new path
+      val picks = Vector(rnd.nextInt(2), 2 + rnd.nextInt(3)) ++
+        (if (rnd.nextBoolean()) Vector(5) else Vector.empty)
+      val pred = picks.map(conj).reduce((a, c) => EBinop(OAnd, a, c))
+      val filtered = EFilter(LikeList, ELoc("t2"), b, pred)
+      val pp = s"pp$i"
+      def projected = EProj(LikeList, filtered, pp, EAccess(EVar(pp), "v"))
+      val kind = rnd.nextInt(4)
+      val aggNode = kind match {
+        case 0 => EUnop(OLength, filtered)
+        case 1 => EACFold(AGSum, projected)
+        case 2 => EACIFold(AGMin, projected)
+        case _ => EACIFold(AGMax, projected)
+      }
+      val aggT: FType = if (kind >= 2) TOption(TInt) else TInt
+      val (prog, elemT) =
+        if (kind >= 2 || rnd.nextBoolean())
+          (EProj(LikeList, ELoc("t1"), "x", ERecord(List(
+            "k" -> EAccess(EVar("x"), "k"), "g" -> aggNode))),
+            TRecord.sorted("k" -> TInt, "g" -> aggT))
+        else // filter position needs a TInt-valued aggregate
+          (EFilter(LikeList, ELoc("t1"), "x",
+            EBinop(OEq, EBinop(OMod, aggNode, EAtom(AInt(2))),
+              EAtom(AInt(0)))), outT)
+      val expected = interp(prog, renv)
+      Compiler.compileProgram(prog, Env(Map.empty,
+        Map("t1" -> d1, "t2" -> d2), spark)) match {
+        case TV(df) =>
+          val got = collectTable(df, elemT)
+          val want = sortedV(elems(expected))
+          assert(cmpValues(got, want) == 0,
+            s"[nonequi case $i]\ncompiled=$got\nreference=$want\n${show(prog)}")
+        case CV(_) => fail(s"[nonequi case $i] compiled to a scalar")
+      }
+    }
+  }
+
   test("same-table correlated join legs resolve through aliases (three-way self-join)") {
     // Outer table and BOTH join legs are the SAME table: every attribute
     // id collides three ways, so this passes only if the decorrelated

@@ -346,6 +346,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected an aggregate for window frequency:\n$p")
   }
 
+  test("non-equi correlated aggregates join on the equi conjunct, never cartesian") {
+    // q_lang_corr_nonequi's join-then-reaggregate: the parity equi
+    // conjunct becomes the hash-join key with the non-equi < as residual
+    // condition, and the per-position re-aggregation partial-aggregates
+    // map-side before its shuffle. A CartesianProduct here would be the
+    // all-pairs scale-killer this path exists to avoid.
+    val p = plan("q_lang_corr_nonequi")
+    assert(!p.contains("CartesianProduct"),
+      s"non-equi correlated aggregate planned a cartesian product:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected a keyed join for the correlated aggregate:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"per-position aggregation must partial-aggregate map-side:\n$p")
+  }
+
   test("generic-width word ops run inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.WordOps
