@@ -217,6 +217,15 @@ object Compiler {
       case EACFold(_, s0) if Rewrites.freeVars(s0).contains(x) => buf += e
       case EACIFold(_, s0) if Rewrites.freeVars(s0).contains(x) => buf += e
       case EUnop(OLength, s0) if Rewrites.freeVars(s0).contains(x) => buf += e
+      // sequential/ordered consumers of a correlated table: the SOURCE is
+      // rewritten to a per-outer-row canonical array (the node itself
+      // stays for EFold — its init/step may hold further correlated
+      // aggregates, so keep walking them)
+      case e2 @ EFold(s0, z, _, _, st)
+          if Rewrites.freeVars(s0).contains(x) =>
+        buf += e2; walk(z); walk(st)
+      case e2 @ ESort(_, s0) if Rewrites.freeVars(s0).contains(x) =>
+        buf += e2
       case _ => kids(e).foreach(walk)
     }
     walk(r)
@@ -232,6 +241,12 @@ object Compiler {
   private def peelCorrelated(x: String, src0: Expr): Option[PeeledSrc] = {
     var proj: Option[(String, Expr)] = None
     var cur = src0
+    // a sort layer (the list-typed `EFold(ESort(bag), ...)` idiom) is the
+    // identity here: the unnesting collects a canonically-SORTED array
+    cur match {
+      case ESort(_, l0) => cur = l0
+      case _ => ()
+    }
     cur match {
       case EProj(_, l0, pb, pv) if !Rewrites.freeVars(pv).contains(x) =>
         proj = Some((pb, pv)); cur = l0
@@ -285,6 +300,8 @@ object Compiler {
         case EACFold(_, s0) => s0
         case EACIFold(_, s0) => s0
         case EUnop(OLength, s0) => s0
+        case EFold(s0, _, _, _, _) => s0
+        case ESort(_, s0) => s0
         case _ => throw new IllegalStateException("non-aggregate collected")
       }
       peelCorrelated(x, src).map(p => (node, p))
@@ -348,7 +365,13 @@ object Compiler {
     // are deterministic, so the chain copy and the per-aggregate copies
     // agree row-for-row (identical rows may swap positions between
     // evaluations — harmless, their aggregates are identical too)
-    val needsPos = splits.exists(_._3.mixed.nonEmpty)
+    def collectsArray(node: Expr): Boolean = node match {
+      case EFold(_, _, _, _, _) | ESort(_, _) => true
+      case _ => false
+    }
+    val needsPos = splits.exists { case (n, _, sp) =>
+      sp.mixed.nonEmpty || collectsArray(n)
+    }
     val ridBase = if (needsPos) zipIndexed(df) else df
     var joined: DataFrame = ridBase.alias(la)
     var extraBinds = List.empty[(String, Val)]
@@ -382,82 +405,121 @@ object Compiler {
         case EACIFold(AGMax, _) => max(v)
         case _ => throw new IllegalStateException("non-aggregate node")
       }
-      if (sp.mixed.isEmpty) {
-        // GROUPBY-THEN-JOIN (pure equi-correlation): aggregate the inner
-        // side per key — map-side partials, key-sized shuffle — and
-        // left-join the per-key aggregates onto the outer.
-        val innerKeyCols = keyPairs.zipWithIndex.map { case ((_, (b, ie)), j) =>
-          asCV(compile(ie, env.bindRow(b, CV(rowStruct(inner))))).as(kName(j))
+      // shared machinery of the positioned-outer paths (join-then-
+      // reaggregate and per-position array collection)
+      val lo = s"__cao${id}_$i"
+      val ib = s"__cai${id}_$i"
+      val mark = s"__cm${id}_$i"
+      val posK = s"__pk${id}_$i"
+      lazy val oa = ridBase.alias(lo)
+      lazy val oRow = qualifiedRow(df.columns, lo)
+      lazy val ia = inner.withColumn(mark, lit(1L)).alias(ib)
+      lazy val iRow = qualifiedRow(inner.columns, ib)
+      def posPredConjs: List[Column] =
+        sp.mixed.map { case (b, c) =>
+          asCV(compile(c, env.bindRow(x, CV(oRow)).bindRow(b, CV(iRow))))
+        } ++ keyPairs.map { case (oe, (b, ie)) =>
+          asCV(compile(oe, env.bindRow(x, CV(oRow)))) <=>
+            asCV(compile(ie, env.bindRow(b, CV(iRow))))
         }
-        val valueCol =
-          if (countOnly) lit(1L)
-          else pe.proj match {
-            case Some((pb, pv)) =>
-              asCV(compile(pv, env.bindRow(pb, CV(rowStruct(inner)))))
-            case None => inner.col("value") // scalar-element table
-          }
-        val sel = inner.select(innerKeyCols :+ valueCol.as(vName): _*)
-        val aggDF = sel.groupBy(keyPairs.indices.map(j => col(kName(j))): _*)
-          .agg(aggOf(col(vName)).as(aName))
-        val joinPred = keyPairs.zipWithIndex.map { case ((oe, _), j) =>
-          asCV(compile(oe, env.bind(x, CV(outerRow)))) <=> col(kName(j))
-        }.reduce(_ && _)
-        joined = joined.join(aggDF, joinPred, "left")
-      } else {
-        // JOIN-THEN-REAGGREGATE (non-equi / one-sided-equality
-        // correlation): left-join the inner onto a second positioned copy
-        // of the outer on the FULL correlated predicate (equi conjuncts
-        // included, compiled through the normal null-safe OEq), aggregate
-        // per outer position, and equi-join the per-position aggregates
-        // back onto the chain. Count counts the inner-side marker so
-        // unmatched outer rows stay at 0. The non-equi join is the honest
-        // distributed cost of this shape — Catalyst picks a broadcast
-        // nested-loop or range join; the reference nested-loop-interprets
-        // the very same product (Interpret.v:273-299).
-        val lo = s"__cao${id}_$i"
-        val ib = s"__cai${id}_$i"
-        val mark = s"__cm${id}_$i"
-        val posK = s"__pk${id}_$i"
-        val oa = ridBase.alias(lo)
-        val oRow = qualifiedRow(df.columns, lo)
-        val ia = inner.withColumn(mark, lit(1L)).alias(ib)
-        val iRow = qualifiedRow(inner.columns, ib)
-        val predConjs =
-          sp.mixed.map { case (b, c) =>
-            asCV(compile(c, env.bindRow(x, CV(oRow)).bindRow(b, CV(iRow))))
-          } ++ keyPairs.map { case (oe, (b, ie)) =>
-            asCV(compile(oe, env.bindRow(x, CV(oRow)))) <=>
-              asCV(compile(ie, env.bindRow(b, CV(iRow))))
-          }
-        val vCol =
-          if (countOnly) col(s"$ib.$mark")
-          else pe.proj match {
-            case Some((pb, pv)) => asCV(compile(pv, env.bindRow(pb, CV(iRow))))
-            case None => col(s"$ib.value")
-          }
-        val aggDF = oa.join(ia, predConjs.reduce(_ && _), "left")
+      def gateCol: Option[Column] = outerOnly match {
+        case Nil => None
+        case os => Some(os.map(o =>
+          asCV(compile(o, env.bind(x, CV(outerRow))))).reduce(_ && _))
+      }
+      val name = s"__cagg_${id}_$i"
+      if (collectsArray(node)) {
+        // PER-POSITION ARRAY (sequential/ordered consumers — EFold/ESort
+        // over a correlated table): collect the matched elements per outer
+        // position into a canonically-sorted array (sort_array over the
+        // name-sorted struct IS the engine's canonical value order), then
+        // rewrite the node to consume the array — ESort becomes the array
+        // itself, EFold folds it through the existing nested-array path.
+        // Elements ride in a one-field wrapper struct so a genuine null
+        // value (None) survives collect_list's null-dropping while
+        // unmatched left-join rows (null marker) are dropped.
+        val vCol = pe.proj match {
+          case Some((pb, pv)) => asCV(compile(pv, env.bindRow(pb, CV(iRow))))
+          case None => iRow
+        }
+        val wrapped = when(col(s"$ib.$mark").isNotNull, struct(vCol.as("v")))
+        val aggDF = oa.join(ia, posPredConjs.reduce(_ && _), "left")
           .groupBy(col(s"$lo.__pos").as(posK))
-          .agg(aggOf(vCol).as(aName))
+          .agg(sort_array(collect_list(wrapped)).as(aName))
         joined = joined.join(aggDF, col(s"$la.__pos") === col(posK), "left")
           .drop(posK)
-      }
-      val base = node match {
-        case EACIFold(_, _) => col(aName) // null-on-empty (ACI None)
-        case _ => coalesce(col(aName), lit(0L))
-      }
-      val gated = outerOnly match {
-        case Nil => base
-        case os =>
-          val oc = os.map(o => asCV(compile(o, env.bind(x, CV(outerRow)))))
-            .reduce(_ && _)
-          node match {
+        val ext = transform(col(aName), s => s("v"))
+        // an outer-only gate that fails means the correlated source is
+        // EMPTY for that row (fold yields its init; sort yields [])
+        val arrCol = gateCol match {
+          case None => ext
+          case Some(oc) => when(oc, ext).otherwise(slice(ext, lit(1), lit(0)))
+        }
+        extraBinds ::= (name, CV(arrCol))
+        r2 = Rewrites.foldExpr(r2)(e0 => if (e0 == node) (node match {
+          case EFold(_, z, xv, accv, st) => EFold(EVar(name), z, xv, accv, st)
+          case _ => EVar(name) // ESort: already canonically sorted
+        }) else e0)
+      } else {
+        if (sp.mixed.isEmpty) {
+          // GROUPBY-THEN-JOIN (pure equi-correlation): aggregate the inner
+          // side per key — map-side partials, key-sized shuffle — and
+          // left-join the per-key aggregates onto the outer.
+          val innerKeyCols = keyPairs.zipWithIndex.map { case ((_, (b, ie)), j) =>
+            asCV(compile(ie, env.bindRow(b, CV(rowStruct(inner))))).as(kName(j))
+          }
+          val valueCol =
+            if (countOnly) lit(1L)
+            else pe.proj match {
+              case Some((pb, pv)) =>
+                asCV(compile(pv, env.bindRow(pb, CV(rowStruct(inner)))))
+              case None => inner.col("value") // scalar-element table
+            }
+          val sel = inner.select(innerKeyCols :+ valueCol.as(vName): _*)
+          val aggDF = sel.groupBy(keyPairs.indices.map(j => col(kName(j))): _*)
+            .agg(aggOf(col(vName)).as(aName))
+          val joinPred = keyPairs.zipWithIndex.map { case ((oe, _), j) =>
+            asCV(compile(oe, env.bind(x, CV(outerRow)))) <=> col(kName(j))
+          }.reduce(_ && _)
+          joined = joined.join(aggDF, joinPred, "left")
+        } else {
+          // JOIN-THEN-REAGGREGATE (non-equi / one-sided-equality
+          // correlation): left-join the inner onto a second positioned
+          // copy of the outer on the FULL correlated predicate (equi
+          // conjuncts included, compiled through the normal null-safe
+          // OEq), aggregate per outer position, and equi-join the
+          // per-position aggregates back onto the chain. Count counts the
+          // inner-side marker so unmatched outer rows stay at 0. The
+          // non-equi join is the honest distributed cost of this shape —
+          // Catalyst picks a broadcast nested-loop or range join; the
+          // reference nested-loop-interprets the very same product
+          // (Interpret.v:273-299).
+          val vCol =
+            if (countOnly) col(s"$ib.$mark")
+            else pe.proj match {
+              case Some((pb, pv)) => asCV(compile(pv, env.bindRow(pb, CV(iRow))))
+              case None => col(s"$ib.value")
+            }
+          val aggDF = oa.join(ia, posPredConjs.reduce(_ && _), "left")
+            .groupBy(col(s"$lo.__pos").as(posK))
+            .agg(aggOf(vCol).as(aName))
+          joined = joined.join(aggDF, col(s"$la.__pos") === col(posK), "left")
+            .drop(posK)
+        }
+        val base = node match {
+          case EACIFold(_, _) => col(aName) // null-on-empty (ACI None)
+          case _ => coalesce(col(aName), lit(0L))
+        }
+        val gated = gateCol match {
+          case None => base
+          case Some(oc) => node match {
             case EACIFold(_, _) => when(oc, base)
             case _ => when(oc, base).otherwise(lit(0L))
           }
+        }
+        extraBinds ::= (name, CV(gated))
+        r2 = Rewrites.foldExpr(r2)(e0 => if (e0 == node) EVar(name) else e0)
       }
-      val name = s"__cagg_${id}_$i"
-      extraBinds ::= (name, CV(gated))
-      r2 = Rewrites.foldExpr(r2)(e0 => if (e0 == node) EVar(name) else e0)
     }
     // x stays a ROW variable: any remaining table-level correlation on it
     // must trip assertUncorrelated, not silently mis-resolve

@@ -358,6 +358,55 @@ object LangQueries {
         .orderBy("n_nationkey")
     },
 
+    // CORRELATED TABLE FEEDING A NESTED FOLD (the per-position canonical-
+    // array path): for each nation, right-fold string concatenation over
+    // the CANONICALLY SORTED names of its below-key suppliers — an
+    // order-dependent per-row accumulation the aggregate unnesting can't
+    // express. The engine collects the matched elements per outer position
+    // into a sorted array (one grouped shuffle, no per-row jobs) and the
+    // nested-array fold consumes it; fold_right over ascending order is
+    // exactly STRING_AGG(... ORDER BY) in the oracle.
+    GraftQuery.sql("q_lang_corr_fold",
+      """SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey,
+        |  COALESCE((SELECT STRING_AGG(s.s_name, '' ORDER BY s.s_name)
+        |        FROM supplier s
+        |        WHERE s.s_nationkey < n.n_nationkey
+        |          AND s.s_nationkey % 2 = n.n_nationkey % 2), '')
+        |    AS names_below
+        |FROM nation n ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val corr = EFilter(LikeBag, ELoc("supplier"), "sf",
+        EBinop(OAnd,
+          EBinop(OLess, EAccess(EVar("sf"), "s_nationkey"),
+            EAccess(EVar("n"), "n_nationkey")),
+          EBinop(OEq,
+            EBinop(OMod, EAccess(EVar("sf"), "s_nationkey"), EAtom(AInt(2))),
+            EBinop(OMod, EAccess(EVar("n"), "n_nationkey"), EAtom(AInt(2))))))
+      val folded = EFold(
+        ESort(LikeList, EProj(LikeBag, corr, "pf",
+          EAccess(EVar("pf"), "s_name"))),
+        EAtom(AString("")), "e", "a",
+        EBinop(OConcatString, EVar("e"), EVar("a")))
+      val prog = EProj(LikeBag, ELoc("nation"), "n", ERecord(List(
+        "n_nationkey" -> EAccess(EVar("n"), "n_nationkey"),
+        "names_below" -> folded)))
+      val rowT = TRecord.sorted("n_nationkey" -> TInt,
+        "names_below" -> TString)
+      val storeT = Map(
+        "nation" -> TBag(TRecord.sorted("n_nationkey" -> TInt)),
+        "supplier" -> TBag(TRecord.sorted("s_name" -> TString,
+          "s_nationkey" -> TInt)))
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) == TBag(rowT))
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_name"),
+            col("s_nationkey").cast("long").as("s_nationkey"))),
+        s)
+      compileProgram(prog, env).asInstanceOf[TV].df
+        .orderBy("n_nationkey")
+    },
+
     // CORRELATION INSIDE A JOIN LEG (Compiler.decorrelate's EJoin-core
     // path): for each nation, θ-join its suppliers against its customers —
     // the outer row variable appears in BOTH legs' filters and in the

@@ -675,6 +675,68 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("correlated EFold/ESort bodies: per-row canonical arrays == reference") {
+    // A correlated table feeding a nested EFold (order-dependent
+    // accumulation per outer row) or an ESort (per-row sorted list) now
+    // compiles: the matched elements are collected per outer position
+    // into a canonically-sorted array and the node consumes the array.
+    // The fold step is NON-COMMUTATIVE (e - acc) so a wrong element order
+    // is a wrong answer, the init may reference the outer row, and the
+    // conjunct pool mixes non-equi/equi/inner-only/outer-only correlation
+    // (outer-only gating must yield the INIT, not 0/null).
+    val outT = TRecord.sorted("k" -> TInt, "s" -> TString)
+    val inT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    // the inner pipeline is LikeBag and t2 a VBag: a bag's reference
+    // representation is canonically SORTED, so the reference fold walks
+    // the same canonical order the engine defines table folds over
+    // (projection re-sorts by projected value in both)
+    val rnd0 = new Random(7700)
+    val t1Rows = Vector.fill(9)(genValue(outT, rnd0))
+    val t2Rows = Vector.fill(12)(genValue(inT, rnd0))
+    val d1 = tableDF(t1Rows, outT)
+    val d2 = tableDF(t2Rows, inT)
+    val renv = REnv("t1" -> VList(t1Rows), "t2" -> VBag(sortedV(t2Rows)))
+    for (i <- 0 until 25) {
+      val rnd = new Random(7800 + i)
+      val b = s"cb$i"
+      def conj(kind: Int): Expr = kind match {
+        case 0 => EBinop(OLess, EAccess(EVar(b), "v"), EAccess(EVar("x"), "k"))
+        case 1 => EBinop(OEq,
+          EBinop(OMod, EAccess(EVar(b), "k"), EAtom(AInt(2))),
+          EBinop(OMod, EAccess(EVar("x"), "k"), EAtom(AInt(2))))
+        case 2 => EBinop(OLess, EAccess(EVar(b), "v"), EAtom(AInt(4)))
+        case _ => EBinop(OLess, EAtom(AInt(-1)), EAccess(EVar("x"), "k"))
+      }
+      val picks = Vector(rnd.nextInt(2), rnd.nextInt(4)) ++
+        (if (rnd.nextBoolean()) Vector(rnd.nextInt(4)) else Vector.empty)
+      val pred = picks.map(conj).reduce((a, c) => EBinop(OAnd, a, c))
+      val filtered = EFilter(LikeBag, ELoc("t2"), b, pred)
+      val pp = s"cp$i"
+      val projected = EProj(LikeBag, filtered, pp, EAccess(EVar(pp), "v"))
+      val useFold = rnd.nextBoolean()
+      val (node, fieldT: FType) =
+        if (useFold) {
+          val init =
+            if (rnd.nextBoolean()) EAccess(EVar("x"), "k") else EAtom(AInt(1))
+          (EFold(ESort(LikeList, projected), init, s"fe$i", s"fa$i",
+            EBinop(OMinus, EVar(s"fe$i"), EVar(s"fa$i"))), TInt)
+        } else (ESort(LikeList, projected), TList(TInt))
+      val prog = EProj(LikeList, ELoc("t1"), "x", ERecord(List(
+        "k" -> EAccess(EVar("x"), "k"), "g" -> node)))
+      val elemT = TRecord.sorted("k" -> TInt, "g" -> fieldT)
+      val expected = interp(prog, renv)
+      Compiler.compileProgram(prog, Env(Map.empty,
+        Map("t1" -> d1, "t2" -> d2), spark)) match {
+        case TV(df) =>
+          val got = collectTable(df, elemT)
+          val want = sortedV(elems(expected))
+          assert(cmpValues(got, want) == 0,
+            s"[corr fold/sort case $i]\ncompiled=$got\nreference=$want\n${show(prog)}")
+        case CV(_) => fail(s"[corr fold/sort case $i] compiled to a scalar")
+      }
+    }
+  }
+
   test("same-table correlated join legs resolve through aliases (three-way self-join)") {
     // Outer table and BOTH join legs are the SAME table: every attribute
     // id collides three ways, so this passes only if the decorrelated

@@ -63,26 +63,29 @@ class DivergenceSpec extends AnyFunSuite {
     assert(fromSpark(wide, TInt) == VI(BigInt(1L << 62) * 4))
   }
 
-  test("correlation beyond filter chains, join legs, and scalar aggregates raises the directed error") {
+  test("correlation beyond filter chains, join legs, aggregates and folds raises the directed error") {
     // The reference interprets ARBITRARY correlated bodies nested-loop-
     // style (fiat2/src/fiat2/Interpret.v:273-299). The engine decorrelates
-    // every shape a distributed join can express — filter chains
+    // every shape a distributed plan can express — filter chains
     // (q_lang_decorrelate), scalar aggregates in projections and filter
-    // predicates (q_lang_corr_agg, q_lang_corr_filter), and join legs
-    // (q_lang_corr_join) — and REFUSES the residue with an error directing
-    // the user to the EJoin/comprehension form, rather than silently
-    // falling back to a per-outer-row driver loop. Here the outer row
-    // feeds a nested table-level EFold (an order-dependent accumulation
-    // per outer row — no relational-join equivalent): the reference would
-    // interpret it; the engine must refuse with the directed message.
-    val foldBody = EFold(
-      EFilter(LikeList, ELoc("t2"), "y",
-        EBinop(OEq, EAccess(EVar("y"), "k"), EAccess(EVar("x"), "k"))),
-      EAtom(AInt(0)), "e", "acc",
-      EBinop(OMinus, EAccess(EVar("e"), "v"), EVar("acc")))
-    val prog = EProj(LikeList, ELoc("t1"), "x",
-      ERecord(List("k" -> EAccess(EVar("x"), "k"), "h" -> foldBody)))
+    // predicates incl. non-equi (q_lang_corr_agg, q_lang_corr_filter,
+    // q_lang_corr_nonequi), join legs (q_lang_corr_join), and per-row
+    // folds/sorts over correlated filter chains (the per-position
+    // canonical-array path) — and REFUSES the residue with an error
+    // directing the user to the EJoin/comprehension form, rather than
+    // silently falling back to a per-outer-row driver loop. The refused
+    // residue here: an aggregate over a correlated FLATMAP — the source
+    // is not a filter chain over an uncorrelated core, so the unnesting
+    // cannot peel it. The reference interprets it fine.
     val rowT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    val fmBody = EFlatmap(LikeList, ELoc("t2"), "y",
+      EIf(EBinop(OEq, EAccess(EVar("y"), "k"), EAccess(EVar("x"), "k")),
+        EBinop(OCons, EVar("y"), EBinop(OCons, EVar("y"),
+          EAtom(ANil(rowT)))),
+        EAtom(ANil(rowT))))
+    val prog = EProj(LikeList, ELoc("t1"), "x",
+      ERecord(List("k" -> EAccess(EVar("x"), "k"),
+        "h" -> EUnop(OLength, fmBody))))
     // the reference side evaluates it fine (arbitrary-body semantics)
     val rows = VList(Vector(VRec(Vector("k" -> VI(1), "v" -> VI(5)))))
     val ref = interp(prog, REnv("t1" -> rows, "t2" -> rows))
