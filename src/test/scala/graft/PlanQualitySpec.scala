@@ -361,6 +361,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"per-position aggregation must partial-aggregate map-side:\n$p")
   }
 
+  test("correlated fold collects per-position arrays map-side, never cartesian") {
+    // q_lang_corr_fold's array path: the correlated join keys on the equi
+    // conjunct and collect_list partial-aggregates map-side
+    // (ObjectHashAggregate), so a hot outer row buffers per task, not per
+    // key occurrence.
+    val p = plan("q_lang_corr_fold")
+    assert(!p.contains("CartesianProduct"),
+      s"correlated fold planned a cartesian product:\n$p")
+    assert(p.contains("partial_collect_list"),
+      s"array collection must partial-aggregate map-side:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected a keyed join for the correlated fold:\n$p")
+  }
+
   test("generic-width word ops run inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.WordOps
