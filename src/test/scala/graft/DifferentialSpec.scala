@@ -721,9 +721,17 @@ class DifferentialSpec extends AnyFunSuite {
           (EFold(ESort(LikeList, projected), init, s"fe$i", s"fa$i",
             EBinop(OMinus, EVar(s"fe$i"), EVar(s"fa$i"))), TInt)
         } else (ESort(LikeList, projected), TList(TInt))
-      val prog = EProj(LikeList, ELoc("t1"), "x", ERecord(List(
-        "k" -> EAccess(EVar("x"), "k"), "g" -> node)))
-      val elemT = TRecord.sorted("k" -> TInt, "g" -> fieldT)
+      // folds also land in FILTER predicates (parity of the accumulated
+      // value); sorts and the rest in projection position
+      val (prog, elemT) =
+        if (useFold && rnd.nextInt(3) == 0)
+          (EFilter(LikeList, ELoc("t1"), "x",
+            EBinop(OEq, EBinop(OMod, node, EAtom(AInt(2))),
+              EAtom(AInt(0)))), outT)
+        else
+          (EProj(LikeList, ELoc("t1"), "x", ERecord(List(
+            "k" -> EAccess(EVar("x"), "k"), "g" -> node))),
+            TRecord.sorted("k" -> TInt, "g" -> fieldT))
       val expected = interp(prog, renv)
       Compiler.compileProgram(prog, Env(Map.empty,
         Map("t1" -> d1, "t2" -> d2), spark)) match {
