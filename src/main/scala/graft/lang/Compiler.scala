@@ -314,7 +314,7 @@ object Compiler {
     // (pre-aggregation filters), outer-only (CASE gates), and everything
     // else mixing the two rows (`mixed` — one-sided equalities, non-equi
     // comparisons). Any mixed conjunct forces the JOIN-THEN-REAGGREGATE
-    // path, which needs a stable per-outer-row identity, so the decision
+    // path, which joins the distinct outer rows, so the split
     // must precede the chain's base frame.
     final case class ConjSplit(keyPairs: List[(Expr, (String, Expr))],
         residual: List[(String, Expr)], outerOnly: List[Expr],
@@ -360,20 +360,16 @@ object Compiler {
     val id = latIds.incrementAndGet()
     val la = s"__caggl$id"
     val outerRow = qualifiedRow(df.columns, la)
-    // join-then-reaggregate joins a SECOND copy of the outer per
-    // aggregate; zipIndexed's contiguous positions over canonical order
-    // are deterministic, so the chain copy and the per-aggregate copies
-    // agree row-for-row (identical rows may swap positions between
-    // evaluations — harmless, their aggregates are identical too)
+    // join-then-reaggregate computes each per-outer-row value against the
+    // DISTINCT outer rows (duplicate outer rows have identical correlated
+    // results by definition) and joins it back by null-safe equality on
+    // every outer column — no global sort, no row-id generation, the plan
+    // stays inside Catalyst (pushdown/codegen survive)
     def collectsArray(node: Expr): Boolean = node match {
       case EFold(_, _, _, _, _) | ESort(_, _) => true
       case _ => false
     }
-    val needsPos = splits.exists { case (n, _, sp) =>
-      sp.mixed.nonEmpty || collectsArray(n)
-    }
-    val ridBase = if (needsPos) zipIndexed(df) else df
-    var joined: DataFrame = ridBase.alias(la)
+    var joined: DataFrame = df.alias(la)
     var extraBinds = List.empty[(String, Val)]
     var r2 = r
     splits.zipWithIndex.foreach { case ((node, pe, sp), i) =>
@@ -405,13 +401,15 @@ object Compiler {
         case EACIFold(AGMax, _) => max(v)
         case _ => throw new IllegalStateException("non-aggregate node")
       }
-      // shared machinery of the positioned-outer paths (join-then-
-      // reaggregate and per-position array collection)
+      // shared machinery of the distinct-outer paths (join-then-
+      // reaggregate and per-row array collection): the inner joins the
+      // DISTINCT outer rows on the full predicate, aggregates per outer
+      // row, and the result joins back onto the chain by null-safe
+      // equality on every (renamed) outer column
       val lo = s"__cao${id}_$i"
       val ib = s"__cai${id}_$i"
       val mark = s"__cm${id}_$i"
-      val posK = s"__pk${id}_$i"
-      lazy val oa = ridBase.alias(lo)
+      lazy val oa = df.dropDuplicates().alias(lo)
       lazy val oRow = qualifiedRow(df.columns, lo)
       lazy val ia = inner.withColumn(mark, lit(1L)).alias(ib)
       lazy val iRow = qualifiedRow(inner.columns, ib)
@@ -422,6 +420,18 @@ object Compiler {
           asCV(compile(oe, env.bindRow(x, CV(oRow)))) <=>
             asCV(compile(ie, env.bindRow(b, CV(iRow))))
         }
+      val okName = (c: String) => s"__oc${id}_${i}_$c"
+      def perOuter(aggCol: Column): DataFrame =
+        oa.join(ia, posPredConjs.reduce(_ && _), "left")
+          .groupBy(df.columns.map(c => col(s"$lo.$c")).toIndexedSeq: _*)
+          .agg(aggCol.as(aName))
+          .toDF((df.columns.map(okName) :+ aName).toIndexedSeq: _*)
+      def joinBack(aggDF: DataFrame): Unit = {
+        val cond = df.columns.map(c => col(s"$la.$c") <=> col(okName(c)))
+          .reduce(_ && _)
+        joined = joined.join(aggDF, cond, "left")
+          .drop(df.columns.map(okName).toIndexedSeq: _*)
+      }
       def gateCol: Option[Column] = outerOnly match {
         case Nil => None
         case os => Some(os.map(o =>
@@ -429,9 +439,9 @@ object Compiler {
       }
       val name = s"__cagg_${id}_$i"
       if (collectsArray(node)) {
-        // PER-POSITION ARRAY (sequential/ordered consumers — EFold/ESort
-        // over a correlated table): collect the matched elements per outer
-        // position into a canonically-sorted array (sort_array over the
+        // PER-ROW ARRAY (sequential/ordered consumers — EFold/ESort
+        // over a correlated table): collect the matched elements per
+        // outer row into a canonically-sorted array (sort_array over the
         // name-sorted struct IS the engine's canonical value order), then
         // rewrite the node to consume the array — ESort becomes the array
         // itself, EFold folds it through the existing nested-array path.
@@ -443,11 +453,7 @@ object Compiler {
           case None => iRow
         }
         val wrapped = when(col(s"$ib.$mark").isNotNull, struct(vCol.as("v")))
-        val aggDF = oa.join(ia, posPredConjs.reduce(_ && _), "left")
-          .groupBy(col(s"$lo.__pos").as(posK))
-          .agg(sort_array(collect_list(wrapped)).as(aName))
-        joined = joined.join(aggDF, col(s"$la.__pos") === col(posK), "left")
-          .drop(posK)
+        joinBack(perOuter(sort_array(collect_list(wrapped))))
         val ext = transform(col(aName), s => s("v"))
         // an outer-only gate that fails means the correlated source is
         // EMPTY for that row (fold yields its init; sort yields [])
@@ -484,27 +490,22 @@ object Compiler {
           joined = joined.join(aggDF, joinPred, "left")
         } else {
           // JOIN-THEN-REAGGREGATE (non-equi / one-sided-equality
-          // correlation): left-join the inner onto a second positioned
-          // copy of the outer on the FULL correlated predicate (equi
-          // conjuncts included, compiled through the normal null-safe
-          // OEq), aggregate per outer position, and equi-join the
-          // per-position aggregates back onto the chain. Count counts the
-          // inner-side marker so unmatched outer rows stay at 0. The
-          // non-equi join is the honest distributed cost of this shape —
-          // Catalyst picks a broadcast nested-loop or range join; the
-          // reference nested-loop-interprets the very same product
-          // (Interpret.v:273-299).
+          // correlation): left-join the inner onto the distinct outer rows
+          // on the FULL correlated predicate (equi conjuncts included,
+          // compiled through the normal null-safe OEq), aggregate per
+          // outer row, and join the per-row aggregates back onto the
+          // chain. Count counts the inner-side marker so unmatched outer
+          // rows stay at 0. The non-equi join is the honest distributed
+          // cost of this shape — Catalyst picks a broadcast nested-loop
+          // or range join; the reference nested-loop-interprets the very
+          // same product (Interpret.v:273-299).
           val vCol =
             if (countOnly) col(s"$ib.$mark")
             else pe.proj match {
               case Some((pb, pv)) => asCV(compile(pv, env.bindRow(pb, CV(iRow))))
               case None => col(s"$ib.value")
             }
-          val aggDF = oa.join(ia, posPredConjs.reduce(_ && _), "left")
-            .groupBy(col(s"$lo.__pos").as(posK))
-            .agg(aggOf(vCol).as(aName))
-          joined = joined.join(aggDF, col(s"$la.__pos") === col(posK), "left")
-            .drop(posK)
+          joinBack(perOuter(aggOf(vCol)))
         }
         val base = node match {
           case EACIFold(_, _) => col(aName) // null-on-empty (ACI None)

@@ -307,7 +307,7 @@ object LangQueries {
     // aggregates the suppliers BELOW its key (s_nationkey < n_nationkey —
     // no clean outer=inner equality) with a parity equi-conjunct mixed in.
     // The unnesting joins supplier onto a positioned copy of nation on the
-    // full predicate and re-aggregates per outer position; the parity
+    // full predicate and re-aggregates per distinct outer row; the parity
     // conjunct gives Catalyst a hash-join key, so the plan is an ordinary
     // shuffled join + aggregate, not a cartesian product (plan-asserted).
     // count/sum default 0 on no-match; min stays null (ACI None-on-empty).

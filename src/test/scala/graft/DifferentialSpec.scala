@@ -609,7 +609,7 @@ class DifferentialSpec extends AnyFunSuite {
     // Aggregates over NON-EQUI-correlated filters (plus one-sided mixed
     // equalities like b.k + x.k == c) take the join-then-reaggregate path:
     // inner joined to a positioned outer copy on the full predicate,
-    // aggregated per outer position. Random programs mix mixed/equi/
+    // aggregated per distinct outer row. Random programs mix mixed/equi/
     // inner-only/outer-only conjuncts in both projection and filter
     // positions, checked against the reference's nested-loop semantics
     // (Interpret.v:273-299) — incl. no-match defaults (count/sum 0,
@@ -678,7 +678,7 @@ class DifferentialSpec extends AnyFunSuite {
   test("correlated EFold/ESort bodies: per-row canonical arrays == reference") {
     // A correlated table feeding a nested EFold (order-dependent
     // accumulation per outer row) or an ESort (per-row sorted list) now
-    // compiles: the matched elements are collected per outer position
+    // compiles: the matched elements are collected per distinct outer row
     // into a canonically-sorted array and the node consumes the array.
     // The fold step is NON-COMMUTATIVE (e - acc) so a wrong element order
     // is a wrong answer, the init may reference the outer row, and the
