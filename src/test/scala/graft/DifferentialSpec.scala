@@ -617,7 +617,13 @@ class DifferentialSpec extends AnyFunSuite {
     val outT = TRecord.sorted("k" -> TInt, "s" -> TString)
     val inT = TRecord.sorted("k" -> TInt, "v" -> TInt)
     val rnd0 = new Random(7100)
-    val t1Rows = Vector.fill(10)(genValue(outT, rnd0))
+    // DUPLICATE outer rows included: the reaggregation keys on DISTINCT
+    // outer rows, so duplicates must each surface the shared result with
+    // their full multiplicity
+    val t1Rows = {
+      val base = Vector.fill(10)(genValue(outT, rnd0))
+      base ++ base.take(3)
+    }
     val t2Rows = Vector.fill(14)(genValue(inT, rnd0))
     val d1 = tableDF(t1Rows, outT)
     val d2 = tableDF(t2Rows, inT)
@@ -691,7 +697,12 @@ class DifferentialSpec extends AnyFunSuite {
     // the same canonical order the engine defines table folds over
     // (projection re-sorts by projected value in both)
     val rnd0 = new Random(7700)
-    val t1Rows = Vector.fill(9)(genValue(outT, rnd0))
+    // duplicate outer rows: distinct-keyed reaggregation must fan the
+    // shared per-row array back out at full multiplicity
+    val t1Rows = {
+      val base = Vector.fill(9)(genValue(outT, rnd0))
+      base ++ base.take(3)
+    }
     val t2Rows = Vector.fill(12)(genValue(inT, rnd0))
     val d1 = tableDF(t1Rows, outT)
     val d2 = tableDF(t2Rows, inT)
