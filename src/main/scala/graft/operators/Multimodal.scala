@@ -6,9 +6,12 @@ import graft.core.{GraftQuery, Tables}
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded per-partition. The Spark-side shape is real — binary
   * encoding, schema, batch iteration with one decoder open per partition
-  * (the mapInPandas batch pattern, in Scala) — while the codec itself is a
-  * deterministic STUB (`FakeDecoder`): this container has no image/audio
-  * libraries, so the stub stands in for e.g. a JPEG decode.
+  * (the mapInPandas batch pattern, in Scala). IMAGES use a REAL codec:
+  * `PngCodec` encodes/decodes actual PNG bytes through the JDK's
+  * `javax.imageio` (zero external dependencies, works headless), so
+  * `q_multimodal_png` round-trips genuine compressed image data. Audio /
+  * video decodes remain a deterministic STUB (`FakeDecoder`) — those
+  * codecs aren't in the JDK or this container.
   */
 object Multimodal {
 
@@ -64,7 +67,105 @@ object Multimodal {
   }
   object FakeDecoder { def open(): FakeDecoder = new FakeDecoder }
 
+  final case class PngFeatures(doc_id: Long, width: Int, height: Int,
+      r_sum: Long, g_sum: Long, b_sum: Long, resized_r_sum: Long)
+
+  /** REAL image codec over the JDK's javax.imageio (headless-safe, no
+    * external libraries): encodes an 8×6 RGB image whose pixels are a pure
+    * function of the source bytes into genuine PNG (zlib-compressed), and
+    * decodes it back for feature extraction. PNG is lossless RGB, so the
+    * decoded pixel sums are exactly recomputable from the source bytes —
+    * which is what lets a SQL oracle check a real compressed round trip
+    * without being able to inflate PNG itself. Opened once per partition.
+    */
+  final class PngCodec {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val W = 8; val H = 6
+
+    /** Pixel p reads bytes (p, p+1, p+2) mod n as R, G, B. */
+    def encode(doc_id: Long, bytes: Array[Byte]): MediaBlob = {
+      val src = if (bytes.isEmpty) Array[Byte](0) else bytes
+      val n = src.length
+      val img = new BufferedImage(W, H, BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < W * H) {
+        val r = src(p % n) & 0xff
+        val g = src((p + 1) % n) & 0xff
+        val b = src((p + 2) % n) & 0xff
+        img.setRGB(p % W, p / W, (r << 16) | (g << 8) | b)
+        p += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      MediaBlob(doc_id, bos.toByteArray, "image/png")
+    }
+
+    /** Decode real PNG bytes; per-channel sums over all pixels plus the
+      * R-channel sum of an explicit nearest-neighbor 2× downsample
+      * (out(x,y) = in(2x, 2y)) — arithmetic a SQL oracle can replay. */
+    def decodeFeatures(b: MediaBlob): PngFeatures = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(b.data))
+      val (w, h) = (img.getWidth, img.getHeight)
+      var rs = 0L; var gs = 0L; var bs = 0L; var rrs = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = img.getRGB(x, y)
+          rs += (px >> 16) & 0xff; gs += (px >> 8) & 0xff; bs += px & 0xff
+          if (x % 2 == 0 && y % 2 == 0) rrs += (px >> 16) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      PngFeatures(b.doc_id, w, h, rs, gs, bs, rrs)
+    }
+  }
+  object PngCodec { def open(): PngCodec = new PngCodec }
+
   val queries: Seq[GraftQuery] = Seq(
+
+    // REAL PNG ROUND TRIP (javax.imageio, zero external deps): encode an
+    // 8×6 RGB image whose pixels are a pure function of the (pure-ASCII)
+    // text bytes into genuine zlib-compressed PNG, then decode the PNG and
+    // extract per-channel sums + a nearest-neighbor 2× downsample sum.
+    // PNG is lossless, so the oracle replays the pixel arithmetic from
+    // character codes — the compressed bytes themselves only exist on the
+    // Spark side, proving the codec actually ran. One codec instance per
+    // partition; the single-partition documents table is repartitioned so
+    // the per-doc encode/decode work spreads across cores.
+    GraftQuery.sql("q_multimodal_png",
+      """WITH px AS (
+        |  SELECT d.doc_id, p,
+        |    ascii(substr(d.text, CAST((p % n) + 1 AS INT), 1)) AS r,
+        |    ascii(substr(d.text, CAST(((p + 1) % n) + 1 AS INT), 1)) AS g,
+        |    ascii(substr(d.text, CAST(((p + 2) % n) + 1 AS INT), 1)) AS b
+        |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |        FROM documents) d,
+        |       unnest(range(0, 48)) AS t(p))
+        |SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        |  CAST(SUM(r) AS BIGINT) AS r_sum,
+        |  CAST(SUM(g) AS BIGINT) AS g_sum,
+        |  CAST(SUM(b) AS BIGINT) AS b_sum,
+        |  CAST(SUM(CASE WHEN (p // 8) % 2 = 0 AND (p % 8) % 2 = 0
+        |           THEN r ELSE 0 END) AS BIGINT) AS resized_r_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val blobs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", encode($"text", "utf-8").as("data"),
+          lit("image/png").as("fmt"))
+        .as[MediaBlob]
+      val pngs = blobs.mapPartitions { iter =>
+        val codec = PngCodec.open()
+        iter.map(b => codec.encode(b.doc_id, b.data))
+      }
+      pngs.mapPartitions { iter =>
+        val codec = PngCodec.open()
+        iter.map(codec.decodeFeatures)
+      }.toDF().orderBy("doc_id")
+    },
 
     // Metadata extraction through the binary path: text bytes stand in for
     // media bytes (corpus is pure ASCII, so the oracle can recompute the
