@@ -6,12 +6,13 @@ import graft.core.{GraftQuery, Tables}
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded per-partition. The Spark-side shape is real — binary
   * encoding, schema, batch iteration with one decoder open per partition
-  * (the mapInPandas batch pattern, in Scala). IMAGES use a REAL codec:
-  * `PngCodec` encodes/decodes actual PNG bytes through the JDK's
-  * `javax.imageio` (zero external dependencies, works headless), so
-  * `q_multimodal_png` round-trips genuine compressed image data. Audio /
-  * video decodes remain a deterministic STUB (`FakeDecoder`) — those
-  * codecs aren't in the JDK or this container.
+  * (the mapInPandas batch pattern, in Scala). IMAGES and AUDIO use REAL
+  * codecs from the JDK (zero external dependencies, headless-safe):
+  * `PngCodec` round-trips genuine zlib-compressed PNG through
+  * `javax.imageio` (`q_multimodal_png`), and `WavCodec` round-trips a
+  * genuine RIFF/WAV PCM container through `javax.sound.sampled`
+  * (`q_multimodal_wav`). Only VIDEO decode remains a deterministic STUB
+  * (`FakeDecoder`) — no video codec ships with the JDK or this container.
   */
 object Multimodal {
 
@@ -124,6 +125,56 @@ object Multimodal {
   }
   object PngCodec { def open(): PngCodec = new PngCodec }
 
+  final case class WavStats(doc_id: Long, n_samples: Int, sample_sum: Long,
+      abs_sum: Long, peak: Long)
+
+  /** REAL audio container codec over the JDK's javax.sound.sampled (no
+    * external libraries): synthesizes 16-bit mono PCM from the source
+    * bytes, writes a genuine RIFF/WAV file, and parses it back through
+    * AudioSystem for sample statistics. PCM is lossless, so the decoded
+    * stats are exactly recomputable from the source bytes by a SQL
+    * oracle. Opened once per partition. */
+  final class WavCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val N = 96 // samples per clip
+
+    /** Sample i is ((byte[i mod n] unsigned) - 128) * 256 as 16-bit PCM. */
+    def encode(doc_id: Long, bytes: Array[Byte]): MediaBlob = {
+      val src = if (bytes.isEmpty) Array[Byte](0) else bytes
+      val n = src.length
+      val data = new Array[Byte](N * 2) // little-endian PCM16
+      var i = 0
+      while (i < N) {
+        val s = ((src(i % n) & 0xff) - 128) * 256
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, N.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      MediaBlob(doc_id, bos.toByteArray, "audio/wav")
+    }
+
+    def decodeStats(b: MediaBlob): WavStats = {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b.data))
+      val raw = ais.readAllBytes()
+      val nSamp = raw.length / 2
+      var sum = 0L; var abs = 0L; var peak = 0L
+      var i = 0
+      while (i < nSamp) {
+        val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toLong
+        sum += s; abs += math.abs(s); peak = math.max(peak, math.abs(s))
+        i += 1
+      }
+      WavStats(b.doc_id, nSamp, sum, abs, peak)
+    }
+  }
+  object WavCodec { def open(): WavCodec = new WavCodec }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // REAL PNG ROUND TRIP (javax.imageio, zero external deps): encode an
@@ -164,6 +215,41 @@ object Multimodal {
       pngs.mapPartitions { iter =>
         val codec = PngCodec.open()
         iter.map(codec.decodeFeatures)
+      }.toDF().orderBy("doc_id")
+    },
+
+    // REAL WAV ROUND TRIP (javax.sound.sampled, zero external deps):
+    // synthesize 16-bit mono PCM from the text bytes, write a genuine
+    // RIFF/WAV container, parse it back through AudioSystem, and compute
+    // sample statistics. PCM is lossless, so the oracle replays the
+    // sample arithmetic from character codes; the WAV bytes only exist on
+    // the Spark side, proving the container codec actually ran.
+    GraftQuery.sql("q_multimodal_wav",
+      """WITH sm AS (
+        |  SELECT d.doc_id,
+        |    (ascii(substr(d.text, CAST((i % n) + 1 AS INT), 1)) - 128) * 256
+        |      AS s
+        |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |        FROM documents) d,
+        |       unnest(range(0, 96)) AS t(i))
+        |SELECT doc_id, CAST(96 AS INT) AS n_samples,
+        |  CAST(SUM(s) AS BIGINT) AS sample_sum,
+        |  CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val blobs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", encode($"text", "utf-8").as("data"),
+          lit("audio/wav").as("fmt"))
+        .as[MediaBlob]
+      val wavs = blobs.mapPartitions { iter =>
+        val codec = WavCodec.open()
+        iter.map(b => codec.encode(b.doc_id, b.data))
+      }
+      wavs.mapPartitions { iter =>
+        val codec = WavCodec.open()
+        iter.map(codec.decodeStats)
       }.toDF().orderBy("doc_id")
     },
 
