@@ -756,6 +756,62 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed correlated aggregates and folds in one body unnest together") {
+    // One projection body holding all three unnesting paths at once — an
+    // equi-keyed aggregate (groupBy-then-join), a non-equi aggregate
+    // (join-then-reaggregate on distinct outer rows), and an ordered fold
+    // (per-row canonical array) — so the chain of left joins over one
+    // outer is exercised with heterogeneous per-node plans.
+    val outT = TRecord.sorted("k" -> TInt, "s" -> TString)
+    val inT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    val rnd0 = new Random(8500)
+    val t1Rows = {
+      val base = Vector.fill(8)(genValue(outT, rnd0))
+      base ++ base.take(2)
+    }
+    val t2Rows = Vector.fill(11)(genValue(inT, rnd0))
+    val d1 = tableDF(t1Rows, outT)
+    val d2 = tableDF(t2Rows, inT)
+    val renv = REnv("t1" -> VList(t1Rows), "t2" -> VBag(sortedV(t2Rows)))
+    for (i <- 0 until 12) {
+      val rnd = new Random(8600 + i)
+      def filt(b: String, kind: Int): Expr = EFilter(LikeBag, ELoc("t2"), b,
+        kind match {
+          case 0 => EBinop(OEq, EAccess(EVar(b), "k"),
+            EAccess(EVar("x"), "k")) // equi path
+          case 1 => EBinop(OLess, EAccess(EVar(b), "v"),
+            EAccess(EVar("x"), "k")) // non-equi path
+          case _ => EBinop(OAnd,
+            EBinop(OLess, EAccess(EVar(b), "v"), EAccess(EVar("x"), "k")),
+            EBinop(OEq, EBinop(OMod, EAccess(EVar(b), "k"), EAtom(AInt(2))),
+              EBinop(OMod, EAccess(EVar("x"), "k"), EAtom(AInt(2)))))
+        })
+      val g1 = EACFold(AGSum, EProj(LikeBag, filt(s"ma$i", 0), s"pa$i",
+        EAccess(EVar(s"pa$i"), "v")))
+      val g2 = EUnop(OLength, filt(s"mb$i", 1 + rnd.nextInt(2)))
+      val g3 = EFold(
+        ESort(LikeList, EProj(LikeBag, filt(s"mc$i", rnd.nextInt(3)),
+          s"pc$i", EAccess(EVar(s"pc$i"), "v"))),
+        EAtom(AInt(i)), s"me$i", s"mf$i",
+        EBinop(OMinus, EVar(s"me$i"), EVar(s"mf$i")))
+      val prog = EProj(LikeList, ELoc("t1"), "x", ERecord(List(
+        "k" -> EAccess(EVar("x"), "k"),
+        "g1" -> g1, "g2" -> g2, "g3" -> g3)))
+      val elemT = TRecord.sorted("k" -> TInt, "g1" -> TInt, "g2" -> TInt,
+        "g3" -> TInt)
+      val expected = interp(prog, renv)
+      Compiler.compileProgram(prog, Env(Map.empty,
+        Map("t1" -> d1, "t2" -> d2), spark)) match {
+        case TV(df) =>
+          val got = collectTable(df, elemT)
+          val want = sortedV(elems(expected))
+          assert(cmpValues(got, want) == 0,
+            s"[mixed case $i]\ncompiled=$got\nreference=$want\n${show(prog)}")
+        case CV(_) => fail(s"[mixed case $i] compiled to a scalar")
+      }
+    }
+  }
+
   test("same-table correlated join legs resolve through aliases (three-way self-join)") {
     // Outer table and BOTH join legs are the SAME table: every attribute
     // id collides three ways, so this passes only if the decorrelated
