@@ -30,8 +30,12 @@ class ScaleGrowthSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private val baseDir = "/root/testdata/sf0.01"
+  // q_lang_corr_filter_big rides along to pin the correlated-aggregate
+  // unnesting: its lineitem aggregate side grows 8x while the supplier
+  // outer is fixed — the grouped-agg + join plan must grow ≲ linearly
   private val queries =
-    Seq("q_substring_dup", "q_pipeline_clean", "q_dedup_clusters", "q_pagerank")
+    Seq("q_substring_dup", "q_pipeline_clean", "q_dedup_clusters",
+      "q_pagerank", "q_lang_corr_filter_big")
   private val bound = 12.0
 
   private def blowUp(tmp: String): Unit = {
@@ -50,6 +54,10 @@ class ScaleGrowthSpec extends AnyFunSuite {
         .withColumn("l_partkey", col("l_partkey") + lit(i * 999983L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    // supplier rides along unchanged: the correlated-aggregate query's
+    // OUTER side stays fixed while its lineitem aggregate side grows 8x
+    spark.read.parquet(s"$baseDir/supplier.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/supplier.parquet")
   }
 
   private def time(name: String, dir: String): Double = {
