@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // ~96 queries × several codegen stages far exceeds the default
       // 100-entry generated-class cache; evictions force Janino
@@ -123,12 +124,15 @@ object Bench {
     val (slow, fast) = results.partition { case (_, v) => v >= 0.3 || v < 0 }
     val qs = slow.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // failed queries report -1 per-query but must not SUBTRACT from total
+    // failed queries report -1 per-query but must not SUBTRACT from total;
+    // list their names explicitly — a -1 buried in 80 entries is easy to miss
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"reps":$reps,"stat":"median",""" +
       s""""queries":$qs,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},""" +
       s""""fast_omitted":${fast.size},"fast_total":${fmt(fast.values.sum)},""" +
       s""""sf":"$sfName"}""")
     spark.stop()

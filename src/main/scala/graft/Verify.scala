@@ -27,6 +27,7 @@ object Verify {
         SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       // drop any dump from a previous run FIRST: if this query fails now,
       // a stale success must not masquerade as a pass in a reused outDir
@@ -35,7 +36,20 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A thrown query must be VISIBLE in the correctness artifact, not
+        // silently absent (r8: 10 thrown queries produced an all-green
+        // 154/154 report). Dump a one-row error-marker parquet — it can
+        // never hash-match any oracle, so the compare records an explicit
+        // failing entry for this name.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(
+            s"query threw: ${failures(name).take(500)}")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__graft_error",
+              org.apache.spark.sql.types.StringType))))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       // queries build private caches (indexes, shingle sets); drop them so
       // 100+ queries don't accumulate executor memory. localCheckpoint
@@ -64,6 +78,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // self-describing failure record alongside the dumps (the error-marker
+    // parquets above make failures visible in the driver's compare; this
+    // file carries the full messages)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 

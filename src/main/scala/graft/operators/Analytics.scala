@@ -66,10 +66,10 @@ object Analytics {
         |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, wk, COUNT(*) AS n_users
         |FROM a GROUP BY 1, 2 ORDER BY cohort_week, wk""".stripMargin) { (s, dir) =>
       import s.implicits._
-      // events.ts arrives as epoch-nanos long (Tables.load); truncate to µs
-      // timestamps first — week-level truncation is unaffected
-      val events = Tables.load(s, dir, "events")
-        .withColumn("tstamp", Tables.tsCol($"ts"))
+      // normalize whichever stored ts layout to a µs timestamp first —
+      // week-level truncation is unaffected
+      val ev = Tables.load(s, dir, "events")
+      val events = ev.withColumn("tstamp", Tables.tsCol(ev))
       val f = events.groupBy($"user_id")
         .agg(date_trunc("week", min($"tstamp")).as("cohort"))
       events.join(f, "user_id")

@@ -43,9 +43,10 @@ object Temporal {
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val u = Tables.load(s, dir, "events")
+      val ev = Tables.load(s, dir, "events")
+      val u = ev
         .filter($"event_type".isin("click", "purchase"))
-        .select($"user_id", unix_micros(Tables.tsCol($"ts")).as("t"),
+        .select($"user_id", Tables.epochUs(ev).as("t"),
           $"event_id", $"event_type")
       val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -71,8 +72,9 @@ object Temporal {
         | AND er.t >= c.t AND er.t < c.t + $HourUs
         |ORDER BY click_id, error_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val u = Tables.load(s, dir, "events")
-        .select($"user_id", unix_micros(Tables.tsCol($"ts")).as("t"),
+      val ev = Tables.load(s, dir, "events")
+      val u = ev
+        .select($"user_id", Tables.epochUs(ev).as("t"),
           $"event_id", $"event_type")
       // integral division (like Tables.tsCol) — long/long `/` would be a
       // double divide whose rounding could misbucket an extreme timestamp
@@ -107,8 +109,8 @@ object Temporal {
         |       COUNT(*) AS n
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       import s.implicits._
-      Tables.load(s, dir, "events")
-        .withColumn("tstamp", Tables.tsCol($"ts"))
+      val ev = Tables.load(s, dir, "events")
+      ev.withColumn("tstamp", Tables.tsCol(ev))
         .groupBy(window($"tstamp", "1 hour", "30 minutes"), $"event_type")
         .agg(count(lit(1)).as("n"))
         .select(unix_micros($"window.start").as("window_start_us"),

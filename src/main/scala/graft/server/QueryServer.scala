@@ -205,6 +205,7 @@ object QueryServerMain {
     val spark = SparkSession.builder()
       .appName("graft-server").master("local[*]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     val server = new QueryServer(spark, dataDir, port)

@@ -46,24 +46,25 @@ object LateData {
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
       val schema = ev.schema
-      // ts is epoch-nanos long in the parquet; the split threshold is
-      // min(ts) + 1 day in the same unit, so both engines cut identically.
-      // Cut and split files are pure functions of the source — staged once,
-      // re-delivered per run (the arrival sequencing is the thing under test)
-      val cutNanos = StreamStage.scalarOnce("late_min", dir)(
-        ev.agg(min($"ts")).head().getLong(0)) + 86400L * 1000000000L
+      // the split threshold is min(ts) + 1 day in integer epoch-µs
+      // (Tables.epochUs normalizes either stored layout), so both engines
+      // cut identically. Cut and split files are pure functions of the
+      // source — staged once, re-delivered per run (the arrival sequencing
+      // is the thing under test)
+      val cutUs = StreamStage.scalarOnce("late_min_us", dir)(
+        ev.agg(min(Tables.epochUs(ev))).head().getLong(0)) + 86400L * 1000000L
       val staged = StreamStage.stagedOnce("late", dir) { p =>
         StreamStage.writeBatchFile(
-          ev.filter($"ts" >= cutNanos), p, "batch01.parquet")
+          ev.filter(Tables.epochUs(ev) >= cutUs), p, "batch01.parquet")
         StreamStage.writeBatchFile(
-          ev.filter($"ts" < cutNanos), p, "batch02.parquet")
+          ev.filter(Tables.epochUs(ev) < cutUs), p, "batch02.parquet")
       }
       val watchDir = java.nio.file.Files.createTempDirectory("graft_late_")
       def addBatch(seq: Int): Unit =
         StreamStage.deliver(staged, watchDir, f"batch$seq%02d.parquet")
       val stream = s.readStream.schema(schema).parquet(watchDir.toString)
       val agg = stream
-        .withColumn("tstamp", Tables.tsCol($"ts"))
+        .withColumn("tstamp", Tables.tsCol(stream))
         .withWatermark("tstamp", "12 hours")
         .groupBy(window($"tstamp", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"),

@@ -63,8 +63,9 @@ object Sessionize {
       val watchDir = java.nio.file.Files.createTempDirectory("graft_sess_")
       java.nio.file.Files.createSymbolicLink(watchDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = s.readStream.schema(schema).parquet(watchDir.toString)
-        .select($"user_id", unix_micros(Tables.tsCol($"ts")).as("t"))
+      val src = s.readStream.schema(schema).parquet(watchDir.toString)
+      val stream = src
+        .select($"user_id", Tables.epochUs(src).as("t"))
         .as[Ev]
       val sessions = stream.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append,

@@ -21,9 +21,11 @@ object StreamAgg {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       import s.implicits._
-      // Batch read once for the (nanos-as-long) schema, then stream the same
-      // file through a windowed aggregation into an in-memory sink.
-      val schema = Tables.load(s, dir, "events").schema
+      // Batch read once for the events schema (whichever accepted ts
+      // layout), then stream the same file through a windowed aggregation
+      // into an in-memory sink.
+      val ev = Tables.load(s, dir, "events")
+      val schema = ev.schema
       // The file-stream source needs a directory to watch; expose the single
       // events file through a temp dir (the arrival directory of a real feed).
       val watchDir = java.nio.file.Files.createTempDirectory("graft_stream_")
@@ -32,7 +34,7 @@ object StreamAgg {
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = s.readStream.schema(schema).parquet(watchDir.toString)
       val agg = stream
-        .withColumn("tstamp", Tables.tsCol($"ts"))
+        .withColumn("tstamp", Tables.tsCol(stream))
         .groupBy(window($"tstamp", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"),
           sum($"value".cast(DecimalType(18, 2))).cast("double").as("total"))
@@ -106,11 +108,11 @@ object StreamAgg {
       val src = s.readStream.schema(schema).parquet(watchDir.toString)
       val clicks = src.filter($"event_type" === "click")
         .select($"event_id".as("click_id"), $"user_id".as("c_user"),
-          Tables.tsCol($"ts").as("c_ts"))
+          Tables.tsCol(src).as("c_ts"))
         .withWatermark("c_ts", "2 hours")
       val purchases = src.filter($"event_type" === "purchase")
         .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
-          Tables.tsCol($"ts").as("p_ts"))
+          Tables.tsCol(src).as("p_ts"))
         .withWatermark("p_ts", "2 hours")
       val joined = clicks.join(purchases,
         $"c_user" === $"p_user" && $"p_ts" >= $"c_ts" &&
@@ -156,18 +158,23 @@ object StreamAgg {
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
       val schema = ev.schema
-      val minNanos = StreamStage.scalarOnce("soj_min", dir)(
-        ev.agg(min($"ts")).head().getLong(0))
-      val cut = minNanos + 2L * 86400L * 1000000000L
-      val cut2 = minNanos + 4L * 86400L * 1000000000L
+      // layout-independent integer µs arithmetic (Tables.epochUs) — the
+      // same cut both engines compute
+      val minUs = StreamStage.scalarOnce("soj_min_us", dir)(
+        ev.agg(min(Tables.epochUs(ev))).head().getLong(0))
+      val cut = minUs + 2L * 86400L * 1000000L
+      val cut2 = minUs + 4L * 86400L * 1000000L
       // the three watermark-ordered arrival files are a pure function of
       // the source — stage them once; every run re-delivers them between
       // completed micro-batches (the arrival sequencing under test)
       val staged = StreamStage.stagedOnce("soj", dir) { p =>
-        StreamStage.writeBatchFile(ev.filter($"ts" < cut), p, "batch01.parquet")
         StreamStage.writeBatchFile(
-          ev.filter($"ts" >= cut && $"ts" < cut2), p, "batch02.parquet")
-        StreamStage.writeBatchFile(ev.filter($"ts" >= cut2), p, "batch03.parquet")
+          ev.filter(Tables.epochUs(ev) < cut), p, "batch01.parquet")
+        StreamStage.writeBatchFile(
+          ev.filter(Tables.epochUs(ev) >= cut && Tables.epochUs(ev) < cut2),
+          p, "batch02.parquet")
+        StreamStage.writeBatchFile(
+          ev.filter(Tables.epochUs(ev) >= cut2), p, "batch03.parquet")
       }
       val watchDir = java.nio.file.Files.createTempDirectory("graft_soj_")
       def addBatch(seq: Int): Unit =
@@ -180,14 +187,14 @@ object StreamAgg {
       // the watermark — which must see them, because their advancement IS
       // what flushes the unmatched outer rows.
       val cutTs = lit(java.time.Instant.ofEpochSecond(
-        cut / 1000000000L, cut % 1000000000L / 1000L * 1000L))
+        cut / 1000000L, cut % 1000000L * 1000L))
       val clicks = src.select($"event_id", $"user_id", $"event_type",
-          Tables.tsCol($"ts").as("c_ts"))
+          Tables.tsCol(src).as("c_ts"))
         .withWatermark("c_ts", "2 hours")
         .filter($"event_type" === "click" && $"c_ts" < cutTs)
         .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"c_ts")
       val purchases = src.select($"event_id", $"user_id", $"event_type",
-          Tables.tsCol($"ts").as("p_ts"))
+          Tables.tsCol(src).as("p_ts"))
         .withWatermark("p_ts", "2 hours")
         .filter($"event_type" === "purchase" && $"p_ts" < cutTs)
         .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"p_ts")

@@ -33,8 +33,9 @@ object StreamUpsert {
         |SELECT user_id, ts AS last_ts, value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val events = Tables.load(s, dir, "events")
-        .select($"event_id", Tables.tsCol($"ts").as("ts"), $"user_id",
+      val ev = Tables.load(s, dir, "events")
+      val events = ev
+        .select($"event_id", Tables.tsCol(ev).as("ts"), $"user_id",
           $"value")
       // split the feed into arrival chunks so the merge loop really runs
       // across several micro-batches; the chunk files are a pure function

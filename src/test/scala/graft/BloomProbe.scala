@@ -11,6 +11,7 @@ object BloomProbe {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
       .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")

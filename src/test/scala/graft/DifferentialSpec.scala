@@ -812,6 +812,88 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("both-leg correlated joins and correlated EFlatmap2: correct or a DIRECTED error, never silent wrong") {
+    // The residual correlation boundary, fuzzed from both sides: programs
+    // put correlated filter chains in BOTH legs of one EJoin (sometimes
+    // with outer references in the join predicate itself) and under
+    // EFlatmap2. Whatever the engine supports must match the reference's
+    // nested-loop semantics (Interpret.v:273-299); whatever it does not
+    // must throw the directed UnsupportedOperationException naming
+    // correlation — an AnalysisException or a wrong answer is a bug.
+    val outT = TRecord.sorted("k" -> TInt, "s" -> TString)
+    val inT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    val rnd0 = new Random(9900)
+    val t1Rows = Vector.fill(10)(genValue(outT, rnd0))
+    val t2Rows = Vector.fill(12)(genValue(inT, rnd0))
+    val t3Rows = Vector.fill(8)(genValue(inT, rnd0))
+    val d1 = tableDF(t1Rows, outT)
+    val d2 = tableDF(t2Rows, inT)
+    val d3 = tableDF(t3Rows, inT)
+    val renv = REnv("t1" -> VList(t1Rows), "t2" -> VList(t2Rows),
+      "t3" -> VList(t3Rows))
+    val resT = TRecord.sorted("a" -> TInt, "b" -> TInt)
+    var directed = 0
+    var ran = 0
+    val n = 56
+    for (i <- 0 until n) {
+      val rnd = new Random(9950 + i)
+      def corrPred(b: String): Expr = rnd.nextInt(3) match {
+        case 0 => EBinop(OEq, EAccess(EVar(b), "k"), EAccess(EVar("x"), "k"))
+        case 1 => EBinop(OLess, EAccess(EVar(b), "v"), EAccess(EVar("x"), "k"))
+        case 2 => EBinop(OLess, EAccess(EVar("x"), "k"), EAccess(EVar(b), "k"))
+      }
+      val body =
+        if (i % 2 == 0) { // correlated chains in BOTH join legs
+          val l1 = EFilter(LikeList, ELoc("t2"), s"ba$i", corrPred(s"ba$i"))
+          val l2 = EFilter(LikeList, ELoc("t3"), s"bb$i", corrPred(s"bb$i"))
+          val jp0 = EBinop(OEq, EAccess(EVar("ja"), "k"),
+            EAccess(EVar("jb"), "k"))
+          val jp = if (rnd.nextBoolean()) jp0
+            else EBinop(OAnd, jp0, EBinop(OLess, EAccess(EVar("x"), "k"),
+              EAccess(EVar("ja"), "v")))
+          EJoin(LikeList, l1, l2, "ja", "jb", jp, ERecord(List(
+            "a" -> EBinop(OPlus, EAccess(EVar("ja"), "v"),
+              EAccess(EVar("x"), "k")),
+            "b" -> EAccess(EVar("jb"), "v"))))
+        } else { // EFlatmap2 whose zipped lists are correlated tables
+          val l1 = ESort(LikeList,
+            EFilter(LikeList, ELoc("t2"), s"ba$i", corrPred(s"ba$i")))
+          val l2 = ESort(LikeList,
+            if (rnd.nextBoolean())
+              EFilter(LikeList, ELoc("t3"), s"bb$i", corrPred(s"bb$i"))
+            else ELoc("t3"))
+          EFlatmap2(l1, l2, s"zx$i", s"zy$i",
+            EBinop(OCons, ERecord(List(
+              "a" -> EBinop(OPlus, EAccess(EVar(s"zx$i"), "v"),
+                EAccess(EVar("x"), "k")),
+              "b" -> EAccess(EVar(s"zy$i"), "v"))),
+              literal(VList(Vector.empty), TList(resT))))
+        }
+      val prog = EFlatmap(LikeList, ELoc("t1"), "x", body)
+      val expected = interp(prog, renv)
+      try {
+        Compiler.compileProgram(prog, Env(Map.empty,
+          Map("t1" -> d1, "t2" -> d2, "t3" -> d3), spark)) match {
+          case TV(df) =>
+            val got = collectTable(df, resT)
+            ran += 1
+            val want = sortedV(elems(expected))
+            assert(cmpValues(got, want) == 0,
+              s"[bothleg case $i]\ncompiled=$got\nreference=$want\n${show(prog)}")
+          case CV(_) => fail(s"[bothleg case $i] compiled to a scalar")
+        }
+      } catch {
+        case u: UnsupportedOperationException =>
+          assert(Option(u.getMessage)
+            .exists(_.toLowerCase.contains("correlat")),
+            s"[bothleg case $i] UNDIRECTED error: ${u.getMessage}\n${show(prog)}")
+          directed += 1
+      }
+    }
+    info(s"$ran supported-and-correct, $directed directed-unsupported of $n")
+    assert(ran + directed == n)
+  }
+
   test("same-table correlated join legs resolve through aliases (three-way self-join)") {
     // Outer table and BOTH join legs are the SAME table: every attribute
     // id collides three ways, so this passes only if the decorrelated

@@ -68,6 +68,56 @@ class ScaleGrowthSpec extends AnyFunSuite {
     dt
   }
 
+  /** Events blow-up: 8 time-shifted copies (1000 days apart, so pairs and
+    * windows never span copies — per-hour event density stays constant,
+    * the honest 8×-more-history shape). `hot = false`: every copy gets
+    * distinct users. `hot = true`: copies 1-7 route all CLICK events to
+    * ONE user — that user's window/bucket partition holds ~7/8 of all
+    * clicks (the straggler shape) while the true output stays base-sized
+    * (the hot user's errors/purchases live only in copy 0, and copies are
+    * time-disjoint), so superlinear wall = processing bug, not output. */
+  private def blowUpEvents(tmp: String, hot: Boolean): Unit = {
+    val ev = graft.core.Tables.load(spark, baseDir, "events")
+    val norm = ev.select(col("event_id"), graft.core.Tables.tsCol(ev).as("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+    (0 until 8).map { i =>
+      val shifted = norm
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 1000} DAYS"))
+      if (i == 0) shifted
+      else if (hot) shifted.withColumn("user_id",
+        when(col("event_type") === "click", lit(1L))
+          .otherwise(col("user_id") + lit(i * 1000000L)))
+      else shifted.withColumn("user_id", col("user_id") + lit(i * 1000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+  }
+
+  test("event-time family grows ≲ linearly under 8x blow-up, incl. hot user") {
+    val evQueries = Seq("q_asof_join", "q_range_join")
+    for (hot <- Seq(false, true)) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_scale_events_").toString
+      try {
+        blowUpEvents(tmp, hot)
+        val tag = if (hot) "hot-user" else "distinct"
+        val offenders = evQueries.flatMap { q =>
+          time(q, baseDir) // warm-up
+          val base = math.max(time(q, baseDir), 0.05)
+          val blown = time(q, tmp)
+          val r = blown / base
+          info(f"$q%-14s $tag%-8s base=$base%.2fs 8x=$blown%.2fs ratio=$r%.1f")
+          if (r > bound) Some(q -> r) else None
+        }
+        assert(offenders.isEmpty,
+          s"superlinear growth under 8x $tag events blow-up (bound $bound): " +
+            offenders.map { case (q, r) => f"$q=$r%.1fx" }.mkString(", "))
+      } finally {
+        graft.core.Tables.deleteTree(new java.io.File(tmp))
+      }
+    }
+  }
+
   test("wall time grows ≲ linearly under an 8x data blow-up") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_scale_smoke_").toString
