@@ -113,6 +113,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected the single by-user shuffle:\n$p")
   }
 
+  test("range join is an equi-join on (user, bucket) — candidates bucket-local, never a product") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a product:\n$p")
+    // the join keys must carry BOTH user and the hour bucket: that is what
+    // keeps candidate pairs bucket-local at any scale (broadcast at this
+    // tiny SF, same keyed shape when it shuffles)
+    val joinLines = p.linesIterator.filter(_.contains("HashJoin")).toList
+    assert(joinLines.exists(l => l.contains("user_id") && l.contains("bucket")),
+      s"no (user, bucket) equi-join found:\n$p")
+  }
+
+  test("sliding windows are one Expand + one hash shuffle, no join") {
+    val p = plan("q_sliding_window")
+    assert(p.contains("Expand"), s"window(slide) should Expand rows:\n$p")
+    assert(!p.contains("Join"), s"sliding windows must not join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected the single windowed-agg shuffle:\n$p")
+  }
+
+  test("cohort retention: fact side joins the broadcast first-activity agg, ≤3 agg shuffles") {
+    val p = plan("q_cohort_retention")
+    // the per-user first-activity aggregate broadcasts back onto events —
+    // the big fact scan itself must not reshuffle before the join
+    assert(p.contains("BroadcastHashJoin"), s"first-activity join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3,
+      s"cohort matrix should cost at most 3 agg shuffles (first-activity, " +
+        s"distinct, matrix), got $exchanges:\n$p")
+  }
+
   test("sampling and repetition plans are map-only; contamination broadcasts") {
     // stratified sampling: scan → filter, nothing else — the only Exchange
     // is the presentation sort's range partitioning; no hash shuffle means
