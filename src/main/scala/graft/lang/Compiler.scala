@@ -900,6 +900,69 @@ object Compiler {
                   TV(flattenResult(kept,
                     asCV(compile(r, envL.bind(u, CV(elem))))))
               }
+            // CORRELATED ZIP-FLATMAP (EFlatmap2 under a correlated body):
+            // each correlated leg is an ESort of a correlated filter chain
+            // — exactly the sequential consumer the aggregate unnesting
+            // already lowers to a per-distinct-outer-row canonical array.
+            // Route the WHOLE body through that machinery: the ESort legs
+            // become bound array columns, the rewritten EFlatmap2 zips
+            // them through the nested zip_with path (shorter-side cut),
+            // and the per-outer-row result array explodes against the
+            // join chain. An UNCORRELATED table leg lifts to its canonical
+            // array literal (the ≤10k localization the table EFold
+            // defines) so it can zip against a correlated sibling; legs
+            // without an ESort keep the directed error — their reference
+            // order is storage order, which no distributed plan can see.
+            case fm2 @ EFlatmap2(zl1, zl2, za, zb, zbody) =>
+              var legBinds = List.empty[(String, Val)]
+              def liftLeg(leg: Expr): Expr =
+                if (Rewrites.freeVars(leg).contains(x)) leg
+                else compile(leg, env) match {
+                  case CV(_) => leg
+                  case TV(d) =>
+                    val cols = d.columns.sorted
+                    val head = d.orderBy(cols.map(col).toIndexedSeq: _*)
+                      .limit(10001).collect()
+                    if (head.length > 10000) throw correlatedError(null)
+                    val elems = head.map(rowLiteral(_, d.schema, cols))
+                    val arr =
+                      if (elems.isEmpty) array().cast(ArrayType(
+                        if (cols.sameElements(Array("value")))
+                          d.schema("value").dataType
+                        else StructType(cols.map(c => d.schema(c)))))
+                      else array(elems.toIndexedSeq: _*)
+                    val n = s"__zleg${latIds.incrementAndGet()}"
+                    legBinds ::= ((n, CV(arr)))
+                    EVar(n)
+                }
+              val fm2b = EFlatmap2(liftLeg(zl1), liftLeg(zl2), za, zb, zbody)
+              val e2b =
+                if (legBinds.isEmpty) e2
+                else Rewrites.foldExpr(e2)(n0 => if (n0 == fm2) fm2b else n0)
+              val envB = legBinds.foldLeft(env) {
+                case (acc, (n, v)) => acc.bind(n, v)
+              }
+              def zipUnnest(): Val = {
+                val ((joined, benv, body2), _) =
+                  unnestCorrelatedAggs(df, x, e2b, envB)
+                compile(body2, benv) match {
+                  case CV(arr) => TV(canonTagDF(tag,
+                    flattenExploded(joined, arr)))
+                  case TV(_) => throw correlatedError(null)
+                }
+              }
+              try zipUnnest()
+              catch { case u: UnsupportedOperationException =>
+                // no collectible correlated leg (both lifted / list
+                // values): x stays a scalar row reference over the plain
+                // outer table; bindRow keeps any deeper table-level
+                // correlation on the directed-error path
+                compile(e2b, envB.bindRow(x, CV(rowStruct(df)))) match {
+                  case CV(arr) => TV(canonTagDF(tag,
+                    flattenExploded(df, arr)))
+                  case TV(_) => throw correlatedError(u)
+                }
+              }
             case _ => throw correlatedError(null)
           }
         }

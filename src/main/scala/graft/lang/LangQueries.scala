@@ -407,6 +407,66 @@ object LangQueries {
         .orderBy("n_nationkey")
     },
 
+    // CORRELATED ZIP-FLATMAP (Compiler.decorrelate's EFlatmap2-core path,
+    // new this round): for each nation, zip its canonically-sorted supplier
+    // names against its sorted customer names, cut at the shorter side,
+    // with the outer row in the result. The engine collects BOTH legs per
+    // distinct outer row into sorted arrays (two grouped shuffles — never
+    // a per-outer-row job) and zips them through the nested zip_with path;
+    // the oracle replays the same pairing with per-key row_number.
+    GraftQuery.sql("q_lang_corr_zip",
+      """WITH ss AS (SELECT s_nationkey AS k, s_name,
+        |        row_number() OVER (PARTITION BY s_nationkey ORDER BY s_name) AS i
+        |      FROM supplier),
+        |cc AS (SELECT c_nationkey AS k, c_name,
+        |        row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name) AS i
+        |      FROM customer)
+        |SELECT n.n_name, ss.s_name, cc.c_name
+        |FROM nation n
+        |JOIN ss ON ss.k = n.n_nationkey
+        |JOIN cc ON cc.k = n.n_nationkey AND cc.i = ss.i
+        |ORDER BY n_name, s_name, c_name""".stripMargin) { (s, dir) =>
+      def leg(tbl: String, b: String, keyFld: String, nameFld: String,
+          pb: String) =
+        ESort(LikeList, EProj(LikeList,
+          EFilter(LikeList, ELoc(tbl), b,
+            EBinop(OEq, EAccess(EVar(b), keyFld),
+              EAccess(EVar("n"), "n_nationkey"))),
+          pb, EAccess(EVar(pb), nameFld)))
+      val rowT = TRecord.sorted("c_name" -> TString, "n_name" -> TString,
+        "s_name" -> TString)
+      val body = EFlatmap2(
+        leg("supplier", "sf", "s_nationkey", "s_name", "sp"),
+        leg("customer", "cf", "c_nationkey", "c_name", "cp"),
+        "zs", "zc",
+        EBinop(OCons, ERecord(List(
+          "n_name" -> EAccess(EVar("n"), "n_name"),
+          "s_name" -> EVar("zs"),
+          "c_name" -> EVar("zc"))), EAtom(ANil(rowT))))
+      val prog = EFlatmap(LikeList, ELoc("nation"), "n", body)
+      val storeT = Map(
+        "nation" -> TList(TRecord.sorted("n_name" -> TString,
+          "n_nationkey" -> TInt)),
+        "supplier" -> TList(TRecord.sorted("s_name" -> TString,
+          "s_nationkey" -> TInt)),
+        "customer" -> TList(TRecord.sorted("c_name" -> TString,
+          "c_nationkey" -> TInt)))
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) == TList(rowT))
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_name"),
+            col("s_nationkey").cast("long").as("s_nationkey")),
+        "customer" -> Tables.load(s, dir, "customer")
+          .select(col("c_name"),
+            col("c_nationkey").cast("long").as("c_nationkey"))),
+        s)
+      compileProgram(prog, env).asInstanceOf[TV].df
+        .orderBy("n_name", "s_name", "c_name")
+    },
+
     // CORRELATION INSIDE A JOIN LEG (Compiler.decorrelate's EJoin-core
     // path): for each nation, θ-join its suppliers against its customers —
     // the outer row variable appears in BOTH legs' filters and in the
