@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, LongType}
 
 /** 64-bit machine-word arithmetic with the reference's semantics
   * (fiat2/src/fiat2/Interpret.v:139-151 via coqutil `word`):
@@ -143,6 +143,69 @@ case class WordBinOpW(left: Expression, right: Expression, op: String,
     copy(left = newLeft, right = newRight)
 }
 
+/** WIDE-width family (65 ≤ w ≤ 125): no machine integer holds these, so the
+  * canonical form is the UNSIGNED residue in [0, 2^w) carried in a
+  * DecimalType(38,0) column (2^125 < 10^38, so every residue — and every
+  * add/sub intermediate — is exact; products run in BigInteger inside the
+  * expression). Unsigned order is then PLAIN decimal order, mirroring how
+  * the sign-extended-Long form makes sub-64 unsigned order a masked Long
+  * compare. Division semantics transliterate the Long families: total
+  * (x/0 = 0, x mod 0 = x), signed ops on the two's-complement view with
+  * truncation toward zero (BigInteger divide/remainder), wrap on
+  * divs(MinValue, -1). */
+object WordMathWide {
+  import java.math.BigInteger
+  def mask(w: Int): BigInteger =
+    BigInteger.ONE.shiftLeft(w).subtract(BigInteger.ONE)
+  def half(w: Int): BigInteger = BigInteger.ONE.shiftLeft(w - 1)
+  def full(w: Int): BigInteger = BigInteger.ONE.shiftLeft(w)
+  private def res(x: BigInteger, w: Int): BigInteger = x.and(mask(w))
+  private def signed(x: BigInteger, w: Int): BigInteger =
+    if (x.testBit(w - 1)) x.subtract(full(w)) else x
+
+  def op(name: String, a: BigInteger, b: BigInteger, w: Int): BigInteger =
+    name match {
+      case "wadd" => res(a.add(b), w)
+      case "wsub" => res(a.subtract(b), w)
+      case "wmul" => res(a.multiply(b), w)
+      case "divu" => if (b.signum == 0) BigInteger.ZERO else a.divide(b)
+      case "divs" => if (b.signum == 0) BigInteger.ZERO
+        else res(signed(a, w).divide(signed(b, w)), w)
+      case "modu" => if (b.signum == 0) a else a.mod(b)
+      case "mods" => if (b.signum == 0) a
+        else res(signed(a, w).remainder(signed(b, w)), w)
+    }
+
+  /** Decimal bridge — the static call the codegen'd expression emits. */
+  def evalOp(name: String, a: Decimal, b: Decimal, w: Int): Decimal = {
+    val r = op(name, a.toJavaBigDecimal.toBigInteger,
+      b.toJavaBigDecimal.toBigInteger, w)
+    Decimal(new java.math.BigDecimal(r), 38, 0)
+  }
+}
+
+/** Codegen'd wide-word binary op over Decimal(38,0) residues — one static
+  * primitive call, same discipline as WordBinOp/WordBinOpW. */
+case class WordBinOpWide(left: Expression, right: Expression, op: String,
+    width: Int) extends BinaryExpression {
+
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"graft_word_${op}_w$width"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    WordMathWide.evalOp(op, a.asInstanceOf[Decimal], b.asInstanceOf[Decimal],
+      width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"""graft.functions.WordMathWide.evalOp("$op", $a, $b, $width)""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordBinOpWide =
+    copy(left = newLeft, right = newRight)
+}
+
 object WordOps {
   private def bin(op: String)(a: Column, b: Column): Column =
     GraftBridge.column(WordBinOp(
@@ -166,13 +229,25 @@ object WordOps {
   def lts(a: Column, b: Column): Column = a < b
 
   /** Width-parametric op bundle (the reference's `Context {width: Z}`,
-    * fiat2/src/fiat2/Language.v:4). Any width 1..64 is supported: 64 (the
-    * default everywhere) and 32 route to the specialized `WordMath`
-    * families; every other width compiles `WordBinOpW`, which bakes the
-    * width into the codegen'd static call (`WordMath.*W(a, b, w)`) over
-    * the same sign-extended-in-Long canonical form. The compiler selects
-    * the bundle from `Env.wordWidth`. */
-  final class Width private[WordOps] (val width: Int) {
+    * fiat2/src/fiat2/Language.v:4). Widths 1..64 carry sign-extended
+    * Longs (`Narrow`); widths 65..125 carry unsigned Decimal(38,0)
+    * residues (`Wide`). The compiler selects the bundle from
+    * `Env.wordWidth` and never sees the representation. */
+  sealed trait Width {
+    def width: Int
+    val wadd, wsub, wmul, divu, divs, modu, mods: (Column, Column) => Column
+    def wneg(v: Column): Column
+    def ltu(a: Column, b: Column): Column
+    def lts(a: Column, b: Column): Column
+    def literal(v: Long): Column
+    def range(lo: Column, hi: Column): Column
+  }
+
+  /** 1..64: 64 (the default everywhere) and 32 route to the specialized
+    * `WordMath` families; every other width compiles `WordBinOpW`, which
+    * bakes the width into the codegen'd static call (`WordMath.*W(a, b,
+    * w)`) over the same sign-extended-in-Long canonical form. */
+  final class Narrow private[WordOps] (val width: Int) extends Width {
     require(width >= 1 && width <= 64,
       s"unsupported word width $width (must be in 1..64)")
     private def sel(op: String): (Column, Column) => Column = width match {
@@ -217,7 +292,50 @@ object WordOps {
         .otherwise(transform(sequence(lit(0L), len - lit(1L)), i => wadd(lo, i)))
     }
   }
+
+  /** 65..125: unsigned residues in Decimal(38,0); ops are `WordBinOpWide`
+    * static calls; unsigned order is plain decimal order and the signed
+    * view subtracts 2^w above the sign bit. */
+  final class Wide private[WordOps] (val width: Int) extends Width {
+    require(width >= 65 && width <= 125,
+      s"unsupported wide word width $width (must be in 65..125)")
+    import org.apache.spark.sql.functions.{array, sequence, transform, when}
+    private val dt = DecimalType(38, 0)
+    private def bd(x: java.math.BigInteger) =
+      lit(new java.math.BigDecimal(x)).cast(dt)
+    private def wbin(op: String): (Column, Column) => Column =
+      (a: Column, b: Column) => GraftBridge.column(WordBinOpWide(
+        GraftBridge.expression(a), GraftBridge.expression(b), op, width))
+    val wadd: (Column, Column) => Column = wbin("wadd")
+    val wsub: (Column, Column) => Column = wbin("wsub")
+    val wmul: (Column, Column) => Column = wbin("wmul")
+    val divu: (Column, Column) => Column = wbin("divu")
+    val divs: (Column, Column) => Column = wbin("divs")
+    val modu: (Column, Column) => Column = wbin("modu")
+    val mods: (Column, Column) => Column = wbin("mods")
+    def wneg(v: Column): Column = wsub(literal(0L), v)
+    def ltu(a: Column, b: Column): Column = a < b // residues ARE unsigned
+    private def signedView(x: Column): Column =
+      x - when(x >= bd(WordMathWide.half(width)), bd(WordMathWide.full(width)))
+        .otherwise(bd(java.math.BigInteger.ZERO))
+    def lts(a: Column, b: Column): Column = signedView(a) < signedView(b)
+    def literal(v: Long): Column = bd(
+      java.math.BigInteger.valueOf(v).and(WordMathWide.mask(width)))
+    /** Same eval_range_word shape as Narrow.range: empty unless
+      * unsigned(lo) < unsigned(hi), elements step by wrapping add. The
+      * length cast to Long ANSI-errors on absurd ranges — the same
+      * "too large to materialize" outcome as the other widths. */
+    def range(lo: Column, hi: Column): Column = {
+      val len = (hi - lo).cast("long")
+      when(!ltu(lo, hi), array().cast(
+        org.apache.spark.sql.types.ArrayType(dt)))
+        .otherwise(transform(sequence(lit(0L), len - lit(1L)),
+          i => wadd(lo, i.cast(dt))))
+    }
+  }
+
   private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Width]()
   def forWidth(width: Int): Width =
-    cache.computeIfAbsent(width, w => new Width(w))
+    cache.computeIfAbsent(width, w =>
+      if (w <= 64) new Narrow(w) else new Wide(w))
 }

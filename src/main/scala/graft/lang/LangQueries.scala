@@ -1393,6 +1393,69 @@ object LangQueries {
         .asInstanceOf[TV].df.orderBy("k")
     },
 
+    // WIDTH-100 words — the WIDE family (WordBinOpWide: unsigned residues
+    // in Decimal(38,0), BigInteger math inside the codegen'd static call;
+    // no machine integer holds 100 bits). The store column is the residue
+    // of (o_orderkey - 700) mod 2^100; the wrap-add constant -1000
+    // canonicalizes to 2^100 - 1000, so the add genuinely wraps. The
+    // oracle replays 100-bit two's complement with HUGEINT (128-bit)
+    // arithmetic mod 2^100, emitting DECIMAL(38,0) to match the engine's
+    // canonical form.
+    GraftQuery.sql("q_word_ops100",
+      """WITH t AS (SELECT o_orderkey AS k,
+        |             CAST(o_orderkey - 700 AS HUGEINT) AS sw FROM orders),
+        |u AS (SELECT k, sw,
+        |        CASE WHEN sw < 0
+        |          THEN sw + 1267650600228229401496703205376 ELSE sw END AS uw
+        |      FROM t)
+        |SELECT k,
+        |  CAST(uw // 7 AS DECIMAL(38,0)) AS du,
+        |  CAST(((sw // -7) % 1267650600228229401496703205376
+        |        + 1267650600228229401496703205376)
+        |       % 1267650600228229401496703205376 AS DECIMAL(38,0)) AS ds,
+        |  CAST(uw % 7 AS DECIMAL(38,0)) AS mu,
+        |  CAST(((sw % -7) % 1267650600228229401496703205376
+        |        + 1267650600228229401496703205376)
+        |       % 1267650600228229401496703205376 AS DECIMAL(38,0)) AS ms,
+        |  CAST(0 AS DECIMAL(38,0)) AS dz,
+        |  CAST(uw AS DECIMAL(38,0)) AS mz,
+        |  CAST((uw * 12345) % 1267650600228229401496703205376
+        |       AS DECIMAL(38,0)) AS wm,
+        |  CAST((uw + 1267650600228229401496703205376 - 1000)
+        |       % 1267650600228229401496703205376 AS DECIMAL(38,0)) AS wa,
+        |  uw < 100 AS ult,
+        |  sw < 100 AS slt
+        |FROM u ORDER BY k""".stripMargin) { (s, dir) =>
+      val w = EAccess(EVar("o"), "w")
+      def W(v: Long) = EAtom(AWord(v))
+      val prog = EProj(LikeBag, ELoc("t"), "o", ERecord(List(
+        "k" -> EAccess(EVar("o"), "k"),
+        "du" -> EBinop(OWDivU, w, W(7)),
+        "ds" -> EBinop(OWDivS, w, W(-7)),
+        "mu" -> EBinop(OWModU, w, W(7)),
+        "ms" -> EBinop(OWModS, w, W(-7)),
+        "dz" -> EBinop(OWDivU, w, W(0)),
+        "mz" -> EBinop(OWModS, w, W(0)),
+        "wm" -> EBinop(OWTimes, w, W(12345L)),
+        "wa" -> EBinop(OWPlus, w, W(-1000L)),
+        "ult" -> EBinop(OWLessU, w, W(100)),
+        "slt" -> EBinop(OWLessS, w, W(100)))))
+      val rowT = TRecord.sorted("k" -> TInt, "du" -> TWord, "ds" -> TWord,
+        "mu" -> TWord, "ms" -> TWord, "dz" -> TWord, "mz" -> TWord,
+        "wm" -> TWord, "wa" -> TWord, "ult" -> TBool, "slt" -> TBool)
+      val storeT = Map("t" -> TBag(TRecord.sorted("k" -> TInt, "w" -> TWord)))
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) == TBag(rowT))
+      val dt100 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val m100 = lit(new java.math.BigDecimal(
+        "1267650600228229401496703205376")).cast(dt100)
+      val sw = (col("o_orderkey") - 700).cast(dt100)
+      val t = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          when(sw < 0, sw + m100).otherwise(sw).cast(dt100).as("w"))
+      compileProgram(prog, Env(Map.empty, Map("t" -> t), s, wordWidth = 100))
+        .asInstanceOf[TV].df.orderBy("k")
+    },
+
     // WIDTH-16 words — exercises the GENERIC width family (WordBinOpW:
     // width baked into the codegen'd static call over the sign-extended
     // canonical form), not the specialized 64/32 paths. o_orderkey exceeds

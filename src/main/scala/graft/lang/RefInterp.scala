@@ -30,6 +30,10 @@ object RefInterp {
   sealed trait V
   case object VUnit extends V
   final case class VW(v: Long) extends V // TWord: 64-bit two's complement
+  /** TWord at widths 65..125: the UNSIGNED residue in [0, 2^w) — plain
+    * BigInt order IS unsigned word order, mirroring how sign-extension
+    * makes the Long of `VW` order-isomorphic at sub-64 widths. */
+  final case class VWide(v: BigInt) extends V
   final case class VI(v: BigInt) extends V // TInt: Coq Z, unbounded
   final case class VB(v: Boolean) extends V
   final case class VS(v: String) extends V
@@ -54,6 +58,7 @@ object RefInterp {
   def cmp(a: V, b: V): Int = (a, b) match {
     case (VUnit, VUnit) => 0
     case (VW(x), VW(y)) => java.lang.Long.compareUnsigned(x, y)
+    case (VWide(x), VWide(y)) => x.compare(y) // residues: unsigned order
     case (VI(x), VI(y)) => x.compare(y)
     case (VB(x), VB(y)) => x.compareTo(y)
     case (VS(x), VS(y)) => x.compareTo(y)
@@ -137,6 +142,26 @@ object RefInterp {
 
   private def asI(v: V): BigInt = v match { case VI(x) => x; case o => err(s"int expected, got $o") }
   private def asW(v: V): Long = v match { case VW(x) => x; case o => err(s"word expected, got $o") }
+  private def asWd(v: V): BigInt = v match { case VWide(x) => x; case o => err(s"wide word expected, got $o") }
+  // Wide-width (65..125) word helpers — an INDEPENDENT formulation from
+  // the engine's WordMathWide (BigInteger there, Scala BigInt mask
+  // arithmetic here) so the differential fuzz cross-checks the two.
+  private def wdMask(w: Int): BigInt = (BigInt(1) << w) - 1
+  private def wdResL(v: Long, w: Int): BigInt = BigInt(v) & wdMask(w)
+  private def wdSigned(x: BigInt, w: Int): BigInt =
+    if (x >= (BigInt(1) << (w - 1))) x - (BigInt(1) << w) else x
+  private def wdOp(op: Binop, a: BigInt, b: BigInt, w: Int): BigInt = op match {
+    case OWPlus => (a + b) & wdMask(w)
+    case OWMinus => (a - b) & wdMask(w)
+    case OWTimes => (a * b) & wdMask(w)
+    case OWDivU => if (b == 0) BigInt(0) else a / b
+    case OWDivS => if (b == 0) BigInt(0)
+      else (wdSigned(a, w) / wdSigned(b, w)) & wdMask(w)
+    case OWModU => if (b == 0) a else a % b
+    case OWModS => if (b == 0) a
+      else (wdSigned(a, w) % wdSigned(b, w)) & wdMask(w)
+    case o => err(s"not a word op: $o")
+  }
   private def asB(v: V): Boolean = v match { case VB(x) => x; case o => err(s"bool expected, got $o") }
   private def asS(v: V): String = v match { case VS(x) => x; case o => err(s"string expected, got $o") }
   /** Element view of any collection, canonical order for bag/set/dict. */
@@ -156,7 +181,8 @@ object RefInterp {
 
     case EAtom(a) => a match {
       case AWord(v) =>
-        VW(if (env.width == 64) v
+        if (env.width > 64) VWide(wdResL(v, env.width))
+        else VW(if (env.width == 64) v
            else graft.functions.WordMath.truncW(v, env.width))
       case AInt(v) => VI(BigInt(v))
       case ABool(v) => VB(v)
@@ -173,7 +199,8 @@ object RefInterp {
       val v = interp(e1, env)
       op match {
         case OWNeg => // word.opp wraps at the width's MinValue
-          VW(if (env.width == 64) -asW(v)
+          if (env.width > 64) VWide(wdOp(OWMinus, BigInt(0), asWd(v), env.width))
+          else VW(if (env.width == 64) -asW(v)
              else graft.functions.WordMath.wsubW(0L, asW(v), env.width))
         case ONeg => VI(-asI(v))
         case ONot => VB(!asB(v))
@@ -196,6 +223,8 @@ object RefInterp {
           // width-dispatched machine arithmetic; the 32-bit family operates
           // on the truncated Int view and re-sign-extends (WordMath *32)
           import graft.functions.WordMath
+          if (env.width > 64)
+            return VWide(wdOp(op, asWd(v1), asWd(v2), env.width))
           val (a, b) = (asW(v1), asW(v2))
           // sub-64 widths go through the generic mask/shift family — at
           // width 32 this is a deliberately DIFFERENT implementation from
@@ -220,8 +249,13 @@ object RefInterp {
           })
         // sign-extension is order-isomorphic for both families, so the
         // 64-bit comparisons are width-correct on the canonical form
-        case OWLessU => VB(java.lang.Long.compareUnsigned(asW(v1), asW(v2)) < 0)
-        case OWLessS => VB(asW(v1) < asW(v2))
+        case OWLessU => VB(
+          if (env.width > 64) asWd(v1) < asWd(v2)
+          else java.lang.Long.compareUnsigned(asW(v1), asW(v2)) < 0)
+        case OWLessS => VB(
+          if (env.width > 64)
+            wdSigned(asWd(v1), env.width) < wdSigned(asWd(v2), env.width)
+          else asW(v1) < asW(v2))
         case OAnd => VB(asB(v1) && asB(v2))
         case OOr => VB(asB(v1) || asB(v2))
         case OConcatString => VS(asS(v1) + asS(v2))
@@ -240,6 +274,12 @@ object RefInterp {
           val lo = asI(v1); val hi = asI(v2)
           VList((lo until hi).map(VI(_)).toVector)
         // eval_range_word: length = unsigned(hi) - unsigned(lo), wrap adds
+        case OWRange if env.width > 64 =>
+          val ulo = asWd(v1); val uhi = asWd(v2)
+          val len = (uhi - ulo).max(0)
+          require(len < (1 << 24), s"word range too large to materialize: $len")
+          VList(Vector.tabulate(len.toInt)(i =>
+            VWide((ulo + i) & wdMask(env.width))))
         case OWRange =>
           val lo = asW(v1); val hi = asW(v2)
           def uns(x: Long): BigInt =
@@ -428,6 +468,8 @@ object RefInterp {
     case (TInt, x: Long) => VI(BigInt(x))
     case (TInt, x: java.math.BigDecimal) => VI(BigInt(x.toBigInteger))
     case (TWord, x: Long) => VW(x)
+    case (TWord, x: java.math.BigDecimal) => // wide widths: Decimal residue
+      VWide(BigInt(x.toBigInteger))
     case (TBool, x: Boolean) => VB(x)
     case (TString, x: String) => VS(x)
     case (TUnit, _) => VUnit

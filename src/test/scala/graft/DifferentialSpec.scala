@@ -347,6 +347,42 @@ class DifferentialSpec extends AnyFunSuite {
       s"widths 64/32/16/8 disagreed on only $diverged/$n programs — width plumbing suspiciously inert")
   }
 
+  test("wide word widths 80/100/125: compiler == reference (Decimal-backed residues)") {
+    // Widths past 64 (the reference is parametric over any width: Z,
+    // Language.v:4): the engine carries the unsigned residue in a
+    // Decimal(38,0) column through codegen'd WordBinOpWide static calls;
+    // the reference interpreter runs an independent BigInt mask/shift
+    // formulation. Same random programs at all three wide widths plus 64,
+    // and the widths must actually disagree on a healthy fraction —
+    // a wide family that silently behaved like 64 would pass vacuously.
+    var diverged = 0
+    val n = 40
+    for (i <- 0 until n) {
+      val rnd = new Random(8100 + i)
+      val t: FType = if (i % 4 == 3) TBool else TWord
+      val e =
+        if (t == TWord) genExpr(TWord, Vector.empty, rnd, 2 + rnd.nextInt(2))
+        else EBinop(if (rnd.nextBoolean()) OWLessU else OWLessS,
+          genExpr(TWord, Vector.empty, rnd, 2),
+          genExpr(TWord, Vector.empty, rnd, 2))
+      val results = for (w <- Seq(125, 100, 80, 64)) yield {
+        val expected = interp(e, REnv(Map.empty, Map.empty, width = w))
+        Compiler.compileProgram(e,
+          Env(Map.empty, Map.empty, spark, wordWidth = w)) match {
+          case CV(c) =>
+            val got = fromSpark(spark.range(1).select(c.as("v")).head.get(0), t)
+            assert(cmp(got, expected) == 0,
+              s"[wide width $w case $i] compiled=$got reference=$expected\n${show(e)}")
+            expected
+          case TV(_) => fail(s"[wide width $w case $i] scalar compiled to a table")
+        }
+      }
+      if (results.distinct.size > 1) diverged += 1
+    }
+    assert(diverged >= n / 10,
+      s"widths 125/100/80/64 disagreed on only $diverged/$n programs — wide plumbing suspiciously inert")
+  }
+
   test("OWRange follows eval_range_word unsigned-length wrap semantics at every width") {
     // eval_range_word (Interpret.v:80-90): length = unsigned(hi) -
     // unsigned(lo), elements step by WRAPPING add. Endpoints are chosen to
@@ -360,7 +396,7 @@ class DifferentialSpec extends AnyFunSuite {
       (-3L, -1L),                   // top of the unsigned range
       (120L, 133L),                 // crosses the width-8 sign boundary
       (32760L, 32770L))             // crosses the width-16 sign boundary
-    for (w <- Seq(64, 32, 16, 8); (lo, hi) <- cases) {
+    for (w <- Seq(125, 100, 64, 32, 16, 8); (lo, hi) <- cases) {
       val e = EBinop(OWRange, EAtom(AWord(lo)), EAtom(AWord(hi)))
       val expected = interp(e, REnv(Map.empty, Map.empty, width = w))
       Compiler.compileProgram(e,
