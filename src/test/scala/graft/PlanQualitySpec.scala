@@ -420,6 +420,33 @@ class PlanQualitySpec extends AnyFunSuite {
       s"WordBinOpW not codegen'd:\n$p")
   }
 
+  test("wide (100-bit) word ops run inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.WordOps
+    val w100 = WordOps.forWidth(100)
+    val df = spark.range(100)
+      .select(w100.wmul(w100.wadd(
+        col("id").cast("decimal(38,0)"), w100.literal(-1000L)),
+        w100.literal(12345L)).as("w"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("graft_word_wmul_w100"))
+    assert(line.exists(_.trim.startsWith("*(")),
+      s"WordBinOpWide not codegen'd:\n$p")
+  }
+
+  test("correlated zip collects per-outer arrays with grouped shuffles, never a product") {
+    val p = plan("q_lang_corr_zip")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated zip degenerated to a product:\n$p")
+    assert(p.contains("collect_list"),
+      s"expected per-outer-row array collection:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"one grouped shuffle per zip leg at most, got $exchanges:\n$p")
+  }
+
   test("native dot product runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayMath
