@@ -233,9 +233,10 @@ object Compiler {
   }
 
   /** Peel a correlated aggregate source into [optional value projection]
-    * over [a chain of filters] over an uncorrelated core. The projection
-    * value must not itself reference `x` (that would need a join-first
-    * plan, not a groupBy). */
+    * over [a chain of filters] over an uncorrelated core. A projection
+    * value that itself references `x` is allowed — it forces the
+    * join-then-reaggregate path (both rows are in scope there), never
+    * the groupBy-then-join plan. */
   private final case class PeeledSrc(core: Expr,
       filters: List[(String, Expr)], proj: Option[(String, Expr)])
   private def peelCorrelated(x: String, src0: Expr): Option[PeeledSrc] = {
@@ -248,8 +249,7 @@ object Compiler {
       case _ => ()
     }
     cur match {
-      case EProj(_, l0, pb, pv) if !Rewrites.freeVars(pv).contains(x) =>
-        proj = Some((pb, pv)); cur = l0
+      case EProj(_, l0, pb, pv) => proj = Some((pb, pv)); cur = l0
       case _ => ()
     }
     var filters = List.empty[(String, Expr)]
@@ -373,6 +373,10 @@ object Compiler {
     var extraBinds = List.empty[(String, Val)]
     var r2 = r
     splits.zipWithIndex.foreach { case ((node, pe, sp), i) =>
+      // an outer-referencing projection value can only be computed where
+      // BOTH rows are in scope — the distinct-outer join paths below
+      val projRefsX =
+        pe.proj.exists(p => Rewrites.freeVars(p._2).contains(x))
       val innerDF = compile(pe.core, env) match {
         case TV(d) => d
         case cv @ CV(_) => toDF(cv, env)
@@ -449,7 +453,8 @@ object Compiler {
         // value (None) survives collect_list's null-dropping while
         // unmatched left-join rows (null marker) are dropped.
         val vCol = pe.proj match {
-          case Some((pb, pv)) => asCV(compile(pv, env.bindRow(pb, CV(iRow))))
+          case Some((pb, pv)) => asCV(compile(pv,
+            env.bindRow(x, CV(oRow)).bindRow(pb, CV(iRow))))
           case None => iRow
         }
         val wrapped = when(col(s"$ib.$mark").isNotNull, struct(vCol.as("v")))
@@ -467,7 +472,7 @@ object Compiler {
           case _ => EVar(name) // ESort: already canonically sorted
         }) else e0)
       } else {
-        if (sp.mixed.isEmpty) {
+        if (sp.mixed.isEmpty && !projRefsX) {
           // GROUPBY-THEN-JOIN (pure equi-correlation): aggregate the inner
           // side per key — map-side partials, key-sized shuffle — and
           // left-join the per-key aggregates onto the outer.
@@ -502,7 +507,8 @@ object Compiler {
           val vCol =
             if (countOnly) col(s"$ib.$mark")
             else pe.proj match {
-              case Some((pb, pv)) => asCV(compile(pv, env.bindRow(pb, CV(iRow))))
+              case Some((pb, pv)) => asCV(compile(pv,
+                env.bindRow(x, CV(oRow)).bindRow(pb, CV(iRow))))
               case None => col(s"$ib.value")
             }
           joinBack(perOuter(aggOf(vCol)))

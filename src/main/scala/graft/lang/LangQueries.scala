@@ -1409,20 +1409,20 @@ object LangQueries {
         |          THEN sw + 1267650600228229401496703205376 ELSE sw END AS uw
         |      FROM t)
         |SELECT k,
-        |  CAST(uw // 7 AS DECIMAL(38,0)) AS du,
+        |  CAST(uw // 7 AS VARCHAR) AS du,
         |  CAST(((sw // -7) % 1267650600228229401496703205376
         |        + 1267650600228229401496703205376)
-        |       % 1267650600228229401496703205376 AS DECIMAL(38,0)) AS ds,
-        |  CAST(uw % 7 AS DECIMAL(38,0)) AS mu,
+        |       % 1267650600228229401496703205376 AS VARCHAR) AS ds,
+        |  CAST(uw % 7 AS VARCHAR) AS mu,
         |  CAST(((sw % -7) % 1267650600228229401496703205376
         |        + 1267650600228229401496703205376)
-        |       % 1267650600228229401496703205376 AS DECIMAL(38,0)) AS ms,
-        |  CAST(0 AS DECIMAL(38,0)) AS dz,
-        |  CAST(uw AS DECIMAL(38,0)) AS mz,
+        |       % 1267650600228229401496703205376 AS VARCHAR) AS ms,
+        |  CAST(0 AS VARCHAR) AS dz,
+        |  CAST(uw AS VARCHAR) AS mz,
         |  CAST((uw * 12345) % 1267650600228229401496703205376
-        |       AS DECIMAL(38,0)) AS wm,
+        |       AS VARCHAR) AS wm,
         |  CAST((uw + 1267650600228229401496703205376 - 1000)
-        |       % 1267650600228229401496703205376 AS DECIMAL(38,0)) AS wa,
+        |       % 1267650600228229401496703205376 AS VARCHAR) AS wa,
         |  uw < 100 AS ult,
         |  sw < 100 AS slt
         |FROM u ORDER BY k""".stripMargin) { (s, dir) =>
@@ -1452,8 +1452,16 @@ object LangQueries {
       val t = Tables.load(s, dir, "orders")
         .select(col("o_orderkey").as("k"),
           when(sw < 0, sw + m100).otherwise(sw).cast(dt100).as("w"))
-      compileProgram(prog, Env(Map.empty, Map("t" -> t), s, wordWidth = 100))
-        .asInstanceOf[TV].df.orderBy("k")
+      val out = compileProgram(prog,
+        Env(Map.empty, Map("t" -> t), s, wordWidth = 100))
+        .asInstanceOf[TV].df
+      // 100-bit residues cross the engine boundary as STRINGS: the
+      // comparison layer renders wide decimals through float64 (and the
+      // driver hash is type-sensitive), so digits are the only exact
+      // cross-engine carrier at this magnitude
+      val wordCols = Seq("du", "ds", "mu", "ms", "dz", "mz", "wm", "wa")
+      out.select(col("k") +: (wordCols.map(c => col(c).cast("string").as(c))
+        ++ Seq(col("ult"), col("slt"))): _*).orderBy("k")
     },
 
     // WIDTH-16 words — exercises the GENERIC width family (WordBinOpW:

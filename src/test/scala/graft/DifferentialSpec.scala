@@ -679,14 +679,21 @@ class DifferentialSpec extends AnyFunSuite {
           EBinop(OPlus, EAccess(EVar(b), "k"), EAccess(EVar("x"), "k")),
           EAtom(AInt(4)))
       }
-      // always at least one mixed conjunct (kinds 0/1/5) so every case
-      // exercises the new path
-      val picks = Vector(rnd.nextInt(2), 2 + rnd.nextInt(3)) ++
-        (if (rnd.nextBoolean()) Vector(5) else Vector.empty)
+      // x-referencing projection values (r9): `ret u.v + x.k` forces the
+      // join-then-reaggregate path even under pure equi correlation —
+      // exercised both with and without a mixed conjunct
+      val projX = rnd.nextInt(3) == 0
+      val picks =
+        if (projX && rnd.nextBoolean()) Vector(2, 3) // equi-only + inner-only
+        else Vector(rnd.nextInt(2), 2 + rnd.nextInt(3)) ++
+          (if (rnd.nextBoolean()) Vector(5) else Vector.empty)
       val pred = picks.map(conj).reduce((a, c) => EBinop(OAnd, a, c))
       val filtered = EFilter(LikeList, ELoc("t2"), b, pred)
       val pp = s"pp$i"
-      def projected = EProj(LikeList, filtered, pp, EAccess(EVar(pp), "v"))
+      def projected =
+        if (projX) EProj(LikeList, filtered, pp,
+          EBinop(OPlus, EAccess(EVar(pp), "v"), EAccess(EVar("x"), "k")))
+        else EProj(LikeList, filtered, pp, EAccess(EVar(pp), "v"))
       val kind = rnd.nextInt(4)
       val aggNode = kind match {
         case 0 => EUnop(OLength, filtered)
@@ -759,7 +766,12 @@ class DifferentialSpec extends AnyFunSuite {
       val pred = picks.map(conj).reduce((a, c) => EBinop(OAnd, a, c))
       val filtered = EFilter(LikeBag, ELoc("t2"), b, pred)
       val pp = s"cp$i"
-      val projected = EProj(LikeBag, filtered, pp, EAccess(EVar(pp), "v"))
+      // the per-row arrays sometimes project with the OUTER row (r9):
+      // sorted order is then by the x-shifted value, same in both engines
+      val projected =
+        if (rnd.nextInt(3) == 0) EProj(LikeBag, filtered, pp,
+          EBinop(OPlus, EAccess(EVar(pp), "v"), EAccess(EVar("x"), "k")))
+        else EProj(LikeBag, filtered, pp, EAccess(EVar(pp), "v"))
       val useFold = rnd.nextBoolean()
       val (node, fieldT: FType) =
         if (useFold) {
