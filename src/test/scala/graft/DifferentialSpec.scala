@@ -903,17 +903,27 @@ class DifferentialSpec extends AnyFunSuite {
             "a" -> EBinop(OPlus, EAccess(EVar("ja"), "v"),
               EAccess(EVar("x"), "k")),
             "b" -> EAccess(EVar("jb"), "v"))))
-        } else { // EFlatmap2 whose zipped lists are correlated tables
+        } else { // EFlatmap2 whose zipped lists are correlated tables;
+          // sometimes the left leg PROJECTS with the outer row (r9) —
+          // the per-row array is then sorted by the x-shifted value
+          val projLeg = rnd.nextInt(3) == 0
+          val filt1 = EFilter(LikeList, ELoc("t2"), s"ba$i", corrPred(s"ba$i"))
           val l1 = ESort(LikeList,
-            EFilter(LikeList, ELoc("t2"), s"ba$i", corrPred(s"ba$i")))
+            if (projLeg) EProj(LikeList, filt1, s"pa$i",
+              EBinop(OPlus, EAccess(EVar(s"pa$i"), "v"),
+                EAccess(EVar("x"), "k")))
+            else filt1)
           val l2 = ESort(LikeList,
             if (rnd.nextBoolean())
               EFilter(LikeList, ELoc("t3"), s"bb$i", corrPred(s"bb$i"))
             else ELoc("t3"))
+          val aField =
+            if (projLeg) EVar(s"zx$i") // leg already carries v + x.k
+            else EBinop(OPlus, EAccess(EVar(s"zx$i"), "v"),
+              EAccess(EVar("x"), "k"))
           EFlatmap2(l1, l2, s"zx$i", s"zy$i",
             EBinop(OCons, ERecord(List(
-              "a" -> EBinop(OPlus, EAccess(EVar(s"zx$i"), "v"),
-                EAccess(EVar("x"), "k")),
+              "a" -> aField,
               "b" -> EAccess(EVar(s"zy$i"), "v"))),
               literal(VList(Vector.empty), TList(resT))))
         }
