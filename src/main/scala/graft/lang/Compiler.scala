@@ -257,7 +257,13 @@ object Compiler {
       case EFilter(_, l0, b, p) => filters ::= ((b, p)); cur = l0
       case _ => return None
     }
-    if (filters.isEmpty) None else Some(PeeledSrc(cur, filters, proj))
+    // proj-ONLY correlation (no tying filter at all) is still peelable:
+    // the aggregate runs over the FULL inner table per outer row — the
+    // reference nested-loops that exact product, and the distinct-outer
+    // join below reproduces it with a true join condition
+    if (filters.isEmpty && !proj.exists(p =>
+        Rewrites.freeVars(p._2).contains(x))) None
+    else Some(PeeledSrc(cur, filters, proj))
   }
 
   /** UNNEST correlated scalar aggregates in a table projection — the
@@ -351,8 +357,12 @@ object Compiler {
       ConjSplit(keyPairs, residual, outerOnly, mixed)
     }
     val splits = peeled.map { case (node, pe) => (node, pe, splitConjuncts(pe)) }
-    splits.foreach { case (_, _, sp) =>
-      if (sp.keyPairs.isEmpty && sp.mixed.isEmpty)
+    splits.foreach { case (node, pe, sp) =>
+      // without a tying predicate the correlation must come from the
+      // projection value — the full-product shape handled by the
+      // distinct-outer join with a true condition
+      if (sp.keyPairs.isEmpty && sp.mixed.isEmpty &&
+          !pe.proj.exists(p => Rewrites.freeVars(p._2).contains(x)))
         throw new UnsupportedOperationException(
           "correlated aggregate without a predicate tying outer and inner " +
             "rows — rewrite with an explicit EJoin")
@@ -426,7 +436,8 @@ object Compiler {
         }
       val okName = (c: String) => s"__oc${id}_${i}_$c"
       def perOuter(aggCol: Column): DataFrame =
-        oa.join(ia, posPredConjs.reduce(_ && _), "left")
+        oa.join(ia, posPredConjs.reduceOption(_ && _).getOrElse(lit(true)),
+          "left")
           .groupBy(df.columns.map(c => col(s"$lo.$c")).toIndexedSeq: _*)
           .agg(aggCol.as(aName))
           .toDF((df.columns.map(okName) :+ aName).toIndexedSeq: _*)

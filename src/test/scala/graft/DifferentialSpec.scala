@@ -683,8 +683,12 @@ class DifferentialSpec extends AnyFunSuite {
       // join-then-reaggregate path even under pure equi correlation —
       // exercised both with and without a mixed conjunct
       val projX = rnd.nextInt(3) == 0
+      // proj-ONLY correlation (r9): no tying filter at all — the aggregate
+      // ranges over the full (or inner-only-filtered) table per outer row
+      val projOnly = projX && rnd.nextInt(3) == 0
       val picks =
-        if (projX && rnd.nextBoolean()) Vector(2, 3) // equi-only + inner-only
+        if (projOnly) Vector(3) // inner-only filter, no x anywhere
+        else if (projX && rnd.nextBoolean()) Vector(2, 3) // equi + inner-only
         else Vector(rnd.nextInt(2), 2 + rnd.nextInt(3)) ++
           (if (rnd.nextBoolean()) Vector(5) else Vector.empty)
       val pred = picks.map(conj).reduce((a, c) => EBinop(OAnd, a, c))
