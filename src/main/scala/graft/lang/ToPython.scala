@@ -12,10 +12,13 @@ package graft.lang
   * key function (plain `sorted()` raises on dicts). Notably Python's
   * `//` and `%` ARE Coq's `Z.div`/`Z.modulo` (floor division, modulo
   * with the divisor's sign), so `ODiv`/`OMod` extract exactly — the one
-  * scalar family the SQL backend must refuse. Word-variant ops refuse
-  * instead (Python ints are unbounded; two's-complement wrap would be
-  * silently lost — the reference prints them as plain ints, diverging
-  * from its own interpreter).
+  * scalar family the SQL backend must refuse. Word ops extract through
+  * width-parametric prelude helpers that mask every result back to
+  * two's complement (signed canonical form, any width ≥ 1) — the
+  * reference's printer emits plain `+`/`//` on unbounded ints here,
+  * diverging from its own interpreter; this extraction is wrap-faithful
+  * (`__w`, `__wdivu`, … with the total x/0=0, x%0=x semantics and
+  * truncation toward zero for the signed family).
   */
 object ToPython {
   import Lang._
@@ -23,18 +26,41 @@ object ToPython {
   final case class Unextractable(what: String)
       extends RuntimeException(s"no Python extraction for $what")
 
-  /** Helpers every extracted program needs: functools for folds and the
+  /** Helpers every extracted program needs: functools for folds, the
     * canonical-order sort key (records = name-sorted field lists, then
-    * lexicographic — Value.v:116-147). */
-  val prelude: String =
-    """import functools
+    * lexicographic — Value.v:116-147), and the width-`w` word family
+    * (signed two's-complement canonical; Interpret.v:139-151 semantics). */
+  def preludeFor(wordWidth: Int): String = {
+    require(wordWidth >= 1, s"bad word width $wordWidth")
+    s"""import functools
       |def __key(v):
       |    if isinstance(v, dict):
       |        return [(k, __key(v[k])) for k in sorted(v)]
       |    if isinstance(v, list):
       |        return [__key(x) for x in v]
       |    return v
+      |__W = $wordWidth
+      |__MASK = (1 << __W) - 1
+      |def __w(v):
+      |    v &= __MASK
+      |    return v - (1 << __W) if v >= (1 << (__W - 1)) else v
+      |def __wdivu(a, b):
+      |    return 0 if b == 0 else __w((a & __MASK) // (b & __MASK))
+      |def __wdivs(a, b):
+      |    if b == 0:
+      |        return 0
+      |    q = abs(a) // abs(b)
+      |    return __w(-q if (a < 0) != (b < 0) else q)
+      |def __wmodu(a, b):
+      |    return __w(a) if b == 0 else __w((a & __MASK) % (b & __MASK))
+      |def __wmods(a, b):
+      |    if b == 0:
+      |        return __w(a)
+      |    r = abs(a) % abs(b)
+      |    return __w(-r if a < 0 else r)
       |""".stripMargin
+  }
+  val prelude: String = preludeFor(64)
 
   /** Whole-command extraction (`program_py`): prelude + indented body.
     * Binder SHADOWING refuses: Python has no block scope, so a flat
@@ -43,7 +69,7 @@ object ToPython {
     * own printer has exactly this bug; for non-shadowing well-typed
     * programs flat assignment is faithful, since a binding that ended is
     * unreadable anyway). */
-  def program(c: Command): String = {
+  def program(c: Command, wordWidth: Int = 64): String = {
     def checkShadow(c: Command, bound: Set[String]): Unit = c match {
       case CSkip =>
       case CSeq(a, b) => checkShadow(a, bound); checkShadow(b, bound)
@@ -58,7 +84,7 @@ object ToPython {
       case CForeach(_, x, body) => checkShadow(body, bound + x)
     }
     checkShadow(c, Set.empty)
-    prelude + command(0, c)
+    preludeFor(wordWidth) + command(0, c)
   }
 
   private def command(n: Int, c: Command): String = c match {
@@ -131,7 +157,7 @@ object ToPython {
   }
 
   private def atom(a: Atom): String = a match {
-    case AWord(v) => v.toString
+    case AWord(v) => s"__w($v)" // canonicalize the literal at the width
     case AInt(v) => v.toString
     case ABool(b) => if (b) "True" else "False"
     case AString(s) => str(s)
@@ -147,7 +173,7 @@ object ToPython {
     case OLength | OLengthString => s"len($e)"
     case OIntToString => s"str($e)"
     case OSome => e // options are nullables; Some is identity
-    case OWNeg => throw Unextractable("OWNeg (word wrap semantics)")
+    case OWNeg => s"__w(- $e)" // wraps at the width's MinValue
   }
 
   private def binop(op: Binop, a: String, b: String): String = op match {
@@ -170,7 +196,23 @@ object ToPython {
     case OSetInsert => s"sorted([$b] + [__x for __x in $a if __x != $b], key=__key)"
     case OLookup => s"$a.get($b)"
     case ODelete => s"{__k: __v for __k, __v in $a.items() if __k != $b}"
-    case other => throw Unextractable(s"$other (word semantics)")
+    // word family: every result masked back to two's complement — the
+    // reference printer's plain +/* and // silently lose the wrap and the
+    // unsigned views (ToPython.v:65-68)
+    case OWPlus => s"__w($a + $b)"
+    case OWMinus => s"__w($a - $b)"
+    case OWTimes => s"__w($a * $b)"
+    case OWDivU => s"__wdivu($a, $b)"
+    case OWDivS => s"__wdivs($a, $b)"
+    case OWModU => s"__wmodu($a, $b)"
+    case OWModS => s"__wmods($a, $b)"
+    case OWLessU => s"(($a & __MASK) < ($b & __MASK))"
+    case OWLessS => s"($a < $b)"
+    // eval_range_word (Interpret.v:80-90): length = unsigned(hi) -
+    // unsigned(lo), elements step by WRAPPING add
+    case OWRange =>
+      s"(lambda __lo, __hi: [__w(__lo + __i) for __i in " +
+        s"range(max(0, (__hi & __MASK) - (__lo & __MASK)))])($a, $b)"
   }
 
   private def str(s: String): String =

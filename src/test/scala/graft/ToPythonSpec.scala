@@ -27,9 +27,10 @@ class ToPythonSpec extends AnyFunSuite {
       EBinop(OLess, EVar("x"), EAtom(AInt(5))))) ===
       "[x for x in t if (x < 5)]")
     assert(ToPython(EACIFold(AGMin, ELoc("t"))) === "min(t, default=None)")
-    // word ops lose wrap semantics in unbounded Python ints — refuse
-    assertThrows[ToPython.Unextractable](
-      ToPython(EBinop(OWDivU, EVar("a"), EVar("b"))))
+    // word ops extract via the masked prelude family (the reference's
+    // printer emits plain // here, losing the unsigned view)
+    assert(ToPython(EBinop(OWDivU, EVar("a"), EVar("b"))) ===
+      "__wdivu(a, b)")
     // a command renders as an indented program with the prelude
     val prog = ToPython.program(CLetMut(litList(Seq(1, 2)), "t",
       CForeach(ELoc("t"), "x", CAssign("out", EVar("x")))))
@@ -82,5 +83,53 @@ class ToPythonSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f)
     assert(out.toLong === engine,
       s"python=$out engine=$engine for program:\n$py")
+  }
+
+  test("extracted word ops are wrap-faithful at widths 64 and 16 (CPython vs RefInterp)") {
+    import scala.sys.process._
+    import graft.lang.RefInterp._
+    val havePython = try {
+      Seq("python3", "-c", "print(1)").!!.trim == "1"
+    } catch { case _: Exception => false }
+    assume(havePython, "python3 not available")
+
+    def W(v: Long) = EAtom(AWord(v))
+    // wrap multiply past the width, total div/mod by ±7 and 0, unsigned
+    // and signed compares, wrapping negation, and a wrap-range fold
+    val battery: Seq[Expr] = Seq(
+      EBinop(OWTimes, W(40503L), W(2654435761L)),
+      EBinop(OWPlus, W(Long.MaxValue), W(1L)),
+      EUnop(OWNeg, EBinop(OWPlus, W(Long.MinValue), W(0L))),
+      EBinop(OWDivU, W(-700L), W(7L)),
+      EBinop(OWDivS, W(-700L), W(-7L)),
+      EBinop(OWModU, W(-700L), W(7L)),
+      EBinop(OWModS, W(-700L), W(-7L)),
+      EBinop(OWDivU, W(-700L), W(0L)),
+      EBinop(OWModS, W(-700L), W(0L)),
+      EFold(EBinop(OWRange, W(-3L), W(-1L)), W(1L), "x", "a",
+        EBinop(OWPlus, EVar("x"), EVar("a"))))
+    val bools: Seq[Expr] = Seq(
+      EBinop(OWLessU, W(-1L), W(1L)),
+      EBinop(OWLessS, W(-1L), W(1L)))
+    for (w <- Seq(64, 16)) {
+      val prints = (battery ++ bools)
+        .map(e => s"print(${ToPython(e)})").mkString("", "\n", "\n")
+      val py = ToPython.preludeFor(w) + prints
+      val f = java.nio.file.Files.createTempFile("graft_topyw_", ".py")
+      java.nio.file.Files.writeString(f, py)
+      val out = Seq("python3", f.toString).!!.trim.linesIterator.toVector
+      java.nio.file.Files.delete(f)
+      (battery ++ bools).zip(out).zipWithIndex.foreach {
+        case ((e, got), i) =>
+          val expected = interp(e, REnv(Map.empty, Map.empty, width = w))
+          val want = expected match {
+            case VW(x) => x.toString
+            case VB(x) => if (x) "True" else "False"
+            case o => fail(s"unexpected reference value $o")
+          }
+          assert(got === want,
+            s"[width $w case $i] python=$got reference=$want\n$py")
+      }
+    }
   }
 }
