@@ -43,13 +43,19 @@ object Verify {
         // failing entry for this name.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-        spark.createDataFrame(
+        // the marker write itself must never abort the run (a session-fatal
+        // first failure would otherwise skip every remaining query)
+        try spark.createDataFrame(
           java.util.List.of(org.apache.spark.sql.Row(
             s"query threw: ${failures(name).take(500)}")),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("__graft_error",
               org.apache.spark.sql.types.StringType))))
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: " +
+            s"${m.getMessage}")
+        }
       }
       // queries build private caches (indexes, shingle sets); drop them so
       // 100+ queries don't accumulate executor memory. localCheckpoint

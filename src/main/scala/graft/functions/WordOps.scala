@@ -155,10 +155,17 @@ case class WordBinOpW(left: Expression, right: Expression, op: String,
   * divs(MinValue, -1). */
 object WordMathWide {
   import java.math.BigInteger
-  def mask(w: Int): BigInteger =
-    BigInteger.ONE.shiftLeft(w).subtract(BigInteger.ONE)
-  def half(w: Int): BigInteger = BigInteger.ONE.shiftLeft(w - 1)
-  def full(w: Int): BigInteger = BigInteger.ONE.shiftLeft(w)
+  // the three per-width constants are precomputed: evalOp sits inside
+  // whole-stage codegen and runs per row — rebuilding shifted BigIntegers
+  // there is pure allocation pressure
+  private val MaxW = 125
+  private val masks = Array.tabulate(MaxW + 1)(w =>
+    BigInteger.ONE.shiftLeft(w).subtract(BigInteger.ONE))
+  private val fulls = Array.tabulate(MaxW + 1)(w =>
+    BigInteger.ONE.shiftLeft(w))
+  def mask(w: Int): BigInteger = masks(w)
+  def half(w: Int): BigInteger = fulls(w - 1)
+  def full(w: Int): BigInteger = fulls(w)
   private def res(x: BigInteger, w: Int): BigInteger = x.and(mask(w))
   private def signed(x: BigInteger, w: Int): BigInteger =
     if (x.testBit(w - 1)) x.subtract(full(w)) else x

@@ -937,17 +937,8 @@ object Compiler {
                 else compile(leg, env) match {
                   case CV(_) => leg
                   case TV(d) =>
-                    val cols = d.columns.sorted
-                    val head = d.orderBy(cols.map(col).toIndexedSeq: _*)
-                      .limit(10001).collect()
-                    if (head.length > 10000) throw correlatedError(null)
-                    val elems = head.map(rowLiteral(_, d.schema, cols))
-                    val arr =
-                      if (elems.isEmpty) array().cast(ArrayType(
-                        if (cols.sameElements(Array("value")))
-                          d.schema("value").dataType
-                        else StructType(cols.map(c => d.schema(c)))))
-                      else array(elems.toIndexedSeq: _*)
+                    val arr = tableArrayLit(d, 10000)
+                      .getOrElse(throw correlatedError(null))
                     val n = s"__zleg${latIds.incrementAndGet()}"
                     legBinds ::= ((n, CV(arr)))
                     EVar(n)
@@ -1084,17 +1075,10 @@ object Compiler {
           aggregate(arr, accCol, (a, v) =>
             asCV(compile(step, env.bind(x, CV(v)).bind(acc, CV(a)))))
         val zCol = asCV(compile(z, env))
-        val head = df.orderBy(cols.map(col): _*)
-          .limit(batchSize + 1).collect()
-        if (head.length <= batchSize) {
-          val elems = head.map(rowLiteral(_, df.schema, cols))
-          val arr = if (elems.isEmpty) array().cast(ArrayType(
-            if (cols.sameElements(Array("value"))) df.schema("value").dataType
-            else StructType(cols.map(c => df.schema(c)))))
-          else array(elems.toIndexedSeq: _*)
+        tableArrayLit(df, batchSize) match {
           // right fold (Interpret.v:313-319) over the canonical order
-          CV(foldArr(reverse(arr), zCol))
-        } else {
+          case Some(arr) => CV(foldArr(reverse(arr), zCol))
+          case None =>
           // streamed batched fold, canonical-DESC order; the accumulator
           // is re-literalized between batches, so it must stay scalar
           import scala.jdk.CollectionConverters._
@@ -1147,6 +1131,24 @@ object Compiler {
     case ESetOf(l) => compile(l, env) match {
       case TV(df) => TV(df.distinct())
       case CV(c) => CV(Fiat2.setOfArray(c))
+    }
+  }
+
+  /** Canonical-order ARRAY LITERAL of a table — the ≤`cap`-row localization
+    * the table EFold and the zip-leg lift share; None when the table is too
+    * big to localize. Lazy in the Spark sense: composes into larger
+    * expressions with no job beyond the one limit-collect here. */
+  private def tableArrayLit(df: DataFrame, cap: Int): Option[Column] = {
+    val cols = df.columns.sorted
+    val head = df.orderBy(cols.map(col).toIndexedSeq: _*)
+      .limit(cap + 1).collect()
+    if (head.length > cap) None
+    else Some {
+      val elems = head.map(rowLiteral(_, df.schema, cols))
+      if (elems.isEmpty) array().cast(ArrayType(
+        if (cols.sameElements(Array("value"))) df.schema("value").dataType
+        else StructType(cols.map(c => df.schema(c)))))
+      else array(elems.toIndexedSeq: _*)
     }
   }
 

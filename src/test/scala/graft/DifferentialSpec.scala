@@ -377,7 +377,9 @@ class DifferentialSpec extends AnyFunSuite {
           case TV(_) => fail(s"[wide width $w case $i] scalar compiled to a table")
         }
       }
-      if (results.distinct.size > 1) diverged += 1
+      // anti-vacuity over the THREE WIDE widths only: VW (64) vs VWide can
+      // never be equal, so including 64 would count every case as diverged
+      if (results.take(3).distinct.size > 1) diverged += 1
     }
     assert(diverged >= n / 10,
       s"widths 125/100/80/64 disagreed on only $diverged/$n programs — wide plumbing suspiciously inert")
