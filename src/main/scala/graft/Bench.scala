@@ -15,6 +15,25 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val wall0 = System.nanoTime()
+    def wallMark(label: String, since: Long): Long = {
+      val now = System.nanoTime()
+      System.err.println(f"[bench-wall] $label%-12s ${(now - since) / 1e9}%7.1fs")
+      now
+    }
+    // Self-attribution (round-10 directive 2): count Spark jobs per query
+    // rep. A genuine plan change shows up as a different job count; pure
+    // box variance shows identical jobs with drifted wall time. JobStart
+    // is posted to the (async) listener bus at submission, strictly before
+    // the job's results unblock count(), so reading the counter after the
+    // action returns sees every job of the rep in practice; any residual
+    // bus lag is constant-shaped and cancels in rep-over-rep comparison.
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    })
     // JVM/codegen warmup so the first measured query isn't charged ~4s of
     // session startup. The second statement warms the text-pipeline
     // machinery (regex split, higher-order array functions, hash
@@ -24,6 +43,7 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     warmTextPipeline(spark)
     warmStreaming(spark)
+    val wallWarm = wallMark("warmup", wall0)
     // local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b benches a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -64,14 +84,16 @@ object Bench {
     // metaspace, GC all flat under SPARK_GRAFT_PROF). Interleaved passes
     // bound any such window's damage to ONE rep per query, which the
     // per-query median then rejects.
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[(Double, Int)] = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
+      val j0 = jobCounter.get()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val jobs = jobCounter.get() - j0
       // drop per-query caches so later timings aren't skewed by memory
       // pressure from earlier queries' cached indexes. clearCache only
       // covers the SQL cache manager — localCheckpoint blocks (graph
@@ -88,10 +110,10 @@ object Bench {
       // cache keeps the rewrite rule from steering OTHER queries onto a
       // no-longer-cached index
       graft.plans.KeyedIndexRule.clear()
-      if (ok) Some(dt) else None
+      if (ok) Some((dt, jobs)) else None
     }
     val order = selected.toVector
-    val passes: Vector[Vector[(String, Option[Double])]] =
+    val passes: Vector[Vector[(String, Option[(Double, Int)])]] =
       (1 to reps).toVector.map { p =>
         val gc0 = gcMillis
         val pass = order.map { case (name, fn) => name -> runOnce(name, fn) }
@@ -105,15 +127,20 @@ object Bench {
         }
         pass
       }
-    val results = order.map { case (name, _) =>
-      val times = passes.flatMap(_.collectFirst {
-        case (`name`, t) => t
-      }.get)
-      if (prof)
-        System.err.println(f"[prof] $name%-28s reps=${times.map(t => f"$t%.2f").mkString(",")}")
-      // a failed rep is reported as -1, never as a plausible fast time
-      name -> (if (times.size < reps) -1.0 else times.sorted.apply(reps / 2))
-    }.toMap
+    val wallPasses = wallMark("passes", wallWarm)
+    // per-query: (median_sec, reps_sec, jobs_per_rep)
+    val detail: Vector[(String, Double, Vector[Double], Vector[Int])] =
+      order.map { case (name, _) =>
+        val cells = passes.flatMap(_.collectFirst { case (`name`, t) => t }.get)
+        val times = cells.map(_._1)
+        val jobs = cells.map(_._2)
+        if (prof)
+          System.err.println(f"[prof] $name%-28s reps=${times.map(t => f"$t%.2f").mkString(",")} jobs=${jobs.mkString(",")}")
+        // a failed rep is reported as -1, never as a plausible fast time
+        val med = if (times.size < reps) -1.0 else times.sorted.apply(reps / 2)
+        (name, med, times, jobs)
+      }
+    val results = detail.map { case (n, m, _, _) => n -> m }.toMap
     // keep the whole JSON line short: the harness that reads it keeps only
     // the tail of stdout, and a full-precision line for 80 queries
     // overflows that window. Per-query entries are limited to the queries
@@ -124,6 +151,19 @@ object Bench {
     val (slow, fast) = results.partition { case (_, v) => v >= 0.3 || v < 0 }
     val qs = slow.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // variance-vs-drift evidence per slow query (directive 2): the raw rep
+    // times and the per-rep job counts. Constant jobs + drifted time = box
+    // variance; changed jobs = a real plan/loop change. Job counts collapse
+    // to a single N when constant across reps.
+    val slowDetail = detail.filter { case (n, _, _, _) => slow.contains(n) }
+    val repsJson = slowDetail.map { case (n, _, ts, _) =>
+      "\"" + n + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val jobsJson = slowDetail.map { case (n, _, _, js) =>
+      val v = if (js.nonEmpty && js.forall(_ == js.head)) js.head.toString
+              else js.mkString("[", ",", "]")
+      "\"" + n + "\":" + v
+    }.mkString("{", ",", "}")
     // failed queries report -1 per-query but must not SUBTRACT from total;
     // list their names explicitly — a -1 buried in 80 entries is easy to miss
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -132,9 +172,12 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"reps":$reps,"stat":"median",""" +
       s""""queries":$qs,""" +
+      s""""reps_sec":$repsJson,""" +
+      s""""jobs":$jobsJson,""" +
       s""""failed":${failed.mkString("[", ",", "]")},""" +
       s""""fast_omitted":${fast.size},"fast_total":${fmt(fast.values.sum)},""" +
       s""""sf":"$sfName"}""")
+    wallMark("total", wall0)
     spark.stop()
   }
 
