@@ -40,10 +40,20 @@ object Tables {
       // reader unless surfaced as epoch-nanos longs (no-op for µs files).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Event-time derivations (the NTZ→LTZ cast in tsCol, date_trunc /
-      // window bucketing) must agree with the UTC DuckDB oracle in EVERY
-      // session that runs them — including driver-built ones (smoke,
-      // server) whose builders we don't control.
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      // window bucketing) must agree with the UTC DuckDB oracle. Every
+      // graft-owned builder pins spark.sql.session.timeZone=UTC; a session
+      // that arrives here non-UTC is misconfigured, and silently flipping
+      // its zone mid-session would corrupt any intentional setting — fail
+      // loudly instead.
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      val isUtc = try {
+        java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+      } catch { case _: java.time.DateTimeException => false }
+      require(isUtc,
+        s"events requires spark.sql.session.timeZone=UTC (found '$tz'): " +
+          "event-time derivations must agree with the UTC DuckDB oracle. " +
+          "Pin .config(\"spark.sql.session.timeZone\", \"UTC\") in the " +
+          "SparkSession builder (all graft mains already do)")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       assertEventsTs(df.schema("ts").dataType)
       df

@@ -288,15 +288,16 @@ object WordOps {
       * `sequence(lo, hi-1)`, which disagrees whenever an endpoint is
       * negative in the signed view. The length is the masked wrap-sub for
       * sub-64 widths (the unsigned diff fits a signed Long); at width 64 a
-      * signed-negative diff means len ≥ 2^63, which `sequence` rejects at
-      * materialization — the same "too large" outcome the local
-      * interpreter's guard gives. */
+      * signed-negative diff means len ≥ 2^63 and trips the shared
+      * materialization cap below. */
     def range(lo: Column, hi: Column): Column = {
       import org.apache.spark.sql.functions.{array, sequence, transform, when}
       val diff = wsub(hi, lo)
       val len = if (width == 64) diff else diff.bitwiseAND(lit((1L << width) - 1))
+      // len < 0 only at width 64, where it means unsigned length ≥ 2^63
+      val checked = WordOps.capRangeLen(len, len < lit(0L))
       when(!ltu(lo, hi), array().cast("array<long>"))
-        .otherwise(transform(sequence(lit(0L), len - lit(1L)), i => wadd(lo, i)))
+        .otherwise(transform(sequence(lit(0L), checked - lit(1L)), i => wadd(lo, i)))
     }
   }
 
@@ -305,7 +306,13 @@ object WordOps {
     * view subtracts 2^w above the sign bit. */
   final class Wide private[WordOps] (val width: Int) extends Width {
     require(width >= 65 && width <= 125,
-      s"unsupported wide word width $width (must be in 65..125)")
+      s"word width $width exceeds the engine's 125-bit ceiling: wide words " +
+        "are unsigned residues in Decimal(38,0), and 2^125 is the largest " +
+        "power of two whose residues and add/sub intermediates stay exact " +
+        "in 38 decimal digits. The reference is parametric over any " +
+        "width: Z (fiat2/src/fiat2/Language.v:4); widths past 125 would " +
+        "need a multi-limb representation — documented divergence, see " +
+        "README 'Known divergences' and DivergenceSpec")
     import org.apache.spark.sql.functions.{array, sequence, transform, when}
     private val dt = DecimalType(38, 0)
     private def bd(x: java.math.BigInteger) =
@@ -333,12 +340,28 @@ object WordOps {
       * length cast to Long ANSI-errors on absurd ranges — the same
       * "too large to materialize" outcome as the other widths. */
     def range(lo: Column, hi: Column): Column = {
+      // decimal diffs ≥ 2^63 ANSI-error at this cast — still a loud
+      // failure on ranges the cap below would refuse anyway
       val len = (hi - lo).cast("long")
+      val checked = WordOps.capRangeLen(len, lit(false))
       when(!ltu(lo, hi), array().cast(
         org.apache.spark.sql.types.ArrayType(dt)))
-        .otherwise(transform(sequence(lit(0L), len - lit(1L)),
+        .otherwise(transform(sequence(lit(0L), checked - lit(1L)),
           i => wadd(lo, i.cast(dt))))
     }
+  }
+
+  /** Shared materialization bound for `eval_range_word`, mirrored from
+    * RefInterp's OWRange guard (2^24 elements): both sides of the
+    * differential fuzz must refuse the same ranges, or an engine-buildable
+    * plan the reference declines to materialize masks or misattributes
+    * divergences (round-10 ADVICE). Message prefix matches RefInterp's. */
+  private[graft] def capRangeLen(len: Column, alsoIf: Column): Column = {
+    import org.apache.spark.sql.functions.{concat, lit, raise_error, when}
+    when(alsoIf || len >= lit(1L << 24),
+      raise_error(concat(lit("word range too large to materialize: "),
+        len.cast("string"))).cast("long"))
+      .otherwise(len)
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Width]()

@@ -273,7 +273,10 @@ object RefInterp {
         case ORange =>
           val lo = asI(v1); val hi = asI(v2)
           VList((lo until hi).map(VI(_)).toVector)
-        // eval_range_word: length = unsigned(hi) - unsigned(lo), wrap adds
+        // eval_range_word: length = unsigned(hi) - unsigned(lo), wrap adds.
+        // The 2^24 materialization cap is MIRRORED by the engine
+        // (WordOps.capRangeLen): both sides of the differential fuzz refuse
+        // the same ranges, so a "too large" outcome is never one-sided.
         case OWRange if env.width > 64 =>
           val ulo = asWd(v1); val uhi = asWd(v2)
           val len = (uhi - ulo).max(0)

@@ -60,7 +60,10 @@ object ToPython {
       |    return __w(-r if a < 0 else r)
       |""".stripMargin
   }
-  val prelude: String = preludeFor(64)
+  /** Width-64 prelude — ONLY for the surface-syntax path, whose word
+    * literals are width 64 by definition. Programs authored under a
+    * non-64 `Env` must use `preludeFor`/`program` with the Env's width. */
+  val prelude64: String = preludeFor(64)
 
   /** Whole-command extraction (`program_py`): prelude + indented body.
     * Binder SHADOWING refuses: Python has no block scope, so a flat
@@ -69,7 +72,7 @@ object ToPython {
     * own printer has exactly this bug; for non-shadowing well-typed
     * programs flat assignment is faithful, since a binding that ended is
     * unreadable anyway). */
-  def program(c: Command, wordWidth: Int = 64): String = {
+  def program(c: Command, wordWidth: Int): String = {
     def checkShadow(c: Command, bound: Set[String]): Unit = c match {
       case CSkip =>
       case CSeq(a, b) => checkShadow(a, bound); checkShadow(b, bound)

@@ -83,12 +83,11 @@ object Multimodal {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
     val W = 8; val H = 6
-    // per-blob ImageIO.read scans the reader registry and spills its input
-    // cache to TEMP FILES by default — per-partition reader reuse plus an
-    // in-memory cache policy is the batch-decode discipline a real image
-    // pipeline uses (one decoder open per partition, zero disk traffic)
-    ImageIO.setUseCache(false)
+    PngCodec.ensureInMemoryCache()
     private val reader = ImageIO.getImageReadersByFormatName("png").next()
+    private var closed = false
+    /** Release the reader's native/registry resources at partition end. */
+    def close(): Unit = if (!closed) { closed = true; reader.dispose() }
 
     /** Pixel p reads bytes (p, p+1, p+2) mod n as R, G, B. */
     def encode(doc_id: Long, bytes: Array[Byte]): MediaBlob = {
@@ -132,7 +131,27 @@ object Multimodal {
       PngFeatures(b.doc_id, w, h, rs, gs, bs, rrs)
     }
   }
-  object PngCodec { def open(): PngCodec = new PngCodec }
+  object PngCodec {
+    // JVM-GLOBAL side effect, applied exactly once: ImageIO's input-cache
+    // policy is process-wide, and the default spills every decode's input
+    // to TEMP FILES. In-memory caching is the batch-decode discipline a
+    // real image pipeline uses (zero disk traffic); any other ImageIO user
+    // in this JVM sees the same policy — acceptable here, but deliberate
+    // and visible rather than a per-instance constructor surprise.
+    private lazy val inMemoryCache: Unit =
+      javax.imageio.ImageIO.setUseCache(false)
+    private[operators] def ensureInMemoryCache(): Unit = inMemoryCache
+    def open(): PngCodec = new PngCodec
+    /** Map `iter` through `f`, disposing the codec's reader once the
+      * partition iterator is exhausted. */
+    def mapClosing[A, B](codec: PngCodec, iter: Iterator[A])(f: A => B): Iterator[B] =
+      new Iterator[B] {
+        def hasNext: Boolean = {
+          val h = iter.hasNext; if (!h) codec.close(); h
+        }
+        def next(): B = f(iter.next())
+      }
+  }
 
   final case class WavStats(doc_id: Long, n_samples: Int, sample_sum: Long,
       abs_sum: Long, peak: Long)
@@ -225,7 +244,7 @@ object Multimodal {
             .as[MediaBlob]
             .mapPartitions { iter =>
               val codec = PngCodec.open()
-              iter.map(b => codec.encode(b.doc_id, b.data))
+              PngCodec.mapClosing(codec, iter)(b => codec.encode(b.doc_id, b.data))
             }
             .write.mode("overwrite").parquet(p.toString)
       }
@@ -235,7 +254,7 @@ object Multimodal {
         .repartition(s.sparkContext.defaultParallelism).as[MediaBlob]
         .mapPartitions { iter =>
           val codec = PngCodec.open()
-          iter.map(codec.decodeFeatures)
+          PngCodec.mapClosing(codec, iter)(codec.decodeFeatures)
         }.toDF().orderBy("doc_id")
     },
 

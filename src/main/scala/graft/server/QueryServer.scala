@@ -140,7 +140,7 @@ final class QueryServer(spark: SparkSession, dataDir: String,
     import graft.lang.{Parser, Rewrites, ToPython}
     import spark.implicits._
     val e = Rewrites.normalize(Parser.parseExpr(src))
-    val text = ToPython.prelude + s"print(${ToPython(e)})\n"
+    val text = ToPython.prelude64 + s"print(${ToPython(e)})\n"
     Seq(text).toDF("python")
   }
 

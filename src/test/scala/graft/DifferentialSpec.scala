@@ -958,6 +958,148 @@ class DifferentialSpec extends AnyFunSuite {
     assert(ran + directed == n)
   }
 
+  test("correlation under EDictFold/EOptMatch, degenerate zip legs, aggregates inside join legs: correct or DIRECTED") {
+    // Round-10 extension of the correlation boundary fuzz: the r9 both-leg
+    // generator reports 0 unsupported of 56 — it no longer reaches the
+    // boundary. These four shape families push past it (reference
+    // semantics Interpret.v:273-312,346-350):
+    //   0: correlated EDictFold — the dict is extended with a correlated
+    //      key/value and the fold STEP may reference the outer row;
+    //   1: correlated EOptMatch — the scrutinee is a correlated OLookup or
+    //      a null-on-empty correlated EACIFold(AGMin), and both branches
+    //      may be correlated aggregates;
+    //   2: degenerate-length correlated EFlatmap2 legs — one leg empty,
+    //      a fixed literal, or a correlated filter that is empty for many
+    //      outer rows, with the correlated side on either leg;
+    //   3: correlated aggregates NESTED inside correlated join legs — the
+    //      leg's filter predicate itself contains a correlated EACFold.
+    // Whatever the engine supports must match the reference; whatever it
+    // does not must throw the directed correlation error. ≥50 seeds/shape.
+    val outT = TRecord.sorted("k" -> TInt, "s" -> TString)
+    val inT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    val rnd0 = new Random(11300)
+    val t1Rows = Vector.fill(9)(genValue(outT, rnd0))
+    val t2Rows = Vector.fill(12)(genValue(inT, rnd0))
+    val t3Rows = Vector.fill(7)(genValue(inT, rnd0))
+    val d1 = tableDF(t1Rows, outT)
+    val d2 = tableDF(t2Rows, inT)
+    val d3 = tableDF(t3Rows, inT)
+    val renv = REnv("t1" -> VList(t1Rows), "t2" -> VList(t2Rows),
+      "t3" -> VList(t3Rows))
+    val dictT = TDict(TInt, TInt)
+    val baseDict = VDict(Vector((VI(0), VI(3)), (VI(1), VI(5)), (VI(2), VI(7))))
+    val scalarT = TRecord.sorted("k" -> TInt, "g" -> TInt)
+    val resT = TRecord.sorted("a" -> TInt, "b" -> TInt)
+    val perShape = 52
+    val ran = Array.fill(4)(0)
+    val directed = Array.fill(4)(0)
+    for (shape <- 0 until 4; i <- 0 until perShape) {
+      val rnd = new Random(11400 + shape * 1000 + i)
+      def corrPred(b: String): Expr = rnd.nextInt(3) match {
+        case 0 => EBinop(OEq, EAccess(EVar(b), "k"), EAccess(EVar("x"), "k"))
+        case 1 => EBinop(OLess, EAccess(EVar(b), "v"), EAccess(EVar("x"), "k"))
+        case _ => EBinop(OLess, EAccess(EVar("x"), "k"), EAccess(EVar(b), "k"))
+      }
+      def corrAgg(tag: String): Expr = rnd.nextInt(2) match {
+        case 0 => EACFold(AGSum, EProj(LikeList,
+          EFilter(LikeList, ELoc("t2"), s"f$tag$i", corrPred(s"f$tag$i")),
+          s"p$tag$i", EAccess(EVar(s"p$tag$i"), "v")))
+        case _ => EUnop(OLength,
+          EFilter(LikeList, ELoc("t3"), s"f$tag$i", corrPred(s"f$tag$i")))
+      }
+      val (prog, elemT) = shape match {
+        case 0 =>
+          // dict gains a correlated (key, value) entry; the step body may
+          // itself carry a correlated aggregate
+          val dexpr = ETernop(OInsert, literal(baseDict, dictT),
+            EBinop(OMod, EAccess(EVar("x"), "k"), EAtom(AInt(5))),
+            corrAgg("d"))
+          val stepTail: Expr =
+            if (rnd.nextBoolean()) EBinop(OTimes, EVar(s"dv$i"), EAtom(AInt(2)))
+            else EBinop(OPlus, EVar(s"dv$i"), corrAgg("s"))
+          val g = EDictFold(dexpr, EAtom(AInt(i % 3)), s"dk$i", s"dv$i",
+            s"ac$i", EBinop(OPlus, EVar(s"ac$i"),
+              EBinop(OPlus, EVar(s"dk$i"), stepTail)))
+          (EProj(LikeList, ELoc("t1"), "x", ERecord(List(
+            "k" -> EAccess(EVar("x"), "k"), "g" -> g))), scalarT)
+        case 1 =>
+          val scrut =
+            if (rnd.nextBoolean())
+              EBinop(OLookup, literal(baseDict, dictT),
+                EBinop(OMod, EAccess(EVar("x"), "k"), EAtom(AInt(4))))
+            else EACIFold(AGMin, EProj(LikeList,
+              EFilter(LikeList, ELoc("t2"), s"of$i", corrPred(s"of$i")),
+              s"op$i", EAccess(EVar(s"op$i"), "v")))
+          val g = EOptMatch(scrut, corrAgg("n"), s"ov$i",
+            EBinop(OPlus, EVar(s"ov$i"), corrAgg("m")))
+          (EProj(LikeList, ELoc("t1"), "x", ERecord(List(
+            "k" -> EAccess(EVar("x"), "k"), "g" -> g))), scalarT)
+        case 2 =>
+          val corrLeg = ESort(LikeList,
+            EFilter(LikeList, ELoc("t2"), s"ba$i", corrPred(s"ba$i")))
+          val otherLeg = rnd.nextInt(3) match {
+            case 0 => EAtom(ANil(inT))
+            case 1 => ESort(LikeList, literal(VList(t3Rows.take(2)), TList(inT)))
+            case _ => ESort(LikeList,
+              EFilter(LikeList, ELoc("t3"), s"bb$i",
+                EBinop(OAnd, corrPred(s"bb$i"),
+                  EBinop(OLess, EAccess(EVar(s"bb$i"), "v"), EAtom(AInt(0))))))
+          }
+          val (l1, l2) =
+            if (rnd.nextBoolean()) (corrLeg, otherLeg) else (otherLeg, corrLeg)
+          val body = EFlatmap2(l1, l2, s"zx$i", s"zy$i",
+            EBinop(OCons, ERecord(List(
+              "a" -> EBinop(OPlus, EAccess(EVar(s"zx$i"), "v"),
+                EAccess(EVar("x"), "k")),
+              "b" -> EAccess(EVar(s"zy$i"), "v"))),
+              literal(VList(Vector.empty), TList(resT))))
+          (EFlatmap(LikeList, ELoc("t1"), "x", body), resT)
+        case _ =>
+          val legPred =
+            if (rnd.nextBoolean())
+              EBinop(OLess, EAccess(EVar(s"ba$i"), "v"), corrAgg("j"))
+            else EBinop(OAnd, corrPred(s"ba$i"),
+              EBinop(OLess, EAccess(EVar(s"ba$i"), "v"), corrAgg("j")))
+          val l1 = EFilter(LikeList, ELoc("t2"), s"ba$i", legPred)
+          val l2 =
+            if (rnd.nextBoolean())
+              EFilter(LikeList, ELoc("t3"), s"bb$i", corrPred(s"bb$i"))
+            else ELoc("t3")
+          val body = EJoin(LikeList, l1, l2, "ja", "jb",
+            EBinop(OEq, EAccess(EVar("ja"), "k"), EAccess(EVar("jb"), "k")),
+            ERecord(List(
+              "a" -> EBinop(OPlus, EAccess(EVar("ja"), "v"),
+                EAccess(EVar("x"), "k")),
+              "b" -> EAccess(EVar("jb"), "v"))))
+          (EFlatmap(LikeList, ELoc("t1"), "x", body), resT)
+      }
+      val expected = interp(prog, renv)
+      try {
+        Compiler.compileProgram(prog, Env(Map.empty,
+          Map("t1" -> d1, "t2" -> d2, "t3" -> d3), spark)) match {
+          case TV(df) =>
+            val got = collectTable(df, elemT)
+            ran(shape) += 1
+            val want = sortedV(elems(expected))
+            assert(cmpValues(got, want) == 0,
+              s"[shape $shape case $i]\ncompiled=$got\nreference=$want\n${show(prog)}")
+          case CV(_) => fail(s"[shape $shape case $i] compiled to a scalar")
+        }
+      } catch {
+        case u: UnsupportedOperationException =>
+          assert(Option(u.getMessage)
+            .exists(_.toLowerCase.contains("correlat")),
+            s"[shape $shape case $i] UNDIRECTED error: ${u.getMessage}\n${show(prog)}")
+          directed(shape) += 1
+      }
+    }
+    for (s <- 0 until 4) {
+      info(s"shape $s: ${ran(s)} supported-and-correct, " +
+        s"${directed(s)} directed-unsupported of $perShape")
+      assert(ran(s) + directed(s) == perShape)
+    }
+  }
+
   test("same-table correlated join legs resolve through aliases (three-way self-join)") {
     // Outer table and BOTH join legs are the SAME table: every attribute
     // id collides three ways, so this passes only if the decorrelated

@@ -130,4 +130,26 @@ class DivergenceSpec extends AnyFunSuite {
     assert(cmp(VBag(bagA), VBag(bagB)) < 0) // engine/RefInterp: element-wise
     assert(coqBagCompare(bagA, bagB) > 0) // reference: (value,count) pairs
   }
+
+  test("word widths above 125 raise the directed Decimal(38,0)-ceiling error") {
+    // The reference's section parameter ranges over any width: Z
+    // (fiat2/src/fiat2/Language.v:4); the engine carries wide words as
+    // unsigned residues in Decimal(38,0), exact only through 2^125.
+    import graft.functions.WordOps
+    val ex = intercept[IllegalArgumentException](WordOps.forWidth(126))
+    assert(ex.getMessage.contains("125-bit ceiling"))
+    assert(ex.getMessage.contains("Decimal(38,0)"))
+    assert(ex.getMessage.contains("Known divergences"))
+    // the boundary width itself is supported and wraps correctly:
+    // (2^125 - 1) + 1 ≡ 0 (mod 2^125)
+    val w125 = WordOps.forWidth(125)
+    val maxW = org.apache.spark.sql.functions
+      .lit(new java.math.BigDecimal(new java.math.BigInteger("2").pow(125)
+        .subtract(java.math.BigInteger.ONE)))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val wrapped = spark.range(1)
+      .select(w125.wadd(maxW, w125.literal(1L)).as("v"))
+      .head.getDecimal(0)
+    assert(wrapped.toBigInteger == java.math.BigInteger.ZERO)
+  }
 }

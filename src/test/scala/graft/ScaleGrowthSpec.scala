@@ -118,6 +118,46 @@ class ScaleGrowthSpec extends AnyFunSuite {
     }
   }
 
+  /** Embeddings blow-up: 8 copies with offset vec_ids. The similarity
+    * family's probe/candidate sets are vec_id-bounded (knn qid < 5, dedup
+    * candidate batch < 500, IVF centroid seeds), so they stay copy-0 /
+    * base-sized while the CORPUS side grows 8× — the incremental-ingest
+    * shape at 8× history. Copies keep identical vectors deliberately:
+    * every family member is broadcast-probe over a corpus scan (never
+    * corpus×corpus), so WORK must stay corpus-linear by construction and
+    * densified similarity may only grow the OUTPUT linearly — a
+    * superlinear wall here means a probe side stopped broadcasting or a
+    * corpus self-join crept in. */
+  private def blowUpEmbeddings(tmp: String): Unit = {
+    val em = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    (0 until 8).map { i =>
+      em.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+  }
+
+  test("similarity family grows ≲ linearly under 8x embeddings blow-up") {
+    val simQueries = Seq("q_ann_ivf_topk", "q_dedup_embedding", "q_knn_label")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_scale_sim_").toString
+    try {
+      blowUpEmbeddings(tmp)
+      val offenders = simQueries.flatMap { q =>
+        time(q, baseDir) // warm-up: JIT + codegen for this query's plan
+        val base = math.max(time(q, baseDir), 0.05)
+        val blown = time(q, tmp)
+        val r = blown / base
+        info(f"$q%-18s base=$base%.2fs 8x=$blown%.2fs ratio=$r%.1f")
+        if (r > bound) Some(q -> r) else None
+      }
+      assert(offenders.isEmpty,
+        s"superlinear growth under 8x embeddings blow-up (bound $bound): " +
+          offenders.map { case (q, r) => f"$q=$r%.1fx" }.mkString(", "))
+    } finally {
+      graft.core.Tables.deleteTree(new java.io.File(tmp))
+    }
+  }
+
   test("wall time grows ≲ linearly under an 8x data blow-up") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_scale_smoke_").toString

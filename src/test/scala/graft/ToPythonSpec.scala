@@ -33,7 +33,7 @@ class ToPythonSpec extends AnyFunSuite {
       "__wdivu(a, b)")
     // a command renders as an indented program with the prelude
     val prog = ToPython.program(CLetMut(litList(Seq(1, 2)), "t",
-      CForeach(ELoc("t"), "x", CAssign("out", EVar("x")))))
+      CForeach(ELoc("t"), "x", CAssign("out", EVar("x")))), wordWidth = 64)
     assert(prog.contains("import functools"))
     assert(prog.contains("for x in t:\n    out = x"))
   }
@@ -76,7 +76,7 @@ class ToPythonSpec extends AnyFunSuite {
       .select(Compiler.asScalar(Compiler.compile(folded, env)).as("v"))
       .head().getLong(0)
     // CPython value
-    val py = ToPython.prelude + s"print(${ToPython(folded)})\n"
+    val py = ToPython.prelude64 + s"print(${ToPython(folded)})\n"
     val f = java.nio.file.Files.createTempFile("graft_topy_", ".py")
     java.nio.file.Files.writeString(f, py)
     val out = Seq("python3", f.toString).!!.trim
@@ -85,7 +85,7 @@ class ToPythonSpec extends AnyFunSuite {
       s"python=$out engine=$engine for program:\n$py")
   }
 
-  test("extracted word ops are wrap-faithful at widths 64 and 16 (CPython vs RefInterp)") {
+  test("extracted word ops are wrap-faithful at widths 64, 16 and 100 (CPython vs RefInterp)") {
     import scala.sys.process._
     import graft.lang.RefInterp._
     val havePython = try {
@@ -111,7 +111,10 @@ class ToPythonSpec extends AnyFunSuite {
     val bools: Seq[Expr] = Seq(
       EBinop(OWLessU, W(-1L), W(1L)),
       EBinop(OWLessS, W(-1L), W(1L)))
-    for (w <- Seq(64, 16)) {
+    // width 100 runs the WIDE residue family (Decimal(38,0) engine-side,
+    // BigInt in RefInterp) under real CPython: the prelude's __w returns
+    // the SIGNED view, RefInterp carries the unsigned residue — convert.
+    for (w <- Seq(64, 16, 100)) {
       val prints = (battery ++ bools)
         .map(e => s"print(${ToPython(e)})").mkString("", "\n", "\n")
       val py = ToPython.preludeFor(w) + prints
@@ -124,6 +127,9 @@ class ToPythonSpec extends AnyFunSuite {
           val expected = interp(e, REnv(Map.empty, Map.empty, width = w))
           val want = expected match {
             case VW(x) => x.toString
+            case VWide(x) =>
+              (if (x >= (BigInt(1) << (w - 1))) x - (BigInt(1) << w) else x)
+                .toString
             case VB(x) => if (x) "True" else "False"
             case o => fail(s"unexpected reference value $o")
           }
