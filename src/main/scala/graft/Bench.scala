@@ -169,7 +169,17 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.values.filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
+    // harness-overhead breakdown (round-10 directive 8): measured query
+    // time vs what the wall actually costs. passes - sum(all reps) is the
+    // per-query hygiene (cache drops, listener reads); anything before
+    // warmup-end is JVM/session/codegen spin-up. sbt launch sits outside
+    // this JVM and is the remaining wall the JSON cannot see.
+    val allRepsSec = detail.flatMap(_._3).filter(_ >= 0).sum
+    val wallJson = s""""wall":{"warmup":${fmt((wallWarm - wall0) / 1e9)},""" +
+      s""""passes":${fmt((wallPasses - wallWarm) / 1e9)},""" +
+      s""""reps_total":${fmt(allRepsSec)}},"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      wallJson +
       s""""n_queries":${results.size},"reps":$reps,"stat":"median",""" +
       s""""queries":$qs,""" +
       s""""reps_sec":$repsJson,""" +

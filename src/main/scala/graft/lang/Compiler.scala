@@ -232,6 +232,34 @@ object Compiler {
     buf.toList.distinct
   }
 
+  /** Does `e0` bind `x` anywhere (any binder form)? Guards syntactic
+    * substitutions on the flatmap binder against capture by shadowing. */
+  private def bindsVar(e0: Expr, x: String): Boolean = {
+    def binders(e: Expr): Seq[String] = e match {
+      case ELet(_, b, _) => Seq(b)
+      case EOptMatch(_, _, b, _) => Seq(b)
+      case EDictFold(_, _, k, v, a, _) => Seq(k, v, a)
+      case EFilter(_, _, b, _) => Seq(b)
+      case EJoin(_, _, _, a, b, _, _) => Seq(a, b)
+      case EProj(_, _, b, _) => Seq(b)
+      case EFlatmap(_, _, b, _) => Seq(b)
+      case EFlatmap2(_, _, a, b, _) => Seq(a, b)
+      case EFold(_, _, b, a, _) => Seq(b, a)
+      case _ => Nil
+    }
+    def kids(e: Expr): Seq[Expr] = e.asInstanceOf[Product]
+      .productIterator.flatMap {
+        case c: Expr => Seq(c)
+        case l: List[_] => l.flatMap {
+          case (_, ex: Expr) => Seq(ex)
+          case ex: Expr => Seq(ex)
+          case _ => Nil
+        }
+        case _ => Nil
+      }.toSeq
+    binders(e0).contains(x) || kids(e0).exists(bindsVar(_, x))
+  }
+
   /** Peel a correlated aggregate source into [optional value projection]
     * over [a chain of filters] over an uncorrelated core. A projection
     * value that itself references `x` is allowed — it forces the
@@ -827,6 +855,51 @@ object Compiler {
         // projection — e.g. a correlated aggregate — keep the directed
         // error.
         def decorrelate(): Val = {
+          // NESTED correlated scalar aggregates inside a correlated JOIN
+          // body (a leg's filter predicate holding an EACFold whose source
+          // is itself correlated on x — the reference nested-loops both
+          // levels, Interpret.v:273-312): unnest the aggregates FIRST.
+          // unnestCorrelatedAggs augments the outer table with one column
+          // per aggregate value; the body is rewritten to read those as
+          // outer-row FIELDS and the flatmap re-enters over the augmented
+          // outer, where the now-aggregate-free join lowers through the
+          // ordinary leg decorrelation below. Guarded to x-only SCALAR
+          // aggregates over an EJoin core: array-collecting nodes
+          // (ESort/EFold sources) belong to the zip path, an aggregate
+          // referencing a join/leg binder has no per-outer-row value to
+          // hoist, and a body that rebinds x would capture the substituted
+          // field reads.
+          locally {
+            var c = e2 match { case EProj(_, l, _, _) => l; case o => o }
+            while (Rewrites.freeVars(c).contains(x) && c.isInstanceOf[EFilter])
+              c = c.asInstanceOf[EFilter].l
+            if (c.isInstanceOf[EJoin] && !bindsVar(e2, x)) {
+              val aggs = collectCorrelatedAggs(e2, x)
+              val hoistable = aggs.nonEmpty && aggs.forall { n =>
+                (n match {
+                  case EACFold(_, _) | EACIFold(_, _) | EUnop(OLength, _) =>
+                    true
+                  case _ => false
+                }) && (Rewrites.freeVars(n) - x).forall(env.vars.contains)
+              }
+              if (hoistable) {
+                val ((joined, benv, e2r), la) =
+                  unnestCorrelatedAggs(df, x, e2, env)
+                val newVars = (benv.vars.keySet -- env.vars.keySet) - x
+                val flat = joined.select(
+                  df.columns.map(cn => col(s"$la.$cn").as(cn)) ++
+                    newVars.toSeq.sorted
+                      .map(n => asCV(benv.vars(n)).as(n)): _*)
+                val e2x = Rewrites.foldExpr(e2r) {
+                  case EVar(v) if newVars(v) => EAccess(EVar(x), v)
+                  case other => other
+                }
+                val tn = s"__caggflat${latIds.incrementAndGet()}"
+                return compile(EFlatmap(tag, ELoc(tn), x, e2x),
+                  env.copy(store = env.store + (tn -> flat)))
+              }
+            }
+          }
           val (relBody, peeledProj) = e2 match {
             case EProj(_, l, u, r) => (l, Some((u, r)))
             case _ => (e2, None)
