@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, LongType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, Decimal, DecimalType, LongType}
 
 /** 64-bit machine-word arithmetic with the reference's semantics
   * (fiat2/src/fiat2/Interpret.v:139-151 via coqutil `word`):
@@ -191,6 +191,160 @@ object WordMathWide {
   }
 }
 
+/** MULTI-LIMB family (width ≥ 126): the unsigned residue in [0, 2^w) as a
+  * FIXED-LENGTH big-endian byte array of ceil(w/8) bytes in a BinaryType
+  * column. Fixed length makes Spark's native binary comparison (unsigned
+  * lexicographic) coincide with unsigned word order, the same trick the
+  * Wide family plays with plain decimal order — so `ltu`, `OEq`, group-by
+  * and the universal sort order all ride the built-in binary operators.
+  * Arithmetic runs in BigInteger inside codegen'd static calls; the mask /
+  * modulus per width is cached (an op sits inside whole-stage codegen and
+  * runs per row). Width is UNBOUNDED above 126, matching the reference's
+  * `Section WithWord {width: Z}` (fiat2/src/fiat2/Language.v:4). */
+object WordMathBytes {
+  import java.math.BigInteger
+  private val masks = new java.util.concurrent.ConcurrentHashMap[Int, BigInteger]()
+  def mask(w: Int): BigInteger = masks.computeIfAbsent(w,
+    w2 => BigInteger.ONE.shiftLeft(w2).subtract(BigInteger.ONE))
+  def nbytes(w: Int): Int = (w + 7) / 8
+
+  /** Fixed-length big-endian encoding of a residue already in [0, 2^w). */
+  def toBytes(x: BigInteger, w: Int): Array[Byte] = {
+    val n = nbytes(w)
+    val raw = x.toByteArray // two's-complement BE; ≤ n+1 bytes for a residue
+    val out = new Array[Byte](n)
+    val copy = math.min(n, raw.length)
+    System.arraycopy(raw, raw.length - copy, out, n - copy, copy)
+    out
+  }
+  def fromBytes(b: Array[Byte]): BigInteger = new BigInteger(1, b)
+  private def res(x: BigInteger, w: Int): BigInteger = x.and(mask(w))
+  private def signed(x: BigInteger, w: Int): BigInteger =
+    if (x.testBit(w - 1)) x.subtract(BigInteger.ONE.shiftLeft(w)) else x
+
+  def op(name: String, ab: Array[Byte], bb: Array[Byte], w: Int): Array[Byte] = {
+    val a = fromBytes(ab); val b = fromBytes(bb)
+    // same op table as WordMathWide: wrap add/sub/mul, total unsigned and
+    // signed (truncating) div/mod with x/0 = 0, x mod 0 = x
+    val r = name match {
+      case "wadd" => res(a.add(b), w)
+      case "wsub" => res(a.subtract(b), w)
+      case "wmul" => res(a.multiply(b), w)
+      case "divu" => if (b.signum == 0) BigInteger.ZERO else a.divide(b)
+      case "divs" => if (b.signum == 0) BigInteger.ZERO
+        else res(signed(a, w).divide(signed(b, w)), w)
+      case "modu" => if (b.signum == 0) a else a.mod(b)
+      case "mods" => if (b.signum == 0) a
+        else res(signed(a, w).remainder(signed(b, w)), w)
+    }
+    toBytes(r, w)
+  }
+
+  /** Signed comparison: the unsigned (= native binary) order with the two
+    * sign-bit halves swapped. */
+  def lts(ab: Array[Byte], bb: Array[Byte], w: Int): Boolean =
+    signed(fromBytes(ab), w).compareTo(signed(fromBytes(bb), w)) < 0
+
+  def fromLong(v: Long, w: Int): Array[Byte] =
+    toBytes(res(BigInteger.valueOf(v), w), w)
+
+  /** `eval_range_word` length: unsigned(hi) - unsigned(lo), clamped to 0
+    * when non-positive (the caller's `ltu` guard already yields the empty
+    * array there). Mirrors RefInterp's 2^24 materialization cap — both
+    * sides of the differential fuzz must refuse the same ranges. */
+  def rangeLen(lo: Array[Byte], hi: Array[Byte], w: Int): Long = {
+    val diff = fromBytes(hi).subtract(fromBytes(lo))
+    if (diff.signum <= 0) 0L
+    else if (diff.compareTo(BigInteger.valueOf(1L << 24)) >= 0)
+      throw new IllegalArgumentException(
+        s"word range too large to materialize: $diff")
+    else diff.longValueExact()
+  }
+}
+
+/** Codegen'd multi-limb word binary op over fixed-length byte residues. */
+case class WordBinOpBytes(left: Expression, right: Expression, op: String,
+    width: Int) extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"graft_word_${op}_b$width"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    WordMathBytes.op(op, a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"""graft.functions.WordMathBytes.op("$op", $a, $b, $width)""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordBinOpBytes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Signed less-than over byte residues (unsigned lt is the native binary
+  * comparison — no custom expression needed there). */
+case class WordLtsBytes(left: Expression, right: Expression, width: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"graft_word_lts_b$width"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    WordMathBytes.lts(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.WordMathBytes.lts($a, $b, $width)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordLtsBytes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Long → width-w byte residue (range steps, literal-from-column sites). */
+case class LongToWordBytes(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"graft_long_to_word_b$width"
+
+  override def nullSafeEval(a: Any): Any =
+    WordMathBytes.fromLong(a.asInstanceOf[Long], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.WordMathBytes.fromLong($a, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): LongToWordBytes =
+    copy(child = newChild)
+}
+
+/** Unsigned range length with the shared 2^24 materialization cap. */
+case class WordRangeLenBytes(left: Expression, right: Expression, width: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"graft_word_rangelen_b$width"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    WordMathBytes.rangeLen(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.WordMathBytes.rangeLen($a, $b, $width)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordRangeLenBytes =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd wide-word binary op over Decimal(38,0) residues — one static
   * primitive call, same discipline as WordBinOp/WordBinOpW. */
 case class WordBinOpWide(left: Expression, right: Expression, op: String,
@@ -306,13 +460,10 @@ object WordOps {
     * view subtracts 2^w above the sign bit. */
   final class Wide private[WordOps] (val width: Int) extends Width {
     require(width >= 65 && width <= 125,
-      s"word width $width exceeds the engine's 125-bit ceiling: wide words " +
-        "are unsigned residues in Decimal(38,0), and 2^125 is the largest " +
-        "power of two whose residues and add/sub intermediates stay exact " +
-        "in 38 decimal digits. The reference is parametric over any " +
-        "width: Z (fiat2/src/fiat2/Language.v:4); widths past 125 would " +
-        "need a multi-limb representation — documented divergence, see " +
-        "README 'Known divergences' and DivergenceSpec")
+      s"Wide is the 65..125 family (Decimal(38,0) residues: 2^125 is the " +
+        "largest power of two whose residues and add/sub intermediates " +
+        "stay exact in 38 decimal digits); width $width routes elsewhere " +
+        "— forWidth dispatches ≤64 to Narrow and ≥126 to Bytes")
     import org.apache.spark.sql.functions.{array, sequence, transform, when}
     private val dt = DecimalType(38, 0)
     private def bd(x: java.math.BigInteger) =
@@ -364,8 +515,49 @@ object WordOps {
       .otherwise(len)
   }
 
+  /** 126 and beyond, unbounded (the reference's `width: Z` has no ceiling):
+    * fixed-length big-endian byte residues in BinaryType; ops are
+    * `WordBinOpBytes` static calls; unsigned order is the NATIVE binary
+    * comparison (fixed length ⇒ lexicographic = numeric), signed order
+    * compares the two's-complement views in a static call. */
+  final class Bytes private[WordOps] (val width: Int) extends Width {
+    require(width >= 126, s"Bytes is the ≥126 family; width $width routes " +
+      "elsewhere — forWidth dispatches ≤64 to Narrow and 65..125 to Wide")
+    import org.apache.spark.sql.functions.{array, sequence, transform, when}
+    private def bbin(op: String): (Column, Column) => Column =
+      (a: Column, b: Column) => GraftBridge.column(WordBinOpBytes(
+        GraftBridge.expression(a), GraftBridge.expression(b), op, width))
+    val wadd: (Column, Column) => Column = bbin("wadd")
+    val wsub: (Column, Column) => Column = bbin("wsub")
+    val wmul: (Column, Column) => Column = bbin("wmul")
+    val divu: (Column, Column) => Column = bbin("divu")
+    val divs: (Column, Column) => Column = bbin("divs")
+    val modu: (Column, Column) => Column = bbin("modu")
+    val mods: (Column, Column) => Column = bbin("mods")
+    def wneg(v: Column): Column = wsub(literal(0L), v)
+    def ltu(a: Column, b: Column): Column = a < b // fixed-length BE bytes
+    def lts(a: Column, b: Column): Column = GraftBridge.column(WordLtsBytes(
+      GraftBridge.expression(a), GraftBridge.expression(b), width))
+    def literal(v: Long): Column = lit(WordMathBytes.fromLong(v, width))
+    /** Long column → residue bytes (query input staging). */
+    def fromLong(c: Column): Column =
+      GraftBridge.column(LongToWordBytes(GraftBridge.expression(c), width))
+    /** eval_range_word: empty unless unsigned(lo) < unsigned(hi), elements
+      * step by wrapping add; the length call carries the shared 2^24 cap. */
+    def range(lo: Column, hi: Column): Column = {
+      val len = GraftBridge.column(WordRangeLenBytes(
+        GraftBridge.expression(lo), GraftBridge.expression(hi), width))
+      when(!ltu(lo, hi), array().cast(
+        org.apache.spark.sql.types.ArrayType(BinaryType)))
+        .otherwise(transform(sequence(lit(0L), len - lit(1L)),
+          i => wadd(lo, fromLong(i))))
+    }
+  }
+
   private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Width]()
   def forWidth(width: Int): Width =
     cache.computeIfAbsent(width, w =>
-      if (w <= 64) new Narrow(w) else new Wide(w))
+      if (w <= 64) new Narrow(w)
+      else if (w <= 125) new Wide(w)
+      else new Bytes(w))
 }

@@ -172,25 +172,31 @@ object Compiler {
     * long (README "Known divergences": TInt is unbounded in the reference;
     * the widened mapping gives 10^38 headroom with ANSI overflow checking
     * beyond that, while `TWord` keeps its machine-word wrap semantics). */
-  def sparkType(t: FType, wideInt: Boolean = false): DataType = t match {
+  def sparkType(t: FType, wideInt: Boolean = false,
+      wordWidth: Int = 64): DataType = t match {
     case THole => throw new UnsupportedOperationException(
       "unelaborated type hole — run TypeCheck.analyze against the expected " +
         "type before compiling")
     case TInt if wideInt => DecimalType(38, 0)
+    // TWord's physical type follows the width family (WordOps.forWidth):
+    // sign-extended Long through 64, Decimal(38,0) residues through 125,
+    // fixed-length byte residues beyond
+    case TWord if wordWidth > 125 => BinaryType
+    case TWord if wordWidth > 64 => DecimalType(38, 0)
     case TWord | TInt => LongType
     case TBool => BooleanType
     case TString => StringType
     case TUnit => NullType
-    case TOption(u) => sparkType(u, wideInt)
-    case TList(u) => ArrayType(sparkType(u, wideInt))
-    case TBag(u) => ArrayType(sparkType(u, wideInt))
-    case TSet(u) => ArrayType(sparkType(u, wideInt))
+    case TOption(u) => sparkType(u, wideInt, wordWidth)
+    case TList(u) => ArrayType(sparkType(u, wideInt, wordWidth))
+    case TBag(u) => ArrayType(sparkType(u, wideInt, wordWidth))
+    case TSet(u) => ArrayType(sparkType(u, wideInt, wordWidth))
     case TDict(k, v) => ArrayType(StructType(Seq(
-      StructField("key", sparkType(k, wideInt)),
-      StructField("value", sparkType(v, wideInt)))))
+      StructField("key", sparkType(k, wideInt, wordWidth)),
+      StructField("value", sparkType(v, wideInt, wordWidth)))))
     case TRecord(fs) => StructType(
       fs.sortBy(_._1).map { case (n, u) =>
-        StructField(n, sparkType(u, wideInt)) })
+        StructField(n, sparkType(u, wideInt, wordWidth)) })
   }
 
   /** Fresh alias ids for flatmap decorrelation — nested correlated
@@ -687,12 +693,15 @@ object Compiler {
       case AInt(v) => lit(v)
       case ABool(v) => lit(v)
       case AString(v) => lit(v)
-      case ANil(t) => array().cast(ArrayType(sparkType(t, env.wideInt)))
-      case ANone(t) => lit(null).cast(sparkType(t, env.wideInt))
+      case ANil(t) => array().cast(ArrayType(
+        sparkType(t, env.wideInt, env.wordWidth)))
+      case ANone(t) => lit(null).cast(sparkType(t, env.wideInt, env.wordWidth))
       case AEmptyDict(k, v) =>
-        array().cast(sparkType(TDict(k, v), env.wideInt))
-      case AEmptyBag(t) => array().cast(ArrayType(sparkType(t, env.wideInt)))
-      case AEmptySet(t) => array().cast(ArrayType(sparkType(t, env.wideInt)))
+        array().cast(sparkType(TDict(k, v), env.wideInt, env.wordWidth))
+      case AEmptyBag(t) => array().cast(ArrayType(
+        sparkType(t, env.wideInt, env.wordWidth)))
+      case AEmptySet(t) => array().cast(ArrayType(
+        sparkType(t, env.wideInt, env.wordWidth)))
       case AUnit => lit(null)
     })
 

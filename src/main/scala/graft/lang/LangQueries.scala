@@ -1464,6 +1464,121 @@ object LangQueries {
         ++ Seq(col("ult"), col("slt"))): _*).orderBy("k")
     },
 
+    // WIDTH-256 words — the MULTI-LIMB family (WordBinOpBytes: unsigned
+    // residues as fixed-length big-endian byte arrays in BinaryType,
+    // BigInteger math inside the codegen'd static call; round 10 closed
+    // the former 125-bit Decimal ceiling, so the reference's `width: Z`
+    // (fiat2/src/fiat2/Language.v:4) is now unbounded here too). DuckDB
+    // holds no 256-bit integer, so the oracle replays the arithmetic in
+    // BASE-2^64 LIMBS of HUGEINT — carry-chain multiply, borrow-chain
+    // wrap-add, long division — and both sides emit each word as four
+    // decimal limb strings (engine: hex → 16-char slices → conv base 16).
+    GraftQuery.sql("q_word_ops256",
+      """WITH t AS (SELECT o_orderkey AS k,
+        |             CAST(o_orderkey - 700 AS HUGEINT) AS sw FROM orders),
+        |i AS (SELECT k, sw,
+        |        CASE WHEN sw < 0 THEN 18446744073709551615::HUGEINT
+        |             ELSE 0::HUGEINT END AS w0,
+        |        CASE WHEN sw < 0 THEN 18446744073709551615::HUGEINT
+        |             ELSE 0::HUGEINT END AS w1,
+        |        CASE WHEN sw < 0 THEN 18446744073709551615::HUGEINT
+        |             ELSE 0::HUGEINT END AS w2,
+        |        CASE WHEN sw < 0 THEN 18446744073709551616::HUGEINT + sw
+        |             ELSE sw END AS w3
+        |      FROM t),
+        |m1 AS (SELECT *, w3 * 12345 AS p3 FROM i),
+        |m2 AS (SELECT *, p3 % 18446744073709551616 AS wm3,
+        |               w2 * 12345 + p3 // 18446744073709551616 AS p2 FROM m1),
+        |m3 AS (SELECT *, p2 % 18446744073709551616 AS wm2,
+        |               w1 * 12345 + p2 // 18446744073709551616 AS p1 FROM m2),
+        |m4 AS (SELECT *, p1 % 18446744073709551616 AS wm1,
+        |               (w0 * 12345 + p1 // 18446744073709551616)
+        |                 % 18446744073709551616 AS wm0 FROM m3),
+        |a1 AS (SELECT *,
+        |         CASE WHEN w3 >= 1000 THEN w3 - 1000
+        |              ELSE w3 + 18446744073709551616 - 1000 END AS wa3,
+        |         CASE WHEN w3 >= 1000 THEN 0 ELSE 1 END AS b3 FROM m4),
+        |a2 AS (SELECT *,
+        |         CASE WHEN w2 >= b3 THEN w2 - b3
+        |              ELSE w2 + 18446744073709551616 - b3 END AS wa2,
+        |         CASE WHEN w2 >= b3 THEN 0 ELSE 1 END AS b2 FROM a1),
+        |a3 AS (SELECT *,
+        |         CASE WHEN w1 >= b2 THEN w1 - b2
+        |              ELSE w1 + 18446744073709551616 - b2 END AS wa1,
+        |         CASE WHEN w1 >= b2 THEN 0 ELSE 1 END AS b1 FROM a2),
+        |a4 AS (SELECT *, (w0 - b1 + 18446744073709551616)
+        |                 % 18446744073709551616 AS wa0 FROM a3),
+        |d1 AS (SELECT *, w0 // 7 AS du0, w0 % 7 AS r0 FROM a4),
+        |d2 AS (SELECT *, (r0 * 18446744073709551616 + w1) // 7 AS du1,
+        |               (r0 * 18446744073709551616 + w1) % 7 AS r1 FROM d1),
+        |d3 AS (SELECT *, (r1 * 18446744073709551616 + w2) // 7 AS du2,
+        |               (r1 * 18446744073709551616 + w2) % 7 AS r2 FROM d2),
+        |d4 AS (SELECT *, (r2 * 18446744073709551616 + w3) // 7 AS du3,
+        |               (r2 * 18446744073709551616 + w3) % 7 AS muv FROM d3),
+        |s1 AS (SELECT *, sw // -7 AS dsv, sw % -7 AS msv FROM d4)
+        |SELECT k,
+        |  CAST(du0 AS VARCHAR) AS du_0, CAST(du1 AS VARCHAR) AS du_1,
+        |  CAST(du2 AS VARCHAR) AS du_2, CAST(du3 AS VARCHAR) AS du_3,
+        |  CASE WHEN dsv < 0 THEN '18446744073709551615' ELSE '0' END AS ds_0,
+        |  CASE WHEN dsv < 0 THEN '18446744073709551615' ELSE '0' END AS ds_1,
+        |  CASE WHEN dsv < 0 THEN '18446744073709551615' ELSE '0' END AS ds_2,
+        |  CAST(CASE WHEN dsv < 0 THEN 18446744073709551616 + dsv
+        |            ELSE dsv END AS VARCHAR) AS ds_3,
+        |  '0' AS mu_0, '0' AS mu_1, '0' AS mu_2,
+        |  CAST(muv AS VARCHAR) AS mu_3,
+        |  CASE WHEN msv < 0 THEN '18446744073709551615' ELSE '0' END AS ms_0,
+        |  CASE WHEN msv < 0 THEN '18446744073709551615' ELSE '0' END AS ms_1,
+        |  CASE WHEN msv < 0 THEN '18446744073709551615' ELSE '0' END AS ms_2,
+        |  CAST(CASE WHEN msv < 0 THEN 18446744073709551616 + msv
+        |            ELSE msv END AS VARCHAR) AS ms_3,
+        |  '0' AS dz_0, '0' AS dz_1, '0' AS dz_2, '0' AS dz_3,
+        |  CAST(w0 AS VARCHAR) AS mz_0, CAST(w1 AS VARCHAR) AS mz_1,
+        |  CAST(w2 AS VARCHAR) AS mz_2, CAST(w3 AS VARCHAR) AS mz_3,
+        |  CAST(wm0 AS VARCHAR) AS wm_0, CAST(wm1 AS VARCHAR) AS wm_1,
+        |  CAST(wm2 AS VARCHAR) AS wm_2, CAST(wm3 AS VARCHAR) AS wm_3,
+        |  CAST(wa0 AS VARCHAR) AS wa_0, CAST(wa1 AS VARCHAR) AS wa_1,
+        |  CAST(wa2 AS VARCHAR) AS wa_2, CAST(wa3 AS VARCHAR) AS wa_3,
+        |  sw >= 0 AND sw < 100 AS ult,
+        |  sw < 100 AS slt
+        |FROM s1 ORDER BY k""".stripMargin) { (s, dir) =>
+      val w = EAccess(EVar("o"), "w")
+      def W(v: Long) = EAtom(AWord(v))
+      val prog = EProj(LikeBag, ELoc("t"), "o", ERecord(List(
+        "k" -> EAccess(EVar("o"), "k"),
+        "du" -> EBinop(OWDivU, w, W(7)),
+        "ds" -> EBinop(OWDivS, w, W(-7)),
+        "mu" -> EBinop(OWModU, w, W(7)),
+        "ms" -> EBinop(OWModS, w, W(-7)),
+        "dz" -> EBinop(OWDivU, w, W(0)),
+        "mz" -> EBinop(OWModS, w, W(0)),
+        "wm" -> EBinop(OWTimes, w, W(12345L)),
+        "wa" -> EBinop(OWPlus, w, W(-1000L)),
+        "ult" -> EBinop(OWLessU, w, W(100)),
+        "slt" -> EBinop(OWLessS, w, W(100)))))
+      val rowT = TRecord.sorted("k" -> TInt, "du" -> TWord, "ds" -> TWord,
+        "mu" -> TWord, "ms" -> TWord, "dz" -> TWord, "mz" -> TWord,
+        "wm" -> TWord, "wa" -> TWord, "ult" -> TBool, "slt" -> TBool)
+      val storeT = Map("t" -> TBag(TRecord.sorted("k" -> TInt, "w" -> TWord)))
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) == TBag(rowT))
+      val fam = graft.functions.WordOps.forWidth(256)
+        .asInstanceOf[graft.functions.WordOps.Bytes]
+      val t = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          fam.fromLong((col("o_orderkey") - 700).cast("long")).as("w"))
+      val out = compileProgram(prog,
+        Env(Map.empty, Map("t" -> t), s, wordWidth = 256))
+        .asInstanceOf[TV].df
+      // 256-bit residues cross the engine boundary as FOUR decimal limb
+      // strings (base 2^64, limb 0 most significant): hex() renders the
+      // fixed 32-byte value as 64 nibbles, each 16-nibble slice converts
+      // with the codegen'd conv — no custom expression on the way out
+      def limbs(c: String) = (0 until 4).map(i =>
+        conv(substring(hex(col(c)), 1 + 16 * i, 16), 16, 10).as(s"${c}_$i"))
+      val wordCols256 = Seq("du", "ds", "mu", "ms", "dz", "mz", "wm", "wa")
+      out.select((col("k") +: wordCols256.flatMap(limbs)) ++
+        Seq(col("ult"), col("slt")): _*).orderBy("k")
+    },
+
     // WIDTH-16 words — exercises the GENERIC width family (WordBinOpW:
     // width baked into the codegen'd static call over the sign-extended
     // canonical form), not the specialized 64/32 paths. o_orderkey exceeds

@@ -473,6 +473,8 @@ object RefInterp {
     case (TWord, x: Long) => VW(x)
     case (TWord, x: java.math.BigDecimal) => // wide widths: Decimal residue
       VWide(BigInt(x.toBigInteger))
+    case (TWord, x: Array[Byte]) => // widths ≥ 126: fixed-length BE bytes
+      VWide(BigInt(new java.math.BigInteger(1, x)))
     case (TBool, x: Boolean) => VB(x)
     case (TString, x: String) => VS(x)
     case (TUnit, _) => VUnit

@@ -385,6 +385,43 @@ class DifferentialSpec extends AnyFunSuite {
       s"widths 125/100/80/64 disagreed on only $diverged/$n programs — wide plumbing suspiciously inert")
   }
 
+  test("multi-limb word widths 130/192/256: compiler == reference (byte-residue family)") {
+    // Widths past 125 (round 10 — the former Decimal(38,0) ceiling, now
+    // closed): the engine carries the unsigned residue as a FIXED-LENGTH
+    // big-endian byte array through codegen'd WordBinOpBytes static calls
+    // (BigInteger inside); the reference interpreter runs its independent
+    // BigInt mask/shift formulation, width-generic by construction. Same
+    // program battery as the wide fuzz, same anti-vacuity demand.
+    var diverged = 0
+    val n = 40
+    for (i <- 0 until n) {
+      val rnd = new Random(10100 + i)
+      val t: FType = if (i % 4 == 3) TBool else TWord
+      val e =
+        if (t == TWord) genExpr(TWord, Vector.empty, rnd, 2 + rnd.nextInt(2))
+        else EBinop(if (rnd.nextBoolean()) OWLessU else OWLessS,
+          genExpr(TWord, Vector.empty, rnd, 2),
+          genExpr(TWord, Vector.empty, rnd, 2))
+      val results = for (w <- Seq(256, 192, 130, 125)) yield {
+        val expected = interp(e, REnv(Map.empty, Map.empty, width = w))
+        Compiler.compileProgram(e,
+          Env(Map.empty, Map.empty, spark, wordWidth = w)) match {
+          case CV(c) =>
+            val got = fromSpark(spark.range(1).select(c.as("v")).head.get(0), t)
+            assert(cmp(got, expected) == 0,
+              s"[bytes width $w case $i] compiled=$got reference=$expected\n${show(e)}")
+            expected
+          case TV(_) => fail(s"[bytes width $w case $i] scalar compiled to a table")
+        }
+      }
+      // anti-vacuity across the three BYTE widths (125 rides along to
+      // cross-check the Decimal family against the same programs)
+      if (results.take(3).distinct.size > 1) diverged += 1
+    }
+    assert(diverged >= n / 10,
+      s"widths 256/192/130 disagreed on only $diverged/$n programs — byte-residue plumbing suspiciously inert")
+  }
+
   test("OWRange follows eval_range_word unsigned-length wrap semantics at every width") {
     // eval_range_word (Interpret.v:80-90): length = unsigned(hi) -
     // unsigned(lo), elements step by WRAPPING add. Endpoints are chosen to
@@ -398,7 +435,7 @@ class DifferentialSpec extends AnyFunSuite {
       (-3L, -1L),                   // top of the unsigned range
       (120L, 133L),                 // crosses the width-8 sign boundary
       (32760L, 32770L))             // crosses the width-16 sign boundary
-    for (w <- Seq(125, 100, 64, 32, 16, 8); (lo, hi) <- cases) {
+    for (w <- Seq(256, 130, 125, 100, 64, 32, 16, 8); (lo, hi) <- cases) {
       val e = EBinop(OWRange, EAtom(AWord(lo)), EAtom(AWord(hi)))
       val expected = interp(e, REnv(Map.empty, Map.empty, width = w))
       Compiler.compileProgram(e,

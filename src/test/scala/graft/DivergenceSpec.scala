@@ -131,16 +131,15 @@ class DivergenceSpec extends AnyFunSuite {
     assert(coqBagCompare(bagA, bagB) > 0) // reference: (value,count) pairs
   }
 
-  test("word widths above 125 raise the directed Decimal(38,0)-ceiling error") {
+  test("word family boundaries: 125 wraps in Decimal, 126+ wraps in bytes (no ceiling)") {
     // The reference's section parameter ranges over any width: Z
-    // (fiat2/src/fiat2/Language.v:4); the engine carries wide words as
-    // unsigned residues in Decimal(38,0), exact only through 2^125.
-    import graft.functions.WordOps
-    val ex = intercept[IllegalArgumentException](WordOps.forWidth(126))
-    assert(ex.getMessage.contains("125-bit ceiling"))
-    assert(ex.getMessage.contains("Decimal(38,0)"))
-    assert(ex.getMessage.contains("Known divergences"))
-    // the boundary width itself is supported and wraps correctly:
+    // (fiat2/src/fiat2/Language.v:4). Through round 9 the engine capped
+    // widths at 125 (Decimal(38,0) residues — a pinned divergence); round
+    // 10 closed it with the multi-limb Bytes family, so the former
+    // directed error must be GONE and the representation handoff at the
+    // 125/126 boundary must be seamless.
+    import graft.functions.{WordMathBytes, WordOps}
+    // boundary width of the Decimal family still wraps correctly:
     // (2^125 - 1) + 1 ≡ 0 (mod 2^125)
     val w125 = WordOps.forWidth(125)
     val maxW = org.apache.spark.sql.functions
@@ -151,5 +150,17 @@ class DivergenceSpec extends AnyFunSuite {
       .select(w125.wadd(maxW, w125.literal(1L)).as("v"))
       .head.getDecimal(0)
     assert(wrapped.toBigInteger == java.math.BigInteger.ZERO)
+    // first Bytes width and a deep one: (2^w - 1) + 1 ≡ 0 (mod 2^w), and
+    // the residue round-trips the fixed-length encoding
+    for (w <- Seq(126, 256, 1000)) {
+      val fam = WordOps.forWidth(w).asInstanceOf[WordOps.Bytes]
+      val max = org.apache.spark.sql.functions.lit(WordMathBytes.toBytes(
+        java.math.BigInteger.ONE.shiftLeft(w).subtract(java.math.BigInteger.ONE), w))
+      val z = spark.range(1).select(fam.wadd(max, fam.literal(1L)).as("v"))
+        .head.getAs[Array[Byte]](0)
+      assert(WordMathBytes.fromBytes(z) == java.math.BigInteger.ZERO,
+        s"width $w wrap")
+      assert(z.length == (w + 7) / 8, s"width $w fixed length")
+    }
   }
 }

@@ -85,7 +85,7 @@ class ToPythonSpec extends AnyFunSuite {
       s"python=$out engine=$engine for program:\n$py")
   }
 
-  test("extracted word ops are wrap-faithful at widths 64, 16 and 100 (CPython vs RefInterp)") {
+  test("extracted word ops are wrap-faithful at widths 64, 16, 100 and 256 (CPython vs RefInterp)") {
     import scala.sys.process._
     import graft.lang.RefInterp._
     val havePython = try {
@@ -114,7 +114,8 @@ class ToPythonSpec extends AnyFunSuite {
     // width 100 runs the WIDE residue family (Decimal(38,0) engine-side,
     // BigInt in RefInterp) under real CPython: the prelude's __w returns
     // the SIGNED view, RefInterp carries the unsigned residue — convert.
-    for (w <- Seq(64, 16, 100)) {
+    // Width 256 does the same for the multi-limb BYTES family (round 10).
+    for (w <- Seq(64, 16, 100, 256)) {
       val prints = (battery ++ bools)
         .map(e => s"print(${ToPython(e)})").mkString("", "\n", "\n")
       val py = ToPython.preludeFor(w) + prints
