@@ -122,8 +122,11 @@ object StreamAgg {
       // A stream-stream join keeps FOUR state stores per shuffle partition
       // (left/right × keyToNumValues/keyWithIndexToValue), each with its
       // own checkpoint commit per batch — per-partition overhead dominates
-      // a modest feed (see StreamConf).
-      StreamConf.withStatePartitions(s, 2) {
+      // a modest feed (see StreamConf). INNER join matches emit during
+      // data batches; the trailing no-data micro-batch only evicts state
+      // and emits nothing, so skip its fixed trigger round.
+      StreamConf.withConf(s, "spark.sql.shuffle.partitions" -> "2",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
         val q = joined.writeStream.outputMode("append")
           .format("memory").queryName(sink).start()
         try q.processAllAvailable() finally q.stop()
@@ -214,7 +217,15 @@ object StreamAgg {
             f"[soj] $label%-8s ${(System.nanoTime() - t0) / 1e9}%.2fs")
         r
       }
-      StreamConf.withStatePartitions(s, 2) {
+      // No-data micro-batches add one trigger round (~0.3-0.5s fixed) per
+      // processAllAvailable and prove nothing HERE: every eviction this
+      // query tests is flushed by a DATA batch — file 2's batch evicts
+      // with the watermark committed after file 1, file 3's with file 2's,
+      // and the click cut (< day 2) means no straggler outlives file 3's
+      // batch. Queries whose FINAL emissions ride the watermark (window
+      // agg, late-data) keep the default.
+      StreamConf.withConf(s, "spark.sql.shuffle.partitions" -> "2",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
         val q = phase("start")(joined.writeStream.outputMode("append")
           .format("memory").queryName(sink).start())
         try {

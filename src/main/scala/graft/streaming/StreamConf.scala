@@ -19,9 +19,17 @@ private[streaming] object StreamConf {
   // reducers) — acceptable for these bounded demos.
   private val lock = new Object
   def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A =
+    withConf(s, "spark.sql.shuffle.partitions" -> n.toString)(body)
+
+  /** Scope arbitrary session confs to one streaming query (save/restore
+    * under the same lock as withStatePartitions). */
+  def withConf[A](s: SparkSession, kv: (String, String)*)(body: => A): A =
     lock.synchronized {
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", n.toString)
-      try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val prev = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+      kv.foreach { case (k, v) => s.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
 }
