@@ -203,6 +203,85 @@ object Compiler {
     * flatmaps each need distinct left/right join aliases. */
   private val latIds = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Find the first `EIf` in a COLLECTION position inside a flatmap body
+    * whose condition references the outer binder `x` but no binder
+    * introduced between the body root and the node — the
+    * correlated-CONDITIONAL table body (`for x in t1: if p(x) then legA
+    * else legB`, reference semantics Interpret.v:299-303 evaluate the
+    * condition per outer row and take ONE leg). Returns the condition and
+    * the body with the conditional replaced by each leg; the caller splits
+    * the OUTER table on the condition and unions the two arms. Only
+    * collection positions are walked: a scalar `EIf` (record field,
+    * predicate) compiles to a per-row `when` and needs no split. */
+  private def splitTableIf(e0: Expr, x: String): Option[(Expr, Expr, Expr)] = {
+    type Split = (Expr, Expr, Expr)
+    def go(e: Expr, sh: Set[String]): Option[Split] = e match {
+      case EIf(c, a, b) =>
+        val fv = Rewrites.freeVars(c)
+        if (fv.contains(x) && fv.intersect(sh).isEmpty) Some((c, a, b))
+        else go(a, sh).map { case (c2, aa, bb) =>
+            (c2, EIf(c, aa, b), EIf(c, bb, b)) }
+          .orElse(go(b, sh).map { case (c2, aa, bb) =>
+            (c2, EIf(c, a, aa), EIf(c, a, bb)) })
+      case EProj(t, l, y, r) => go(l, sh).map { case (c, aa, bb) =>
+        (c, EProj(t, aa, y, r), EProj(t, bb, y, r)) }
+      case EFilter(t, l, y, p) => go(l, sh).map { case (c, aa, bb) =>
+        (c, EFilter(t, aa, y, p), EFilter(t, bb, y, p)) }
+      case ESort(t, l) => go(l, sh).map { case (c, aa, bb) =>
+        (c, ESort(t, aa), ESort(t, bb)) }
+      case EBagOf(l) => go(l, sh).map { case (c, aa, bb) =>
+        (c, EBagOf(aa), EBagOf(bb)) }
+      case ESetOf(l) => go(l, sh).map { case (c, aa, bb) =>
+        (c, ESetOf(aa), ESetOf(bb)) }
+      case EJoin(t, l1, l2, a, b, p, r) =>
+        go(l1, sh).map { case (c, aa, bb) =>
+            (c, EJoin(t, aa, l2, a, b, p, r), EJoin(t, bb, l2, a, b, p, r)) }
+          .orElse(go(l2, sh).map { case (c, aa, bb) =>
+            (c, EJoin(t, l1, aa, a, b, p, r), EJoin(t, l1, bb, a, b, p, r)) })
+      case EFlatmap(t, l, y, b) =>
+        go(l, sh).map { case (c, aa, bb) =>
+            (c, EFlatmap(t, aa, y, b), EFlatmap(t, bb, y, b)) }
+          .orElse(go(b, sh + y).map { case (c, aa, bb) =>
+            (c, EFlatmap(t, l, y, aa), EFlatmap(t, l, y, bb)) })
+      case EFlatmap2(l1, l2, y1, y2, b) =>
+        go(l1, sh).map { case (c, aa, bb) =>
+            (c, EFlatmap2(aa, l2, y1, y2, b), EFlatmap2(bb, l2, y1, y2, b)) }
+          .orElse(go(l2, sh).map { case (c, aa, bb) =>
+            (c, EFlatmap2(l1, aa, y1, y2, b), EFlatmap2(l1, bb, y1, y2, b)) })
+      case ELet(a, y, b) => go(b, sh + y).map { case (c, aa, bb) =>
+        (c, ELet(a, y, aa), ELet(a, y, bb)) }
+      case EOptMatch(s, n, y, sm) =>
+        go(n, sh).map { case (c, aa, bb) =>
+            (c, EOptMatch(s, aa, y, sm), EOptMatch(s, bb, y, sm)) }
+          .orElse(go(sm, sh + y).map { case (c, aa, bb) =>
+            (c, EOptMatch(s, n, y, aa), EOptMatch(s, n, y, bb)) })
+      case EBinop(OConcat, a, b) =>
+        go(a, sh).map { case (c, aa, bb) =>
+            (c, EBinop(OConcat, aa, b), EBinop(OConcat, bb, b)) }
+          .orElse(go(b, sh).map { case (c, aa, bb) =>
+            (c, EBinop(OConcat, a, aa), EBinop(OConcat, a, bb)) })
+      case _ => None
+    }
+    go(e0, Set.empty)
+  }
+
+  /** Inline `ELet` bindings whose bound expression references the outer
+    * binder `x` — a let-bound correlated aggregate (`let v = len(σ[corr]
+    * T) in body`) is invisible to the aggregate unnester until the binder
+    * is substituted back to its definition sites. Sound because the
+    * language is pure (duplication only duplicates computation, and the
+    * unnester computes each distinct aggregate once). Skipped when the
+    * body rebinds the let variable or any free variable of the bound
+    * expression (capture) — those keep the directed error. */
+  private def inlineCorrelatedLets(e0: Expr, x: String): Expr =
+    Rewrites.foldExpr(e0) {
+      case e @ ELet(a, v, b)
+          if Rewrites.freeVars(a).contains(x) && !bindsVar(b, v) &&
+            !Rewrites.freeVars(a).exists(fv => bindsVar(b, fv)) =>
+        Rewrites.foldExpr(b) { case EVar(`v`) => a; case other => other }
+      case e => e
+    }
+
   /** OUTERMOST aggregate nodes inside `r` whose SOURCE is correlated on
     * the projection binder `x` — the correlated-scalar-subquery shape
     * (`len(u <- T; check(u.k == x.k); ret u)` and friends) that
@@ -270,9 +349,14 @@ object Compiler {
     * over [a chain of filters] over an uncorrelated core. A projection
     * value that itself references `x` is allowed — it forces the
     * join-then-reaggregate path (both rows are in scope there), never
-    * the groupBy-then-join plan. */
+    * the groupBy-then-join plan. `subst`, when set, marks the LAYERED
+    * shape (canonicalization wrappers between the aggregate and the
+    * chain): the filter-chain subtree to substitute with the per-outer-row
+    * collected array, leaving the wrapper layers to compile as nested
+    * collection ops over it. */
   private final case class PeeledSrc(core: Expr,
-      filters: List[(String, Expr)], proj: Option[(String, Expr)])
+      filters: List[(String, Expr)], proj: Option[(String, Expr)],
+      subst: Option[Expr] = None)
   private def peelCorrelated(x: String, src0: Expr): Option[PeeledSrc] = {
     var proj: Option[(String, Expr)] = None
     var cur = src0
@@ -289,7 +373,7 @@ object Compiler {
     var filters = List.empty[(String, Expr)]
     while (Rewrites.freeVars(cur).contains(x)) cur match {
       case EFilter(_, l0, b, p) => filters ::= ((b, p)); cur = l0
-      case _ => return None
+      case _ => return peelLayered(x, src0) // wrapper layers in the way
     }
     // proj-ONLY correlation (no tying filter at all) is still peelable:
     // the aggregate runs over the FULL inner table per outer row — the
@@ -298,6 +382,40 @@ object Compiler {
     if (filters.isEmpty && !proj.exists(p =>
         Rewrites.freeVars(p._2).contains(x))) None
     else Some(PeeledSrc(cur, filters, proj))
+  }
+
+  /** LAYERED peel: the aggregate's source holds ESetOf/EBagOf (and
+    * possibly EProj/ESort) layers ABOVE the correlated filter chain —
+    * `len(setof(σ[corr] T))`, `sum(π(bagof(σ[corr] T)))`. The aggregates
+    * this feeds are multiset functions and the wrappers re-canonicalize,
+    * so substituting the chain with its per-outer-row canonically-sorted
+    * array (the ESort/EFold collection path) is order-safe; the layers
+    * then run as nested-collection ops over the array. Only engaged when
+    * a wrapper layer is present — plain chains keep the cheaper
+    * aggregate-pushdown paths. */
+  private def peelLayered(x: String, src0: Expr): Option[PeeledSrc] = {
+    var sawWrapper = false
+    def chainOf(e: Expr): Option[Expr] = e match {
+      case EFilter(_, _, _, _) => Some(e)
+      case ESort(_, l) => chainOf(l)
+      case EProj(_, l, _, _) => chainOf(l)
+      case EBagOf(l) => sawWrapper = true; chainOf(l)
+      case ESetOf(l) => sawWrapper = true; chainOf(l)
+      case _ => None
+    }
+    chainOf(src0).flatMap { chain =>
+      if (!sawWrapper) None
+      else {
+        var filters = List.empty[(String, Expr)]
+        var cur = chain
+        while (Rewrites.freeVars(cur).contains(x)) cur match {
+          case EFilter(_, l0, b, p) => filters ::= ((b, p)); cur = l0
+          case _ => return None
+        }
+        if (filters.isEmpty) None
+        else Some(PeeledSrc(cur, filters, None, subst = Some(chain)))
+      }
+    }
   }
 
   /** UNNEST correlated scalar aggregates in a table projection — the
@@ -333,9 +451,74 @@ object Compiler {
     TV(kept.select(df.columns.map(c => col(s"$la.$c").as(c)): _*))
   }
 
+  /** Correlated aggregates nested INSIDE an aggregate's source — i.e.
+    * inside the chain's filter predicates / projection values / core, NOT
+    * the chain spine itself (an `ESort`/`EFilter` layer of the source IS
+    * the aggregate's own collection idiom, never a nested aggregate). */
+  private def aggsInsideSource(s: Expr, x: String): List[Expr] = s match {
+    case EFilter(_, l, _, p) =>
+      collectCorrelatedAggs(p, x) ++ aggsInsideSource(l, x)
+    case EProj(_, l, _, pv) =>
+      collectCorrelatedAggs(pv, x) ++ aggsInsideSource(l, x)
+    case ESort(_, l) => aggsInsideSource(l, x)
+    case EBagOf(l) => aggsInsideSource(l, x)
+    case ESetOf(l) => aggsInsideSource(l, x)
+    case core => collectCorrelatedAggs(core, x)
+  }
+
+  /** INNERMOST correlated aggregates: descend through each node's
+    * sub-expressions until a node holds no deeper correlated aggregate —
+    * those must unnest FIRST (a doubly-nested aggregate's predicate can
+    * only compile once the inner value is an outer-row field). */
+  private def innermostAggs(nodes: List[Expr], x: String): List[Expr] =
+    nodes.flatMap { n =>
+      val inside = (n match {
+        case EACFold(_, s) => aggsInsideSource(s, x)
+        case EACIFold(_, s) => aggsInsideSource(s, x)
+        case EUnop(OLength, s) => aggsInsideSource(s, x)
+        case EFold(s, z, _, _, st) => aggsInsideSource(s, x) ++
+          collectCorrelatedAggs(z, x) ++ collectCorrelatedAggs(st, x)
+        case ESort(_, s) => aggsInsideSource(s, x)
+        case _ => Nil
+      }).toList
+      if (inside.isEmpty) List(n) else innermostAggs(inside, x)
+    }.distinct
+
+  /** Iterating wrapper: unnest the innermost correlated aggregates, and
+    * while nesting remains (an aggregate held another aggregate — the
+    * doubly-nested shape, reference semantics Interpret.v:273-312 nested
+    * loops both levels), FLATTEN the augmented frame into a plain table
+    * whose extra columns carry the hoisted values, rewrite their reads to
+    * outer-row field accesses, and go again. The final round returns the
+    * usual (joined, benv, rewritten) triple. */
   private def unnestCorrelatedAggs(df: DataFrame, x: String, r: Expr,
       env: Env): ((DataFrame, Env, Expr), String) = {
-    val peeled = collectCorrelatedAggs(r, x).flatMap { node =>
+    var curDf = df; var curR = r
+    var rounds = 0
+    while (rounds < 6) {
+      val nodes = collectCorrelatedAggs(curR, x)
+      val inner = innermostAggs(nodes, x)
+      val nested = inner.toSet != nodes.toSet
+      val ((joined, benv, r2), la) =
+        unnestAggsOnce(curDf, x, curR, env, if (nested) inner else nodes)
+      if (!nested) return ((joined, benv, r2), la)
+      rounds += 1
+      val newVars = (benv.vars.keySet -- env.vars.keySet) - x
+      curR = Rewrites.foldExpr(r2) {
+        case EVar(v) if newVars(v) => EAccess(EVar(x), v)
+        case o => o
+      }
+      curDf = joined.select(
+        curDf.columns.map(cn => col(s"$la.$cn").as(cn)) ++
+          newVars.toSeq.sorted.map(n => asCV(benv.vars(n)).as(n)): _*)
+    }
+    throw new UnsupportedOperationException(
+      "correlated aggregate nesting deeper than 6 levels")
+  }
+
+  private def unnestAggsOnce(df: DataFrame, x: String, r: Expr,
+      env: Env, only: List[Expr]): ((DataFrame, Env, Expr), String) = {
+    val peeled = only.flatMap { node =>
       val src = node match {
         case EACFold(_, s0) => s0
         case EACIFold(_, s0) => s0
@@ -413,6 +596,8 @@ object Compiler {
       case EFold(_, _, _, _, _) | ESort(_, _) => true
       case _ => false
     }
+    def takesArrayPath(node: Expr, pe: PeeledSrc): Boolean =
+      collectsArray(node) || pe.subst.nonEmpty
     var joined: DataFrame = df.alias(la)
     var extraBinds = List.empty[(String, Val)]
     var r2 = r
@@ -487,7 +672,7 @@ object Compiler {
           asCV(compile(o, env.bind(x, CV(outerRow))))).reduce(_ && _))
       }
       val name = s"__cagg_${id}_$i"
-      if (collectsArray(node)) {
+      if (takesArrayPath(node, pe)) {
         // PER-ROW ARRAY (sequential/ordered consumers — EFold/ESort
         // over a correlated table): collect the matched elements per
         // outer row into a canonically-sorted array (sort_array over the
@@ -512,9 +697,16 @@ object Compiler {
           case Some(oc) => when(oc, ext).otherwise(slice(ext, lit(1), lit(0)))
         }
         extraBinds ::= (name, CV(arrCol))
-        r2 = Rewrites.foldExpr(r2)(e0 => if (e0 == node) (node match {
-          case EFold(_, z, xv, accv, st) => EFold(EVar(name), z, xv, accv, st)
-          case _ => EVar(name) // ESort: already canonically sorted
+        r2 = Rewrites.foldExpr(r2)(e0 => if (e0 == node) (pe.subst match {
+          // LAYERED shape: swap only the chain subtree for the array —
+          // the ESetOf/EBagOf/EProj/ESort layers above it compile as
+          // nested-collection ops over the per-row array
+          case Some(chain) =>
+            Rewrites.foldExpr(node)(n => if (n == chain) EVar(name) else n)
+          case None => node match {
+            case EFold(_, z, xv, accv, st) => EFold(EVar(name), z, xv, accv, st)
+            case _ => EVar(name) // ESort: already canonically sorted
+          }
         }) else e0)
       } else {
         if (sp.mixed.isEmpty && !projRefsX) {
@@ -743,8 +935,15 @@ object Compiler {
         catch { case _: Exception => None }
       eager match {
         case Some(b) => compile(if (b) t else f, env)
-        case None =>
-          CV(when(cc, asCV(compile(t, env))).otherwise(asCV(compile(f, env))))
+        case None => (compile(t, env), compile(f, env)) match {
+          case (CV(a), CV(b)) => CV(when(cc, a).otherwise(b))
+          case _ => throw new UnsupportedOperationException(
+            "correlated conditional (EIf) selecting between TABLE legs on " +
+              "a row-dependent condition — the flatmap outer-split rewrite " +
+              "(splitTableIf) handles collection positions; reaching here " +
+              "means the conditional sits somewhere that rewrite does not " +
+              "walk")
+        }
       }
 
     case ELet(e1, x, e2) => compile(e2, env.bind(x, compile(e1, env)))
@@ -839,6 +1038,25 @@ object Compiler {
         CV(canonTag(tag, transform(c, v => asCV(compile(r, env.bind(x, CV(v)))))))
     }
 
+    case EFlatmap(tag, e1, x, e2)
+        if compile(e1, env).isInstanceOf[TV] && splitTableIf(e2, x).nonEmpty =>
+      // Correlated-CONDITIONAL table body: split the OUTER table on the
+      // condition — rows where it holds flatmap the then-leg, the rest
+      // the else-leg — and union the arms. Tables are bags and the arms
+      // partition the outer rows, so the union IS the reference's per-row
+      // lazy branch choice; each arm is an ordinary (possibly correlated)
+      // flatmap the machinery below already lowers.
+      val Some((c, bodyA, bodyB)) = splitTableIf(e2, x)
+      val arms = Seq((c, bodyA), (EUnop(ONot, c), bodyB)).map { case (g, bd) =>
+        compile(EFlatmap(tag, EFilter(tag, e1, x, g), x, bd), env) match {
+          case TV(d) => d
+          case cv @ CV(_) => toDF(cv, env)
+        }
+      }
+      TV(canonTagDF(tag,
+        arms(0).select(arms(0).columns.sorted.map(col): _*).unionByName(
+          arms(1).select(arms(1).columns.sorted.map(col): _*))))
+
     case EFlatmap(tag, e1, x, e2) => compile(e1, env) match {
       case TV(df) =>
         def correlatedError(cause: Throwable) =
@@ -864,6 +1082,9 @@ object Compiler {
         // projection — e.g. a correlated aggregate — keep the directed
         // error.
         def decorrelate(): Val = {
+          // let-bound correlated aggregates are invisible to the peels
+          // below until substituted back to their use sites
+          val e2i = inlineCorrelatedLets(e2, x)
           // NESTED correlated scalar aggregates inside a correlated JOIN
           // body (a leg's filter predicate holding an EACFold whose source
           // is itself correlated on x — the reference nested-loops both
@@ -879,11 +1100,14 @@ object Compiler {
           // hoist, and a body that rebinds x would capture the substituted
           // field reads.
           locally {
-            var c = e2 match { case EProj(_, l, _, _) => l; case o => o }
-            while (Rewrites.freeVars(c).contains(x) && c.isInstanceOf[EFilter])
-              c = c.asInstanceOf[EFilter].l
-            if (c.isInstanceOf[EJoin] && !bindsVar(e2, x)) {
-              val aggs = collectCorrelatedAggs(e2, x)
+            // r10: the gate is no longer EJoin-only — a correlated scalar
+            // aggregate inside ANY body position the chain paths cannot
+            // compile (a filter predicate, a projection value, a zip leg)
+            // hoists the same way; on failure fall through to the
+            // original paths (try below), so no previously-supported
+            // shape can regress
+            if (!bindsVar(e2i, x)) try {
+              val aggs = collectCorrelatedAggs(e2i, x)
               val hoistable = aggs.nonEmpty && aggs.forall { n =>
                 (n match {
                   case EACFold(_, _) | EACIFold(_, _) | EUnop(OLength, _) =>
@@ -893,7 +1117,7 @@ object Compiler {
               }
               if (hoistable) {
                 val ((joined, benv, e2r), la) =
-                  unnestCorrelatedAggs(df, x, e2, env)
+                  unnestCorrelatedAggs(df, x, e2i, env)
                 val newVars = (benv.vars.keySet -- env.vars.keySet) - x
                 val flat = joined.select(
                   df.columns.map(cn => col(s"$la.$cn").as(cn)) ++
@@ -907,11 +1131,11 @@ object Compiler {
                 return compile(EFlatmap(tag, ELoc(tn), x, e2x),
                   env.copy(store = env.store + (tn -> flat)))
               }
-            }
+            } catch { case scala.util.control.NonFatal(_) => () }
           }
-          val (relBody, peeledProj) = e2 match {
+          val (relBody, peeledProj) = e2i match {
             case EProj(_, l, u, r) => (l, Some((u, r)))
-            case _ => (e2, None)
+            case _ => (e2i, None)
           }
           // Peel correlated filters down to the first subtree that does
           // not reference x at all — that subtree compiles as-is. A core
@@ -1027,8 +1251,8 @@ object Compiler {
                 }
               val fm2b = EFlatmap2(liftLeg(zl1), liftLeg(zl2), za, zb, zbody)
               val e2b =
-                if (legBinds.isEmpty) e2
-                else Rewrites.foldExpr(e2)(n0 => if (n0 == fm2) fm2b else n0)
+                if (legBinds.isEmpty) e2i
+                else Rewrites.foldExpr(e2i)(n0 => if (n0 == fm2) fm2b else n0)
               val envB = legBinds.foldLeft(env) {
                 case (acc, (n, v)) => acc.bind(n, v)
               }

@@ -407,6 +407,97 @@ object LangQueries {
         .orderBy("n_nationkey")
     },
 
+    // CORRELATED-CONDITIONAL TABLE BODY (round 10 — Compiler.splitTableIf):
+    // for each nation, EIf on an OUTER-ROW condition selects between two
+    // correlated supplier legs (low regions keep only even supplier keys).
+    // The reference evaluates the condition per outer row and takes ONE
+    // leg (Interpret.v:299-303); the engine SPLITS the outer table on the
+    // condition, lowers each arm's correlated filter to an ordinary
+    // equi-join, and unions the arms — no per-row dispatch survives in
+    // the plan. The oracle replays the choice as a CASE predicate.
+    GraftQuery.sql("q_lang_corr_cond",
+      """SELECT n_name AS nat, s_name AS sup
+        |FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        |WHERE CASE WHEN n_regionkey < 2 THEN s_suppkey % 2 = 0 ELSE TRUE END
+        |ORDER BY nat, sup""".stripMargin) { (s, dir) =>
+      def f(b: String, c: String) = EAccess(EVar(b), c)
+      val corr = (b: String) =>
+        EBinop(OEq, f(b, "s_nationkey"), f("x", "n_nationkey"))
+      val legA = EFilter(LikeBag, ELoc("supplier"), "sa",
+        EBinop(OAnd, corr("sa"), EBinop(OEq,
+          EBinop(OMod, f("sa", "s_suppkey"), EAtom(AInt(2))), EAtom(AInt(0)))))
+      val legB = EFilter(LikeBag, ELoc("supplier"), "sb", corr("sb"))
+      val prog = EFlatmap(LikeBag, ELoc("nation"), "x",
+        EProj(LikeBag,
+          EIf(EBinop(OLess, f("x", "n_regionkey"), EAtom(AInt(2))),
+            legA, legB),
+          "u", ERecord(List(
+            "nat" -> f("x", "n_name"), "sup" -> f("u", "s_name")))))
+      val supT = TRecord.sorted("s_suppkey" -> TInt, "s_name" -> TString,
+        "s_nationkey" -> TInt)
+      val natT = TRecord.sorted("n_nationkey" -> TInt, "n_name" -> TString,
+        "n_regionkey" -> TInt)
+      val storeT = Map("nation" -> TBag(natT), "supplier" -> TBag(supT))
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) ==
+        TBag(TRecord.sorted("nat" -> TString, "sup" -> TString)))
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_name"),
+            col("s_nationkey").cast("long").as("s_nationkey"))), s)
+      compileProgram(prog, env).asInstanceOf[TV].df.orderBy("nat", "sup")
+    },
+
+    // DOUBLY-NESTED CORRELATED AGGREGATES (round 10 — iterating
+    // unnestCorrelatedAggs): per nation, sum the supplier keys below that
+    // nation's CUSTOMER COUNT — the outer aggregate's predicate holds an
+    // inner aggregate correlated on the same outer row. The engine hoists
+    // the inner count first (groupBy + left join, innermost-first
+    // iteration), flattens it into an outer-row column, then lowers the
+    // outer sum through join-then-reaggregate on the now-plain predicate.
+    // The oracle is the equivalent nested correlated scalar subquery.
+    GraftQuery.sql("q_lang_corr_nested",
+      """SELECT n_name AS nat,
+        |  CAST(COALESCE((SELECT SUM(s_suppkey) FROM supplier
+        |     WHERE s_nationkey = n_nationkey
+        |       AND s_suppkey < (SELECT COUNT(*) FROM customer
+        |                        WHERE c_nationkey = n_nationkey)), 0)
+        |    AS BIGINT) AS g
+        |FROM nation ORDER BY nat""".stripMargin) { (s, dir) =>
+      def f(b: String, c: String) = EAccess(EVar(b), c)
+      val innerLen = EUnop(OLength,
+        EFilter(LikeBag, ELoc("customer"), "c",
+          EBinop(OEq, f("c", "c_nationkey"), f("x", "n_nationkey"))))
+      val outerSum = EACFold(AGSum, EProj(LikeBag,
+        EFilter(LikeBag, ELoc("supplier"), "sp",
+          EBinop(OAnd,
+            EBinop(OEq, f("sp", "s_nationkey"), f("x", "n_nationkey")),
+            EBinop(OLess, f("sp", "s_suppkey"), innerLen))),
+        "p", f("p", "s_suppkey")))
+      val prog = EProj(LikeBag, ELoc("nation"), "x", ERecord(List(
+        "nat" -> f("x", "n_name"), "g" -> outerSum)))
+      val supT = TRecord.sorted("s_suppkey" -> TInt, "s_nationkey" -> TInt)
+      val natT = TRecord.sorted("n_nationkey" -> TInt, "n_name" -> TString)
+      val custT = TRecord.sorted("c_nationkey" -> TInt)
+      val storeT = Map("nation" -> TBag(natT), "supplier" -> TBag(supT),
+        "customer" -> TBag(custT))
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) ==
+        TBag(TRecord.sorted("nat" -> TString, "g" -> TInt)))
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_nationkey").cast("long").as("s_nationkey")),
+        "customer" -> Tables.load(s, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("c_nationkey"))), s)
+      compileProgram(prog, env).asInstanceOf[TV].df.orderBy("nat")
+    },
+
     // CORRELATED ZIP-FLATMAP (Compiler.decorrelate's EFlatmap2-core path,
     // new this round): for each nation, zip its canonically-sorted supplier
     // names against its sorted customer names, cut at the shorter side,

@@ -281,8 +281,12 @@ class CompilerSpec extends AnyFunSuite {
       .asInstanceOf[TV].df.collect().map(r => (r.getString(0), r.getLong(1)))
     assert(rows.sorted.toSeq ===
       Seq(("a", 10L), ("b", 10L), ("b", 20L)))
-    // correlation below an aggregate is genuinely non-relational for this
-    // lowering — the directed error must survive
+    // correlated aggregate inside the body's filter predicate: through
+    // round 9 this raised the directed error; the round-10 hoist (the
+    // EJoin-only gate dropped) unnests the aggregate into an outer-row
+    // column first, so the shape now COMPILES and must match the
+    // reference nested loops: x.k=1 → sum(w | j<1)=10 → keeps w>10
+    // = {(2,20),(9,30)}; x.k=3 → sum=30 → keeps none.
     val agg = EFlatmap(LikeBag, ELoc("t1"), "x",
       EFilter(LikeBag, ELoc("t2"), "y",
         EBinop(OLess,
@@ -291,10 +295,11 @@ class CompilerSpec extends AnyFunSuite {
               EBinop(OLess, EAccess(EVar("q"), "j"), EAccess(EVar("x"), "k"))),
             "p", EAccess(EVar("p"), "w"))),
           EAccess(EVar("y"), "w"))))
-    val ex = intercept[UnsupportedOperationException] {
-      compile(agg, Env(Map.empty, Map("t1" -> t1, "t2" -> t2), spark))
-    }
-    assert(ex.getMessage.contains("EJoin"))
+    val aggRows = compile(agg, Env(Map.empty, Map("t1" -> t1, "t2" -> t2),
+        spark)).asInstanceOf[TV].df
+      .collect().map(r => (r.getLong(r.fieldIndex("j")),
+        r.getLong(r.fieldIndex("w"))))
+    assert(aggRows.sorted.toSeq === Seq((2L, 20L), (9L, 30L)))
   }
 
   test("correlated scalar aggregates in a projection unnest to groupBy + left join") {
