@@ -346,42 +346,80 @@ object Compiler {
   }
 
   /** Peel a correlated aggregate source into [optional value projection]
-    * over [a chain of filters] over an uncorrelated core. A projection
-    * value that itself references `x` is allowed — it forces the
-    * join-then-reaggregate path (both rows are in scope there), never
-    * the groupBy-then-join plan. `subst`, when set, marks the LAYERED
-    * shape (canonicalization wrappers between the aggregate and the
-    * chain): the filter-chain subtree to substitute with the per-outer-row
-    * collected array, leaving the wrapper layers to compile as nested
-    * collection ops over it. */
+    * over [an optional correlated EFlatmap] over [a chain of filters] over
+    * an uncorrelated core. A projection value that itself references `x`
+    * is allowed — it forces the join-then-reaggregate path (both rows are
+    * in scope there), never the groupBy-then-join plan. `subst`, when set,
+    * marks the LAYERED shape (canonicalization wrappers between the
+    * aggregate and the chain): the filter-chain subtree to substitute with
+    * the per-outer-row collected array, leaving the wrapper layers to
+    * compile as nested collection ops over it. `flat`, when set, is a
+    * flatmap layer whose BODY may reference the outer row — each
+    * (outer, inner) pair contributes the body's whole array, so the
+    * consumers explode (aggregates) or flatten (sorted collections) the
+    * per-pair arrays; `sortedAboveFlat` records an explicit ESort above
+    * the flatmap, the only thing that makes its order observable to an
+    * order-dependent consumer. */
   private final case class PeeledSrc(core: Expr,
       filters: List[(String, Expr)], proj: Option[(String, Expr)],
-      subst: Option[Expr] = None)
+      subst: Option[Expr] = None, flat: Option[(String, Expr)] = None,
+      sortedAboveFlat: Boolean = false)
   private def peelCorrelated(x: String, src0: Expr): Option[PeeledSrc] = {
     var proj: Option[(String, Expr)] = None
     var cur = src0
     // a sort layer (the list-typed `EFold(ESort(bag), ...)` idiom) is the
     // identity here: the unnesting collects a canonically-SORTED array
+    var sawSort = false
     cur match {
-      case ESort(_, l0) => cur = l0
+      case ESort(_, l0) => sawSort = true; cur = l0
       case _ => ()
     }
+    // STACKED projection layers compose by substitution (normalize turns
+    // single-element flatmap bodies into projections, so π over π is a
+    // routine shape here): π(pbO,pvO)(π(pbI,pvI)(l)) ≡ π(pbI, pvO[pbO:=pvI])(l).
+    // Binders are assumed unique (the compiler-wide substitution stance),
+    // so the inner value cannot be captured by the outer one's binders.
+    var going = true
+    while (going) cur match {
+      case EProj(_, l0, pb, pv) =>
+        proj = proj match {
+          case None => Some((pb, pv))
+          case Some((ob, opv)) => Some((pb, Rewrites.foldExpr(opv) {
+            case EVar(b) if b == ob => pv
+            case o => o
+          }))
+        }
+        cur = l0
+      case _ => going = false
+    }
+    // a CORRELATED flatmap layer (body references the outer row, or the
+    // chain below it does): peel it — the reference nested-loops the
+    // (outer × inner) product and concatenates the body arrays
+    // (Interpret.v:273-299); the unnesting reproduces that product with a
+    // distinct-outer join and explodes/flattens the per-pair arrays
+    var flat: Option[(String, Expr)] = None
     cur match {
-      case EProj(_, l0, pb, pv) => proj = Some((pb, pv)); cur = l0
+      case EFlatmap(_, l0, fb, fbody)
+          if Rewrites.freeVars(cur).contains(x) =>
+        flat = Some((fb, fbody)); cur = l0
       case _ => ()
     }
     var filters = List.empty[(String, Expr)]
     while (Rewrites.freeVars(cur).contains(x)) cur match {
       case EFilter(_, l0, b, p) => filters ::= ((b, p)); cur = l0
-      case _ => return peelLayered(x, src0) // wrapper layers in the way
+      case _ =>
+        // wrapper layers in the way — but only the no-flatmap shape has
+        // a layered fallback; a correlated core under a flatmap is out
+        return if (flat.isEmpty) peelLayered(x, src0) else None
     }
     // proj-ONLY correlation (no tying filter at all) is still peelable:
     // the aggregate runs over the FULL inner table per outer row — the
     // reference nested-loops that exact product, and the distinct-outer
     // join below reproduces it with a true join condition
-    if (filters.isEmpty && !proj.exists(p =>
+    if (flat.isEmpty && filters.isEmpty && !proj.exists(p =>
         Rewrites.freeVars(p._2).contains(x))) None
-    else Some(PeeledSrc(cur, filters, proj))
+    else Some(PeeledSrc(cur, filters, proj, flat = flat,
+      sortedAboveFlat = sawSort))
   }
 
   /** LAYERED peel: the aggregate's source holds ESetOf/EBagOf (and
@@ -401,6 +439,13 @@ object Compiler {
       case EProj(_, l, _, _) => chainOf(l)
       case EBagOf(l) => sawWrapper = true; chainOf(l)
       case ESetOf(l) => sawWrapper = true; chainOf(l)
+      // a flatmap between the wrappers and the chain is just another
+      // layer: after the chain substitutes to its per-outer-row canonical
+      // array, the flatmap compiles as a nested-collection op over it
+      // (its body — even an x-referencing one — is scalar-land there,
+      // with the outer row in scope). The wrappers above re-canonicalize,
+      // so the emission order the flatmap imposes is never observed.
+      case EFlatmap(_, l, _, _) => chainOf(l)
       case _ => None
     }
     chainOf(src0).flatMap { chain =>
@@ -527,7 +572,23 @@ object Compiler {
         case ESort(_, s0) => s0
         case _ => throw new IllegalStateException("non-aggregate collected")
       }
-      peelCorrelated(x, src).map(p => (node, p))
+      val pe0 = peelCorrelated(x, src)
+      // an EFold DIRECTLY over a correlated flatmap consumes the flatmap's
+      // emission order — per-element body-array concatenation, which no
+      // distributed plan can observe. An explicit ESort between them makes
+      // the order canonical and the per-row flattened-array path applies.
+      pe0.foreach { pe =>
+        node match {
+          case EFold(_, _, _, _, _)
+              if pe.flat.nonEmpty && !pe.sortedAboveFlat =>
+            throw new UnsupportedOperationException(
+              "EFold over a correlated EFlatmap folds in the flatmap's " +
+                "emission order, which a distributed plan cannot observe " +
+                "— sort it first: EFold(ESort(flatmap...), ...)")
+          case _ => ()
+        }
+      }
+      pe0.map(p => (node, p))
     }
     if (peeled.isEmpty) throw new UnsupportedOperationException(
       "correlated aggregate whose source is not a filter chain over an " +
@@ -579,7 +640,8 @@ object Compiler {
       // projection value — the full-product shape handled by the
       // distinct-outer join with a true condition
       if (sp.keyPairs.isEmpty && sp.mixed.isEmpty &&
-          !pe.proj.exists(p => Rewrites.freeVars(p._2).contains(x)))
+          !pe.proj.exists(p => Rewrites.freeVars(p._2).contains(x)) &&
+          pe.flat.isEmpty)
         throw new UnsupportedOperationException(
           "correlated aggregate without a predicate tying outer and inner " +
             "rows — rewrite with an explicit EJoin")
@@ -660,6 +722,33 @@ object Compiler {
           .groupBy(df.columns.map(c => col(s"$lo.$c")).toIndexedSeq: _*)
           .agg(aggCol.as(aName))
           .toDF((df.columns.map(okName) :+ aName).toIndexedSeq: _*)
+      // Correlated-FLATMAP source: each joined (outer, inner) pair carries
+      // the body's whole array (elements pre-wrapped in a one-field struct,
+      // null for an unmatched left-join row); explode the arrays between
+      // the join and the per-outer aggregation. explode_outer keeps outer
+      // rows whose every pair-array is empty (count 0 / sum 0 / min null).
+      def perOuterFlat(wrappedArr: Column, agg: Column => Column): DataFrame =
+        oa.join(ia, posPredConjs.reduceOption(_ && _).getOrElse(lit(true)),
+          "left")
+          .select(df.columns.map(c => col(s"$lo.$c").as(okName(c))) :+
+            explode_outer(wrappedArr).as(vName): _*)
+          .groupBy(df.columns.map(c => col(okName(c))).toIndexedSeq: _*)
+          .agg(agg(col(vName)).as(aName))
+      // the per-(outer,inner)-pair wrapped body array of a flat peel: the
+      // flatmap body with both rows in scope, each element run through the
+      // optional projection layer above the flatmap, wrapped so genuine
+      // null elements survive counting and unmatched rows drop out
+      def flatWrappedArr(fb: String, fbody: Expr, pe: PeeledSrc): Column = {
+        val arr0 = asCV(compile(fbody,
+          env.bindRow(x, CV(oRow)).bindRow(fb, CV(iRow))))
+        val arr = pe.proj match {
+          case Some((pb, pv)) => transform(arr0, e =>
+            asCV(compile(pv, env.bindRow(x, CV(oRow)).bind(pb, CV(e)))))
+          case None => arr0
+        }
+        when(col(s"$ib.$mark").isNotNull,
+          transform(arr, e => struct(e.as("v"))))
+      }
       def joinBack(aggDF: DataFrame): Unit = {
         val cond = df.columns.map(c => col(s"$la.$c") <=> col(okName(c)))
           .reduce(_ && _)
@@ -682,13 +771,22 @@ object Compiler {
         // Elements ride in a one-field wrapper struct so a genuine null
         // value (None) survives collect_list's null-dropping while
         // unmatched left-join rows (null marker) are dropped.
-        val vCol = pe.proj match {
-          case Some((pb, pv)) => asCV(compile(pv,
-            env.bindRow(x, CV(oRow)).bindRow(pb, CV(iRow))))
-          case None => iRow
+        val collected = pe.flat match {
+          case Some((fb, fbody)) =>
+            // flatmap source: collect the per-pair arrays, flatten, and
+            // sort canonically — only order-safe consumers reach here
+            // (ESort itself, or EFold over an explicit ESort layer)
+            sort_array(flatten(collect_list(flatWrappedArr(fb, fbody, pe))))
+          case None =>
+            val vCol = pe.proj match {
+              case Some((pb, pv)) => asCV(compile(pv,
+                env.bindRow(x, CV(oRow)).bindRow(pb, CV(iRow))))
+              case None => iRow
+            }
+            sort_array(collect_list(
+              when(col(s"$ib.$mark").isNotNull, struct(vCol.as("v")))))
         }
-        val wrapped = when(col(s"$ib.$mark").isNotNull, struct(vCol.as("v")))
-        joinBack(perOuter(sort_array(collect_list(wrapped))))
+        joinBack(perOuter(collected))
         val ext = transform(col(aName), s => s("v"))
         // an outer-only gate that fails means the correlated source is
         // EMPTY for that row (fold yields its init; sort yields [])
@@ -709,7 +807,7 @@ object Compiler {
           }
         }) else e0)
       } else {
-        if (sp.mixed.isEmpty && !projRefsX) {
+        if (sp.mixed.isEmpty && !projRefsX && pe.flat.isEmpty) {
           // GROUPBY-THEN-JOIN (pure equi-correlation): aggregate the inner
           // side per key — map-side partials, key-sized shuffle — and
           // left-join the per-key aggregates onto the outer.
@@ -741,14 +839,23 @@ object Compiler {
           // cost of this shape — Catalyst picks a broadcast nested-loop
           // or range join; the reference nested-loop-interprets the very
           // same product (Interpret.v:273-299).
-          val vCol =
-            if (countOnly) col(s"$ib.$mark")
-            else pe.proj match {
-              case Some((pb, pv)) => asCV(compile(pv,
-                env.bindRow(x, CV(oRow)).bindRow(pb, CV(iRow))))
-              case None => col(s"$ib.value")
-            }
-          joinBack(perOuter(aggOf(vCol)))
+          pe.flat match {
+            case Some((fb, fbody)) =>
+              // flatmap source: the per-pair arrays explode between the
+              // product join and the per-outer aggregation — ACI
+              // aggregates never observe the emission order
+              joinBack(perOuterFlat(flatWrappedArr(fb, fbody, pe),
+                v => if (countOnly) count(v) else aggOf(v("v"))))
+            case None =>
+              val vCol =
+                if (countOnly) col(s"$ib.$mark")
+                else pe.proj match {
+                  case Some((pb, pv)) => asCV(compile(pv,
+                    env.bindRow(x, CV(oRow)).bindRow(pb, CV(iRow))))
+                  case None => col(s"$ib.value")
+                }
+              joinBack(perOuter(aggOf(vCol)))
+          }
         }
         val base = node match {
           case EACIFold(_, _) => col(aName) // null-on-empty (ACI None)

@@ -358,6 +358,73 @@ object LangQueries {
         .orderBy("n_nationkey")
     },
 
+    // AGGREGATES OVER CORRELATED FLATMAP SOURCES (round 10,
+    // Compiler.perOuterFlat): the aggregate's source is an EFlatmap whose
+    // per-(outer,inner)-pair BODY is an arbitrary array — a gated
+    // two-element emission mixing both rows, and a data-dependent-length
+    // ORange. The reference nested-loops the product and concatenates the
+    // body arrays (Interpret.v:273-299); the engine joins the DISTINCT
+    // outer rows to the inner side on the extracted equi tie (a hash
+    // join, never a product here) and EXPLODES the per-pair arrays before
+    // the per-outer aggregation. The oracle rewrites each flatmap
+    // algebraically: |[s, s+n] per even s| = 2·COUNT(even),
+    // Σ elems = Σ(2s+n) over even, and Σ range(0, s mod 3) = Σ m(m−1)/2.
+    GraftQuery.sql("q_lang_corr_flatmap",
+      """SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey,
+        |  CAST(2 * (SELECT COUNT(*) FROM supplier s
+        |            WHERE s.s_nationkey = n.n_nationkey
+        |              AND s.s_suppkey % 2 = 0) AS BIGINT) AS emitted,
+        |  CAST(COALESCE((SELECT SUM(2 * s.s_suppkey + n.n_nationkey)
+        |            FROM supplier s
+        |            WHERE s.s_nationkey = n.n_nationkey
+        |              AND s.s_suppkey % 2 = 0), 0) AS BIGINT) AS evensum,
+        |  CAST(COALESCE((SELECT SUM(((s.s_suppkey % 3)
+        |                  * ((s.s_suppkey % 3) - 1)) / 2)
+        |            FROM supplier s
+        |            WHERE s.s_nationkey = n.n_nationkey), 0) AS BIGINT)
+        |    AS rangesum
+        |FROM nation n ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      def nk = EAccess(EVar("n"), "n_nationkey")
+      def corrFlat(fb: String, b: String, body: Expr) = EFlatmap(LikeBag,
+        EFilter(LikeBag, ELoc("supplier"), fb,
+          EBinop(OEq, EAccess(EVar(fb), "s_nationkey"), nk)),
+        b, body)
+      // gated TWO-element emission (normalize cannot single-cons it away):
+      // even suppliers contribute [s_suppkey, s_suppkey + n_nationkey]
+      def pairBody(b: String) = EIf(
+        EBinop(OEq, EBinop(OMod, EAccess(EVar(b), "s_suppkey"),
+          EAtom(AInt(2))), EAtom(AInt(0))),
+        EBinop(OCons, EAccess(EVar(b), "s_suppkey"),
+          EBinop(OCons, EBinop(OPlus, EAccess(EVar(b), "s_suppkey"), nk),
+            EAtom(ANil(TInt)))),
+        EAtom(ANil(TInt)))
+      // data-dependent length: range(0, s_suppkey mod 3)
+      def rangeBody(b: String) = EBinop(ORange, EAtom(AInt(0)),
+        EBinop(OMod, EAccess(EVar(b), "s_suppkey"), EAtom(AInt(3))))
+      val prog = EProj(LikeBag, ELoc("nation"), "n", ERecord(List(
+        "n_nationkey" -> nk,
+        "emitted" -> EUnop(OLength, corrFlat("f1", "b1", pairBody("b1"))),
+        "evensum" -> EACFold(AGSum, corrFlat("f2", "b2", pairBody("b2"))),
+        "rangesum" -> EACFold(AGSum,
+          corrFlat("f3", "b3", rangeBody("b3"))))))
+      val rowT = TRecord.sorted("n_nationkey" -> TInt, "emitted" -> TInt,
+        "evensum" -> TInt, "rangesum" -> TInt)
+      val storeT = Map(
+        "nation" -> TBag(TRecord.sorted("n_nationkey" -> TInt)),
+        "supplier" -> TBag(TRecord.sorted("s_suppkey" -> TInt,
+          "s_nationkey" -> TInt)))
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) == TBag(rowT))
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_nationkey").cast("long").as("s_nationkey"))),
+        s)
+      compileProgram(prog, env).asInstanceOf[TV].df
+        .orderBy("n_nationkey")
+    },
+
     // CORRELATED TABLE FEEDING A NESTED FOLD (the per-position canonical-
     // array path): for each nation, right-fold string concatenation over
     // the CANONICALLY SORTED names of its below-key suppliers — an

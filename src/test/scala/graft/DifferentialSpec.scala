@@ -1272,6 +1272,152 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregates over correlated EFlatmap sources: product-explode == reference nested loops") {
+    // Round-10 boundary closure: an aggregate whose source is a CORRELATED
+    // EFlatmap — the body (an arbitrary per-pair ARRAY, possibly of
+    // data-dependent length) references the outer row, and/or a filter
+    // chain below the flatmap does. The reference nested-loops the
+    // (outer × inner) product and concatenates the body arrays
+    // (Interpret.v:273-299); the engine joins the DISTINCT outer rows to
+    // the inner side and EXPLODES the per-pair arrays before the per-outer
+    // aggregation (Compiler.perOuterFlat), or flattens+sorts them for the
+    // ESort / EFold-over-ESort consumers. Shapes: gated two-element
+    // emissions, ORange bodies (data-dependent length), unconditional
+    // mixed-row pairs, y-only bodies over correlated chains; with and
+    // without an EProj layer above the flatmap; consumers LENGTH / SUM /
+    // COUNT / MIN / MAX / ESort / EFold(ESort). An EFold DIRECTLY over
+    // the flatmap (emission order observable) must stay a DIRECTED error.
+    val outT = TRecord.sorted("k" -> TInt, "s" -> TString)
+    val inT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    val rnd0 = new Random(8800)
+    // duplicate outer rows: reaggregation keys on DISTINCT outer rows, so
+    // duplicates must each surface the shared result
+    val t1Rows = {
+      val base = Vector.fill(9)(genValue(outT, rnd0))
+      base ++ base.take(2)
+    }
+    val t2Rows = Vector.fill(12)(genValue(inT, rnd0))
+    val d1 = tableDF(t1Rows, outT)
+    val d2 = tableDF(t2Rows, inT)
+    val renv = REnv("t1" -> VList(t1Rows), "t2" -> VList(t2Rows))
+    var supported = 0
+    for (i <- 0 until 52) {
+      val rnd = new Random(8900 + i)
+      val y = s"fy$i"
+      def yv = EAccess(EVar(y), "v")
+      def xk = EAccess(EVar("x"), "k")
+      val bodyKind = rnd.nextInt(4)
+      val body = bodyKind match {
+        case 0 => // gated two-element emission mixing both rows
+          EIf(EBinop(OLess, yv, xk),
+            EBinop(OCons, yv, EBinop(OCons, EBinop(OPlus, yv, xk),
+              EAtom(ANil(TInt)))),
+            EAtom(ANil(TInt)))
+        case 1 => // data-dependent length: range over a floor-mod mix
+          EBinop(ORange, EAtom(AInt(0)),
+            EBinop(OMod, EBinop(OPlus, yv, xk), EAtom(AInt(4))))
+        case 2 => // unconditional pair emission
+          EBinop(OCons, EBinop(OTimes, yv, EAtom(AInt(2))),
+            EBinop(OCons, xk, EAtom(ANil(TInt))))
+        case _ => // y-only body — correlation comes from the chain below
+          EBinop(OCons, yv, EAtom(ANil(TInt)))
+      }
+      val kind = rnd.nextInt(9)
+      val cb = s"cb$i"
+      val chain = rnd.nextInt(3) match {
+        // the WRAPPED shapes (setof/bagof layers, kinds 7-8) ride the
+        // layered peel, which needs the CHAIN correlated — body-only
+        // correlation under a wrapper is a documented directed residual
+        case 0 if bodyKind != 3 && kind < 7 => ELoc("t2")
+        case 1 => EFilter(LikeList, ELoc("t2"), cb,
+          EBinop(OEq, EAccess(EVar(cb), "k"), xk)) // equi tie
+        case _ => EFilter(LikeList, ELoc("t2"), cb,
+          EBinop(OLess, EAccess(EVar(cb), "v"), xk)) // non-equi tie
+      }
+      val flatSrc = EFlatmap(LikeList, chain, y, body)
+      val pp = s"fp$i"
+      val projded =
+        if (rnd.nextBoolean())
+          EProj(LikeList, flatSrc, pp, EBinop(OPlus, EVar(pp), xk))
+        else flatSrc
+      val el = s"fe$i"; val ac = s"fa$i"
+      val aggNode = kind match {
+        case 0 => EUnop(OLength, projded)
+        case 1 => EACFold(AGSum, projded)
+        case 2 => EACFold(AGCount, projded)
+        case 3 => EACIFold(AGMin, projded)
+        case 4 => EACIFold(AGMax, projded)
+        case 5 => ESort(LikeList, projded)
+        case 6 => EFold(ESort(LikeList, projded), EAtom(AInt(0)), el, ac,
+          EBinop(OPlus, EVar(el), EVar(ac)))
+        // wrapper layers over the flatmap: the layered peel substitutes
+        // the chain with the per-outer-row array and the setof/bagof/
+        // flatmap stack compiles as nested-collection ops over it
+        case 7 => EUnop(OLength, ESetOf(projded))
+        case _ => EACFold(AGSum, EBagOf(projded))
+      }
+      val aggT: FType = kind match {
+        case 3 | 4 => TOption(TInt)
+        case 5 => TList(TInt)
+        case _ => TInt
+      }
+      val prog = EProj(LikeList, ELoc("t1"), "x", ERecord(List(
+        "k" -> xk, "g" -> aggNode)))
+      val elemT = TRecord.sorted("g" -> aggT, "k" -> TInt)
+      val expected = interp(prog, renv)
+      try {
+        Compiler.compileProgram(prog, Env(Map.empty,
+          Map("t1" -> d1, "t2" -> d2), spark)) match {
+          case TV(df) =>
+            val got = collectTable(df, elemT)
+            val want = sortedV(elems(expected))
+            assert(cmpValues(got, want) == 0,
+              s"[corrflat case $i]\ncompiled=$got\nreference=$want\n${show(prog)}")
+            supported += 1
+          case CV(_) => fail(s"[corrflat case $i] compiled to a scalar")
+        }
+      } catch {
+        case e: UnsupportedOperationException =>
+          val sup = e.getSuppressed.toVector.map(_.getMessage)
+          fail(s"[corrflat case $i body=$bodyKind kind=$kind] " +
+            s"unsupported: ${e.getMessage}\nsuppressed=$sup\n${show(prog)}")
+      }
+    }
+    info(s"corrflat: $supported supported-and-correct of 52")
+    assert(supported == 52)
+    // order-dependent residual: EFold DIRECTLY over the correlated flatmap
+    // consumes emission order — must refuse with the directed message, not
+    // fold a different order
+    val foldDirect = EProj(LikeList, ELoc("t1"), "x", ERecord(List(
+      "k" -> EAccess(EVar("x"), "k"),
+      "g" -> EFold(
+        EFlatmap(LikeList, ELoc("t2"), "dy",
+          EIf(EBinop(OLess, EAccess(EVar("dy"), "v"),
+            EAccess(EVar("x"), "k")),
+            // TWO-element emission: normalize cannot single-cons this
+            // away into a filter/proj chain, so the flat peel engages
+            EBinop(OCons, EAccess(EVar("dy"), "v"),
+              EBinop(OCons, EAccess(EVar("dy"), "k"),
+                EAtom(ANil(TInt)))),
+            EAtom(ANil(TInt)))),
+        EAtom(AInt(0)), "de", "da",
+        EBinop(OMinus, EVar("de"), EVar("da"))))))
+    val err = intercept[UnsupportedOperationException] {
+      Compiler.compileProgram(foldDirect, Env(Map.empty,
+        Map("t1" -> d1, "t2" -> d2), spark)) match {
+        case TV(df) => df.collect()
+        case other => other
+      }
+    }
+    // the EProj catch rethrows the primary directed error with the
+    // decorrelation failure SUPPRESSED — the sort-first guidance must be
+    // reachable from one of the two
+    val msgs = err.getMessage +:
+      err.getSuppressed.toVector.map(_.getMessage)
+    assert(msgs.exists(m => m != null && m.contains("ESort")),
+      s"expected the sort-first directed error, got: $msgs")
+  }
+
   test("same-table correlated join legs resolve through aliases (three-way self-join)") {
     // Outer table and BOTH join legs are the SAME table: every attribute
     // id collides three ways, so this passes only if the decorrelated

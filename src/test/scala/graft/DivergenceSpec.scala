@@ -71,21 +71,27 @@ class DivergenceSpec extends AnyFunSuite {
     // predicates incl. non-equi (q_lang_corr_agg, q_lang_corr_filter,
     // q_lang_corr_nonequi), join legs (q_lang_corr_join), and per-row
     // folds/sorts over correlated filter chains (the per-position
-    // canonical-array path) — and REFUSES the residue with an error
-    // directing the user to the EJoin/comprehension form, rather than
-    // silently falling back to a per-outer-row driver loop. The refused
-    // residue here: an aggregate over a correlated FLATMAP — the source
-    // is not a filter chain over an uncorrelated core, so the unnesting
-    // cannot peel it. The reference interprets it fine.
+    // canonical-array path), and aggregates over a SINGLE correlated
+    // flatmap layer (round 10: the product-explode path) — and REFUSES
+    // the residue with an error directing the user to the
+    // EJoin/comprehension form, rather than silently falling back to a
+    // per-outer-row driver loop. The refused residue here: an aggregate
+    // over a DOUBLY-NESTED correlated flatmap — below the peeled flatmap
+    // layer sits another correlated flatmap, not a filter chain over an
+    // uncorrelated core, so the unnesting cannot peel it. The reference
+    // interprets it fine.
     val rowT = TRecord.sorted("k" -> TInt, "v" -> TInt)
     val fmBody = EFlatmap(LikeList, ELoc("t2"), "y",
       EIf(EBinop(OEq, EAccess(EVar("y"), "k"), EAccess(EVar("x"), "k")),
         EBinop(OCons, EVar("y"), EBinop(OCons, EVar("y"),
           EAtom(ANil(rowT)))),
         EAtom(ANil(rowT))))
+    val fmBody2 = EFlatmap(LikeList, fmBody, "z",
+      EBinop(OCons, EVar("z"), EBinop(OCons, EVar("z"),
+        EAtom(ANil(rowT)))))
     val prog = EProj(LikeList, ELoc("t1"), "x",
       ERecord(List("k" -> EAccess(EVar("x"), "k"),
-        "h" -> EUnop(OLength, fmBody))))
+        "h" -> EUnop(OLength, fmBody2))))
     // the reference side evaluates it fine (arbitrary-body semantics)
     val rows = VList(Vector(VRec(Vector("k" -> VI(1), "v" -> VI(5)))))
     val ref = interp(prog, REnv("t1" -> rows, "t2" -> rows))
