@@ -635,17 +635,6 @@ object Compiler {
       ConjSplit(keyPairs, residual, outerOnly, mixed)
     }
     val splits = peeled.map { case (node, pe) => (node, pe, splitConjuncts(pe)) }
-    splits.foreach { case (node, pe, sp) =>
-      // without a tying predicate the correlation must come from the
-      // projection value — the full-product shape handled by the
-      // distinct-outer join with a true condition
-      if (sp.keyPairs.isEmpty && sp.mixed.isEmpty &&
-          !pe.proj.exists(p => Rewrites.freeVars(p._2).contains(x)) &&
-          pe.flat.isEmpty)
-        throw new UnsupportedOperationException(
-          "correlated aggregate without a predicate tying outer and inner " +
-            "rows — rewrite with an explicit EJoin")
-    }
     val id = latIds.incrementAndGet()
     val la = s"__caggl$id"
     val outerRow = qualifiedRow(df.columns, la)
@@ -682,6 +671,17 @@ object Compiler {
       val kName = (j: Int) => s"__k${id}_${i}_$j"
       val vName = s"__v${id}_$i"
       val aName = s"__agg${id}_$i"
+      // GATE-ONLY correlation: every correlated conjunct is outer-only
+      // (a CASE gate) and neither the projection nor a flatmap body
+      // references the outer row — the per-outer-row value is ONE global
+      // aggregate over the residual-filtered inner, gated per row. One
+      // aggregation job, a one-row broadcast join, no outer-side shuffle
+      // (the reference nested-loops the identical per-row computation,
+      // Interpret.v:273-299 — its result is row-independent by the same
+      // argument).
+      val untied = sp.keyPairs.isEmpty && sp.mixed.isEmpty &&
+        !pe.proj.exists(p => Rewrites.freeVars(p._2).contains(x)) &&
+        pe.flat.isEmpty
       // count/length never look at the element value; sum/min/max take the
       // peeled projection's value, or the single `value` column of a
       // scalar-element table
@@ -771,22 +771,35 @@ object Compiler {
         // Elements ride in a one-field wrapper struct so a genuine null
         // value (None) survives collect_list's null-dropping while
         // unmatched left-join rows (null marker) are dropped.
-        val collected = pe.flat match {
-          case Some((fb, fbody)) =>
-            // flatmap source: collect the per-pair arrays, flatten, and
-            // sort canonically — only order-safe consumers reach here
-            // (ESort itself, or EFold over an explicit ESort layer)
-            sort_array(flatten(collect_list(flatWrappedArr(fb, fbody, pe))))
-          case None =>
-            val vCol = pe.proj match {
-              case Some((pb, pv)) => asCV(compile(pv,
-                env.bindRow(x, CV(oRow)).bindRow(pb, CV(iRow))))
-              case None => iRow
-            }
-            sort_array(collect_list(
-              when(col(s"$ib.$mark").isNotNull, struct(vCol.as("v")))))
+        if (untied) {
+          // gate-only: ONE global canonical array over the inner —
+          // every outer row shares it; the gate below empties it per row
+          val vCol = pe.proj match {
+            case Some((pb, pv)) => asCV(compile(pv,
+              env.bindRow(pb, CV(rowStruct(inner)))))
+            case None => rowStruct(inner)
+          }
+          val aggDF = inner.agg(
+            sort_array(collect_list(struct(vCol.as("v")))).as(aName))
+          joined = joined.crossJoin(broadcast(aggDF))
+        } else {
+          val collected = pe.flat match {
+            case Some((fb, fbody)) =>
+              // flatmap source: collect the per-pair arrays, flatten, and
+              // sort canonically — only order-safe consumers reach here
+              // (ESort itself, or EFold over an explicit ESort layer)
+              sort_array(flatten(collect_list(flatWrappedArr(fb, fbody, pe))))
+            case None =>
+              val vCol = pe.proj match {
+                case Some((pb, pv)) => asCV(compile(pv,
+                  env.bindRow(x, CV(oRow)).bindRow(pb, CV(iRow))))
+                case None => iRow
+              }
+              sort_array(collect_list(
+                when(col(s"$ib.$mark").isNotNull, struct(vCol.as("v")))))
+          }
+          joinBack(perOuter(collected))
         }
-        joinBack(perOuter(collected))
         val ext = transform(col(aName), s => s("v"))
         // an outer-only gate that fails means the correlated source is
         // EMPTY for that row (fold yields its init; sort yields [])
@@ -807,7 +820,22 @@ object Compiler {
           }
         }) else e0)
       } else {
-        if (sp.mixed.isEmpty && !projRefsX && pe.flat.isEmpty) {
+        if (untied) {
+          // gate-only: aggregate the residual-filtered inner ONCE (a
+          // global aggregation always yields exactly one row, empty input
+          // included) and broadcast the one-row result onto every outer
+          // row; the gate below turns it off per row
+          val valueCol =
+            if (countOnly) lit(1L)
+            else pe.proj match {
+              case Some((pb, pv)) =>
+                asCV(compile(pv, env.bindRow(pb, CV(rowStruct(inner)))))
+              case None => inner.col("value") // scalar-element table
+            }
+          val aggDF = inner.select(valueCol.as(vName))
+            .agg(aggOf(col(vName)).as(aName))
+          joined = joined.crossJoin(broadcast(aggDF))
+        } else if (sp.mixed.isEmpty && !projRefsX && pe.flat.isEmpty) {
           // GROUPBY-THEN-JOIN (pure equi-correlation): aggregate the inner
           // side per key — map-side partials, key-sized shuffle — and
           // left-join the per-key aggregates onto the outer.

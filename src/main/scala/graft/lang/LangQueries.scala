@@ -518,6 +518,57 @@ object LangQueries {
       compileProgram(prog, env).asInstanceOf[TV].df.orderBy("nat", "sup")
     },
 
+    // GATE-ONLY CORRELATED AGGREGATES (round 10 — Compiler.unnestAggsOnce
+    // `untied`): every correlated conjunct is an OUTER-ONLY gate — no
+    // predicate ties the outer and inner rows, so the per-row value the
+    // reference nested-loops (Interpret.v:273-299) is row-INDEPENDENT
+    // whenever the gate passes. The engine aggregates the residual-
+    // filtered supplier table ONCE and broadcasts the one-row result onto
+    // every nation row behind a CASE gate — one aggregation job, no
+    // outer-side shuffle, no per-row subquery. Three consumers: gated
+    // global SUM, gated global COUNT, gated global MIN (NULL when the
+    // gate fails — ACI None-on-empty).
+    GraftQuery.sql("q_lang_corr_gate",
+      """SELECT n_name AS nat,
+        |  CASE WHEN n_regionkey < 2
+        |    THEN CAST((SELECT COALESCE(SUM(s_suppkey), 0) FROM supplier
+        |               WHERE s_suppkey % 3 = 0) AS BIGINT)
+        |    ELSE 0 END AS gsum,
+        |  CASE WHEN n_nationkey < 10
+        |    THEN (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 2 = 0)
+        |    ELSE 0 END AS gcnt,
+        |  CASE WHEN n_regionkey = 0
+        |    THEN (SELECT MIN(s_suppkey) FROM supplier)
+        |    ELSE NULL END AS gmin
+        |FROM nation ORDER BY nat""".stripMargin) { (s, dir) =>
+      def f(b: String, c: String) = EAccess(EVar(b), c)
+      val gsum = EACFold(AGSum, EProj(LikeBag,
+        EFilter(LikeBag, ELoc("supplier"), "s0", EBinop(OAnd,
+          EBinop(OEq, EBinop(OMod, f("s0", "s_suppkey"), EAtom(AInt(3))),
+            EAtom(AInt(0))),
+          EBinop(OLess, f("x", "n_regionkey"), EAtom(AInt(2))))),
+        "p0", f("p0", "s_suppkey")))
+      val gcnt = EUnop(OLength,
+        EFilter(LikeBag, ELoc("supplier"), "s1", EBinop(OAnd,
+          EBinop(OEq, EBinop(OMod, f("s1", "s_suppkey"), EAtom(AInt(2))),
+            EAtom(AInt(0))),
+          EBinop(OLess, f("x", "n_nationkey"), EAtom(AInt(10))))))
+      val gmin = EACIFold(AGMin, EProj(LikeBag,
+        EFilter(LikeBag, ELoc("supplier"), "s2",
+          EBinop(OEq, f("x", "n_regionkey"), EAtom(AInt(0)))),
+        "p2", f("p2", "s_suppkey")))
+      val prog = EProj(LikeBag, ELoc("nation"), "x", ERecord(List(
+        "nat" -> f("x", "n_name"),
+        "gsum" -> gsum, "gcnt" -> gcnt, "gmin" -> gmin)))
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"))), s)
+      compileProgram(prog, env).asInstanceOf[TV].df.orderBy("nat")
+    },
+
     // DOUBLY-NESTED CORRELATED AGGREGATES (round 10 — iterating
     // unnestCorrelatedAggs): per nation, sum the supplier keys below that
     // nation's CUSTOMER COUNT — the outer aggregate's predicate holds an

@@ -1549,4 +1549,111 @@ class DifferentialSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("gate-only correlated aggregates: global-agg-then-broadcast == reference per-row loops") {
+    // Round-10 boundary closure: every correlated conjunct of the
+    // aggregate's filter chain is OUTER-ONLY (a gate on the outer row) —
+    // no predicate ties outer and inner rows and neither the projection
+    // nor a flatmap body references the outer row. Previously a directed
+    // error ("without a predicate tying outer and inner rows"); but the
+    // reference's per-row nested loop (Interpret.v:273-299) computes a
+    // row-INDEPENDENT aggregate whenever the gate passes, so the engine
+    // now aggregates the residual-filtered inner ONCE and broadcasts the
+    // one-row result, gating per outer row (Compiler.unnestAggsOnce
+    // `untied`). Shapes: 1-2 stacked gates × optional inner-only residual
+    // filter × optional uncorrelated projection × consumers LENGTH / SUM /
+    // COUNT / MIN / MAX / ESort / EFold(ESort) / LENGTH(ESetOf) /
+    // SUM(EBagOf). All 54 seeds must be supported-and-correct.
+    val outT = TRecord.sorted("k" -> TInt, "s" -> TString)
+    val inT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    val rnd0 = new Random(13500)
+    // duplicate outer rows: every duplicate must surface the shared value
+    val t1Rows = {
+      val base = Vector.fill(9)(genValue(outT, rnd0))
+      base ++ base.take(2)
+    }
+    val t2Rows = Vector.fill(12)(genValue(inT, rnd0))
+    val d1 = tableDF(t1Rows, outT)
+    val d2 = tableDF(t2Rows, inT)
+    val renv = REnv("t1" -> VList(t1Rows), "t2" -> VList(t2Rows))
+    var supported = 0
+    for (i <- 0 until 54) {
+      val rnd = new Random(13600 + i)
+      def xk = EAccess(EVar("x"), "k")
+      val cb = s"gb$i"
+      def yv = EAccess(EVar(cb), "v")
+      def mkGate(r: Random): Expr = r.nextInt(3) match {
+        case 0 => EBinop(OLess, xk, EAtom(AInt(r.nextInt(7) - 3)))
+        case 1 => EBinop(OEq, EBinop(OMod, xk, EAtom(AInt(2))),
+          EAtom(AInt(0)))
+        case _ => EUnop(ONot,
+          EBinop(OLess, xk, EAtom(AInt(r.nextInt(5) - 2))))
+      }
+      val residual: Option[Expr] =
+        if (rnd.nextBoolean())
+          Some(EBinop(OEq, EBinop(OMod, yv, EAtom(AInt(3))),
+            EAtom(AInt(rnd.nextInt(3)))))
+        else None
+      val pred = residual.fold(mkGate(rnd))(r =>
+        EBinop(OAnd, mkGate(rnd), r))
+      val chain0 = EFilter(LikeList, ELoc("t2"), cb, pred)
+      // sometimes a SECOND gate-only filter layer stacks on top
+      val chain =
+        if (rnd.nextInt(4) == 0)
+          EFilter(LikeList, chain0, s"gc$i", mkGate(rnd))
+        else chain0
+      val kind = rnd.nextInt(9)
+      // scalar consumers need a scalar element — force the projection
+      val needProj = Set(1, 3, 4, 5, 6, 8)
+      val pp = s"gp$i"
+      val projded =
+        if (needProj(kind) || rnd.nextBoolean())
+          EProj(LikeList, chain, pp, EBinop(OPlus,
+            EBinop(OTimes, EAccess(EVar(pp), "v"), EAtom(AInt(2))),
+            EAtom(AInt(1))))
+        else chain
+      val el = s"ge$i"; val ac = s"ga$i"
+      val aggNode = kind match {
+        case 0 => EUnop(OLength, projded)
+        case 1 => EACFold(AGSum, projded)
+        case 2 => EACFold(AGCount, projded)
+        case 3 => EACIFold(AGMin, projded)
+        case 4 => EACIFold(AGMax, projded)
+        case 5 => ESort(LikeList, projded)
+        case 6 => EFold(ESort(LikeList, projded), EAtom(AInt(0)), el, ac,
+          EBinop(OPlus, EVar(el), EVar(ac)))
+        case 7 => EUnop(OLength, ESetOf(projded))
+        case _ => EACFold(AGSum, EBagOf(projded))
+      }
+      val aggT: FType = kind match {
+        case 3 | 4 => TOption(TInt)
+        case 5 => TList(TInt)
+        case _ => TInt
+      }
+      val prog = EProj(LikeList, ELoc("t1"), "x", ERecord(List(
+        "k" -> xk, "g" -> aggNode)))
+      val elemT = TRecord.sorted("g" -> aggT, "k" -> TInt)
+      val expected = interp(prog, renv)
+      try {
+        Compiler.compileProgram(prog, Env(Map.empty,
+          Map("t1" -> d1, "t2" -> d2), spark)) match {
+          case TV(df) =>
+            val got = collectTable(df, elemT)
+            val want = sortedV(elems(expected))
+            assert(cmpValues(got, want) == 0,
+              s"[gateonly case $i kind=$kind]\ncompiled=$got\n" +
+                s"reference=$want\n${show(prog)}")
+            supported += 1
+          case CV(_) => fail(s"[gateonly case $i] compiled to a scalar")
+        }
+      } catch {
+        case e: UnsupportedOperationException =>
+          val sup = e.getSuppressed.toVector.map(_.getMessage)
+          fail(s"[gateonly case $i kind=$kind] unsupported: " +
+            s"${e.getMessage}\nsuppressed=$sup\n${show(prog)}")
+      }
+    }
+    info(s"gateonly: $supported supported-and-correct of 54")
+    assert(supported == 54)
+  }
 }
