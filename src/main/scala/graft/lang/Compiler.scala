@@ -1129,6 +1129,29 @@ object Compiler {
 
     case EJoin(tag, l1, l2, x, y, p, r) =>
       (compile(l1, env), compile(l2, env)) match {
+        case (TV(_), TV(_))
+            if (collectCorrelatedAggs(r, x).nonEmpty ||
+                collectCorrelatedAggs(r, y).nonEmpty) &&
+              !bindsVar(r, x) && !bindsVar(r, y) =>
+          // PAIR-TABLE REWRITE (aggregates referencing a JOIN BINDER):
+          // the body holds a correlated scalar aggregate whose source
+          // references x and/or y — a per-join-pair subquery the reference
+          // nested-loops (Interpret.v:273-312). Materialize the join as a
+          // table of (l, r) record pairs FIRST, then run the body as an
+          // EProj over that table with both binders read through the pair
+          // row — the projection unnester (projCorrelatedAggs) lowers the
+          // aggregates against the pair frame with its ordinary groupBy /
+          // join-then-reaggregate / broadcast plans. Guarded against
+          // binder shadowing, which would capture the substituted reads.
+          val z = s"__jpair${latIds.incrementAndGet()}"
+          val pairJoin = EJoin(tag, l1, l2, x, y, p,
+            ERecord(List("l" -> EVar(x), "r" -> EVar(y))))
+          val body2 = Rewrites.foldExpr(r) {
+            case EVar(`x`) => EAccess(EVar(z), "l")
+            case EVar(`y`) => EAccess(EVar(z), "r")
+            case o => o
+          }
+          compile(EProj(tag, pairJoin, z, body2), env)
         case (TV(d1), TV(d2)) =>
           // Alias both sides and resolve row variables through the aliases:
           // ELoc of the same table on both sides yields the SAME DataFrame
@@ -1346,6 +1369,54 @@ object Compiler {
               val joined = df.alias(la)
                 .join(in1.alias(r1a), p1, "inner")
                 .join(in2.alias(r2a), p2 && jpC, "inner")
+              // TRIPLE-TABLE REWRITE (round 10): the join BODY holds
+              // correlated scalar aggregates referencing a LEG binder —
+              // the two-binder-level shape (a per-(outer,pair) subquery,
+              // reference semantics Interpret.v:273-312). Emit the
+              // decorrelated join as a table of (outer, leg1, leg2)
+              // record triples and re-enter the compiler with the body as
+              // an EProj over it: all three binders become fields of ONE
+              // projection binder, so the projection unnester lowers the
+              // subqueries with its ordinary groupBy / join-then-
+              // reaggregate / gate-broadcast plans. Filters/projection
+              // peeled ABOVE the join re-apply as expression layers over
+              // the rewritten proj (guarded to x-free residuals — an x
+              // reference there would lose its binding once x folds into
+              // the triple; those keep the directed error).
+              val abAggs = collectCorrelatedAggs(jr, a) ++
+                collectCorrelatedAggs(jr, b)
+              if (abAggs.nonEmpty && !bindsVar(jr, x) &&
+                  !bindsVar(jr, a) && !bindsVar(jr, b) &&
+                  filters.forall(f =>
+                    !Rewrites.freeVars(f._2).contains(x)) &&
+                  peeledProj.forall(pr =>
+                    !Rewrites.freeVars(pr._2).contains(x))) {
+                def partCol(alias: String, cols: Array[String],
+                    name: String): Column =
+                  (if (cols.sameElements(Array("value")))
+                    col(s"$alias.value")
+                  else struct(cols.sorted.map(c =>
+                    col(s"$alias.$c").as(c)): _*)).as(name)
+                val tn = s"__jtrip${latIds.incrementAndGet()}"
+                val z = s"__jtz${latIds.incrementAndGet()}"
+                val flat = joined.select(
+                  partCol(la, df.columns, "xo"),
+                  partCol(r1a, in1.columns, "lg"),
+                  partCol(r2a, in2.columns, "rg"))
+                val elem2 = Rewrites.foldExpr(jr) {
+                  case EVar(`x`) => EAccess(EVar(z), "xo")
+                  case EVar(`a`) => EAccess(EVar(z), "lg")
+                  case EVar(`b`) => EAccess(EVar(z), "rg")
+                  case o => o
+                }
+                var rex: Expr = EProj(tag, ELoc(tn), z, elem2)
+                filters.foreach { case (fy, fp) =>
+                  rex = EFilter(tag, rex, fy, fp) }
+                peeledProj.foreach { case (u, pr) =>
+                  rex = EProj(tag, rex, u, pr) }
+                return compile(rex,
+                  env.copy(store = env.store + (tn -> flat)))
+              }
               val elem = asCV(compile(jr, envJ))
               // filters peeled ABOVE the join bind to the join's computed
               // element (jr's value), not to plan attributes

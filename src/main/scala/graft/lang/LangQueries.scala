@@ -569,6 +569,105 @@ object LangQueries {
       compileProgram(prog, env).asInstanceOf[TV].df.orderBy("nat")
     },
 
+    // AGGREGATES REFERENCING JOIN BINDERS (round 10 — the EJoin
+    // pair-table rewrite): the join body holds per-pair correlated
+    // aggregates, one tied to the LEFT binder (supplier count per
+    // nation) and one tied to the RIGHT binder through a computed key
+    // (supplier keys ≡ region key mod 5). The reference nested-loops the
+    // per-pair subqueries (Interpret.v:273-312); the engine materializes
+    // the join as a pair table and lowers both aggregates through the
+    // projection unnester — each becomes one groupBy of supplier plus a
+    // left join back, no per-pair evaluation in the plan.
+    GraftQuery.sql("q_lang_corr_jbind",
+      """SELECT n_name AS nat, r_name AS reg,
+        |  (SELECT COUNT(*) FROM supplier
+        |   WHERE s_nationkey = n_nationkey) AS ns,
+        |  CAST(COALESCE((SELECT SUM(s_suppkey) FROM supplier
+        |                 WHERE s_suppkey % 5 = r_regionkey), 0)
+        |    AS BIGINT) AS rsum
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY nat""".stripMargin) { (s, dir) =>
+      def f(b: String, c: String) = EAccess(EVar(b), c)
+      val ns = EUnop(OLength,
+        EFilter(LikeBag, ELoc("supplier"), "s0",
+          EBinop(OEq, f("s0", "s_nationkey"), f("n", "n_nationkey"))))
+      val rsum = EACFold(AGSum, EProj(LikeBag,
+        EFilter(LikeBag, ELoc("supplier"), "s1",
+          EBinop(OEq, EBinop(OMod, f("s1", "s_suppkey"), EAtom(AInt(5))),
+            f("r", "r_regionkey"))),
+        "p1", f("p1", "s_suppkey")))
+      val prog = EJoin(LikeBag, ELoc("nation"), ELoc("region"), "n", "r",
+        EBinop(OEq, f("n", "n_regionkey"), f("r", "r_regionkey")),
+        ERecord(List(
+          "nat" -> f("n", "n_name"), "reg" -> f("r", "r_name"),
+          "ns" -> ns, "rsum" -> rsum)))
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey")),
+        "region" -> Tables.load(s, dir, "region")
+          .select(col("r_regionkey").cast("long").as("r_regionkey"),
+            col("r_name")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_nationkey").cast("long").as("s_nationkey"))), s)
+      compileProgram(prog, env).asInstanceOf[TV].df.orderBy("nat")
+    },
+
+    // LEG-BINDER AGGREGATES UNDER A CORRELATED FLATMAP JOIN (round 10 —
+    // the triple-table rewrite): for each region, pair up its nations
+    // (both join legs correlated on the region row), and for each pair
+    // compute one aggregate tied to EACH leg binder — a per-(outer,pair)
+    // subquery, the two-binder-level shape. The engine decorrelates the
+    // join, emits (region, nationA, nationB) record triples, and re-runs
+    // the body as a projection over the triple table, where the
+    // projection unnester lowers both aggregates to one supplier groupBy
+    // plus a left join each — outer × pair × subquery nested loops
+    // (Interpret.v:273-312) become three ordinary joins.
+    GraftQuery.sql("q_lang_corr_legbind",
+      """SELECT r_name AS reg, a.n_name AS n1, b.n_name AS n2,
+        |  (SELECT COUNT(*) FROM supplier
+        |   WHERE s_nationkey = a.n_nationkey) AS s1,
+        |  CAST(COALESCE((SELECT SUM(s_suppkey) FROM supplier
+        |                 WHERE s_nationkey = b.n_nationkey), 0)
+        |    AS BIGINT) AS s2
+        |FROM region r
+        |JOIN nation a ON a.n_regionkey = r.r_regionkey
+        |JOIN nation b ON b.n_regionkey = r.r_regionkey
+        |             AND a.n_nationkey < b.n_nationkey
+        |ORDER BY reg, n1, n2""".stripMargin) { (s, dir) =>
+      def f(b: String, c: String) = EAccess(EVar(b), c)
+      def legNations(bind: String) =
+        EFilter(LikeBag, ELoc("nation"), bind,
+          EBinop(OEq, f(bind, "n_regionkey"), f("x", "r_regionkey")))
+      val s1 = EUnop(OLength,
+        EFilter(LikeBag, ELoc("supplier"), "sa",
+          EBinop(OEq, f("sa", "s_nationkey"), f("ja", "n_nationkey"))))
+      val s2 = EACFold(AGSum, EProj(LikeBag,
+        EFilter(LikeBag, ELoc("supplier"), "sb",
+          EBinop(OEq, f("sb", "s_nationkey"), f("jb", "n_nationkey"))),
+        "pb", f("pb", "s_suppkey")))
+      val prog = EFlatmap(LikeBag, ELoc("region"), "x",
+        EJoin(LikeBag, legNations("na"), legNations("nb"), "ja", "jb",
+          EBinop(OLess, f("ja", "n_nationkey"), f("jb", "n_nationkey")),
+          ERecord(List(
+            "reg" -> f("x", "r_name"),
+            "n1" -> f("ja", "n_name"), "n2" -> f("jb", "n_name"),
+            "s1" -> s1, "s2" -> s2))))
+      val env = Env(Map.empty, Map(
+        "region" -> Tables.load(s, dir, "region")
+          .select(col("r_regionkey").cast("long").as("r_regionkey"),
+            col("r_name")),
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_nationkey").cast("long").as("s_nationkey"))), s)
+      compileProgram(prog, env).asInstanceOf[TV].df
+        .orderBy("reg", "n1", "n2")
+    },
+
     // DOUBLY-NESTED CORRELATED AGGREGATES (round 10 — iterating
     // unnestCorrelatedAggs): per nation, sum the supplier keys below that
     // nation's CUSTOMER COUNT — the outer aggregate's predicate holds an

@@ -1656,4 +1656,215 @@ class DifferentialSpec extends AnyFunSuite {
     info(s"gateonly: $supported supported-and-correct of 54")
     assert(supported == 54)
   }
+
+  test("aggregates referencing join binders: pair-table rewrite == reference nested loops") {
+    // Round-10 boundary closure: a correlated scalar aggregate inside a
+    // top-level EJoin BODY whose source references the join's own
+    // binders (left, right, or both) — previously the residual "aggregate
+    // referencing a join/leg binder" directed error. The reference
+    // nested-loops the per-pair subquery (Interpret.v:273-312); the
+    // engine rewrites the join to a PAIR TABLE (each row a record of both
+    // legs) and runs the body as an EProj over it, so the projection
+    // unnester lowers the aggregates against the pair frame with its
+    // ordinary groupBy / join-then-reaggregate / gate-broadcast plans
+    // (Compiler EJoin pair-table rewrite). Shapes: equi tie on either
+    // binder, computed both-binder key, non-equi tie, gate-only on a
+    // binder, outer-referencing aggregate projection, optional inner
+    // residual filter, LENGTH/SUM/MIN consumers, two aggregates at once.
+    val aT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    val bT = TRecord.sorted("k" -> TInt, "w" -> TInt)
+    val cT = TRecord.sorted("k" -> TInt, "u" -> TInt)
+    val rnd0 = new Random(14500)
+    val t1Rows = Vector.fill(8)(genValue(aT, rnd0))
+    val t2Rows = Vector.fill(9)(genValue(bT, rnd0))
+    val t3Rows = Vector.fill(11)(genValue(cT, rnd0))
+    val d1 = tableDF(t1Rows, aT)
+    val d2 = tableDF(t2Rows, bT)
+    val d3 = tableDF(t3Rows, cT)
+    val renv = REnv("t1" -> VList(t1Rows), "t2" -> VList(t2Rows),
+      "t3" -> VList(t3Rows))
+    var supported = 0
+    for (i <- 0 until 52) {
+      val rnd = new Random(14600 + i)
+      def xa(f: String) = EAccess(EVar("jx"), f)
+      def yb(f: String) = EAccess(EVar("jy"), f)
+      def mkAgg(tag: String): (Expr, FType) = {
+        val cb = s"jc${tag}$i"
+        def cu = EAccess(EVar(cb), "u")
+        def ck = EAccess(EVar(cb), "k")
+        val tie = rnd.nextInt(5) match {
+          case 0 => EBinop(OEq, ck, xa("k")) // equi on the left binder
+          case 1 => EBinop(OEq, ck, yb("k")) // equi on the right binder
+          case 2 => EBinop(OLess, cu, yb("w")) // non-equi on the right
+          case 3 => // computed BOTH-binder equi key
+            EBinop(OEq, ck, EBinop(OPlus, xa("k"), yb("k")))
+          case _ => // gate-only on the left binder (untied broadcast path)
+            EBinop(OEq, EBinop(OMod, xa("k"), EAtom(AInt(2))),
+              EAtom(AInt(0)))
+        }
+        val pred = if (rnd.nextBoolean())
+          EBinop(OAnd, tie, EBinop(OEq, EBinop(OMod, cu, EAtom(AInt(3))),
+            EAtom(AInt(0))))
+        else tie
+        val chain = EFilter(LikeList, ELoc("t3"), cb, pred)
+        val pp = s"jp${tag}$i"
+        rnd.nextInt(3) match {
+          case 0 => (EUnop(OLength, chain), TInt)
+          case 1 => (EACFold(AGSum, EProj(LikeList, chain, pp,
+            EAccess(EVar(pp), "u"))), TInt)
+          case _ => // outer-referencing projection: needs both rows in scope
+            (EACIFold(AGMin, EProj(LikeList, chain, pp,
+              EBinop(OPlus, EAccess(EVar(pp), "u"), xa("v")))),
+              TOption(TInt))
+        }
+      }
+      val (agg1, t1T) = mkAgg("a")
+      val two = rnd.nextInt(3) == 0
+      val (agg2, t2T) = if (two) mkAgg("b") else (EAtom(AInt(0)), TInt)
+      val jpred =
+        if (rnd.nextBoolean()) EBinop(OEq, xa("k"), yb("k"))
+        else EBinop(OLess, xa("v"), yb("w"))
+      val body = ERecord(List(
+        "a" -> xa("k"), "b" -> yb("w"), "g" -> agg1, "h" -> agg2))
+      val prog = EJoin(LikeList, ELoc("t1"), ELoc("t2"), "jx", "jy",
+        jpred, body)
+      val elemT = TRecord.sorted("a" -> TInt, "b" -> TInt,
+        "g" -> t1T, "h" -> t2T)
+      val expected = interp(prog, renv)
+      try {
+        Compiler.compileProgram(prog, Env(Map.empty,
+          Map("t1" -> d1, "t2" -> d2, "t3" -> d3), spark)) match {
+          case TV(df) =>
+            val got = collectTable(df, elemT)
+            val want = sortedV(elems(expected))
+            assert(cmpValues(got, want) == 0,
+              s"[jbinder case $i two=$two]\ncompiled=$got\n" +
+                s"reference=$want\n${show(prog)}")
+            supported += 1
+          case CV(_) => fail(s"[jbinder case $i] compiled to a scalar")
+        }
+      } catch {
+        case e: UnsupportedOperationException =>
+          val sup = e.getSuppressed.toVector.map(_.getMessage)
+          fail(s"[jbinder case $i] unsupported: ${e.getMessage}\n" +
+            s"suppressed=$sup\n${show(prog)}")
+      }
+    }
+    info(s"jbinder: $supported supported-and-correct of 52")
+    assert(supported == 52)
+  }
+
+  test("leg-binder aggregates under correlated flatmap joins: triple-table rewrite == reference") {
+    // Round-10 boundary closure, the TWO-BINDER-LEVEL residual: a
+    // correlated flatmap whose body is an EJoin (legs possibly correlated
+    // on the outer row) and whose join BODY holds scalar aggregates
+    // referencing the join's LEG binders — previously the last directed
+    // correlation error with a non-fundamental cause. The reference
+    // nested-loops outer × pair × subquery (Interpret.v:273-312); the
+    // engine decorrelates the join, emits (outer, leg1, leg2) record
+    // TRIPLES, and re-enters the compiler with the body as an EProj over
+    // the triple table — all three binders are fields of one projection
+    // binder, so the projection unnester lowers the subqueries with its
+    // ordinary plans (Compiler triple-table rewrite). Shapes: correlated
+    // and uncorrelated legs × equi / non-equi / x-referencing join
+    // predicates × aggregate ties on either leg binder, computed
+    // both-binder keys, gate-only, and mixed x+leg ties × LENGTH / SUM /
+    // MIN consumers × an optional x-free projection layer above the join.
+    val aT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    val bT = TRecord.sorted("k" -> TInt, "w" -> TInt)
+    val cT = TRecord.sorted("k" -> TInt, "u" -> TInt)
+    val rnd0 = new Random(15500)
+    val t1Rows = Vector.fill(7)(genValue(aT, rnd0))
+    val t2Rows = Vector.fill(8)(genValue(bT, rnd0))
+    val t3Rows = Vector.fill(9)(genValue(cT, rnd0))
+    val d1 = tableDF(t1Rows, aT)
+    val d2 = tableDF(t2Rows, bT)
+    val d3 = tableDF(t3Rows, cT)
+    val renv = REnv("t1" -> VList(t1Rows), "t2" -> VList(t2Rows),
+      "t3" -> VList(t3Rows))
+    var supported = 0
+    for (i <- 0 until 52) {
+      val rnd = new Random(15600 + i)
+      def xf(f: String) = EAccess(EVar("x"), f)
+      def ja(f: String) = EAccess(EVar("ja"), f)
+      def jb(f: String) = EAccess(EVar("jb"), f)
+      val l1b = s"l1$i"; val l2b = s"l2$i"
+      val leg1 = rnd.nextInt(3) match {
+        case 0 => ELoc("t2") // uncorrelated
+        case 1 => EFilter(LikeList, ELoc("t2"), l1b,
+          EBinop(OEq, EAccess(EVar(l1b), "k"), xf("k")))
+        case _ => EFilter(LikeList, ELoc("t2"), l1b,
+          EBinop(OLess, EAccess(EVar(l1b), "w"), xf("v")))
+      }
+      val leg2 = rnd.nextInt(2) match {
+        case 0 => ELoc("t3")
+        case _ => EFilter(LikeList, ELoc("t3"), l2b,
+          EBinop(OLess, xf("k"), EAccess(EVar(l2b), "u")))
+      }
+      val jp = rnd.nextInt(3) match {
+        case 0 => EBinop(OEq, ja("k"), jb("k"))
+        case 1 => EBinop(OLess, ja("w"), jb("u"))
+        case _ => // join predicate referencing the outer row too
+          EBinop(OEq, EBinop(OPlus, ja("k"), xf("k")), jb("k"))
+      }
+      val cb = s"ac$i"
+      def cw = EAccess(EVar(cb), "w")
+      def ck = EAccess(EVar(cb), "k")
+      val tie = rnd.nextInt(5) match {
+        case 0 => EBinop(OEq, ck, ja("k")) // equi on leg 1
+        case 1 => EBinop(OLess, cw, jb("u")) // non-equi on leg 2
+        case 2 => EBinop(OEq, ck, EBinop(OPlus, ja("k"), jb("k")))
+        case 3 => // MIXED outer+leg tie
+          EBinop(OEq, ck, EBinop(OPlus, ja("k"), xf("k")))
+        case _ => // gate-only on leg 1 (untied broadcast path)
+          EBinop(OEq, EBinop(OMod, ja("k"), EAtom(AInt(2))), EAtom(AInt(0)))
+      }
+      val chain = EFilter(LikeList, ELoc("t2"), cb, tie)
+      val pp = s"ap$i"
+      val (agg, aggT) = rnd.nextInt(3) match {
+        case 0 => (EUnop(OLength, chain), TInt: FType)
+        case 1 => (EACFold(AGSum, EProj(LikeList, chain, pp,
+          EAccess(EVar(pp), "w"))), TInt: FType)
+        case _ => (EACIFold(AGMin, EProj(LikeList, chain, pp,
+          EBinop(OPlus, EAccess(EVar(pp), "w"), jb("u")))),
+          TOption(TInt): FType)
+      }
+      val jr = ERecord(List(
+        "a" -> xf("k"), "b" -> ja("w"), "c" -> jb("u"), "g" -> agg))
+      val join = EJoin(LikeList, leg1, leg2, "ja", "jb", jp, jr)
+      val pu = s"pu$i"
+      val (body, elemT) =
+        if (rnd.nextBoolean()) (join,
+          TRecord.sorted("a" -> TInt, "b" -> TInt, "c" -> TInt,
+            "g" -> aggT))
+        else // x-free projection layer above the join
+          (EProj(LikeList, join, pu, ERecord(List(
+            "s" -> EBinop(OPlus, EAccess(EVar(pu), "a"),
+              EAccess(EVar(pu), "b")),
+            "g" -> EAccess(EVar(pu), "g")))),
+            TRecord.sorted("g" -> aggT, "s" -> TInt))
+      val prog = EFlatmap(LikeList, ELoc("t1"), "x", body)
+      val expected = interp(prog, renv)
+      try {
+        Compiler.compileProgram(prog, Env(Map.empty,
+          Map("t1" -> d1, "t2" -> d2, "t3" -> d3), spark)) match {
+          case TV(df) =>
+            val got = collectTable(df, elemT)
+            val want = sortedV(elems(expected))
+            assert(cmpValues(got, want) == 0,
+              s"[legbind case $i]\ncompiled=$got\nreference=$want\n" +
+                show(prog))
+            supported += 1
+          case CV(_) => fail(s"[legbind case $i] compiled to a scalar")
+        }
+      } catch {
+        case e: UnsupportedOperationException =>
+          val sup = e.getSuppressed.toVector.map(_.getMessage)
+          fail(s"[legbind case $i] unsupported: ${e.getMessage}\n" +
+            s"suppressed=$sup\n${show(prog)}")
+      }
+    }
+    info(s"legbind: $supported supported-and-correct of 52")
+    assert(supported == 52)
+  }
 }

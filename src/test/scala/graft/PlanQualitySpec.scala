@@ -447,6 +447,43 @@ class PlanQualitySpec extends AnyFunSuite {
       s"one grouped shuffle per zip leg at most, got $exchanges:\n$p")
   }
 
+  test("gate-only correlated aggregates broadcast one-row globals, never a per-row subquery") {
+    // q_lang_corr_gate: three gate-only aggregates — each must appear as
+    // ONE global HashAggregate joined back by a one-row broadcast
+    // nested-loop join (the cross join of a broadcast single row), with
+    // no Cartesian product and no outer-side shuffle of nation
+    val p = plan("q_lang_corr_gate")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"gate-only aggregate fell back to a product:\n$p")
+    // nation (25 rows) must not hash-shuffle for the gates: the only
+    // exchanges are the aggregates' partial->final and the sort
+    val natExch = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("n_name"))
+    assert(natExch == 0, s"outer table shuffled for a gate:\n$p")
+  }
+
+  test("join-binder aggregates lower to grouped joins on the pair table, no per-pair loops") {
+    // q_lang_corr_jbind: both per-pair subqueries must become supplier
+    // HashAggregates joined back — never a nested-loop re-evaluation per
+    // join pair, never a Cartesian product
+    val p = plan("q_lang_corr_jbind")
+    assert(!p.contains("CartesianProduct"), p)
+    val aggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate(keys=[__k") &&
+        (l.contains("functions=[count(") || l.contains("functions=[sum(")))
+    assert(aggs >= 2, s"supplier aggregates not lowered to groupBys:\n$p")
+  }
+
+  test("leg-binder aggregates under a correlated flatmap join stay join-shaped") {
+    // q_lang_corr_legbind: outer x pair x subquery must be THREE ordinary
+    // joins (region->nation legs, two supplier agg join-backs) — no
+    // Cartesian product anywhere in the triple-table plan
+    val p = plan("q_lang_corr_legbind")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("native dot product runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayMath
