@@ -561,8 +561,99 @@ object Compiler {
       "correlated aggregate nesting deeper than 6 levels")
   }
 
+  /** Aggregate sources holding a correlated EJOIN (under optional
+    * projection layers) have no peelable chain shape — rewrite the join
+    * to FLATMAP form so the flat peel applies: the x-FREE right leg
+    * localizes to its canonical array literal (the ≤10k `tableArrayLit`
+    * localization correlated zips already use), the per-pair body
+    * becomes a pure ARRAY expression (filter + map over the lifted
+    * array, both rows in scope), and the left leg's possibly-correlated
+    * chain peels as usual. Sound for the order-insensitive consumers the
+    * flat peel admits (ACI aggregates, ESort, EFold-over-ESort) — the
+    * reference enumerates the join in storage order (Interpret.v:273-299)
+    * but those consumers cannot observe it; EFold DIRECTLY over the
+    * result keeps the emission-order directed error. */
+  private def liftJoinAggSource(src: Expr, x: String,
+      env: Env): Option[(Expr, Env)] = src match {
+    case EProj(t, l0, pb, pv) =>
+      liftJoinAggSource(l0, x, env).map { case (l2, e2) =>
+        (EProj(t, l2, pb, pv), e2) }
+    // wrapper layers ride the layered peel once the join beneath them is
+    // in flatmap form (the corrflat wrapped shapes' path)
+    case ESetOf(l0) =>
+      liftJoinAggSource(l0, x, env).map { case (l2, e2) => (ESetOf(l2), e2) }
+    case EBagOf(l0) =>
+      liftJoinAggSource(l0, x, env).map { case (l2, e2) => (EBagOf(l2), e2) }
+    case ESort(t, l0) =>
+      liftJoinAggSource(l0, x, env).map { case (l2, e2) =>
+        (ESort(t, l2), e2) }
+    case EJoin(jt, l1, l2, a, b, p, r)
+        if Rewrites.freeVars(src).contains(x) &&
+          !Rewrites.freeVars(l2).contains(x) &&
+          a != x && b != x && !bindsVar(src, x) =>
+      val arrOpt =
+        try compile(l2, env) match {
+          case cv @ CV(_) => Some(asCV(cv))
+          case TV(d) => tableArrayLit(d, 10000)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      arrOpt.map { arr =>
+        val n = s"__jaggleg${latIds.incrementAndGet()}"
+        (EFlatmap(jt, l1, a,
+          EProj(jt, EFilter(jt, EVar(n), b, p), b, r)),
+          env.bind(n, CV(arr)))
+      }
+    case _ => None
+  }
+
+  /** Replace every `ELoc` TABLE reference inside `e` with a bound
+    * canonical-array literal (≤10k rows — the zip-leg localization),
+    * returning the rewritten expression and the extended env. Wrapped or
+    * body-only-correlated aggregate sources with no peelable chain then
+    * compile entirely in SCALAR-LAND per outer row — the very nested
+    * loop the reference interprets (Interpret.v:273-299), over
+    * dimension-sized literals. Tables above the cap return None and keep
+    * the directed error: a driver array of an unbounded table is not a
+    * plan. */
+  private def liftLocsToArrays(e: Expr, env: Env): Option[(Expr, Env)] = {
+    val locs = scala.collection.mutable.LinkedHashSet.empty[String]
+    Rewrites.foldExpr(e) {
+      case l @ ELoc(nm) => locs += nm; l
+      case o => o
+    }
+    var env2 = env
+    var mapping = Map.empty[String, String]
+    locs.foreach { nm =>
+      compile(ELoc(nm), env) match {
+        case TV(d) => tableArrayLit(d, 10000) match {
+          case Some(arr) =>
+            val n = s"__aggloc${latIds.incrementAndGet()}"
+            env2 = env2.bind(n, CV(arr))
+            mapping += (nm -> n)
+          case None => return None
+        }
+        case CV(_) => () // scalar cell — already scalar-land
+      }
+    }
+    // no table legs at all (everything already a bound array / scalar
+    // cell): the node IS scalar-land — report it lifted unchanged, so
+    // iterating rounds that re-collect it terminate instead of throwing
+    if (mapping.isEmpty) Some((e, env))
+    else Some((Rewrites.foldExpr(e) {
+      case ELoc(nm) if mapping.contains(nm) => EVar(mapping(nm))
+      case o => o
+    }, env2))
+  }
+
   private def unnestAggsOnce(df: DataFrame, x: String, r: Expr,
-      env: Env, only: List[Expr]): ((DataFrame, Env, Expr), String) = {
+      env0: Env, only: List[Expr]): ((DataFrame, Env, Expr), String) = {
+    // join-source / scalar-land lifts extend the env with canonical-array
+    // binds; every compile below must see them
+    var env = env0
+    // nodes resolved WITHOUT a join: their table legs lifted to array
+    // literals, the whole aggregate left in `r` to compile per outer row
+    // in scalar-land (x bound to the outer row struct)
+    var rPre = r
+    var scalarLifted = false
     val peeled = only.flatMap { node =>
       val src = node match {
         case EACFold(_, s0) => s0
@@ -572,27 +663,77 @@ object Compiler {
         case ESort(_, s0) => s0
         case _ => throw new IllegalStateException("non-aggregate collected")
       }
-      val pe0 = peelCorrelated(x, src)
-      // an EFold DIRECTLY over a correlated flatmap consumes the flatmap's
-      // emission order — per-element body-array concatenation, which no
-      // distributed plan can observe. An explicit ESort between them makes
-      // the order canonical and the per-row flattened-array path applies.
-      pe0.foreach { pe =>
-        node match {
-          case EFold(_, _, _, _, _)
-              if pe.flat.nonEmpty && !pe.sortedAboveFlat =>
-            throw new UnsupportedOperationException(
-              "EFold over a correlated EFlatmap folds in the flatmap's " +
-                "emission order, which a distributed plan cannot observe " +
-                "— sort it first: EFold(ESort(flatmap...), ...)")
-          case _ => ()
-        }
+      var pe0 = peelCorrelated(x, src)
+      // a successful join-source lift changes the node's SOURCE subtree;
+      // the node in `r` must be rewritten to match, because the layered
+      // (subst) path replaces the chain SUBTREE inside the node — keying
+      // on the original (join-form) node would leave a CV/TV-mixed join
+      // behind
+      var nodeU = node
+      if (pe0.isEmpty) liftJoinAggSource(src, x, env).foreach {
+        case (src2, env2) =>
+          val p2 = peelCorrelated(x, src2)
+          if (p2.nonEmpty) {
+            env = env2
+            nodeU = node match {
+              case EACFold(ag, _) => EACFold(ag, src2)
+              case EACIFold(ag, _) => EACIFold(ag, src2)
+              case EUnop(OLength, _) => EUnop(OLength, src2)
+              case EFold(_, z, a1, a2, st) => EFold(src2, z, a1, a2, st)
+              case ESort(t, _) => ESort(t, src2)
+              case o => o
+            }
+            rPre = Rewrites.foldExpr(rPre)(e0 =>
+              if (e0 == node) nodeU else e0)
+            pe0 = p2
+          }
       }
-      pe0.map(p => (node, p))
+      // LAST RESORT, order-safe nodes only: no peelable chain in any form
+      // (wrapped shapes with body-only correlation, joins under
+      // wrappers…) — localize every table leg and let the node compile
+      // as a per-row scalar-land expression. A bare EFold keeps the
+      // directed error (its fold order is the source's storage order,
+      // which the canonical array cannot reproduce); EFold(ESort(…)) is
+      // canonical and safe.
+      val orderSafe = node match {
+        case EFold(s0, _, _, _, _) => s0.isInstanceOf[ESort]
+        case _ => true
+      }
+      val liftedHere = pe0.isEmpty && orderSafe &&
+        (liftLocsToArrays(node, env) match {
+          case Some((node2, env2)) =>
+            env = env2
+            rPre = Rewrites.foldExpr(rPre)(e0 =>
+              if (e0 == node) node2 else e0)
+            scalarLifted = true
+            true
+          case None => false
+        })
+      if (liftedHere) None
+      else {
+        // an EFold DIRECTLY over a correlated flatmap consumes the
+        // flatmap's emission order — per-element body-array
+        // concatenation, which no distributed plan can observe. An
+        // explicit ESort between them makes the order canonical and the
+        // per-row flattened-array path applies.
+        pe0.foreach { pe =>
+          node match {
+            case EFold(_, _, _, _, _)
+                if pe.flat.nonEmpty && !pe.sortedAboveFlat =>
+              throw new UnsupportedOperationException(
+                "EFold over a correlated EFlatmap folds in the flatmap's " +
+                  "emission order, which a distributed plan cannot observe " +
+                  "— sort it first: EFold(ESort(flatmap...), ...)")
+            case _ => ()
+          }
+        }
+        pe0.map(p => (nodeU, p))
+      }
     }
-    if (peeled.isEmpty) throw new UnsupportedOperationException(
-      "correlated aggregate whose source is not a filter chain over an " +
-        "uncorrelated table — rewrite with an explicit EJoin")
+    if (peeled.isEmpty && !scalarLifted)
+      throw new UnsupportedOperationException(
+        "correlated aggregate whose source is not a filter chain over an " +
+          "uncorrelated table — rewrite with an explicit EJoin")
     // Split each aggregate's filter conjuncts up front: clean outer=inner
     // equalities (keyPairs — the groupBy-then-join path), inner-only
     // (pre-aggregation filters), outer-only (CASE gates), and everything
@@ -651,7 +792,7 @@ object Compiler {
       collectsArray(node) || pe.subst.nonEmpty
     var joined: DataFrame = df.alias(la)
     var extraBinds = List.empty[(String, Val)]
-    var r2 = r
+    var r2 = rPre // scalar-land-lifted nodes already substituted
     splits.zipWithIndex.foreach { case ((node, pe, sp), i) =>
       // an outer-referencing projection value can only be computed where
       // BOTH rows are in scope — the distinct-outer join paths below
@@ -1387,10 +1528,8 @@ object Compiler {
                 collectCorrelatedAggs(jr, b)
               if (abAggs.nonEmpty && !bindsVar(jr, x) &&
                   !bindsVar(jr, a) && !bindsVar(jr, b) &&
-                  filters.forall(f =>
-                    !Rewrites.freeVars(f._2).contains(x)) &&
-                  peeledProj.forall(pr =>
-                    !Rewrites.freeVars(pr._2).contains(x))) {
+                  filters.forall(f => !bindsVar(f._2, x)) &&
+                  peeledProj.forall(pr => !bindsVar(pr._2, x))) {
                 def partCol(alias: String, cols: Array[String],
                     name: String): Column =
                   (if (cols.sameElements(Array("value")))
@@ -1409,13 +1548,43 @@ object Compiler {
                   case EVar(`b`) => EAccess(EVar(z), "rg")
                   case o => o
                 }
-                var rex: Expr = EProj(tag, ELoc(tn), z, elem2)
-                filters.foreach { case (fy, fp) =>
-                  rex = EFilter(tag, rex, fy, fp) }
-                peeledProj.foreach { case (u, pr) =>
-                  rex = EProj(tag, rex, u, pr) }
-                return compile(rex,
-                  env.copy(store = env.store + (tn -> flat)))
+                val needX =
+                  filters.exists(f => Rewrites.freeVars(f._2).contains(x)) ||
+                    peeledProj.exists(pr =>
+                      Rewrites.freeVars(pr._2).contains(x))
+                if (!needX) {
+                  var rex: Expr = EProj(tag, ELoc(tn), z, elem2)
+                  filters.foreach { case (fy, fp) =>
+                    rex = EFilter(tag, rex, fy, fp) }
+                  peeledProj.foreach { case (u, pr) =>
+                    rex = EProj(tag, rex, u, pr) }
+                  return compile(rex,
+                    env.copy(store = env.store + (tn -> flat)))
+                } else {
+                  // filters/projection above the join reference the OUTER
+                  // row: thread it through — project (element, outer-row)
+                  // PAIRS, rewrite each layer's x reads to the pair's
+                  // carried outer row, and extract the element at the end
+                  var rex: Expr = EProj(tag, ELoc(tn), z, ERecord(List(
+                    "e" -> elem2, "xv" -> EAccess(EVar(z), "xo"))))
+                  def overPair(binder: String, e0: Expr): Expr =
+                    Rewrites.foldExpr(e0) {
+                      case EVar(`binder`) => EAccess(EVar(binder), "e")
+                      case EVar(`x`) => EAccess(EVar(binder), "xv")
+                      case o => o
+                    }
+                  filters.foreach { case (fy, fp) =>
+                    rex = EFilter(tag, rex, fy, overPair(fy, fp)) }
+                  peeledProj match {
+                    case Some((u, pr)) =>
+                      rex = EProj(tag, rex, u, overPair(u, pr))
+                    case None =>
+                      val w = s"__jtw${latIds.incrementAndGet()}"
+                      rex = EProj(tag, rex, w, EAccess(EVar(w), "e"))
+                  }
+                  return compile(rex,
+                    env.copy(store = env.store + (tn -> flat)))
+                }
               }
               val elem = asCV(compile(jr, envJ))
               // filters peeled ABOVE the join bind to the join's computed

@@ -668,6 +668,53 @@ object LangQueries {
         .orderBy("reg", "n1", "n2")
     },
 
+    // AGGREGATES OVER CORRELATED EJOIN SOURCES (round 10 —
+    // Compiler.liftJoinAggSource): the aggregate's source is itself a
+    // JOIN — per nation, count and sum over (supplier ⋈ region) pairs
+    // where the supplier leg is correlated on the nation row. The engine
+    // lifts the x-free region leg to its canonical array literal (5
+    // rows), rewrites the join to flatmap form, and the flat peel's
+    // product-explode machinery lowers both aggregates — one hash join
+    // of nation against supplier plus a per-pair array explode, instead
+    // of the reference's outer × join × aggregate nested loops
+    // (Interpret.v:273-299).
+    GraftQuery.sql("q_lang_corr_jsrc",
+      """SELECT n_name AS nat,
+        |  (SELECT COUNT(*) FROM supplier s, region r
+        |   WHERE s.s_nationkey = n.n_nationkey
+        |     AND s.s_suppkey % 5 = r.r_regionkey) AS g,
+        |  CAST(COALESCE((SELECT SUM(s.s_suppkey + r.r_regionkey)
+        |   FROM supplier s, region r
+        |   WHERE s.s_nationkey = n.n_nationkey
+        |     AND s.s_suppkey % 5 = r.r_regionkey), 0) AS BIGINT) AS gsum
+        |FROM nation n ORDER BY nat""".stripMargin) { (s, dir) =>
+      def f(b: String, c: String) = EAccess(EVar(b), c)
+      def corrSup(b: String) = EFilter(LikeBag, ELoc("supplier"), b,
+        EBinop(OEq, f(b, "s_nationkey"), f("x", "n_nationkey")))
+      def pairJoin(sb: String, ja: String, jb: String, body: Expr) =
+        EJoin(LikeBag, corrSup(sb), ELoc("region"), ja, jb,
+          EBinop(OEq, EBinop(OMod, f(ja, "s_suppkey"), EAtom(AInt(5))),
+            f(jb, "r_regionkey")),
+          body)
+      val g = EUnop(OLength, pairJoin("c0", "a0", "b0",
+        ERecord(List("sk" -> f("a0", "s_suppkey"),
+          "rk" -> f("b0", "r_regionkey")))))
+      val gsum = EACFold(AGSum, pairJoin("c1", "a1", "b1",
+        EBinop(OPlus, f("a1", "s_suppkey"), f("b1", "r_regionkey"))))
+      val prog = EProj(LikeBag, ELoc("nation"), "x", ERecord(List(
+        "nat" -> f("x", "n_name"), "g" -> g, "gsum" -> gsum)))
+      val env = Env(Map.empty, Map(
+        "nation" -> Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name")),
+        "region" -> Tables.load(s, dir, "region")
+          .select(col("r_regionkey").cast("long").as("r_regionkey")),
+        "supplier" -> Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_nationkey").cast("long").as("s_nationkey"))), s)
+      compileProgram(prog, env).asInstanceOf[TV].df.orderBy("nat")
+    },
+
     // DOUBLY-NESTED CORRELATED AGGREGATES (round 10 — iterating
     // unnestCorrelatedAggs): per nation, sum the supplier keys below that
     // nation's CUSTOMER COUNT — the outer aggregate's predicate holds an

@@ -1833,16 +1833,28 @@ class DifferentialSpec extends AnyFunSuite {
         "a" -> xf("k"), "b" -> ja("w"), "c" -> jb("u"), "g" -> agg))
       val join = EJoin(LikeList, leg1, leg2, "ja", "jb", jp, jr)
       val pu = s"pu$i"
-      val (body, elemT) =
-        if (rnd.nextBoolean()) (join,
-          TRecord.sorted("a" -> TInt, "b" -> TInt, "c" -> TInt,
-            "g" -> aggT))
-        else // x-free projection layer above the join
+      val joinT =
+        TRecord.sorted("a" -> TInt, "b" -> TInt, "c" -> TInt, "g" -> aggT)
+      val (body, elemT) = rnd.nextInt(4) match {
+        case 0 | 1 => (join, joinT)
+        case 2 => // x-free projection layer above the join
           (EProj(LikeList, join, pu, ERecord(List(
             "s" -> EBinop(OPlus, EAccess(EVar(pu), "a"),
               EAccess(EVar(pu), "b")),
             "g" -> EAccess(EVar(pu), "g")))),
             TRecord.sorted("g" -> aggT, "s" -> TInt))
+        case _ =>
+          // layers ABOVE the join that reference the OUTER row: the
+          // triple rewrite threads x through (element, outer) pairs
+          if (rnd.nextBoolean())
+            (EFilter(LikeList, join, pu,
+              EBinop(OLess, EAccess(EVar(pu), "c"), xf("k"))), joinT)
+          else
+            (EProj(LikeList, join, pu, ERecord(List(
+              "s" -> EBinop(OPlus, EAccess(EVar(pu), "b"), xf("v")),
+              "g" -> EAccess(EVar(pu), "g")))),
+              TRecord.sorted("g" -> aggT, "s" -> TInt))
+      }
       val prog = EFlatmap(LikeList, ELoc("t1"), "x", body)
       val expected = interp(prog, renv)
       try {
@@ -1866,5 +1878,142 @@ class DifferentialSpec extends AnyFunSuite {
     }
     info(s"legbind: $supported supported-and-correct of 52")
     assert(supported == 52)
+  }
+
+  test("aggregates over correlated EJoin sources: lifted-leg flatmap form == reference") {
+    // Round-10 boundary closure: an aggregate whose SOURCE is a
+    // correlated EJoin — `len(join(σ[corr x] T2, T3, a, b, p, r))` and
+    // friends — previously the "not a filter chain" directed error (whose
+    // message unhelpfully advised rewriting with the very EJoin it could
+    // not peel). The engine now lifts the x-FREE right leg to its
+    // canonical array literal and rewrites the join to flatmap form
+    // (Compiler.liftJoinAggSource), so the flat peel's product-explode
+    // machinery applies. Shapes: correlated/uncorrelated left legs ×
+    // join predicates tying the legs, referencing x, or gate-only ×
+    // scalar and record projections × an optional EProj layer above ×
+    // consumers LENGTH / SUM / COUNT / MIN / MAX / ESort / EFold(ESort) /
+    // LENGTH(ESetOf). An EFold DIRECTLY over the correlated join (its
+    // emission order) must stay a DIRECTED error.
+    val outT = TRecord.sorted("k" -> TInt, "s" -> TString)
+    val lT = TRecord.sorted("k" -> TInt, "w" -> TInt)
+    val rT = TRecord.sorted("k" -> TInt, "u" -> TInt)
+    val rnd0 = new Random(16500)
+    val t1Rows = {
+      val base = Vector.fill(8)(genValue(outT, rnd0))
+      base ++ base.take(2)
+    }
+    val t2Rows = Vector.fill(9)(genValue(lT, rnd0))
+    val t3Rows = Vector.fill(10)(genValue(rT, rnd0))
+    val d1 = tableDF(t1Rows, outT)
+    val d2 = tableDF(t2Rows, lT)
+    val d3 = tableDF(t3Rows, rT)
+    val renv = REnv("t1" -> VList(t1Rows), "t2" -> VList(t2Rows),
+      "t3" -> VList(t3Rows))
+    var supported = 0
+    for (i <- 0 until 52) {
+      val rnd = new Random(16600 + i)
+      def xk = EAccess(EVar("x"), "k")
+      val la = s"sa$i"; val lb = s"sb$i"
+      def af(f: String) = EAccess(EVar(la), f)
+      def bf(f: String) = EAccess(EVar(lb), f)
+      val l1b = s"sl$i"
+      val leg1 = rnd.nextInt(3) match {
+        case 0 => ELoc("t2")
+        case 1 => EFilter(LikeList, ELoc("t2"), l1b,
+          EBinop(OEq, EAccess(EVar(l1b), "k"), xk))
+        case _ => EFilter(LikeList, ELoc("t2"), l1b,
+          EBinop(OLess, EAccess(EVar(l1b), "w"), xk))
+      }
+      val jp = rnd.nextInt(4) match {
+        case 0 => EBinop(OEq, af("k"), bf("k"))
+        case 1 => EBinop(OLess, af("w"), bf("u"))
+        case 2 => // predicate referencing the outer row too
+          EBinop(OEq, bf("k"), EBinop(OPlus, af("k"), xk))
+        case _ => // gate-only predicate on the outer row
+          EBinop(OEq, EBinop(OMod, xk, EAtom(AInt(2))), EAtom(AInt(0)))
+      }
+      val jr = rnd.nextInt(3) match {
+        case 0 => EBinop(OPlus, af("w"), bf("u")) // scalar pair value
+        case 1 => EBinop(OPlus, bf("u"), xk) // references the outer row
+        case _ => af("w")
+      }
+      val join = EJoin(LikeList, leg1, ELoc("t3"), la, lb, jp, jr)
+      val pp = s"sp$i"
+      val src =
+        if (rnd.nextBoolean())
+          EProj(LikeList, join, pp,
+            EBinop(OTimes, EVar(pp), EAtom(AInt(2))))
+        else join
+      val el = s"se$i"; val ac = s"sc$i"
+      val kind = rnd.nextInt(8)
+      val aggNode = kind match {
+        case 0 => EUnop(OLength, src)
+        case 1 => EACFold(AGSum, src)
+        case 2 => EACFold(AGCount, src)
+        case 3 => EACIFold(AGMin, src)
+        case 4 => EACIFold(AGMax, src)
+        case 5 => ESort(LikeList, src)
+        case 6 => EFold(ESort(LikeList, src), EAtom(AInt(0)), el, ac,
+          EBinop(OPlus, EVar(el), EVar(ac)))
+        case _ => EUnop(OLength, ESetOf(src))
+      }
+      val aggT: FType = kind match {
+        case 3 | 4 => TOption(TInt)
+        case 5 => TList(TInt)
+        case _ => TInt
+      }
+      val prog = EProj(LikeList, ELoc("t1"), "x", ERecord(List(
+        "k" -> xk, "g" -> aggNode)))
+      val elemT = TRecord.sorted("g" -> aggT, "k" -> TInt)
+      val expected = interp(prog, renv)
+      try {
+        Compiler.compileProgram(prog, Env(Map.empty,
+          Map("t1" -> d1, "t2" -> d2, "t3" -> d3), spark)) match {
+          case TV(df) =>
+            val got = collectTable(df, elemT)
+            val want = sortedV(elems(expected))
+            assert(cmpValues(got, want) == 0,
+              s"[jaggsrc case $i kind=$kind]\ncompiled=$got\n" +
+                s"reference=$want\n${show(prog)}")
+            supported += 1
+          case CV(_) => fail(s"[jaggsrc case $i] compiled to a scalar")
+        }
+      } catch {
+        case e: UnsupportedOperationException =>
+          val sup = e.getSuppressed.toVector.map(_.getMessage)
+          fail(s"[jaggsrc case $i kind=$kind] unsupported: " +
+            s"${e.getMessage}\nsuppressed=$sup\n${show(prog)}")
+      }
+    }
+    info(s"jaggsrc: $supported supported-and-correct of 52")
+    assert(supported == 52)
+    // order-dependent residual: EFold DIRECTLY over the correlated join
+    // consumes its emission order — must refuse with the sort-first
+    // directed message, not fold a different order
+    val foldDirect = EProj(LikeList, ELoc("t1"), "x", ERecord(List(
+      "k" -> EAccess(EVar("x"), "k"),
+      "g" -> EFold(
+        EJoin(LikeList,
+          EFilter(LikeList, ELoc("t2"), "fl",
+            EBinop(OLess, EAccess(EVar("fl"), "w"),
+              EAccess(EVar("x"), "k"))),
+          ELoc("t3"), "fa", "fb",
+          EBinop(OLess, EAccess(EVar("fa"), "k"),
+            EAccess(EVar("fb"), "k")),
+          EBinop(OPlus, EAccess(EVar("fa"), "w"),
+            EAccess(EVar("fb"), "u"))),
+        EAtom(AInt(0)), "fe", "fc",
+        EBinop(OMinus, EVar("fe"), EVar("fc"))))))
+    val err = intercept[UnsupportedOperationException] {
+      Compiler.compileProgram(foldDirect, Env(Map.empty,
+        Map("t1" -> d1, "t2" -> d2, "t3" -> d3), spark)) match {
+        case TV(df) => df.collect()
+        case other => other
+      }
+    }
+    val msgs = err.getMessage +:
+      err.getSuppressed.toVector.map(_.getMessage)
+    assert(msgs.exists(m => m != null && m.contains("ESort")),
+      s"expected the sort-first directed error, got: $msgs")
   }
 }

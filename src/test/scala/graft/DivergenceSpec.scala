@@ -63,23 +63,21 @@ class DivergenceSpec extends AnyFunSuite {
     assert(fromSpark(wide, TInt) == VI(BigInt(1L << 62) * 4))
   }
 
-  test("correlation beyond filter chains, join legs, aggregates and folds raises the directed error") {
+  test("correlated aggregates over tables above the localization cap raise the directed error") {
     // The reference interprets ARBITRARY correlated bodies nested-loop-
     // style (fiat2/src/fiat2/Interpret.v:273-299). The engine decorrelates
-    // every shape a distributed plan can express — filter chains
-    // (q_lang_decorrelate), scalar aggregates in projections and filter
-    // predicates incl. non-equi (q_lang_corr_agg, q_lang_corr_filter,
-    // q_lang_corr_nonequi), join legs (q_lang_corr_join), and per-row
-    // folds/sorts over correlated filter chains (the per-position
-    // canonical-array path), and aggregates over a SINGLE correlated
-    // flatmap layer (round 10: the product-explode path) — and REFUSES
-    // the residue with an error directing the user to the
-    // EJoin/comprehension form, rather than silently falling back to a
-    // per-outer-row driver loop. The refused residue here: an aggregate
-    // over a DOUBLY-NESTED correlated flatmap — below the peeled flatmap
-    // layer sits another correlated flatmap, not a filter chain over an
-    // uncorrelated core, so the unnesting cannot peel it. The reference
-    // interprets it fine.
+    // every shape a distributed plan can express — filter chains, scalar
+    // aggregates in projections and filter predicates incl. non-equi,
+    // join legs/binders/sources, folds/sorts over correlated chains —
+    // and, for order-safe aggregates with NO peelable chain in any form
+    // (e.g. an aggregate over a DOUBLY-NESTED correlated flatmap, as
+    // here), falls back to SCALAR-LAND: every table leg localizes to
+    // its canonical array literal and the aggregate compiles per outer
+    // row (Compiler.liftLocsToArrays). That localization is capped at
+    // 10k rows — a driver array of an unbounded table is not a plan —
+    // so the same shape over a table ABOVE the cap REFUSES with an
+    // error directing the user to the EJoin/comprehension form, rather
+    // than silently collecting an arbitrarily large table.
     val rowT = TRecord.sorted("k" -> TInt, "v" -> TInt)
     val fmBody = EFlatmap(LikeList, ELoc("t2"), "y",
       EIf(EBinop(OEq, EAccess(EVar("y"), "k"), EAccess(EVar("x"), "k")),
@@ -92,19 +90,34 @@ class DivergenceSpec extends AnyFunSuite {
     val prog = EProj(LikeList, ELoc("t1"), "x",
       ERecord(List("k" -> EAccess(EVar("x"), "k"),
         "h" -> EUnop(OLength, fmBody2))))
-    // the reference side evaluates it fine (arbitrary-body semantics)
+    // the reference evaluates it fine (arbitrary-body semantics): the
+    // matching row doubles in the inner flatmap, doubles again in the
+    // outer — length 4
     val rows = VList(Vector(VRec(Vector("k" -> VI(1), "v" -> VI(5)))))
     val ref = interp(prog, REnv("t1" -> rows, "t2" -> rows))
-    assert(ref.isInstanceOf[VList])
-    // the engine refuses with the directed message
+    assert(ref == VList(Vector(VRec(Vector("h" -> VI(4), "k" -> VI(1))))))
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("k", LongType),
       StructField("v", LongType)))
     val df = spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(1L, 5L)), schema)
+    // BELOW the cap the shape is supported-and-correct (round 10): the
+    // scalar-land fallback matches the reference
+    Compiler.compileProgram(prog,
+      Env(Map.empty, Map("t1" -> df, "t2" -> df), spark)) match {
+      case Compiler.TV(out) =>
+        val got = out.collect().map(r =>
+          (r.getAs[Long]("k"), r.getAs[Long]("h"))).toSeq
+        assert(got == Seq((1L, 4L)))
+      case other => fail(s"expected a table result, got $other")
+    }
+    // ABOVE the cap (10k+1 rows in the aggregate's table leg) the
+    // directed error remains
+    val big = spark.range(10001).select(col("id").as("k"),
+      col("id").as("v"))
     val err = intercept[UnsupportedOperationException] {
       Compiler.compileProgram(prog,
-        Env(Map.empty, Map("t1" -> df, "t2" -> df), spark)) match {
+        Env(Map.empty, Map("t1" -> df, "t2" -> big), spark)) match {
         case Compiler.TV(out) => out.collect()
         case other => other
       }
