@@ -1521,9 +1521,9 @@ object Compiler {
               // subqueries with its ordinary groupBy / join-then-
               // reaggregate / gate-broadcast plans. Filters/projection
               // peeled ABOVE the join re-apply as expression layers over
-              // the rewritten proj (guarded to x-free residuals — an x
-              // reference there would lose its binding once x folds into
-              // the triple; those keep the directed error).
+              // the rewritten proj; layers that reference the OUTER row
+              // thread it through as (element, outer) pairs (needX below)
+              // so the binding survives x folding into the triple.
               val abAggs = collectCorrelatedAggs(jr, a) ++
                 collectCorrelatedAggs(jr, b)
               if (abAggs.nonEmpty && !bindsVar(jr, x) &&

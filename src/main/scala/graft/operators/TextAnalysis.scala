@@ -251,5 +251,92 @@ object TextAnalysis {
         .select($"doc_id", $"norm", length($"norm").cast("long").as("n_chars"))
         .orderBy("doc_id")
     },
+
+    // CORPUS-TRAINED BIGRAM LM QUALITY SCORING — the CCNet/Gopher-style
+    // train-then-score filter: fit an n-gram model ON the corpus, score
+    // each document by how typical its bigrams are under it. Scores stay
+    // rational (the Search.scala contract — no ln, so every step is an
+    // IEEE-exact +,·,/ the oracle replays bit-identically): `cond_mass`
+    // is the aggregate conditional-probability mass Σc(w₁w₂)/Σc(w₁·) —
+    // the log-free analog of mean conditional likelihood — and `novelty`
+    // is the corpus-hapax fraction of the document's bigrams (high =
+    // unusual/noisy text, the tail a perplexity filter cuts).
+    //   Scale shape: TRAIN is two gram-keyed groupBys with map-side
+    // partial aggregation ((gram, partial-count) shuffles — the
+    // irreducible cost of corpus statistics, the q_tfidf framing); SCORE
+    // re-derives the map-only bigram stream from the scan (at 100 TB
+    // recomputing a map-only explode beats materializing a corpus-sized
+    // intermediate) and joins it to the model on the gram key — AQE
+    // broadcasts the model side when the vocabulary is small, and the
+    // final per-document aggregate is one doc_id-keyed shuffle. Tiny-SF
+    // runs cache the exploded stream instead of re-scanning (3 consumers,
+    // unpersisted in finally).
+    GraftQuery.sql("q_lm_score",
+      """WITH tkn AS (SELECT doc_id,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |             FROM documents),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg, t[i] AS pre
+        |       FROM tkn, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+        |cb AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY bg),
+        |cp AS (SELECT pre, CAST(COUNT(*) AS BIGINT) AS cpre FROM bg GROUP BY pre),
+        |sc AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+        |         CAST(SUM(cb.cbg) AS BIGINT) AS sum_bg,
+        |         CAST(SUM(cp.cpre) AS BIGINT) AS sum_pre,
+        |         CAST(SUM(CASE WHEN cb.cbg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_hapax
+        |       FROM bg b JOIN cb USING (bg) JOIN cp ON b.pre = cp.pre
+        |       GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.n_bg, 0) AS n_bg,
+        |  COALESCE(sc.sum_bg, 0) AS sum_bg,
+        |  CASE WHEN sc.n_bg IS NULL THEN 0.0
+        |       ELSE CAST(sc.sum_bg AS DOUBLE) / sc.sum_pre END AS cond_mass,
+        |  CASE WHEN sc.n_bg IS NULL THEN 0.0
+        |       ELSE CAST(sc.n_hapax AS DOUBLE) / sc.n_bg END AS novelty
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      lmScore(Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism))
+    },
   )
+
+  /** Bigram-LM scoring core (see `q_lm_score`): train bigram/prefix
+    * counts on `docs` (doc_id, text), score each document by aggregate
+    * conditional-probability mass and corpus-hapax fraction. */
+  def lmScore(docsRaw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import docsRaw.sparkSession.implicits._
+    val docs = docsRaw.select($"doc_id", toks($"text").as("t"))
+    val idx = when(size($"t") >= 2, sequence(lit(0), size($"t") - 2))
+      .otherwise(array().cast("array<int>"))
+    val bg = docs
+      .select($"doc_id", explode(transform(idx, i => struct(
+        concat_ws(" ", get($"t", i), get($"t", i + 1)).as("bg"),
+        get($"t", i).as("pre")))).as("g"))
+      .select($"doc_id", $"g.bg", $"g.pre")
+      .cache()
+    try {
+      val cb = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+      val cp = bg.groupBy("pre").agg(count(lit(1)).as("cpre"))
+      val sc = bg.join(cb, "bg").join(cp, "pre")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bg"), sum($"cbg").as("sum_bg"),
+          sum($"cpre").as("sum_pre"),
+          sum(when($"cbg" === 1, 1L).otherwise(0L)).as("n_hapax"))
+      val out = docsRaw.select($"doc_id")
+        .join(sc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_bg", lit(0L)).as("n_bg"),
+          coalesce($"sum_bg", lit(0L)).as("sum_bg"),
+          when($"n_bg".isNull, lit(0.0))
+            .otherwise($"sum_bg".cast("double") / $"sum_pre")
+            .as("cond_mass"),
+          when($"n_bg".isNull, lit(0.0))
+            .otherwise($"n_hapax".cast("double") / $"n_bg")
+            .as("novelty"))
+        .orderBy("doc_id")
+      out.count() // materialize while the gram stream is cached
+      out
+    } finally bg.unpersist(blocking = false)
+  }
 }

@@ -123,4 +123,20 @@ class OperatorsSpec extends AnyFunSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("bigram-LM scoring matches hand-computed counts on a toy corpus") {
+    // corpus bigram counts: "a b"=3, "b a"=1, "b c"=1; prefix counts:
+    // a=3, b=2. Doc 1 [a b a b]: n_bg=3, sum_bg=3+1+3=7, sum_pre=3+2+3=8,
+    // hapax={b a}→1. Doc 2 [a b c]: n_bg=2, sum_bg=3+1=4, sum_pre=3+2=5,
+    // hapax={b c}→1. Doc 3 [x]: no bigrams → zeros.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got === Array(
+      (1L, 3L, 7L, 7.0 / 8, 1.0 / 3),
+      (2L, 2L, 4L, 4.0 / 5, 1.0 / 2),
+      (3L, 0L, 0L, 0.0, 0.0)))
+  }
 }
