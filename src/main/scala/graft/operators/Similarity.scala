@@ -577,5 +577,57 @@ object Similarity {
         .select($"qid", $"vec_id", $"adist", $"rnk")
         .orderBy("qid", "rnk")
     },
+
+    // SEMANTIC DEDUP (SemDeDup-style): cluster the embedding space, then
+    // find near-duplicates ONLY within clusters — the trick that turns the
+    // whole-corpus n² pair space into Σ n_c² per cluster. Assignment is the
+    // IVF map-side argmin over 16 literal centroids (no corpus Exchange);
+    // the pair join keys on the cell id, so each cluster's candidate
+    // pairs materialize inside one shuffle group and the cross-cluster
+    // pair space is never formed. The keep rule is the deterministic
+    // greedy-by-id neighbor test: a vector is dropped iff some SMALLER-id
+    // vector in its cluster has cosine ≥ 0.35 with it. At 100 TB the
+    // centroid count scales with the corpus (k-means via q_ivf_kmeans's
+    // machinery) keeping cluster sizes bounded; everything else is
+    // unchanged.
+    GraftQuery.sql("q_semdedup",
+      s"""WITH $enSql,
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |d AS (SELECT en.vec_id, c0.cid,
+        |        list_reduce(list_transform(range(1, len(en.v)+1),
+        |          i -> (en.v[i]-c0.cv[i])*(en.v[i]-c0.cv[i])), (a,b) -> a+b) AS d
+        |      FROM en, c0),
+        |a AS (SELECT vec_id, cid FROM
+        |       (SELECT vec_id, cid, row_number() OVER
+        |          (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d)
+        |      WHERE rn = 1),
+        |m AS (SELECT en.vec_id, en.v, en.n2, a.cid FROM en JOIN a USING (vec_id)),
+        |dup AS (SELECT y.vec_id AS b, CAST(COUNT(*) AS BIGINT) AS n_near
+        |        FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |        WHERE ${dotSql("x.v", "y.v")} / sqrt(x.n2 * y.n2) >= 0.35
+        |        GROUP BY y.vec_id)
+        |SELECT a.vec_id, a.cid, COALESCE(dup.n_near, 0) AS n_near,
+        |       dup.n_near IS NULL AS keep
+        |FROM a LEFT JOIN dup ON a.vec_id = dup.b
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = corpus(Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism))
+      val cents = e.filter($"vec_id" < 16).select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      val a = withCell(e, cents)
+      val x = a.select($"cid", $"vec_id".as("xa"), $"v".as("va"), $"n2".as("na"))
+      val y = a.select($"cid", $"vec_id".as("b"), $"v".as("vb"), $"n2".as("nb"))
+      val dup = x.join(y, Seq("cid"))
+        .filter($"xa" < $"b")
+        .filter((ArrayMath.dot($"va", $"vb") / sqrt($"na" * $"nb")) >= 0.35)
+        .groupBy($"b").agg(count(lit(1)).as("n_near"))
+      a.select($"vec_id", $"cid")
+        .join(dup, a("vec_id") === dup("b"), "left")
+        .select($"vec_id", $"cid",
+          coalesce($"n_near", lit(0L)).as("n_near"),
+          $"n_near".isNull.as("keep"))
+        .orderBy("vec_id")
+    },
   )
 }

@@ -498,4 +498,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(line.exists(_.trim.startsWith("*(")),
       s"graft_dot not codegen'd:\n$p")
   }
+
+  test("semantic dedup pairs meet only inside cells: cid-keyed join, no product") {
+    val p = plan("q_semdedup")
+    // cluster assignment is a map-side argmin over centroid literals; the
+    // pair space must then form INSIDE cells — an equi-join keyed on cid —
+    // never as a corpus-wide product with a post-filter
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-cluster pair space formed:\n$p")
+    // the equi-key must be cid — either shuffled on it (the 100 TB shape)
+    // or, at tiny SF, a broadcast HASH join still keyed [cid], [cid]
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(cid") ||
+        (l.contains("HashJoin") && l.contains("[cid#"))),
+      s"pair join not keyed on the cell id:\n$p")
+  }
 }
