@@ -2016,4 +2016,123 @@ class DifferentialSpec extends AnyFunSuite {
     assert(msgs.exists(m => m != null && m.contains("ESort")),
       s"expected the sort-first directed error, got: $msgs")
   }
+
+  test("fold-built dicts, triple-nested flatmaps, aggregate-conditioned EIf, mid-chain x-projections: correct or DIRECTED") {
+    // Round-10 fourth boundary push — compositions no earlier battery
+    // emits (reference semantics Interpret.v:273-350: every expression
+    // form may close over an enclosing binder, at any depth):
+    //   0: a DICT BUILT PER OUTER ROW — EFold over a sorted correlated
+    //      chain accumulating OInsert into an empty dict, consumed by
+    //      EDictFold (fold → dict → dict-fold, all per outer row);
+    //   1: TRIPLE-NESTED correlated flatmaps under an aggregate, with
+    //      correlation at depths 1 AND 3 (the scalar-land fallback's
+    //      depth stress — doubly-nested is already pinned);
+    //   2: EIf whose CONDITION is itself a correlated-aggregate
+    //      comparison, choosing between two correlated aggregates;
+    //   3: an x-DEPENDENT PROJECTION sandwiched mid-chain — filter ABOVE
+    //      a proj-with-x ABOVE a correlated filter (the layered peel must
+    //      carry x through the middle layer or refuse).
+    // Whatever the engine supports must match the reference; whatever it
+    // does not must throw the directed correlation error. 52 seeds/shape.
+    val outT = TRecord.sorted("k" -> TInt, "s" -> TString)
+    val inT = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    val rnd0 = new Random(16900)
+    val t1Rows = {
+      val base = Vector.fill(8)(genValue(outT, rnd0))
+      base ++ base.take(2) // duplicate outer rows
+    }
+    val t2Rows = Vector.fill(11)(genValue(inT, rnd0))
+    val t3Rows = Vector.fill(7)(genValue(inT, rnd0))
+    val d1 = tableDF(t1Rows, outT)
+    val d2 = tableDF(t2Rows, inT)
+    val d3 = tableDF(t3Rows, inT)
+    val renv = REnv("t1" -> VList(t1Rows), "t2" -> VList(t2Rows),
+      "t3" -> VList(t3Rows))
+    val scalarT = TRecord.sorted("k" -> TInt, "g" -> TInt)
+    val emptyDict = literal(VDict(Vector.empty), TDict(TInt, TInt))
+    val perShape = 52
+    val ran = Array.fill(4)(0)
+    val directed = Array.fill(4)(0)
+    for (shape <- 0 until 4; i <- 0 until perShape) {
+      val rnd = new Random(17000 + shape * 1000 + i)
+      def xk = EAccess(EVar("x"), "k")
+      def corrPred(b: String): Expr = rnd.nextInt(3) match {
+        case 0 => EBinop(OEq, EAccess(EVar(b), "k"), xk)
+        case 1 => EBinop(OLess, EAccess(EVar(b), "v"), xk)
+        case _ => EBinop(OLess, xk, EAccess(EVar(b), "k"))
+      }
+      val g: Expr = shape match {
+        case 0 =>
+          // per-row: fold sorted correlated values into a dict keyed by
+          // v mod 3, then dict-fold it back to a scalar. Later inserts
+          // overwrite earlier ones, so the fold ORDER is observable.
+          val vs = ESort(LikeList, EProj(LikeList,
+            EFilter(LikeList, ELoc("t2"), s"df$i", corrPred(s"df$i")),
+            s"dp$i", EAccess(EVar(s"dp$i"), "v")))
+          val dict = EFold(vs, emptyDict, s"de$i", s"da$i",
+            ETernop(OInsert, EVar(s"da$i"),
+              EBinop(OMod, EVar(s"de$i"), EAtom(AInt(3))), EVar(s"de$i")))
+          EDictFold(dict, EAtom(AInt(i % 2)), s"dk$i", s"dv$i", s"dc$i",
+            EBinop(OPlus, EVar(s"dc$i"), EBinop(OPlus,
+              EBinop(OTimes, EVar(s"dk$i"), EAtom(AInt(10))),
+              EVar(s"dv$i"))))
+        case 1 =>
+          val fm1 = EFlatmap(LikeList, ELoc("t2"), s"y$i",
+            EIf(corrPred(s"y$i"),
+              EBinop(OCons, EVar(s"y$i"), EBinop(OCons, EVar(s"y$i"),
+                EAtom(ANil(inT)))),
+              EAtom(ANil(inT))))
+          val fm2 = EFlatmap(LikeList, fm1, s"z$i",
+            EBinop(OCons, EVar(s"z$i"), EAtom(ANil(inT))))
+          val fm3 = EFlatmap(LikeList, fm2, s"w$i",
+            EIf(EBinop(OLess, EAccess(EVar(s"w$i"), "v"), xk),
+              EBinop(OCons, EVar(s"w$i"), EAtom(ANil(inT))),
+              EBinop(OCons, EVar(s"w$i"), EBinop(OCons, EVar(s"w$i"),
+                EAtom(ANil(inT))))))
+          EUnop(OLength, fm3)
+        case 2 =>
+          val cond = EBinop(OLess,
+            EUnop(OLength, EFilter(LikeList, ELoc("t3"), s"cf$i",
+              corrPred(s"cf$i"))), xk)
+          EIf(cond,
+            EACFold(AGSum, EProj(LikeList,
+              EFilter(LikeList, ELoc("t2"), s"tf$i", corrPred(s"tf$i")),
+              s"tp$i", EAccess(EVar(s"tp$i"), "v"))),
+            EUnop(OLength, EFilter(LikeList, ELoc("t2"), s"ef$i",
+              corrPred(s"ef$i"))))
+        case _ =>
+          val mid = EProj(LikeList,
+            EFilter(LikeList, ELoc("t2"), s"mf$i", corrPred(s"mf$i")),
+            s"mp$i", EBinop(OPlus, EAccess(EVar(s"mp$i"), "v"), xk))
+          EUnop(OLength, EFilter(LikeList, mid, s"uf$i",
+            EBinop(OLess, EVar(s"uf$i"), xk)))
+      }
+      val prog = EProj(LikeList, ELoc("t1"), "x", ERecord(List(
+        "k" -> xk, "g" -> g)))
+      val expected = interp(prog, renv)
+      try {
+        Compiler.compileProgram(prog, Env(Map.empty,
+          Map("t1" -> d1, "t2" -> d2, "t3" -> d3), spark)) match {
+          case TV(df) =>
+            val got = collectTable(df, scalarT)
+            ran(shape) += 1
+            val want = sortedV(elems(expected))
+            assert(cmpValues(got, want) == 0,
+              s"[shape $shape case $i]\ncompiled=$got\nreference=$want\n${show(prog)}")
+          case CV(_) => fail(s"[shape $shape case $i] compiled to a scalar")
+        }
+      } catch {
+        case u: UnsupportedOperationException =>
+          assert(Option(u.getMessage)
+            .exists(_.toLowerCase.contains("correlat")),
+            s"[shape $shape case $i] UNDIRECTED error: ${u.getMessage}\n${show(prog)}")
+          directed(shape) += 1
+      }
+    }
+    for (s <- 0 until 4) {
+      info(s"shape $s: ${ran(s)} supported-and-correct, " +
+        s"${directed(s)} directed-unsupported of $perShape")
+      assert(ran(s) + directed(s) == perShape)
+    }
+  }
 }
