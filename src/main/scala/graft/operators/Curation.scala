@@ -239,5 +239,55 @@ object Curation {
         .agg(count(lit(1)).as("n_leaked"))
       counts.crossJoin(leaked)
     },
+
+    // DSIR-STYLE CONTRASTIVE DOMAIN SELECTION — importance-style data
+    // selection with a lexical model (the DSIR recipe: score each
+    // candidate by target-domain vs background likelihood, keep the high
+    // scorers). Target = src0 documents, background = everything else.
+    // BOTH unigram models train in ONE token-keyed groupBy (conditional
+    // sums split the counts by side); each document then scores by the
+    // exact rational affinity (Σ tgt-count + 1)/(Σ bgd-count + 1) over
+    // its token occurrences — integer sums, a single division at the
+    // edge, so the DuckDB oracle is hash-exact (the Search.scala no-ln
+    // contract). Scale: training shuffles (token, partial-count) pairs
+    // with map-side combine (vocabulary-sized output); scoring re-derives
+    // the map-only token stream and joins it to the model on the token
+    // key — AQE broadcasts the model when the vocabulary is small — then
+    // one doc_id-keyed aggregate. The pick threshold is the corpus median
+    // affinity at the 1-of-20-sources prior.
+    GraftQuery.sql("q_dsir_select",
+      """WITH tk AS (SELECT doc_id, source = 'src0' AS is_t, t.w AS w
+        |  FROM (SELECT doc_id, source,
+        |          regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |        FROM documents), unnest(ws) AS t(w)),
+        |md AS (SELECT w,
+        |         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tgt,
+        |         CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS bgd
+        |       FROM tk GROUP BY w),
+        |sc AS (SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |         CAST(SUM(md.tgt) AS BIGINT) AS sum_tgt,
+        |         CAST(SUM(md.bgd) AS BIGINT) AS sum_bgd
+        |       FROM tk JOIN md USING (w) GROUP BY tk.doc_id)
+        |SELECT doc_id, n_tok, sum_tgt, sum_bgd,
+        |  CAST(sum_tgt + 1 AS DOUBLE) / (sum_bgd + 1) AS affinity,
+        |  CAST(sum_tgt + 1 AS DOUBLE) / (sum_bgd + 1) >= 0.0558 AS pick
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tok = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", ($"source" === "src0").as("is_t"),
+          explode(toks($"text")).as("w"))
+      val model = tok.groupBy("w").agg(
+        sum(when($"is_t", 1L).otherwise(0L)).as("tgt"),
+        sum(when($"is_t", 0L).otherwise(1L)).as("bgd"))
+      val affinity = ($"sum_tgt" + 1).cast("double") / ($"sum_bgd" + 1)
+      tok.join(model, "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum($"tgt").as("sum_tgt"),
+          sum($"bgd").as("sum_bgd"))
+        .select($"doc_id", $"n_tok", $"sum_tgt", $"sum_bgd",
+          affinity.as("affinity"), (affinity >= 0.0558).as("pick"))
+        .orderBy("doc_id")
+    },
   )
 }
