@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.{GraftQuery, Tables}
 
@@ -298,7 +298,103 @@ object TextAnalysis {
       lmScore(Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism))
     },
+
+    // BPE-STYLE MERGE TRAINING — two rounds of the iterative vocabulary
+    // induction every tokenizer build runs: count adjacent token pairs
+    // corpus-wide, pick the argmax pair (count desc, then lexicographic;
+    // SELF-pairs excluded so occurrences cannot overlap and the rewrite
+    // is position-independent), rewrite every document, repeat on the
+    // merged stream. Each round is one (pair, partial-count) shuffle with
+    // map-side combine plus a ONE-ROW argmax collect shipped back as a
+    // literal — the irreducible shape of global iterative training (the
+    // q_ivf_kmeans stance, for tokenizers). The rewrite itself is
+    // map-only array surgery. Output pins each doc's before/after token
+    // counts, both learned merges, and an md5 fingerprint of the fully
+    // merged stream — the oracle replays both rounds in SQL exactly.
+    GraftQuery.sql("q_bpe_merges",
+      """WITH tk AS (SELECT doc_id,
+        |              regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |            FROM documents),
+        |p1 AS (SELECT t[i] AS a, t[i+1] AS b, COUNT(*) AS c
+        |       FROM tk, unnest(range(1, len(t))) AS r(i)
+        |       WHERE t[i] != t[i+1] GROUP BY 1, 2),
+        |m1 AS (SELECT a, b FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+        |r1 AS (SELECT doc_id,
+        |         list_transform(
+        |           list_filter(range(1, len(t) + 1),
+        |             i -> NOT (i > 1 AND t[i-1] = m1.a AND t[i] = m1.b)),
+        |           i -> CASE WHEN i < len(t) AND t[i] = m1.a AND t[i+1] = m1.b
+        |                     THEN m1.a || '_' || m1.b ELSE t[i] END) AS t
+        |       FROM tk, m1),
+        |p2 AS (SELECT t[i] AS a, t[i+1] AS b, COUNT(*) AS c
+        |       FROM r1, unnest(range(1, len(t))) AS r(i)
+        |       WHERE t[i] != t[i+1] GROUP BY 1, 2),
+        |m2 AS (SELECT a, b FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+        |r2 AS (SELECT doc_id,
+        |         list_transform(
+        |           list_filter(range(1, len(t) + 1),
+        |             i -> NOT (i > 1 AND t[i-1] = m2.a AND t[i] = m2.b)),
+        |           i -> CASE WHEN i < len(t) AND t[i] = m2.a AND t[i+1] = m2.b
+        |                     THEN m2.a || '_' || m2.b ELSE t[i] END) AS t
+        |       FROM r1, m2)
+        |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n0,
+        |  CAST(len(r2.t) AS BIGINT) AS n2,
+        |  (SELECT a || '_' || b FROM m1) AS merge1,
+        |  (SELECT a || '_' || b FROM m2) AS merge2,
+        |  md5(array_to_string(r2.t, ' ')) AS fp
+        |FROM tk JOIN r2 USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val tk = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", toks($"text").as("t")).cache()
+      try {
+        val (a1, b1) = topPair(tk)
+        val r1 = tk.select($"doc_id", mergeOnce($"t", a1, b1).as("t")).cache()
+        try {
+          val (a2, b2) = topPair(r1)
+          val r2 = r1.select($"doc_id", mergeOnce($"t", a2, b2).as("t"))
+          tk.select($"doc_id", size($"t").cast("long").as("n0"))
+            .join(r2.select($"doc_id", size($"t").cast("long").as("n2"),
+              md5(concat_ws(" ", $"t")).as("fp")), "doc_id")
+            .select($"doc_id", $"n0", $"n2",
+              lit(a1 + "_" + b1).as("merge1"), lit(a2 + "_" + b2).as("merge2"),
+              $"fp")
+            .orderBy("doc_id")
+        } finally r1.unpersist(blocking = false)
+      } finally tk.unpersist(blocking = false)
+    },
   )
+
+  /** One BPE-style merge applied to a token array: every adjacent (a, b)
+    * occurrence rewrites to the joined token. Callers exclude self-pairs
+    * (a ≠ b) when choosing the merge, which makes occurrences
+    * non-overlapping — drop a position iff its LEFT neighbor starts a
+    * match, independent of any other position. */
+  private def mergeOnce(t: Column, a: String, b: String): Column = {
+    val kept = filter(sequence(lit(0), size(t) - 1), i =>
+      !((i > lit(0)) && (get(t, i - 1) === a) && (get(t, i) === b)))
+    transform(kept, i =>
+      when((i < size(t) - 1) && (get(t, i) === a) && (get(t, i + 1) === b),
+        lit(a + "_" + b)).otherwise(get(t, i)))
+  }
+
+  /** The corpus-argmax adjacent pair (count desc, then lexicographic),
+    * self-pairs excluded. ONE-row collect — the iterative-training
+    * stance: each BPE round is a global reduction to a single merge
+    * decision, shipped back as a literal. */
+  private def topPair(toks: DataFrame): (String, String) = {
+    import toks.sparkSession.implicits._
+    val idx = when(size($"t") >= 2, sequence(lit(0), size($"t") - 2))
+      .otherwise(array().cast("array<int>"))
+    val r = toks
+      .select(explode(transform(idx, i => struct(
+        get($"t", i).as("a"), get($"t", i + 1).as("b")))).as("p"))
+      .select($"p.a", $"p.b").filter($"a" =!= $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"a", $"b").limit(1).collect()(0)
+    (r.getString(0), r.getString(1))
+  }
 
   /** Bigram-LM scoring core (see `q_lm_score`): train bigram/prefix
     * counts on `docs` (doc_id, text), score each document by aggregate
