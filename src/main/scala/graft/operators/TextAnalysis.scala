@@ -371,8 +371,11 @@ object TextAnalysis {
     * (a ≠ b) when choosing the merge, which makes occurrences
     * non-overlapping — drop a position iff its LEFT neighbor starts a
     * match, independent of any other position. */
-  private def mergeOnce(t: Column, a: String, b: String): Column = {
-    val kept = filter(sequence(lit(0), size(t) - 1), i =>
+  private[operators] def mergeOnce(t: Column, a: String, b: String): Column = {
+    // size-0 guard: sequence(0, -1) DESCENDS in Spark, it is not empty
+    val idx = when(size(t) >= 1, sequence(lit(0), size(t) - 1))
+      .otherwise(array().cast("array<int>"))
+    val kept = filter(idx, i =>
       !((i > lit(0)) && (get(t, i - 1) === a) && (get(t, i) === b)))
     transform(kept, i =>
       when((i < size(t) - 1) && (get(t, i) === a) && (get(t, i + 1) === b),

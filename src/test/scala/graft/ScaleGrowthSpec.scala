@@ -32,10 +32,16 @@ class ScaleGrowthSpec extends AnyFunSuite {
   private val baseDir = "/root/testdata/sf0.01"
   // q_lang_corr_filter_big rides along to pin the correlated-aggregate
   // unnesting: its lineitem aggregate side grows 8x while the supplier
-  // outer is fixed — the grouped-agg + join plan must grow ≲ linearly
+  // outer is fixed — the grouped-agg + join plan must grow ≲ linearly.
+  // The round-10 train-then-score text ops (bigram LM, DSIR selection,
+  // BPE merges) join corpus streams against corpus-derived models — the
+  // per-copy token suffix grows their vocabularies 8x too, so a
+  // superlinear ratio would expose a model side accidentally exploding
+  // against the stream side.
   private val queries =
     Seq("q_substring_dup", "q_pipeline_clean", "q_dedup_clusters",
-      "q_pagerank", "q_lang_corr_filter_big")
+      "q_pagerank", "q_lang_corr_filter_big",
+      "q_lm_score", "q_dsir_select", "q_bpe_merges")
   private val bound = 12.0
 
   private def blowUp(tmp: String): Unit = {
