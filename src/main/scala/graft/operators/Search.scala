@@ -298,5 +298,50 @@ object Search {
         .agg(min($"c").cast("long").as("cms_est"))
         .orderBy("term")
     },
+
+    // POSITIONAL PHRASE SEARCH — exact-phrase retrieval over a positional
+    // posting list: "big order scan" matches only where the three terms
+    // are ADJACENT, which term-level conjunctive search cannot express.
+    // The term filter applies map-side BEFORE any shuffle, so only the
+    // three phrase terms' postings (doc_id, pos) ever leave the scan —
+    // the q_inverted_index stance with positions attached. Adjacency is
+    // two (doc_id, pos)-keyed equi-joins (pos arithmetic on the join key;
+    // never a within-doc product), then one per-doc aggregate. At 100 TB
+    // a standing positional index is this same plan's first projection
+    // written bucketed by term.
+    GraftQuery.sql("q_phrase_search",
+      """WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |p AS (SELECT doc_id, i AS pos, ws[i] AS w
+        |      FROM w, unnest(range(1, len(ws) + 1)) AS r(i)
+        |      WHERE ws[i] IN ('big', 'order', 'scan')),
+        |hits AS (SELECT a.doc_id, a.pos
+        |         FROM p a
+        |         JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |                  AND b.w = 'order'
+        |         JOIN p c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |                  AND c.w = 'scan'
+        |         WHERE a.w = 'big')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |       CAST(MIN(pos) AS BIGINT) AS first_pos
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val phrase = Seq("big", "order", "scan")
+      val p = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", posexplode(toks($"text")).as(Seq("pos0", "w")))
+        .filter($"w".isin(phrase: _*))
+        .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"w")
+      val a = p.filter($"w" === "big").select($"doc_id", $"pos")
+      val b = p.filter($"w" === "order")
+        .select($"doc_id", ($"pos" - 1).as("pos"))
+      val c = p.filter($"w" === "scan")
+        .select($"doc_id", ($"pos" - 2).as("pos"))
+      a.join(b, Seq("doc_id", "pos")).join(c, Seq("doc_id", "pos"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hits"), min($"pos").as("first_pos"))
+        .orderBy("doc_id")
+    },
   )
 }
