@@ -289,5 +289,125 @@ object Curation {
           affinity.as("affinity"), (affinity >= 0.0558).as("pick"))
         .orderBy("doc_id")
     },
+
+    // COMPOSED CURATION PASS over the round-10 train-then-score stages:
+    // per document, (1) the bigram-LM typicality filter (aggregate
+    // conditional-probability mass ≥ the corpus 10th percentile — the
+    // perplexity-filter cut, low mass = atypical text), (2) DSIR domain
+    // selection
+    // (target-affinity ≥ the corpus median), (3) semantic dedup (no
+    // smaller-id cluster-mate at cosine ≥ 0.35; embeddings are 1:1 with
+    // documents by id). The output is the per-document verdict VECTOR —
+    // each stage's decision plus the conjunction — so attrition is
+    // attributable per stage, the property a production pipeline audits.
+    // Scale: the three stages never multiply — each is its own
+    // train-then-score plan (token-keyed / gram-keyed / cid-keyed
+    // shuffles) and they meet only in a final doc_id-keyed three-way
+    // verdict join (the q_pipeline_clean composition stance).
+    GraftQuery.sql("q_pipeline_curate",
+      """WITH tkn AS (SELECT doc_id,
+        |               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |             FROM documents),
+        |lbg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg, t[i] AS pre
+        |        FROM tkn, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+        |lcb AS (SELECT bg, COUNT(*) AS cbg FROM lbg GROUP BY bg),
+        |lcp AS (SELECT pre, COUNT(*) AS cpre FROM lbg GROUP BY pre),
+        |lsc AS (SELECT b.doc_id, SUM(lcb.cbg) AS sum_bg,
+        |          SUM(lcp.cpre) AS sum_pre
+        |        FROM lbg b JOIN lcb USING (bg) JOIN lcp ON b.pre = lcp.pre
+        |        GROUP BY b.doc_id),
+        |lm AS (SELECT d.doc_id,
+        |         CASE WHEN lsc.sum_bg IS NULL THEN 0.0
+        |              ELSE CAST(lsc.sum_bg AS DOUBLE) / lsc.sum_pre
+        |              END AS cond_mass
+        |       FROM documents d LEFT JOIN lsc USING (doc_id)),
+        |dtk AS (SELECT doc_id, source = 'src0' AS is_t, t.w AS w
+        |        FROM (SELECT doc_id, source,
+        |                regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |              FROM documents), unnest(ws) AS t(w)),
+        |dmd AS (SELECT w,
+        |          SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt,
+        |          SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS bgd
+        |        FROM dtk GROUP BY w),
+        |dsc AS (SELECT dtk.doc_id, SUM(dmd.tgt) AS sum_tgt,
+        |          SUM(dmd.bgd) AS sum_bgd
+        |        FROM dtk JOIN dmd USING (w) GROUP BY dtk.doc_id),
+        |ds AS (SELECT doc_id,
+        |         CAST(sum_tgt + 1 AS DOUBLE) / (sum_bgd + 1) >= 0.0558 AS pick
+        |       FROM dsc),
+        |se AS (SELECT vec_id, list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |sen AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x * x),
+        |          (a, b) -> a + b) AS n2 FROM se),
+        |sc0 AS (SELECT vec_id AS cid, v AS cv FROM se WHERE vec_id < 16),
+        |sd AS (SELECT sen.vec_id, sc0.cid,
+        |         list_reduce(list_transform(range(1, len(sen.v)+1),
+        |           i -> (sen.v[i]-sc0.cv[i])*(sen.v[i]-sc0.cv[i])),
+        |           (a,b) -> a+b) AS d
+        |       FROM sen, sc0),
+        |sa AS (SELECT vec_id, cid FROM
+        |        (SELECT vec_id, cid, row_number() OVER
+        |           (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM sd)
+        |       WHERE rn = 1),
+        |sm AS (SELECT sen.vec_id, sen.v, sen.n2, sa.cid
+        |       FROM sen JOIN sa USING (vec_id)),
+        |sdup AS (SELECT y.vec_id AS b FROM sm x JOIN sm y
+        |         ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |         WHERE list_reduce(list_transform(list_zip(x.v, y.v),
+        |                 z -> z[1] * z[2]), (u, w) -> u + w)
+        |               / sqrt(x.n2 * y.n2) >= 0.35
+        |         GROUP BY y.vec_id),
+        |sem AS (SELECT sa.vec_id AS doc_id, sdup.b IS NULL AS keep
+        |        FROM sa LEFT JOIN sdup ON sa.vec_id = sdup.b)
+        |SELECT lm.doc_id, lm.cond_mass >= 0.0333 AS lm_ok,
+        |  ds.pick AS dsir_ok, sem.keep AS sem_ok,
+        |  (lm.cond_mass >= 0.0333 AND ds.pick AND sem.keep) AS keep
+        |FROM lm JOIN ds USING (doc_id) JOIN sem USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.ArrayMath
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      // stage 1: bigram-LM typicality (TextAnalysis.lmScore — the
+      // q_lm_score plan) thresholded into a verdict
+      val lm = TextAnalysis.lmScore(docs)
+        .select($"doc_id", ($"cond_mass" >= 0.0333).as("lm_ok"))
+      // stage 2: DSIR affinity (the q_dsir_select plan)
+      val tok = docs.select($"doc_id", ($"source" === "src0").as("is_t"),
+        explode(toks($"text")).as("w"))
+      val model = tok.groupBy("w").agg(
+        sum(when($"is_t", 1L).otherwise(0L)).as("tgt"),
+        sum(when($"is_t", 0L).otherwise(1L)).as("bgd"))
+      val ds = tok.join(model, "w").groupBy($"doc_id")
+        .agg(sum($"tgt").as("sum_tgt"), sum($"bgd").as("sum_bgd"))
+        .select($"doc_id", (($"sum_tgt" + 1).cast("double")
+          / ($"sum_bgd" + 1) >= 0.0558).as("dsir_ok"))
+      // stage 3: semantic dedup keep (the q_semdedup plan; embeddings are
+      // 1:1 with documents by id)
+      val en = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("n2", ArrayMath.dot($"v", $"v"))
+      val cents = en.filter($"vec_id" < 16).select($"vec_id", $"v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      val assigned = en.withColumn("cid", array_min(array(cents.map {
+        case (cid, cv) => struct(ArrayMath.l2sq($"v", typedlit(cv)).as("d"),
+          lit(cid).as("cid")) }: _*))("cid"))
+      val x = assigned.select($"cid", $"vec_id".as("xa"), $"v".as("va"),
+        $"n2".as("na"))
+      val y = assigned.select($"cid", $"vec_id".as("b"), $"v".as("vb"),
+        $"n2".as("nb"))
+      val dup = x.join(y, Seq("cid")).filter($"xa" < $"b")
+        .filter((ArrayMath.dot($"va", $"vb") / sqrt($"na" * $"nb")) >= 0.35)
+        .select($"b").distinct()
+      val sem = assigned.select($"vec_id")
+        .join(dup, assigned("vec_id") === dup("b"), "left")
+        .select($"vec_id".as("doc_id"), $"b".isNull.as("sem_ok"))
+      // verdict join: three doc_id-keyed stage outputs, one conjunction
+      lm.join(ds, "doc_id").join(sem, "doc_id")
+        .select($"doc_id", $"lm_ok", $"dsir_ok", $"sem_ok",
+          ($"lm_ok" && $"dsir_ok" && $"sem_ok").as("keep"))
+        .orderBy("doc_id")
+    },
   )
 }
