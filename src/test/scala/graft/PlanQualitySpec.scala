@@ -499,6 +499,30 @@ class PlanQualitySpec extends AnyFunSuite {
       s"graft_dot not codegen'd:\n$p")
   }
 
+  test("phrase search filters to phrase-term postings before any exchange") {
+    val p = plan("q_phrase_search")
+    // the positional posting stream must shrink to the three phrase terms
+    // MAP-SIDE: the isin filter sits below every Exchange, so only
+    // (doc_id, pos) postings of the phrase terms ever shuffle
+    val lines = p.linesIterator.toList
+    val exIdx = lines.indexWhere(_.contains("Exchange"))
+    val fIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("big"))
+    assert(exIdx >= 0 && fIdx > exIdx,
+      s"phrase-term filter not below the first exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("DSIR trains both models in one token-keyed aggregate") {
+    val p = plan("q_dsir_select")
+    // one groupBy(w) trains target AND background counts via conditional
+    // sums — two separate model aggregations would double the gram shuffle
+    val modelAggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_sum") &&
+        l.contains("CASE WHEN"))
+    assert(modelAggs == 1,
+      s"expected exactly one partial model aggregate, got $modelAggs:\n$p")
+  }
+
   test("semantic dedup pairs meet only inside cells: cid-keyed join, no product") {
     val p = plan("q_semdedup")
     // cluster assignment is a map-side argmin over centroid literals; the
