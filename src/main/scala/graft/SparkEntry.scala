@@ -31,6 +31,7 @@ object SparkEntry {
       streaming.StreamDedup.queries ++
       streaming.StreamUpsert.queries ++
       streaming.Sessionize.queries ++
+      streaming.StreamScore.queries ++
       functions.TypedAgg.queries ++
       functions.GraftFunctions.queries ++
       lang.LangQueries.queries
