@@ -426,5 +426,47 @@ object Dedup {
         .filter($"n_dup" > 0)
         .orderBy("doc_id")
     },
+
+    // INCREMENTAL NEAR-dup (the LSH complement of q_dedup_incremental's
+    // exact-digest anti-join): a small arrival batch (doc_id % 50 = 0,
+    // ~2%) checks against the STANDING corpus through the minhash band
+    // index — arrival band rows BROADCAST against the standing bands, so
+    // the standing corpus never self-joins and the work is
+    // O(|batch| × bucket hits), not O(corpus²) — the property that lets a
+    // 100 TB corpus absorb daily arrivals. Candidates then verify by true
+    // jaccard (the q_dedup_minhash stance); the oracle enumerates the
+    // exact cross-side ≥ 0.5 pairs.
+    GraftQuery.sql("q_dedup_incr_near",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        |          FROM sh a JOIN sh b USING (s)
+        |          WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+        |          GROUP BY 1, 2)
+        |SELECT a, b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dsets = cachedShingleSets(s, dir)
+      val sigs = minhashSignatures(dsets)
+      val rowsPerBand = minhashPerms / minhashBands
+      val bandArr = array((0 until minhashBands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1))
+        struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      }: _*)
+      val bands = sigs.select($"doc_id", explode(bandArr).as("bb"))
+        .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
+      val standing = bands.filter($"doc_id" % 50 =!= 0)
+        .select($"doc_id".as("a"), $"band", $"bh")
+      val arrivals = broadcast(bands.filter($"doc_id" % 50 === 0)
+        .select($"doc_id".as("b"), $"band", $"bh"))
+      val cands = standing.join(arrivals, Seq("band", "bh"))
+        .select($"a", $"b").distinct()
+      verified(dsets, cands)
+    },
   )
 }
