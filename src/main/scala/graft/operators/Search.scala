@@ -343,5 +343,99 @@ object Search {
         .agg(count(lit(1)).as("n_hits"), min($"pos").as("first_pos"))
         .orderBy("doc_id")
     },
+
+    // TWO-STAGE RETRIEVAL (the RAG serving shape): a cheap lexical
+    // RECALL stage — BM25 over the whole corpus, top-20 shortlist via
+    // TakeOrderedAndProject (k rows per partition, never a full sort) —
+    // feeds an expensive semantic PRECISION stage: the 20 survivors
+    // rerank by embedding cosine against the query vector (embeddings
+    // 1:1 with documents by id; the query vector is a one-row collect
+    // shipped as a literal, the Similarity stance). The shortlist
+    // BROADCASTS into the embedding join, so the rerank touches 20
+    // embedding rows map-side — at 100 TB the expensive model only ever
+    // sees what the cheap stage shortlists, which is the entire point of
+    // the architecture. Scores stay rational (the no-ln contract): both
+    // stages replay bit-exactly in the oracle.
+    GraftQuery.sql("q_retrieval_rerank", {
+      val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(", ")
+      val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(ws, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(",\n  ")
+      val contrib = queryTerms.indices.map { i =>
+        s"""((CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) *
+           | ((CAST(tf$i AS DOUBLE) * 2.2) /
+           |  (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + (0.75 * dl) / avgdl)))""".stripMargin
+      }.mkString(" + ")
+      s"""$wsCte,
+         |d AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+         |c AS (SELECT COUNT(*) AS n, $dfCols,
+         |        CAST(SUM(CAST(len(ws) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl
+         |      FROM w),
+         |t AS (SELECT doc_id, dl, $tfCols FROM d),
+         |scored AS (SELECT doc_id, $contrib AS score FROM t CROSS JOIN c),
+         |short AS (SELECT doc_id, score FROM scored WHERE score > 0
+         |          ORDER BY score DESC, doc_id LIMIT 20),
+         |e AS (SELECT vec_id, list_transform(embedding,
+         |        x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, list_reduce(list_transform(v, x -> x * x),
+         |         (a, b) -> a + b) AS n2 FROM e),
+         |qv AS (SELECT v AS qvec, n2 AS qn2 FROM en WHERE vec_id = 7),
+         |rr AS (SELECT short.doc_id, short.score AS bm25,
+         |         list_reduce(list_transform(list_zip(en.v, qv.qvec),
+         |           z -> z[1] * z[2]), (u, w2) -> u + w2)
+         |           / sqrt(en.n2 * qv.qn2) AS cosine
+         |       FROM short JOIN en ON short.doc_id = en.vec_id CROSS JOIN qv)
+         |SELECT doc_id, bm25, cosine,
+         |  CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+         |    AS rnk
+         |FROM rr ORDER BY cosine DESC, doc_id LIMIT 5""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.ArrayMath
+      // stage 1: BM25 recall (the q_bm25 plan), top-20 shortlist
+      val tk = toks($"text")
+      val d = Tables.load(s, dir, "documents")
+        .select($"doc_id", tk.as("tk"), size(tk).cast("double").as("dl"))
+      val constCols = (count(lit(1)).as("n") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains($"tk", t), 1L).otherwise(0L)).as(s"df$i")
+        }) :+
+        (sum(size($"tk").cast("long")).cast("double") / count(lit(1)))
+          .as("avgdl")
+      val consts = d.agg(constCols.head, constCols.tail: _*)
+      val withTf = d.select(
+        ($"doc_id" +: $"dl" +: queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter($"tk", x => x === t)).cast("long").as(s"tf$i")
+        }): _*)
+      val contrib = queryTerms.indices.map { i =>
+        ((($"n" - col(s"df$i")).cast("double") + 0.5) /
+          (col(s"df$i").cast("double") + 0.5)) *
+          ((col(s"tf$i").cast("double") * 2.2) /
+            (col(s"tf$i").cast("double") +
+              lit(1.2) * (lit(0.25) + (lit(0.75) * $"dl") / $"avgdl")))
+      }.reduceLeft(_ + _)
+      val short = withTf.crossJoin(broadcast(consts))
+        .select($"doc_id", contrib.as("bm25"))
+        .filter($"bm25" > 0)
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(20)
+      // stage 2: semantic rerank of the shortlist only
+      val en = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("n2", ArrayMath.dot($"v", $"v"))
+      val q = en.filter($"vec_id" === 7).select($"v", $"n2").collect()(0)
+      val (qvec, qn2) = (q.getSeq[Double](0), q.getDouble(1))
+      en.join(broadcast(short), $"vec_id" === $"doc_id")
+        .select($"doc_id", $"bm25",
+          (ArrayMath.dot($"v", typedlit(qvec)) / sqrt($"n2" * lit(qn2)))
+            .as("cosine"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy($"cosine".desc, $"doc_id")).cast("long"))
+        .orderBy($"cosine".desc, $"doc_id")
+        .limit(5)
+    },
   )
 }
