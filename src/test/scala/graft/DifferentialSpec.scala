@@ -1490,7 +1490,7 @@ class DifferentialSpec extends AnyFunSuite {
 
   private def genCommand(rnd: Random, d: Int): Command =
     if (d <= 0) CSkip
-    else rnd.nextInt(8) match {
+    else rnd.nextInt(10) match {
       case 6 => // scoped mutable TABLE cell shadowing the global `t`:
         // the body mutates the inner cell; the outer binding must be
         // restored on exit (Interp.CLetMut save/restore discipline)
@@ -1526,18 +1526,41 @@ class DifferentialSpec extends AnyFunSuite {
         CLet(EAtom(AInt(rnd.between(-5, 6))), "lim",
           CAssign("out", EFilter(LikeList, ELoc("t"), "r",
             EBinop(OLess, EAccess(EVar("r"), "k"), EVar("lim")))))
+      case 8 => // CORRELATED aggregate reached through the COMMAND layer:
+        // per t-row, count the t2 rows tied to it — Interp must route the
+        // assignment through the same decorrelation the expression fuzz
+        // proves (round 10: the Interp × decorrelation composition axis)
+        CAssign("out", EProj(LikeList, ELoc("t"), "x",
+          ERecord(List("k" -> EAccess(EVar("x"), "k"),
+            "v" -> EUnop(OLength, EFilter(LikeList, ELoc("t2"), "y",
+              EBinop(OEq, EAccess(EVar("y"), "k"),
+                EAccess(EVar("x"), "k"))))))))
+      case _ => // loop-carried correlated aggregates: each iteration
+        // rebuilds out from a correlated-aggregate filter thresholded by
+        // the LOOP element (the decorrelated plan re-derives per tick
+        // against the current mutable t)
+        CForeach(literal(genValue(TList(TInt), rnd), TList(TInt)), "i",
+          CAssign("out", EFilter(LikeList, ELoc("t"), "r",
+            EBinop(OLess,
+              EUnop(OLength, EFilter(LikeList, ELoc("t2"), "y",
+                EBinop(OEq, EAccess(EVar("y"), "k"),
+                  EAccess(EVar("r"), "k")))),
+              EBinop(OPlus, EVar("i"), EAtom(AInt(2)))))))
     }
 
   test("command programs: compiler+Interp == reference interpreter") {
     val rnd0 = new Random(31337)
     val tRows = Vector.fill(12)(genValue(rowU, rnd0))
+    val t2Rows = Vector.fill(9)(genValue(rowU, rnd0))
     for (i <- 0 until 25) {
       val rnd = new Random(5200 + i)
       val prog = genCommand(rnd, 2 + rnd.nextInt(2))
       val expected = RefInterp.run(prog, REnv(
-        "t" -> VList(tRows), "out" -> VList(Vector.empty[V])))
+        "t" -> VList(tRows), "t2" -> VList(t2Rows),
+        "out" -> VList(Vector.empty[V])))
       val env0 = Env(Map.empty, Map(
         "t" -> tableDF(tRows, rowU),
+        "t2" -> tableDF(t2Rows, rowU),
         "out" -> tableDF(Vector.empty, rowU)), spark)
       val fin = Interp.run(prog, env0)
       for (cell <- Seq("t", "out")) {
