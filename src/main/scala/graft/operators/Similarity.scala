@@ -629,5 +629,46 @@ object Similarity {
           $"n_near".isNull.as("keep"))
         .orderBy("vec_id")
     },
+
+    // FEATURIZATION — the pipeline stage that PRODUCES embeddings from
+    // text: the hashing trick (each token hashes to one of 16 dims via
+    // the cross-engine md5-low64, term counts L2-normalize into a unit
+    // vector). Output is the sparse (doc_id, dim, w) triple form — the
+    // layout a feature store actually writes. Scale: the only
+    // corpus-sized movement is the token stream into the (doc, dim)
+    // count aggregate (map-side combine); the per-doc norm aggregate and
+    // its join back run on already-aggregated doc×dim-sized data. The
+    // norm is sqrt of an exact integer sum-of-squares, so every weight
+    // replays bit-identically in the oracle.
+    GraftQuery.sql("q_embed_hashing",
+      """WITH tk AS (SELECT doc_id, t.w AS w
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |        FROM documents), unnest(ws) AS t(w)),
+        |c AS (SELECT doc_id,
+        |        CAST((md5_number_lower(w) & 2147483647) % 16 AS BIGINT) AS dim,
+        |        CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM tk GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+        |      FROM c GROUP BY doc_id)
+        |SELECT c.doc_id, c.dim, CAST(c.c AS DOUBLE) / n.nrm AS w
+        |FROM c JOIN n USING (doc_id) ORDER BY doc_id, dim""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.functions.Fingerprints
+      val tok = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", explode(
+          split(lower(trim($"text")), "\\s+")).as("w"))
+      val c = tok.select($"doc_id",
+          (Fingerprints.md5Low64($"w").bitwiseAND(0x7fffffffL) % 16)
+            .as("dim"))
+        .groupBy($"doc_id", $"dim").agg(count(lit(1)).as("c"))
+      val n = c.groupBy($"doc_id")
+        .agg(sqrt(sum($"c" * $"c").cast("double")).as("nrm"))
+      c.join(n, "doc_id")
+        .select($"doc_id", $"dim", ($"c".cast("double") / $"nrm").as("w"))
+        .orderBy("doc_id", "dim")
+    },
   )
 }
