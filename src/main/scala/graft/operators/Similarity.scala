@@ -664,9 +664,13 @@ object Similarity {
           (Fingerprints.md5Low64($"w").bitwiseAND(0x7fffffffL) % 16)
             .as("dim"))
         .groupBy($"doc_id", $"dim").agg(count(lit(1)).as("c"))
-      val n = c.groupBy($"doc_id")
-        .agg(sqrt(sum($"c" * $"c").cast("double")).as("nrm"))
-      c.join(n, "doc_id")
+      // norm as a WINDOW over the aggregated counts, not a second
+      // aggregate joined back: a join of two aggregates over the same
+      // child re-derives the whole token pass per side (observed in the
+      // executed plan), while the window re-shuffles only the tiny
+      // doc×dim count table
+      val win = Window.partitionBy($"doc_id")
+      c.withColumn("nrm", sqrt(sum($"c" * $"c").over(win).cast("double")))
         .select($"doc_id", $"dim", ($"c".cast("double") / $"nrm").as("w"))
         .orderBy("doc_id", "dim")
     },
