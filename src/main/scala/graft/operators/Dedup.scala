@@ -468,5 +468,71 @@ object Dedup {
         .select($"a", $"b").distinct()
       verified(dsets, cands)
     },
+
+    // CONTRASTIVE PAIR MINING — the data-prep step for training an
+    // embedding/similarity model: POSITIVES are the near-dup pairs the
+    // band index surfaces, split into exact-dups (j ≥ 0.9, label 2) and
+    // hard positives (0.5 ≤ j < 0.9, label 1 — similar but not copies,
+    // the pairs that actually teach a model); NEGATIVES (label 0) pair
+    // each even doc with its successor id and keep only genuinely
+    // dissimilar pairs (j < 0.1) — deterministic, no RNG, so the oracle
+    // enumerates the identical set. Positives ride the existing LSH
+    // candidate machinery (bucket-local, never n²); negatives are one
+    // id-shifted self-join of the compact shingle-set table.
+    GraftQuery.sql("q_mine_pairs",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        |          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pos AS (SELECT a, b, jaccard,
+        |          CAST(CASE WHEN jaccard >= 0.9 THEN 2 ELSE 1 END AS BIGINT) AS label
+        |        FROM (SELECT a, b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |              FROM inter JOIN sz sa ON sa.doc_id = a
+        |                         JOIN sz sb ON sb.doc_id = b)
+        |        WHERE jaccard >= 0.5),
+        |negp AS (SELECT sa.doc_id AS a, sb.doc_id AS b, sa.n AS na, sb.n AS nb
+        |         FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 1
+        |         WHERE sa.doc_id % 2 = 0),
+        |ni AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+        |       FROM sh x JOIN sh y USING (s)
+        |       WHERE y.doc_id = x.doc_id + 1 AND x.doc_id % 2 = 0 GROUP BY 1, 2),
+        |neg AS (SELECT negp.a, negp.b,
+        |          CAST(COALESCE(ni.c, 0) AS DOUBLE)
+        |            / (negp.na + negp.nb - COALESCE(ni.c, 0)) AS jaccard,
+        |          CAST(0 AS BIGINT) AS label
+        |        FROM negp LEFT JOIN ni ON negp.a = ni.a AND negp.b = ni.b)
+        |SELECT a, b, jaccard, label FROM
+        |  (SELECT * FROM pos UNION ALL SELECT * FROM neg WHERE jaccard < 0.1)
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dsets = cachedShingleSets(s, dir)
+      val sigs = minhashSignatures(dsets)
+      val rowsPerBand = minhashPerms / minhashBands
+      val bandArr = array((0 until minhashBands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1))
+        struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      }: _*)
+      val bands = sigs.select($"doc_id", explode(bandArr).as("bb"))
+        .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
+      val cands = bands.select($"doc_id".as("a"), $"band", $"bh")
+        .join(bands.select($"doc_id".as("b"), $"band", $"bh"), Seq("band", "bh"))
+        .filter($"a" < $"b").select($"a", $"b").distinct()
+      val pos = jaccardForCandidates(dsets, cands)
+        .filter($"jaccard" >= 0.5)
+        .select($"a", $"b", $"jaccard",
+          when($"jaccard" >= 0.9, 2L).otherwise(1L).as("label"))
+      // shingled docs only (empty shingle sets have no jaccard)
+      val shingled = dsets.filter(size($"ss") > 0)
+      val negCands = shingled.select($"doc_id".as("a"))
+        .filter($"a" % 2 === 0)
+        .join(shingled.select($"doc_id".as("b")), $"b" === $"a" + 1)
+      val neg = jaccardForCandidates(dsets, negCands)
+        .filter($"jaccard" < 0.1)
+        .select($"a", $"b", $"jaccard", lit(0L).as("label"))
+      pos.unionByName(neg).orderBy("a", "b")
+    },
   )
 }
