@@ -38,10 +38,15 @@ class ScaleGrowthSpec extends AnyFunSuite {
   // per-copy token suffix grows their vocabularies 8x too, so a
   // superlinear ratio would expose a model side accidentally exploding
   // against the stream side.
+  // q_mine_pairs / q_dedup_incr_near ride the LSH candidate machinery
+  // (copy-suffixed shingles keep buckets copy-local; the +10M doc_id
+  // offset preserves the % 50 arrival split); q_embed_hashing is the
+  // map+agg featurization pass.
   private val queries =
     Seq("q_substring_dup", "q_pipeline_clean", "q_dedup_clusters",
       "q_pagerank", "q_lang_corr_filter_big",
-      "q_lm_score", "q_dsir_select", "q_bpe_merges")
+      "q_lm_score", "q_dsir_select", "q_bpe_merges",
+      "q_mine_pairs", "q_dedup_incr_near", "q_embed_hashing")
   private val bound = 12.0
 
   private def blowUp(tmp: String): Unit = {
