@@ -290,6 +290,55 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // TEMPERATURE-BASED SOURCE MIXING (the mT5/multilingual rebalancing
+    // rule at α = 0.5): each source's keep-rate is proportional to the
+    // SQUARE ROOT of its share of corpus volume, flattening the
+    // head-source dominance a proportional mix would have. The rates are
+    // COMPUTED from corpus stats — one source-keyed aggregate (tiny at
+    // any corpus size) with the max broadcast back — then the corpus
+    // gates map-side by the deterministic md5 bucket against its
+    // source's rate (the q_sample_stratified hash discipline, with
+    // derived rather than fixed rates). rate = floor(1000·√(chars/max))
+    // is one sqrt and one exact power-of-ten scale, so the keep decision
+    // replays bit-identically in the oracle.
+    GraftQuery.sql("q_temp_mixture",
+      """WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |           FROM documents GROUP BY source),
+        |m AS (SELECT MAX(chars) AS cmax FROM s),
+        |r AS (SELECT source, chars,
+        |        CAST(floor(1000 * sqrt(CAST(chars AS DOUBLE) / cmax))
+        |          AS BIGINT) AS rate
+        |      FROM s, m),
+        |k AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+        |      FROM documents d JOIN r USING (source)
+        |      WHERE (md5_number_lower('tmp:' || CAST(d.doc_id AS VARCHAR))
+        |             & 2147483647) % 1000 < r.rate
+        |      GROUP BY d.source)
+        |SELECT r.source, r.chars, r.rate, COALESCE(k.n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+      val stats = docs.groupBy($"source")
+        .agg(sum($"n_chars").cast("long").as("chars"))
+      val rates = stats
+        .crossJoin(broadcast(stats.agg(max($"chars").as("cmax"))))
+        .select($"source", $"chars",
+          floor(lit(1000) * sqrt($"chars".cast("double") / $"cmax"))
+            .cast("long").as("rate"))
+      val bucket = Fingerprints
+        .md5Low64(concat(lit("tmp:"), $"doc_id".cast("string")))
+        .bitwiseAND(0x7fffffffL) % 1000
+      val kept = docs.join(broadcast(rates), "source")
+        .filter(bucket < $"rate")
+        .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select($"source", $"chars", $"rate",
+          coalesce($"n_kept", lit(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+
     // COMPOSED CURATION PASS over the round-10 train-then-score stages:
     // per document, (1) the bigram-LM typicality filter (aggregate
     // conditional-probability mass ≥ the corpus 10th percentile — the
