@@ -219,6 +219,48 @@ object TextAnalysis {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // CROSS-DOCUMENT SEQUENCE PACKING — q_pack_sequences bins chunks
+    // WITHIN a document; this packs whole documents INTO fixed
+    // token-budget training sequences (budget 512), the concatenation
+    // step that turns a curated corpus into pretraining rows. Global
+    // first-fit is inherently sequential, so the production shape is
+    // SHARDED packing: each document hashes to one of 8 shards
+    // (deterministic md5 bucket), and a running token sum within the
+    // shard (ordered by doc_id) assigns bins — one hash-partitioned
+    // window per shard, fully parallel across shards, identical in both
+    // engines. Bin boundaries split documents greedily by cumulative
+    // offset (a doc straddling the boundary starts the next bin iff its
+    // start offset crossed it), matching the oracle's integer floor.
+    GraftQuery.sql("q_pack_corpus",
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |               AS BIGINT) AS n_tok,
+        |             CAST((md5_number_lower('pk:' || CAST(doc_id AS VARCHAR))
+        |               & 2147483647) % 8 AS BIGINT) AS shard
+        |           FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |        SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+        |          AS cum_tok
+        |      FROM d)
+        |SELECT doc_id, shard, n_tok,
+        |  CAST(FLOOR(CAST(cum_tok - n_tok AS DOUBLE) / 512) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", size(toks($"text")).cast("long").as("n_tok"),
+          (graft.functions.Fingerprints
+            .md5Low64(concat(lit("pk:"), $"doc_id".cast("string")))
+            .bitwiseAND(0x7fffffffL) % 8).as("shard"))
+      val cum = sum($"n_tok").over(
+        Window.partitionBy($"shard").orderBy($"doc_id"))
+      d.withColumn("cum_tok", cum)
+        .select($"doc_id", $"shard", $"n_tok",
+          floor(($"cum_tok" - $"n_tok").cast("double") / 512).as("bin"))
+        .orderBy("doc_id")
+    },
+
     // UNICODE NORMALIZATION — the cleaning step BEFORE any hash-based
     // dedup/shingling: composed vs decomposed accents ("é" vs "e"+U+0301)
     // must hash identically or near-dup detection silently misses. Spark
