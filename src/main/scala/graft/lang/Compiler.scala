@@ -592,10 +592,13 @@ object Compiler {
           !Rewrites.freeVars(l2).contains(x) &&
           a != x && b != x && !bindsVar(src, x) =>
       val arrOpt =
+        // only the compiler's own DIRECTED refusal (an unsupported shape /
+        // over-cap localization) may degrade to the generic correlation
+        // error — anything else is a genuine defect and must propagate
         try compile(l2, env) match {
           case cv @ CV(_) => Some(asCV(cv))
           case TV(d) => tableArrayLit(d, 10000)
-        } catch { case scala.util.control.NonFatal(_) => None }
+        } catch { case _: UnsupportedOperationException => None }
       arrOpt.map { arr =>
         val n = s"__jaggleg${latIds.incrementAndGet()}"
         (EFlatmap(jt, l1, a,

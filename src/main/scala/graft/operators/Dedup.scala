@@ -147,10 +147,26 @@ object Dedup {
     * only (doc_id, band, bh) rows do. Docs with no shingles (<3 tokens) get
     * a null signature and are dropped, matching the grouped form (no posting
     * rows → no signature). */
-  private def minhashSignatures(dsets: DataFrame): DataFrame =
+  private[graft] def minhashSignatures(dsets: DataFrame): DataFrame =
     dsets.select(col("doc_id"),
       graft.functions.Fingerprints.minhash(col("ss"), minhashPerms).as("sig"))
       .filter(col("sig").isNotNull)
+
+  /** (doc_id, band, bh) rows from a signature frame — one band row per
+    * (doc, band) via explode (a union of N selects would recompute the
+    * signatures N times). Shared by every LSH consumer AND the
+    * fixture-recall tripwire test (`BandRecallSpec`), so the tested band
+    * derivation is exactly the shipped one. */
+  private[graft] def bandRows(sigs: DataFrame): DataFrame = {
+    val rowsPerBand = minhashPerms / minhashBands
+    val bandArr = array((0 until minhashBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("sig"), i + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }: _*)
+    sigs.select(col("doc_id"), explode(bandArr).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -283,17 +299,7 @@ object Dedup {
     GraftQuery.sql("q_dedup_minhash", exactJaccardSql) { (s, dir) =>
       import s.implicits._
       val dsets = cachedShingleSets(s, dir)
-      val sigs = minhashSignatures(dsets)
-      val rowsPerBand = minhashPerms / minhashBands
-      // one band row per (doc, band) via explode — a union of N selects would
-      // recompute the signatures N times
-      val bandArr = array((0 until minhashBands).map { b =>
-        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => element_at(col("sig"), i + 1))
-        struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-      }: _*)
-      val bands = sigs.select($"doc_id", explode(bandArr).as("bb"))
-        .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
+      val bands = bandRows(minhashSignatures(dsets))
       val cands = bands.select($"doc_id".as("a"), $"band", $"bh")
         .join(bands.select($"doc_id".as("b"), $"band", $"bh"), Seq("band", "bh"))
         .filter($"a" < $"b").select($"a", $"b").distinct()
@@ -451,15 +457,7 @@ object Dedup {
         |ORDER BY a, b""".stripMargin) { (s, dir) =>
       import s.implicits._
       val dsets = cachedShingleSets(s, dir)
-      val sigs = minhashSignatures(dsets)
-      val rowsPerBand = minhashPerms / minhashBands
-      val bandArr = array((0 until minhashBands).map { b =>
-        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => element_at(col("sig"), i + 1))
-        struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-      }: _*)
-      val bands = sigs.select($"doc_id", explode(bandArr).as("bb"))
-        .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
+      val bands = bandRows(minhashSignatures(dsets))
       val standing = bands.filter($"doc_id" % 50 =!= 0)
         .select($"doc_id".as("a"), $"band", $"bh")
       val arrivals = broadcast(bands.filter($"doc_id" % 50 === 0)
@@ -508,15 +506,7 @@ object Dedup {
         |ORDER BY a, b""".stripMargin) { (s, dir) =>
       import s.implicits._
       val dsets = cachedShingleSets(s, dir)
-      val sigs = minhashSignatures(dsets)
-      val rowsPerBand = minhashPerms / minhashBands
-      val bandArr = array((0 until minhashBands).map { b =>
-        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => element_at(col("sig"), i + 1))
-        struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-      }: _*)
-      val bands = sigs.select($"doc_id", explode(bandArr).as("bb"))
-        .select($"doc_id", $"bb.band".as("band"), $"bb.bh".as("bh"))
+      val bands = bandRows(minhashSignatures(dsets))
       val cands = bands.select($"doc_id".as("a"), $"band", $"bh")
         .join(bands.select($"doc_id".as("b"), $"band", $"bh"), Seq("band", "bh"))
         .filter($"a" < $"b").select($"a", $"b").distinct()

@@ -426,16 +426,23 @@ object Search {
       val en = Tables.load(s, dir, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("n2", ArrayMath.dot($"v", $"v"))
-      val q = en.filter($"vec_id" === 7).select($"v", $"n2").collect()(0)
-      val (qvec, qn2) = (q.getSeq[Double](0), q.getDouble(1))
-      en.join(broadcast(short), $"vec_id" === $"doc_id")
-        .select($"doc_id", $"bm25",
-          (ArrayMath.dot($"v", typedlit(qvec)) / sqrt($"n2" * lit(qn2)))
-            .as("cosine"))
-        .withColumn("rnk", row_number().over(
-          Window.orderBy($"cosine".desc, $"doc_id")).cast("long"))
-        .orderBy($"cosine".desc, $"doc_id")
-        .limit(5)
+      // absent query vector → the oracle's empty qv CTE (CROSS JOIN qv)
+      // empties the result; mirror with an empty frame of the same schema
+      en.filter($"vec_id" === 7).select($"v", $"n2").collect().headOption
+        .fold {
+          en.limit(0).select($"vec_id".as("doc_id"), $"n2".as("bm25"),
+            $"n2".as("cosine"), lit(0L).as("rnk"))
+        } { q =>
+          val (qvec, qn2) = (q.getSeq[Double](0), q.getDouble(1))
+          en.join(broadcast(short), $"vec_id" === $"doc_id")
+            .select($"doc_id", $"bm25",
+              (ArrayMath.dot($"v", typedlit(qvec)) / sqrt($"n2" * lit(qn2)))
+                .as("cosine"))
+            .withColumn("rnk", row_number().over(
+              Window.orderBy($"cosine".desc, $"doc_id")).cast("long"))
+            .orderBy($"cosine".desc, $"doc_id")
+            .limit(5)
+        }
     },
   )
 }

@@ -390,20 +390,35 @@ object TextAnalysis {
       val tk = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", toks($"text").as("t")).cache()
+      // A corpus with no adjacent distinct-token pair (at either round) has
+      // no merge to pick; the oracle's empty m1/m2 CTE empties its output,
+      // so mirror that with an empty result of the same schema.
+      def emptyOut = tk.limit(0).select($"doc_id",
+        lit(0L).as("n0"), lit(0L).as("n2"),
+        lit("").as("merge1"), lit("").as("merge2"), lit("").as("fp"))
       try {
-        val (a1, b1) = topPair(tk)
-        val r1 = tk.select($"doc_id", mergeOnce($"t", a1, b1).as("t")).cache()
-        try {
-          val (a2, b2) = topPair(r1)
-          val r2 = r1.select($"doc_id", mergeOnce($"t", a2, b2).as("t"))
-          tk.select($"doc_id", size($"t").cast("long").as("n0"))
-            .join(r2.select($"doc_id", size($"t").cast("long").as("n2"),
-              md5(concat_ws(" ", $"t")).as("fp")), "doc_id")
-            .select($"doc_id", $"n0", $"n2",
-              lit(a1 + "_" + b1).as("merge1"), lit(a2 + "_" + b2).as("merge2"),
-              $"fp")
-            .orderBy("doc_id")
-        } finally r1.unpersist(blocking = false)
+        topPair(tk) match {
+          case None => emptyOut
+          case Some((a1, b1)) =>
+            val r1 = tk.select($"doc_id", mergeOnce($"t", a1, b1).as("t"))
+              .cache()
+            try {
+              topPair(r1) match {
+                case None => emptyOut
+                case Some((a2, b2)) =>
+                  val r2 =
+                    r1.select($"doc_id", mergeOnce($"t", a2, b2).as("t"))
+                  tk.select($"doc_id", size($"t").cast("long").as("n0"))
+                    .join(r2.select($"doc_id",
+                      size($"t").cast("long").as("n2"),
+                      md5(concat_ws(" ", $"t")).as("fp")), "doc_id")
+                    .select($"doc_id", $"n0", $"n2",
+                      lit(a1 + "_" + b1).as("merge1"),
+                      lit(a2 + "_" + b2).as("merge2"), $"fp")
+                    .orderBy("doc_id")
+              }
+            } finally r1.unpersist(blocking = false)
+        }
       } finally tk.unpersist(blocking = false)
     },
   )
@@ -428,17 +443,17 @@ object TextAnalysis {
     * self-pairs excluded. ONE-row collect — the iterative-training
     * stance: each BPE round is a global reduction to a single merge
     * decision, shipped back as a literal. */
-  private def topPair(toks: DataFrame): (String, String) = {
+  private def topPair(toks: DataFrame): Option[(String, String)] = {
     import toks.sparkSession.implicits._
     val idx = when(size($"t") >= 2, sequence(lit(0), size($"t") - 2))
       .otherwise(array().cast("array<int>"))
-    val r = toks
+    toks
       .select(explode(transform(idx, i => struct(
         get($"t", i).as("a"), get($"t", i + 1).as("b")))).as("p"))
       .select($"p.a", $"p.b").filter($"a" =!= $"b")
       .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
-      .orderBy($"c".desc, $"a", $"b").limit(1).collect()(0)
-    (r.getString(0), r.getString(1))
+      .orderBy($"c".desc, $"a", $"b").limit(1).collect()
+      .headOption.map(r => (r.getString(0), r.getString(1)))
   }
 
   /** Bigram-LM scoring core (see `q_lm_score`): train bigram/prefix
@@ -450,34 +465,36 @@ object TextAnalysis {
     val docs = docsRaw.select($"doc_id", toks($"text").as("t"))
     val idx = when(size($"t") >= 2, sequence(lit(0), size($"t") - 2))
       .otherwise(array().cast("array<int>"))
+    // The gram stream feeds THREE consumers (bigram counts, prefix counts,
+    // the scoring join) — materialize it ONCE via an eager localCheckpoint
+    // so the stored partitions outlive this call and serve the caller's
+    // real collect; lifetime is then plan-tied (the ContextCleaner reclaims
+    // the blocks when the plan is GC'd), with no unpersist-before-use and
+    // no leaked cache entry.
     val bg = docs
       .select($"doc_id", explode(transform(idx, i => struct(
         concat_ws(" ", get($"t", i), get($"t", i + 1)).as("bg"),
         get($"t", i).as("pre")))).as("g"))
       .select($"doc_id", $"g.bg", $"g.pre")
-      .cache()
-    try {
-      val cb = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
-      val cp = bg.groupBy("pre").agg(count(lit(1)).as("cpre"))
-      val sc = bg.join(cb, "bg").join(cp, "pre")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bg"), sum($"cbg").as("sum_bg"),
-          sum($"cpre").as("sum_pre"),
-          sum(when($"cbg" === 1, 1L).otherwise(0L)).as("n_hapax"))
-      val out = docsRaw.select($"doc_id")
-        .join(sc, Seq("doc_id"), "left")
-        .select($"doc_id",
-          coalesce($"n_bg", lit(0L)).as("n_bg"),
-          coalesce($"sum_bg", lit(0L)).as("sum_bg"),
-          when($"n_bg".isNull, lit(0.0))
-            .otherwise($"sum_bg".cast("double") / $"sum_pre")
-            .as("cond_mass"),
-          when($"n_bg".isNull, lit(0.0))
-            .otherwise($"n_hapax".cast("double") / $"n_bg")
-            .as("novelty"))
-        .orderBy("doc_id")
-      out.count() // materialize while the gram stream is cached
-      out
-    } finally bg.unpersist(blocking = false)
+      .localCheckpoint(true)
+    val cb = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+    val cp = bg.groupBy("pre").agg(count(lit(1)).as("cpre"))
+    val sc = bg.join(cb, "bg").join(cp, "pre")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bg"), sum($"cbg").as("sum_bg"),
+        sum($"cpre").as("sum_pre"),
+        sum(when($"cbg" === 1, 1L).otherwise(0L)).as("n_hapax"))
+    docsRaw.select($"doc_id")
+      .join(sc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bg", lit(0L)).as("n_bg"),
+        coalesce($"sum_bg", lit(0L)).as("sum_bg"),
+        when($"n_bg".isNull, lit(0.0))
+          .otherwise($"sum_bg".cast("double") / $"sum_pre")
+          .as("cond_mass"),
+        when($"n_bg".isNull, lit(0.0))
+          .otherwise($"n_hapax".cast("double") / $"n_bg")
+          .as("novelty"))
+      .orderBy("doc_id")
   }
 }

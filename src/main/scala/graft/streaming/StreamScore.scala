@@ -61,13 +61,26 @@ object StreamScore {
         .agg(count(lit(1)).as("n_tok"), sum($"tgt").as("sum_tgt"),
           sum($"bgd").as("sum_bgd"))
       val sink = s"graft_score_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-      StreamConf.withStatePartitions(s, 2) {
-        val q = scored.writeStream.outputMode("complete")
-          .format("memory").queryName(sink).start()
-        try q.processAllAvailable() finally q.stop()
-      }
+      // run the stream, then DETACH the (small, per-document) result from
+      // the memory sink with an eager localCheckpoint so the sink table and
+      // the watch directory can be cleaned up immediately — repeated
+      // Verify/Bench reps must not accumulate temp dirs or session tables
+      val fromSink =
+        try {
+          StreamConf.withStatePartitions(s, 2) {
+            val q = scored.writeStream.outputMode("complete")
+              .format("memory").queryName(sink).start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          s.table(sink).localCheckpoint(true)
+        } finally {
+          s.catalog.dropTempView(sink)
+          java.nio.file.Files.deleteIfExists(
+            watchDir.resolve("documents.parquet"))
+          java.nio.file.Files.deleteIfExists(watchDir)
+        }
       val affinity = ($"sum_tgt" + 1).cast("double") / ($"sum_bgd" + 1)
-      s.table(sink)
+      fromSink
         .select($"doc_id", $"n_tok", $"sum_tgt", $"sum_bgd",
           affinity.as("affinity"), (affinity >= 0.0558).as("pick"))
         .orderBy("doc_id")
