@@ -27,6 +27,41 @@ object Fiat2 {
   // Integer arithmetic with fiat2 (Coq Z) semantics.
   // ---------------------------------------------------------------------------
 
+  /** Overflow-CHECKED Long arithmetic for the DEFAULT `TInt` mapping. The
+    * reference's `TInt` is Coq `Z` — unbounded — so a 64-bit wrap would be
+    * silent data corruption and an ANSI `ARITHMETIC_OVERFLOW` an undirected
+    * one. `try_add`/`try_subtract`/`try_multiply` compute the wrap-free
+    * result-or-null, and a null under non-null operands raises a DIRECTED
+    * error naming the fix: `Env(wideInt = true)`, the Decimal(38,0) mapping
+    * with ~10^38 headroom. Null operands (None-encoded options) still
+    * propagate null, exactly like the unchecked `+`. All codegen'd builtins.
+    */
+  def checkedArith(op: String, sym: String, a: Column, b: Column): Column = {
+    val t = call_function(s"try_$op", a, b)
+    when(a.isNotNull && b.isNotNull && t.isNull,
+      raise_error(concat(
+        lit(s"TInt overflow: ("), a.cast("string"), lit(s") $sym ("),
+        b.cast("string"),
+        lit(") exceeds the 64-bit default mapping — fiat2 TInt is " +
+          "unbounded Z; compile with Env(wideInt = true) for the " +
+          "Decimal(38,0) mapping"))).cast("long"))
+      .otherwise(t)
+  }
+  def checkedAdd(a: Column, b: Column): Column =
+    checkedArith("add", "+", a, b)
+  def checkedSub(a: Column, b: Column): Column =
+    checkedArith("subtract", "-", a, b)
+  def checkedMul(a: Column, b: Column): Column =
+    checkedArith("multiply", "*", a, b)
+  /** Checked unary negation: only -(-2^63) overflows. The CASE guard keeps
+    * ANSI's own negate from ever seeing it (branches evaluate lazily). */
+  def checkedNeg(a: Column): Column =
+    when(a === lit(Long.MinValue),
+      raise_error(lit("TInt overflow: -(-9223372036854775808) exceeds the " +
+        "64-bit default mapping — fiat2 TInt is unbounded Z; compile with " +
+        "Env(wideInt = true) for the Decimal(38,0) mapping")).cast("long"))
+      .otherwise(-a)
+
   /** Euclidean-style modulo with the sign of the DIVISOR — Coq `Z.modulo`
     * (fiat2/src/fiat2/Interpret.v:150). Differs from Spark/Java `%`, which
     * takes the sign of the dividend. `((a % b) + b) % b` flips the sign in

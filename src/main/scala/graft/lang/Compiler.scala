@@ -57,16 +57,57 @@ object Compiler {
       // see batchLengths. Entries carry the identity of every free-var
       // binding at scan time, so a shadowed rebinding inside the subtree
       // falls back to the normal eager count instead of serving stale data.
-      lenMemo: List[(Expr, Map[String, AnyRef], Long)] = Nil) {
+      lenMemo: List[(Expr, Map[String, AnyRef], Long)] = Nil,
+      // BEST-EFFORT variable/store types for reference-order sorting
+      // (CanonOrder): populated where a binder's type is synthesizable,
+      // consulted at the sort/iteration sites whose natural encoding order
+      // can diverge from value_compare (words, nested bags). A plain bind
+      // DROPS the binder's entry, so a shadowing rebinding can never serve
+      // a stale type; unknown types fall back to the raw encoding order.
+      varTypes: Map[String, FType] = Map.empty,
+      storeTypes: Map[String, FType] = Map.empty) {
     def bind(x: String, v: Val): Env =
-      copy(vars = vars + (x -> v), rowVars = rowVars - x)
+      copy(vars = vars + (x -> v), rowVars = rowVars - x,
+        varTypes = varTypes - x)
     /** Bind a PLAN-ATTRIBUTE row variable (a table operator's binder). Such
       * variables must not leak into a nested table operator's lambda — the
       * attribute references would mis-resolve (silently, for the same table).
       */
     def bindRow(x: String, v: Val): Env =
-      copy(vars = vars + (x -> v), rowVars = rowVars + x)
+      copy(vars = vars + (x -> v), rowVars = rowVars + x,
+        varTypes = varTypes - x)
+    /** `bind` plus the binder's synthesized type, when known. */
+    def bindTyped(x: String, v: Val, t: Option[FType]): Env = t match {
+      case Some(ft) => copy(vars = vars + (x -> v), rowVars = rowVars - x,
+        varTypes = varTypes + (x -> ft))
+      case None => bind(x, v)
+    }
+    /** `bindRow` plus the binder's synthesized type, when known. */
+    def bindRowTyped(x: String, v: Val, t: Option[FType]): Env = t match {
+      case Some(ft) => copy(vars = vars + (x -> v), rowVars = rowVars + x,
+        varTypes = varTypes + (x -> ft))
+      case None => bindRow(x, v)
+    }
   }
+
+  /** Best-effort type synthesis against the env's partial type knowledge —
+    * None whenever a free variable or store table lacks a recorded type.
+    * Only consulted for ORDER decisions (CanonOrder), where unknown safely
+    * degrades to the raw encoding order. */
+  private def synthLite(e: Expr, env: Env): Option[FType] =
+    try Some(TypeCheck.synthesize(e, env.varTypes, env.storeTypes))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def elemTypeOf(t: FType): Option[FType] = t match {
+    case TList(u) => Some(u)
+    case TBag(u) => Some(u)
+    case TSet(u) => Some(u)
+    case _ => None
+  }
+
+  /** Element type of a collection-valued expression, when synthesizable. */
+  private def synthElem(e: Expr, env: Env): Option[FType] =
+    synthLite(e, env).flatMap(elemTypeOf)
 
   /** Reject correlation of an outer table-row variable into a nested
     * table-level operator (fiat2 interprets these nested-loop-style; a
@@ -1131,11 +1172,16 @@ object Compiler {
     * reference's `list_to_bag`/`list_to_set` applied to the outputs of
     * proj/flatmap/join (fiat2/src/fiat2/Interpret.v:373-501): a projected
     * bag re-sorts, a projected set re-sorts AND dedups; filter needs
-    * neither (it preserves canonical order). Lists pass through. */
-  private def canonTag(tag: CollectionTag, c: Column): Column = tag match {
+    * neither (it preserves canonical order). Lists pass through. The sort
+    * runs in REFERENCE order (CanonOrder key) when the element type is
+    * known — a bag/set of words stores unsigned-ascending like the
+    * reference's canonical form; unknown element types keep the raw
+    * encoding order (exact for word-free, bag-free elements). */
+  private def canonTag(tag: CollectionTag, c: Column,
+      elemT: Option[FType] = None, width: Int = 64): Column = tag match {
     case LikeList => c
-    case LikeBag => sort_array(c)
-    case LikeSet => Fiat2.setOfArray(c)
+    case LikeBag => CanonOrder.sortArray(c, elemT, width)
+    case LikeSet => CanonOrder.sortArray(array_distinct(c), elemT, width)
   }
 
   /** The same per-tag canonicalization for TABLE results: DataFrames are
@@ -1187,7 +1233,8 @@ object Compiler {
     case EUnop(op, e1) => (op, compile(e1, env)) match {
       case (OWNeg, v) => // wraps at the width's MinValue
         CV(WordOps.forWidth(env.wordWidth).wneg(asCV(v)))
-      case (ONeg, v) => CV(-asCV(v))
+      case (ONeg, v) => CV(if (env.wideInt) -asCV(v)
+        else Fiat2.checkedNeg(asCV(v)))
       case (ONot, v) => CV(!asCV(v))
       case (OLengthString, v) => CV(length(asCV(v)).cast("long"))
       case (OIntToString, v) => CV(asCV(v).cast("string"))
@@ -1197,8 +1244,20 @@ object Compiler {
     case EBinop(op, e1, e2) => compileBinop(op, e1, e2, env)
 
     case ETernop(OInsert, d, k, v) =>
-      CV(Fiat2.dictInsert(asCV(compile(d, env)), asCV(compile(k, env)),
-        asCV(compile(v, env))))
+      // insert-or-overwrite, storage sorted by key (`dict_insert`,
+      // Interpret.v:92-110) — in REFERENCE key order when the dict type is
+      // known and the key type needs a CanonOrder key (word/bag keys)
+      val base = asCV(compile(d, env))
+      val kc = asCV(compile(k, env))
+      val vc = asCV(compile(v, env))
+      synthLite(d, env) match {
+        case Some(TDict(kt, vt))
+            if CanonOrder.needsKey(kt, env.wordWidth) =>
+          val entries = concat(filter(base, e => !(e("key") <=> kc)),
+            array(struct(kc.as("key"), vc.as("value"))))
+          CV(CanonOrder.dictIterOrder(entries, kt, vt, env.wordWidth))
+        case _ => CV(Fiat2.dictInsert(base, kc, vc))
+      }
 
     case EIf(c, t, f) =>
       // Lazy branch semantics (the reference interpreter evaluates the
@@ -1225,7 +1284,8 @@ object Compiler {
         }
       }
 
-    case ELet(e1, x, e2) => compile(e2, env.bind(x, compile(e1, env)))
+    case ELet(e1, x, e2) =>
+      compile(e2, env.bindTyped(x, compile(e1, env), synthLite(e1, env)))
 
     case ERecord(fields) =>
       val env2 = batchLengths(fields.map(_._2), env)
@@ -1236,26 +1296,60 @@ object Compiler {
 
     case EOptMatch(e1, none, x, some) =>
       val c = asCV(compile(e1, env))
+      val innerT = synthLite(e1, env).collect { case TOption(u) => u }
       CV(Fiat2.optMatch(c, asCV(compile(none, env)),
-        v => asCV(compile(some, env.bind(x, CV(v))))))
+        v => asCV(compile(some, env.bindTyped(x, CV(v), innerT)))))
 
     case EDictFold(d, z, k, v, acc, step) =>
-      // fold_right over the sorted entries (Interpret.v:346-350)
-      CV(aggregate(reverse(asCV(compile(d, env))), asCV(compile(z, env)),
+      // fold_right over the sorted entries (Interpret.v:346-350) — sorted
+      // in REFERENCE key order: storage is raw-sorted, so when the key type
+      // needs a CanonOrder key (words/bags) the folded VIEW re-sorts
+      val dictT = synthLite(d, env)
+      val entries0 = asCV(compile(d, env))
+      val entries = dictT match {
+        case Some(TDict(kt, vt)) =>
+          CanonOrder.dictIterOrder(entries0, kt, vt, env.wordWidth)
+        case _ => entries0
+      }
+      val (ktO, vtO) = dictT match {
+        case Some(TDict(kt, vt)) => (Some(kt), Some(vt))
+        case _ => (None, None)
+      }
+      val accT = synthLite(z, env)
+      CV(aggregate(reverse(entries), asCV(compile(z, env)),
         (a, entry) => asCV(compile(step,
-          env.bind(k, CV(entry("key"))).bind(v, CV(entry("value")))
-            .bind(acc, CV(a))))))
+          env.bindTyped(k, CV(entry("key")), ktO)
+            .bindTyped(v, CV(entry("value")), vtO)
+            .bindTyped(acc, CV(a), accT)))))
 
-    case ESort(_, l) => compile(l, env) match {
-      case TV(df) => TV(df.orderBy(df.columns.sorted.map(col): _*))
-      case CV(c) => CV(sort_array(c))
-    }
+    case ESort(_, l) =>
+      // REFERENCE order (value_compare): raw encoding order except where
+      // CanonOrder needs a key (words sort unsigned, nested bags compare
+      // as run-length pairs). Element type is best-effort — unknown keeps
+      // the raw order, which is exact for all word-free, bag-free types.
+      val elemT = synthElem(l, env)
+      compile(l, env) match {
+        case TV(df) =>
+          val keyed: Option[Seq[Column]] = elemT.collect {
+            case TRecord(fs)
+                if fs.exists(f => CanonOrder.needsKey(f._2, env.wordWidth)) =>
+              fs.sortBy(_._1).map { case (n, ft) =>
+                CanonOrder.key(col(n), ft, env.wordWidth) }
+            case t if CanonOrder.needsKey(t, env.wordWidth) &&
+                df.columns.sameElements(Array("value")) =>
+              Seq(CanonOrder.key(col("value"), t, env.wordWidth))
+          }
+          TV(df.orderBy(
+            keyed.getOrElse(df.columns.sorted.map(col).toSeq): _*))
+        case CV(c) => CV(CanonOrder.sortArray(c, elemT, env.wordWidth))
+      }
 
     case EFilter(_, l, x, p) => compile(l, env) match {
       case TV(df) =>
         try {
           assertUncorrelated(env, Set(x), p)
-          TV(df.filter(asCV(compile(p, env.bindRow(x, CV(rowStruct(df)))))))
+          TV(df.filter(asCV(compile(p, env.bindRowTyped(x,
+            CV(rowStruct(df)), synthElem(l, env))))))
         } catch {
           // predicate holds an aggregate over a CORRELATED-filtered table
           // (a correlated scalar subquery in a WHERE clause) — unnest it:
@@ -1268,7 +1362,8 @@ object Compiler {
               direct.addSuppressed(dec); throw direct }
         }
       case CV(c) =>
-        CV(filter(c, v => asCV(compile(p, env.bind(x, CV(v))))))
+        val et = synthElem(l, env)
+        CV(filter(c, v => asCV(compile(p, env.bindTyped(x, CV(v), et)))))
     }
 
     case EJoin(tag, l1, l2, x, y, p, r) =>
@@ -1306,25 +1401,32 @@ object Compiler {
           val la = d1.alias("__join_l")
           val ra = d2.alias("__join_r")
           val bound = env
-            .bindRow(x, CV(qualifiedRow(d1.columns, "__join_l")))
-            .bindRow(y, CV(qualifiedRow(d2.columns, "__join_r")))
+            .bindRowTyped(x, CV(qualifiedRow(d1.columns, "__join_l")),
+              synthElem(l1, env))
+            .bindRowTyped(y, CV(qualifiedRow(d2.columns, "__join_r")),
+              synthElem(l2, env))
           val pred = asCV(compile(p, bound))
           val res = asCV(compile(r, bound))
           TV(flattenResult(la.join(ra, pred, "inner"), res))
         case (v1, v2) => // nested-array nested-loop join, fused projection
           val a1 = asCV(v1); val a2 = asCV(v2)
+          val (t1, t2) = (synthElem(l1, env), synthElem(l2, env))
+          val rt = synthElem(EJoin(tag, l1, l2, x, y, p, r), env)
           CV(canonTag(tag, flatten(transform(a1, xv =>
             transform(
               filter(a2, yv => asCV(compile(p,
-                env.bind(x, CV(xv)).bind(y, CV(yv))))),
-              yv => asCV(compile(r, env.bind(x, CV(xv)).bind(y, CV(yv)))))))))
+                env.bindTyped(x, CV(xv), t1).bindTyped(y, CV(yv), t2)))),
+              yv => asCV(compile(r,
+                env.bindTyped(x, CV(xv), t1).bindTyped(y, CV(yv), t2)))))),
+            rt, env.wordWidth))
       }
 
     case EProj(tag, l, x, r) => compile(l, env) match {
       case TV(df) =>
         assertUncorrelated(env, Set(x), r)
         try {
-          val res = asCV(compile(r, env.bindRow(x, CV(rowStruct(df)))))
+          val res = asCV(compile(r, env.bindRowTyped(x, CV(rowStruct(df)),
+            synthElem(l, env))))
           TV(canonTagDF(tag, flattenResult(df, res)))
         } catch {
           // projection body holds an aggregate over a CORRELATED-filtered
@@ -1337,7 +1439,11 @@ object Compiler {
               direct.addSuppressed(dec); throw direct }
         }
       case CV(c) =>
-        CV(canonTag(tag, transform(c, v => asCV(compile(r, env.bind(x, CV(v)))))))
+        val et = synthElem(l, env)
+        val rt = synthElem(EProj(tag, l, x, r), env)
+        CV(canonTag(tag, transform(c,
+          v => asCV(compile(r, env.bindTyped(x, CV(v), et)))),
+          rt, env.wordWidth))
     }
 
     case EFlatmap(tag, e1, x, e2)
@@ -1690,8 +1796,11 @@ object Compiler {
               direct.addSuppressed(dec); throw direct }
         }
       case CV(c) =>
+        val et = synthElem(e1, env)
+        val rt = synthElem(EFlatmap(tag, e1, x, e2), env)
         CV(canonTag(tag, flatten(transform(c,
-          v => asCV(compile(e2, env.bind(x, CV(v))))))))
+          v => asCV(compile(e2, env.bindTyped(x, CV(v), et))))),
+          rt, env.wordWidth))
     }
 
     case EFlatmap2(e1, e2, x1, x2, e3) =>
@@ -1722,17 +1831,21 @@ object Compiler {
           // to the common length first
           val a1 = asCV(v1); val a2 = asCV(v2)
           val n = least(size(a1), size(a2))
+          val (t1, t2) = (synthElem(e1, env), synthElem(e2, env))
           CV(flatten(zip_with(slice(a1, lit(1), n), slice(a2, lit(1), n),
             (w1, w2) => asCV(compile(e3,
-              env.bind(x1, CV(w1)).bind(x2, CV(w2)))))))
+              env.bindTyped(x1, CV(w1), t1).bindTyped(x2, CV(w2), t2))))))
       }
 
     case EFold(l, z, x, acc, step) => compile(l, env) match {
       case CV(c) =>
         // the reference's EFold is a RIGHT fold (fold_right,
         // Interpret.v:313-319): left-aggregate over the reversed list
+        val et = synthElem(l, env)
+        val accT = synthLite(z, env)
         CV(aggregate(reverse(c), asCV(compile(z, env)),
-          (a, v) => asCV(compile(step, env.bind(x, CV(v)).bind(acc, CV(a))))))
+          (a, v) => asCV(compile(step,
+            env.bindTyped(x, CV(v), et).bindTyped(acc, CV(a), accT)))))
       case TV(df) =>
         // General fold over a table is inherently sequential (SURVEY.md §7).
         // A DataFrame has no intrinsic order, so the fold is DEFINED over
@@ -1793,11 +1906,28 @@ object Compiler {
     // and the reference interpreter's eagerness) — so an aggregate composes
     // into records/arithmetic anywhere a scalar goes.
     case EACFold(agg, e1) => (agg, compile(e1, env)) match {
+      case (AGSum, TV(df)) if !env.wideInt =>
+        // sum WIDE (Decimal(38,0) partials — still one distributed agg),
+        // then range-check on the driver: a table sum past 2^63 raises the
+        // DIRECTED wideInt error instead of ANSI's bare ARITHMETIC_OVERFLOW
+        val wide = df.agg(coalesce(sum(col("value").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0)))).head().getDecimal(0)
+        // bitLength excludes the sign bit: -2^63 (in range) is 63, 2^63 and
+        // -2^63-1 (out of range) are 64
+        val bi = wide.toBigInteger
+        if (bi.bitLength > 63)
+          throw new ArithmeticException(
+            s"TInt overflow: table sum $bi exceeds the 64-bit default " +
+              "mapping — fiat2 TInt is unbounded Z; compile with " +
+              "Env(wideInt = true) for the Decimal(38,0) mapping")
+        CV(lit(bi.longValueExact()))
       case (AGSum, TV(df)) => CV(lit(
         df.agg(coalesce(sum(col("value")), lit(0L)).as("value"))
           .head().get(0)))
       case (AGCount, TV(df)) => CV(lit(df.count()))
-      case (AGSum, CV(c)) => CV(aggregate(c, lit(0L), (a, v) => a + v))
+      case (AGSum, CV(c)) => CV(if (env.wideInt)
+          aggregate(c, lit(0).cast(DecimalType(38, 0)), (a, v) => a + v)
+        else aggregate(c, lit(0L), (a, v) => Fiat2.checkedAdd(a, v)))
       case (AGCount, CV(c)) => CV(size(c).cast("long"))
     }
 
@@ -1810,11 +1940,13 @@ object Compiler {
 
     case EBagOf(l) => compile(l, env) match {
       case TV(df) => TV(df) // DataFrames are bags natively
-      case CV(c) => CV(sort_array(c)) // canonical nested bag
+      case CV(c) => // canonical nested bag: REFERENCE element order
+        CV(CanonOrder.sortArray(c, synthElem(l, env), env.wordWidth))
     }
     case ESetOf(l) => compile(l, env) match {
       case TV(df) => TV(df.distinct())
-      case CV(c) => CV(Fiat2.setOfArray(c))
+      case CV(c) => CV(CanonOrder.sortArray(array_distinct(c),
+        synthElem(l, env), env.wordWidth))
     }
   }
 
@@ -1878,9 +2010,17 @@ object Compiler {
     lazy val v1 = compile(e1, env)
     lazy val v2 = compile(e2, env)
     op match {
-      case OPlus => CV(asCV(v1) + asCV(v2))
-      case OMinus => CV(asCV(v1) - asCV(v2))
-      case OTimes => CV(asCV(v1) * asCV(v2))
+      // default TInt (Long) path: overflow-checked with a DIRECTED error
+      // naming wideInt (the reference's TInt is unbounded Z, Value.v:12 —
+      // a silent wrap or a bare ANSI error would both mis-serve it). The
+      // wideInt (Decimal(38,0)) path keeps plain ops: ANSI checks them at
+      // 10^38, the documented headroom of the wide mapping.
+      case OPlus => CV(if (env.wideInt) asCV(v1) + asCV(v2)
+        else Fiat2.checkedAdd(asCV(v1), asCV(v2)))
+      case OMinus => CV(if (env.wideInt) asCV(v1) - asCV(v2)
+        else Fiat2.checkedSub(asCV(v1), asCV(v2)))
+      case OTimes => CV(if (env.wideInt) asCV(v1) * asCV(v2)
+        else Fiat2.checkedMul(asCV(v1), asCV(v2)))
       case ODiv => CV(if (env.wideInt) Fiat2.edivWide(asCV(v1), asCV(v2))
         else Fiat2.ediv(asCV(v1), asCV(v2)))
       case OMod => CV(Fiat2.emod(asCV(v1), asCV(v2)))
@@ -1933,11 +2073,14 @@ object Compiler {
       // fiat2/src/fiat2/Interpret.v:186-193.
       case OBagInsert => (v1, v2) match {
         case (TV(df), elem) => TV(consRow(asCV(elem), df))
-        case (a, b) => CV(sort_array(concat(asCV(a), array(asCV(b)))))
+        case (a, b) => CV(CanonOrder.sortArray(
+          concat(asCV(a), array(asCV(b))), synthElem(e1, env), env.wordWidth))
       }
       case OSetInsert => (v1, v2) match {
         case (TV(df), elem) => TV(consRow(asCV(elem), df).distinct())
-        case (a, b) => CV(Fiat2.setInsert(asCV(a), asCV(b)))
+        case (a, b) => CV(CanonOrder.sortArray(
+          array_union(asCV(a), array(asCV(b))), synthElem(e1, env),
+          env.wordWidth))
       }
     }
   }

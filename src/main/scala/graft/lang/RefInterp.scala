@@ -52,9 +52,9 @@ object RefInterp {
   // Only same-type comparisons occur in well-typed programs; the cross-type
   // arms of the reference's total order are therefore not needed. Words
   // compare UNSIGNED (`word.ltu`, Value.v:118-119); None < Some
-  // (Value.v:126-130); lists/records/dicts lexicographic. Bags compare as
-  // their canonical element vectors (engine encoding — the reference's
-  // (value, count) pairs can order differently; see README divergences).
+  // (Value.v:126-130); lists/records/dicts lexicographic; bags by their
+  // (value, multiplicity) run-length pairs (Value.v:110-113) — the engine
+  // side realizes the same order via CanonOrder sort keys.
   def cmp(a: V, b: V): Int = (a, b) match {
     case (VUnit, VUnit) => 0
     case (VW(x), VW(y)) => java.lang.Long.compareUnsigned(x, y)
@@ -67,7 +67,14 @@ object RefInterp {
     case (VOpt(Some(_)), VOpt(None)) => 1
     case (VOpt(Some(x)), VOpt(Some(y))) => cmp(x, y)
     case (VList(x), VList(y)) => cmpSeq(x, y)
-    case (VBag(x), VBag(y)) => cmpSeq(x, y)
+    // bags compare as their sorted (value, multiplicity) RUN-LENGTH pairs
+    // (`list_to_bag` canonical form, fiat2/src/fiat2/Value.v:110-113,
+    // Interpret.v:112-124) — value first, then count: {a,a,b} > {a,c}
+    // because (a,2) > (a,1), where the flat element lists would say LT
+    case (VBag(x), VBag(y)) =>
+      cmpWith[(V, Int)](runLength(x), runLength(y), (p, q) => {
+        val c = cmp(p._1, q._1); if (c != 0) c else p._2.compareTo(q._2)
+      })
     case (VSet(x), VSet(y)) => cmpSeq(x, y)
     case (VDict(x), VDict(y)) =>
       cmpWith[(V, V)](x, y, (p, q) => {
@@ -82,6 +89,14 @@ object RefInterp {
         b.getClass.getSimpleName)
   }
   private def cmpSeq(x: Vector[V], y: Vector[V]): Int = cmpWith[V](x, y, cmp)
+  /** Run-length encode a CANONICAL (cmp-sorted) bag element vector. */
+  private def runLength(xs: Vector[V]): Vector[(V, Int)] =
+    xs.foldRight(Vector.empty[(V, Int)]) { (v, acc) =>
+      acc.headOption match {
+        case Some((w, n)) if cmp(v, w) == 0 => (w, n + 1) +: acc.tail
+        case _ => (v, 1) +: acc
+      }
+    }
   private def cmpWith[A](x: Vector[A], y: Vector[A],
       f: (A, A) => Int): Int = {
     val it1 = x.iterator; val it2 = y.iterator

@@ -82,20 +82,68 @@ object Collections {
     // `list_to_bag`, fiat2/src/fiat2/Interpret.v:112-124), produced by the
     // O(n log n) run-length converter: per region, the bag of nation-name
     // final characters as canonical sorted pairs, serialized to JSON so the
-    // exact encoding (order, counts) is what the oracle compares.
+    // exact encoding (order, counts) is what the oracle compares. `pos`
+    // additionally RANKS the bags under the reference's `bag_compare` —
+    // lexicographic over the (value, count) pairs (fiat2/src/fiat2/
+    // Value.v:110-113), the order CanonOrder keys realize engine-side —
+    // pinning bag-in-collection sort position against the oracle (r11).
     GraftQuery.sql("q_bag_encoding",
       """WITH c AS (
         |  SELECT n_regionkey AS rk, substr(n_name, -1, 1) AS v, COUNT(*) AS cnt
-        |  FROM nation GROUP BY 1, 2)
-        |SELECT CAST(rk AS BIGINT) AS rk,
-        |  to_json(list_sort(list(struct_pack(value := v, count := cnt)))) AS bag
-        |FROM c GROUP BY rk ORDER BY rk""".stripMargin) { (s, dir) =>
+        |  FROM nation GROUP BY 1, 2),
+        |b AS (
+        |  SELECT CAST(rk AS BIGINT) AS rk,
+        |    list_sort(list(struct_pack(value := v, count := cnt))) AS pairs
+        |  FROM c GROUP BY rk)
+        |SELECT rk, to_json(pairs) AS bag,
+        |  CAST(rank() OVER (ORDER BY pairs) AS BIGINT) AS pos
+        |FROM b ORDER BY rk""".stripMargin) { (s, dir) =>
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       Tables.load(s, dir, "nation")
         .groupBy($"n_regionkey".cast("long").as("rk"))
         .agg(collect_list(substring($"n_name", -1, 1)).as("vs"))
-        .select($"rk", to_json(Fiat2.bagOfArray($"vs")).as("bag"))
+        .select($"rk", Fiat2.bagOfArray($"vs").as("pairs"))
+        .select($"rk", to_json($"pairs").as("bag"),
+          rank().over(Window.orderBy($"pairs")).cast("long").as("pos"))
         .orderBy("rk")
+    },
+
+    // ESort over a COLLECTION OF WORDS sorts UNSIGNED (`value_compare` via
+    // `word.ltu`, fiat2/src/fiat2/Value.v:118-119) — the CanonOrder
+    // sign-bit key path, oracle-pinned (r11): per order, the lineitems'
+    // partkey-derived words (spanning the 2^63 sign boundary) sorted by
+    // the LANG-compiled ESort, with positions. The DuckDB oracle realizes
+    // unsigned 64-bit order as (w < 0, w): non-negatives ascending first,
+    // then negatives ascending (= residues 2^63..2^64-1).
+    GraftQuery.sql("q_sort_word_unsigned",
+      """WITH w AS (
+        |  SELECT l_orderkey AS k,
+        |    (l_partkey - 1000) * 35184372088832 AS w
+        |  FROM lineitem)
+        |SELECT k, w,
+        |  CAST(row_number() OVER (PARTITION BY k ORDER BY (w < 0), w) - 1
+        |    AS BIGINT) AS pos
+        |FROM w ORDER BY k, pos""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.lang.{Compiler, Lang}
+      import Lang._
+      val grouped = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey".as("k"),
+          (($"l_partkey" - 1000).cast("long") * 35184372088832L).as("w"))
+        .groupBy($"k").agg(collect_list($"w").as("xs"))
+      // the engine's own ESort over a TList(TWord) value — compiles to the
+      // decorate-sort-undecorate unsigned-key form, all inside codegen
+      val sorted = Compiler.compile(ESort(LikeList, EVar("xs")),
+        Compiler.Env(Map("xs" -> Compiler.CV(col("xs"))), Map.empty, s,
+          varTypes = Map("xs" -> TList(TWord)))) match {
+        case Compiler.CV(c) => c
+        case other => sys.error(s"scalar sort expected, got $other")
+      }
+      grouped
+        .select($"k", posexplode(sorted).as(Seq("pos", "w")))
+        .select($"k", $"pos".cast("long").as("pos"), $"w")
+        .orderBy("k", "pos")
     },
 
     // EFold over a nested list (fiat2/src/fiat2/Interpret.v:313-319): per

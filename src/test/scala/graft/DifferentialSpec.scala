@@ -20,11 +20,12 @@ import graft.lang.Compiler.{CV, Env, TV}
   * TypeSound.v). Seeds are fixed: failures reproduce.
   *
   * Deliberate generator exclusions, each a DOCUMENTED divergence or a
-  * separately-tested surface: TWord inside collections (engine sorts words
-  * signed — README), int literals are small so ANSI Long overflow (README
-  * divergence #1) stays out of reach, and table-level `EFold`/`EFlatmap2`
-  * run over `ESort`ed inputs only (top-level DataFrames expose canonical
-  * order, not list order — README).
+  * separately-tested surface: int literals are small so the directed
+  * default-TInt overflow error (README) stays out of reach, and
+  * table-level `EFold`/`EFlatmap2` run over `ESort`ed inputs only
+  * (top-level DataFrames expose canonical order, not list order — README).
+  * TWord inside collections generates since r11: CanonOrder keys make
+  * word collections sort/canonicalize unsigned like the reference.
   */
 class DifferentialSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -41,16 +42,19 @@ class DifferentialSpec extends AnyFunSuite {
 
   private val fieldNames = Vector("a", "b", "c", "d")
 
-  /** Types allowed as collection elements / dict keys: no TWord (signed vs
-    * unsigned sort divergence), no TUnit, no TOption directly under
-    * TOption or as a dict value (the nullable encoding flattens
-    * Some(None)/None — SURVEY §1.5). */
+  /** Types allowed as collection elements / dict keys: TWord INCLUDED
+    * since r11 (collections of words sort/canonicalize unsigned through
+    * CanonOrder keys, closing the former signed-sort divergence — this
+    * generator is the regression tripwire for it); no TUnit, no TOption
+    * directly under TOption or as a dict value (the nullable encoding
+    * flattens Some(None)/None — SURVEY §1.5). */
   private def genType(rnd: Random, d: Int, allowOpt: Boolean = true): FType =
-    if (d <= 0) rnd.nextInt(4) match {
+    if (d <= 0) rnd.nextInt(5) match {
       case 0 | 1 => TInt
       case 2 => TBool
       case 3 => TString
-    } else rnd.nextInt(10) match {
+      case 4 => TWord
+    } else rnd.nextInt(11) match {
       case 0 | 1 => TInt
       case 2 => TBool
       case 3 => TString
@@ -61,11 +65,13 @@ class DifferentialSpec extends AnyFunSuite {
       case 8 => TSet(genType(rnd, d - 1))
       case 9 =>
         if (rnd.nextBoolean())
-          TDict(if (rnd.nextBoolean()) TInt else TString,
-            genType(rnd, d - 1, allowOpt = false))
+          TDict(rnd.nextInt(3) match {
+            case 0 => TInt; case 1 => TString; case 2 => TWord
+          }, genType(rnd, d - 1, allowOpt = false))
         else
           TRecord(fieldNames.take(2 + rnd.nextInt(2)).toList
             .map(n => n -> genType(rnd, d - 1)))
+      case 10 => TWord
     }
 
   private def genValue(t: FType, rnd: Random): V = t match {
@@ -165,9 +171,7 @@ class DifferentialSpec extends AnyFunSuite {
           // wrap-fold an OWRange back to a word: hi = lo + small keeps the
           // length ≤ 8 at every width (or empty when the add wraps past
           // lo), so the unsigned-length wrap semantics get fuzzed without
-          // materializing a large range. TList(TWord) can't be generated
-          // via genType (signed-sort divergence), so this is OWRange's
-          // only random-program entry point.
+          // materializing a large range.
           val lo = fresh("lo"); val x = fresh("x"); val a = fresh("a")
           EFold(
             ELet(sub(TWord, 1), lo, EBinop(OWRange, EVar(lo),
@@ -585,7 +589,8 @@ class DifferentialSpec extends AnyFunSuite {
         s"[table case $i] type mismatch for:\n${show(prog)}")
       val expected = interp(prog, renv)
       Compiler.compileProgram(prog,
-        Env(Map.empty, Map("t1" -> d1, "t2" -> d2), spark)) match {
+        Env(Map.empty, Map("t1" -> d1, "t2" -> d2), spark,
+          storeTypes = storeT)) match {
         case TV(df) =>
           val got = collectTable(df, et)
           val want = sortedV(elems(expected))
@@ -1571,6 +1576,50 @@ class DifferentialSpec extends AnyFunSuite {
             show(prog))
       }
     }
+  }
+
+  test("notation round-trip: pretty -> parse is identity and compile-equivalent on surface forms") {
+    // The reference pins its notation round-trips as Goal-based tests
+    // (fiat2/src/fiat2/Notations.v:152-255). Differential analog (r11):
+    // random WELL-TYPED ASTs from this spec's generators, pretty-printed
+    // (`Pretty`) and re-parsed (`Parser.parseExpr`) — the reparse must be
+    // structurally identical (hence trivially compile-equivalent), and the
+    // round-tripped AST must still evaluate to the generator AST's value
+    // through BOTH RefInterp and the Spark compiler. Forms outside the
+    // surface notation (relational nodes, word/sort/dict-fold operators,
+    // negative int literals and other non-surface atoms) raise the
+    // DIRECTED `Pretty.Unprintable` — the pinned failure mode, never a
+    // silently-wrong print.
+    var printable = 0; var unprintable = 0; var sparkChecked = 0; var i = 0
+    while (printable < 100 && i < 3000) {
+      val rnd = new Random(12000 + i); i += 1
+      val t = genType(rnd, 1 + rnd.nextInt(2))
+      val e = genExpr(t, Vector.empty, rnd, 2 + rnd.nextInt(2))
+      try {
+        val printed = Pretty(e)
+        val reparsed = Parser.parseExpr(printed)
+        assert(reparsed == e,
+          s"[rt $i] reparse differs\nprinted: $printed\nAST: $e\n" +
+            s"reparsed: $reparsed")
+        printable += 1
+        val ref = interp(e, REnv())
+        assert(cmp(interp(reparsed, REnv()), ref) == 0,
+          s"[rt $i] reference value differs after round-trip\n$printed")
+        try {
+          val got = compiledScalar(reparsed, t)
+          assert(cmp(got, ref) == 0,
+            s"[rt $i] compiled round-trip value differs\n$printed")
+          sparkChecked += 1
+        } catch { case ex: Throwable if isOverflow(ex) => () }
+      } catch {
+        case _: Pretty.Unprintable => unprintable += 1
+      }
+    }
+    info(s"$printable printable round-tripped ($sparkChecked Spark-checked), " +
+      s"$unprintable pinned Unprintable, $i seeds")
+    assert(printable >= 100, s"only $printable printable seeds of $i")
+    assert(sparkChecked >= 50,
+      s"only $sparkChecked of $printable round-trips Spark-checked")
   }
 
   test("gate-only correlated aggregates: global-agg-then-broadcast == reference per-row loops") {

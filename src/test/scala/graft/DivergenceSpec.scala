@@ -33,28 +33,63 @@ class DivergenceSpec extends AnyFunSuite {
     assert(evalCompiled(e) == 1L)
   }
 
-  test("collections of words sort signed in the engine, unsigned in the reference") {
+  test("collections of words sort UNSIGNED — engine matches the reference (closed r11)") {
+    // reference `value_compare` orders words via `word.ltu`
+    // (fiat2/src/fiat2/Value.v:118-119): -1 as a word is 2^64-1, the
+    // LARGEST value. The engine realizes the same order with a CanonOrder
+    // sign-bit key in the sort paths (formerly the pinned signed-sort
+    // divergence).
     val l = EBinop(OCons, EAtom(AWord(-1L)),
       EBinop(OCons, EAtom(AWord(1L)), EAtom(ANil(TWord))))
     val sorted = ESort(LikeList, l)
-    // reference: -1 as a word is 2^64-1, the LARGEST value
     assert(interp(sorted, REnv()) == VList(Vector(VW(1L), VW(-1L))))
-    // engine: bare longs sort signed
-    assert(evalCompiled(sorted) ==
-      scala.collection.mutable.ArraySeq(-1L, 1L))
-    // the scalar comparison is exact in both: OWLessU is unsigned
+    assert(evalCompiled(sorted).asInstanceOf[scala.collection.Seq[Long]]
+      .toSeq == Seq(1L, -1L))
+    // scalar comparison was always exact in both: OWLessU is unsigned
     assert(interp(EBinop(OWLessU, EAtom(AWord(1L)), EAtom(AWord(-1L))),
       REnv()) == VB(true))
     assert(evalCompiled(EBinop(OWLessU, EAtom(AWord(1L)),
       EAtom(AWord(-1L)))) == true)
+    // sub-64 Long widths store SIGN-EXTENDED, keyed by unsigned-residue
+    // mask: width 32's -1 (= 2^32-1) likewise sorts LAST
+    val sorted32 = Compiler.compile(sorted,
+      Env(Map.empty, Map.empty, spark, wordWidth = 32)) match {
+      case CV(c) => spark.range(1).select(c.as("v")).head.getSeq[Long](0)
+      case _ => fail("expected a scalar")
+    }
+    assert(sorted32.toSeq == Seq(1L, -1L))
+    assert(interp(sorted, REnv(Map.empty, Map.empty, width = 32)) ==
+      VList(Vector(VW(1L), VW(-1L))))
+    // and canonical SET order over words is the same unsigned order
+    val asSet = ESort(LikeList, ESetOf(l))
+    assert(interp(asSet, REnv()) == VList(Vector(VW(1L), VW(-1L))))
+    assert(evalCompiled(asSet).asInstanceOf[scala.collection.Seq[Long]]
+      .toSeq == Seq(1L, -1L))
   }
 
-  test("TInt overflows past 2^63 by default; wideInt and the reference grow") {
+  test("default-TInt overflow raises a DIRECTED error naming wideInt; wideInt and the reference grow") {
+    // reference TInt is unbounded Z (fiat2/src/fiat2/Value.v:12). The
+    // default Long mapping cannot grow, so past 2^63 the engine raises a
+    // DIRECTED error pointing at the fix (Env(wideInt = true)) — r11,
+    // formerly a silent/ANSI-bare boundary.
+    def directed(e: Expr): Unit = {
+      val err = intercept[Exception] { evalCompiled(e) }
+      assert(err.getMessage.contains("wideInt"),
+        s"expected the directed wideInt error, got: ${err.getMessage}")
+    }
     val big = EBinop(OTimes, EAtom(AInt(1L << 62)), EAtom(AInt(4)))
     assert(interp(big, REnv()) == VI(BigInt(1L << 62) * 4)) // reference: Z
-    val err = intercept[Exception] { evalCompiled(big) } // default: ANSI
-    assert(err.getMessage.contains("ARITHMETIC_OVERFLOW") ||
-      err.getMessage.toLowerCase.contains("overflow"))
+    directed(big)
+    directed(EBinop(OPlus, EAtom(AInt(Long.MaxValue)), EAtom(AInt(1))))
+    directed(EBinop(OMinus, EAtom(AInt(Long.MinValue)), EAtom(AInt(1))))
+    directed(EUnop(ONeg, EAtom(AInt(Long.MinValue))))
+    // the boundary itself stays exact: MaxValue + 0, MinValue * 1, -(Max)
+    assert(evalCompiled(EBinop(OPlus, EAtom(AInt(Long.MaxValue)),
+      EAtom(AInt(0)))) == Long.MaxValue)
+    assert(evalCompiled(EBinop(OTimes, EAtom(AInt(Long.MinValue)),
+      EAtom(AInt(1)))) == Long.MinValue)
+    assert(evalCompiled(EUnop(ONeg, EAtom(AInt(Long.MaxValue)))) ==
+      -Long.MaxValue)
     val wide = Compiler.compile(big,
       Env(Map.empty, Map.empty, spark, wideInt = true)) match {
       case CV(c) => spark.range(1).select(c.as("v")).head.get(0)
@@ -126,28 +161,28 @@ class DivergenceSpec extends AnyFunSuite {
       s"expected the directed rewrite-as-EJoin error, got: ${err.getMessage}")
   }
 
-  test("bag sort position differs between element-array and (value,count) encodings") {
-    // {a,a,b} vs {a,c} with a<b<c: element arrays order them Lt; the
-    // reference's run-length pairs order them Gt — the one place the
-    // engine's bag encoding is OBSERVABLE, and only via sort position of
-    // bags nested inside ordered collections. Equality agrees everywhere.
-    def runLength(xs: Vector[V]): Vector[(V, Int)] =
-      xs.foldRight(Vector.empty[(V, Int)]) { (v, acc) =>
-        acc.headOption match {
-          case Some((w, n)) if cmp(v, w) == 0 => (w, n + 1) +: acc.tail
-          case _ => (v, 1) +: acc
-        }
-      }
-    def coqBagCompare(a: Vector[V], b: Vector[V]): Int = {
-      val (ra, rb) = (runLength(a), runLength(b))
-      ra.zip(rb).iterator.map { case ((v1, n1), (v2, n2)) =>
-        val c = cmp(v1, v2); if (c != 0) c else n1.compareTo(n2)
-      }.find(_ != 0).getOrElse(ra.size.compareTo(rb.size))
-    }
+  test("nested bags sort by (value,count) run-length pairs — engine matches the reference (closed r11)") {
+    // {a,a,b} vs {a,c} with a<b<c: the reference's run-length pairs order
+    // them GT ((a,2) > (a,1), fiat2/src/fiat2/Value.v:110-113) where flat
+    // element arrays would say LT. RefInterp.cmp now implements the pair
+    // order, and the engine realizes it with a CanonOrder run-length sort
+    // key — STORAGE stays the sorted element array (equality agrees either
+    // way), only comparisons are keyed. Formerly a pinned divergence.
     val bagA = Vector[V](VI(1), VI(1), VI(2)) // {a,a,b}
     val bagB = Vector[V](VI(1), VI(3)) // {a,c}
-    assert(cmp(VBag(bagA), VBag(bagB)) < 0) // engine/RefInterp: element-wise
-    assert(coqBagCompare(bagA, bagB) > 0) // reference: (value,count) pairs
+    assert(cmp(VBag(bagA), VBag(bagB)) > 0) // (value,count) pair order
+    // end-to-end: a LIST of the two bags, sorted — bagB must come FIRST
+    def intList(xs: Long*): Expr =
+      xs.foldRight[Expr](EAtom(ANil(TInt))) { (v, acc) =>
+        EBinop(OCons, EAtom(AInt(v)), acc) }
+    val pair = EBinop(OCons, EBagOf(intList(1, 1, 2)),
+      EBinop(OCons, EBagOf(intList(1, 3)), EAtom(ANil(TBag(TInt)))))
+    val sorted = ESort(LikeList, pair)
+    assert(interp(sorted, REnv()) == VList(Vector(
+      VBag(Vector(VI(1), VI(3))), VBag(Vector(VI(1), VI(1), VI(2))))))
+    val got = evalCompiled(sorted).asInstanceOf[scala.collection.Seq[_]]
+      .map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq).toSeq
+    assert(got == Seq(Seq(1L, 3L), Seq(1L, 1L, 2L)))
   }
 
   test("word family boundaries: 125 wraps in Decimal, 126+ wraps in bytes (no ceiling)") {

@@ -85,6 +85,60 @@ class ToPythonSpec extends AnyFunSuite {
       s"python=$out engine=$engine for program:\n$py")
   }
 
+  test("full command program under real CPython == RefInterp (program_py, ToPython.v:231)") {
+    // The reference's `program_py` (fiat2/src/fiat2/ToPython.v:231-232)
+    // renders WHOLE PROGRAMS — mutable cells, loops, conditionals — not
+    // just expressions. Differential (r11): one program exercising
+    // CLetMut / CForeach / CIf / CSeq / CAssign over int, word, and
+    // table cells, executed under real CPython, every final store cell
+    // compared against RefInterp. (The Spark side of the same command
+    // layer is covered by DifferentialSpec's command battery.)
+    import scala.sys.process._
+    import graft.lang.RefInterp._
+    val havePython = try {
+      Seq("python3", "-c", "print(1)").!!.trim == "1"
+    } catch { case _: Exception => false }
+    assume(havePython, "python3 not available")
+
+    val prog: Command = CSeq(
+      CLetMut(litList(Seq(1, 2, 3, 4, 5, 6)), "t",
+        CSeq(
+          CForeach(ELoc("t"), "x",
+            CIf(EBinop(OLess, EAtom(AInt(3)), EVar("x")),
+              CSeq(
+                CAssign("acc", EBinop(OPlus, ELoc("acc"),
+                  EBinop(OTimes, EVar("x"), EVar("x")))),
+                CAssign("wacc", EBinop(OWTimes, ELoc("wacc"),
+                  EAtom(AWord(2654435761L))))),
+              CAssign("acc", EBinop(OMinus, ELoc("acc"), EVar("x"))))),
+          CAssign("tbl", EProj(LikeList, ELoc("t"), "y",
+            EBinop(OPlus, EVar("y"), ELoc("acc")))))),
+      CAssign("acc", EBinop(OTimes, ELoc("acc"), EAtom(AInt(7)))))
+
+    val fin = RefInterp.run(prog, REnv(
+      "acc" -> VI(0), "wacc" -> VW(1L), "tbl" -> VList(Vector.empty[V])))
+    // prelude + store-cell initializers + the extracted program + prints
+    val prelude = ToPython.preludeFor(64)
+    val body = ToPython.program(prog, wordWidth = 64).stripPrefix(prelude)
+    val py = prelude + "acc = 0\nwacc = 1\ntbl = []\n" + body +
+      "print(acc)\nprint(wacc)\nprint(tbl)\n"
+    val f = java.nio.file.Files.createTempFile("graft_topyc_", ".py")
+    java.nio.file.Files.writeString(f, py)
+    val out = Seq("python3", f.toString).!!.trim.linesIterator.toVector
+    java.nio.file.Files.delete(f)
+    def render(v: V): String = v match {
+      case VI(x) => x.toString
+      case VW(x) => x.toString // __w keeps the signed view, like VW
+      case VList(xs) => xs.map(render).mkString("[", ", ", "]")
+      case o => fail(s"unexpected store value $o")
+    }
+    assert(out === Vector(
+      render(fin.store("acc")), render(fin.store("wacc")),
+      render(fin.store("tbl"))),
+      s"python=${out.mkString("|")} reference acc=${fin.store("acc")} " +
+        s"wacc=${fin.store("wacc")} tbl=${fin.store("tbl")}\n$py")
+  }
+
   test("extracted word ops are wrap-faithful at widths 64, 16, 100 and 256 (CPython vs RefInterp)") {
     import scala.sys.process._
     import graft.lang.RefInterp._
