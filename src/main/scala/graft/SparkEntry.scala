@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Stats.queries ++
       operators.Dedup.queries ++
       operators.Curation.queries ++
+      operators.PipelineFull.queries ++
       operators.Pii.queries ++
       operators.Changelog.queries ++
       operators.Analytics.queries ++

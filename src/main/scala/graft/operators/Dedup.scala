@@ -133,7 +133,7 @@ object Dedup {
             size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
   }
 
-  private def verified(dsets: DataFrame, cands: DataFrame): DataFrame =
+  private[operators] def verified(dsets: DataFrame, cands: DataFrame): DataFrame =
     jaccardForCandidates(dsets, cands)
       .filter(col("jaccard") >= 0.5).orderBy("a", "b")
 

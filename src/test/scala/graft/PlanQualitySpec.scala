@@ -538,4 +538,53 @@ class PlanQualitySpec extends AnyFunSuite {
         (l.contains("HashJoin") && l.contains("[cid#"))),
       s"pair join not keyed on the cell id:\n$p")
   }
+
+  test("q_pipeline_full stage plans: no cartesian products, survivors consumed from sealed checkpoints") {
+    // The composed curation DAG runs one Spark action per stage (count +
+    // digest aggregates, plus the training/dedup stage bodies). The scale
+    // contract is that NO stage multiplies another's data movement: every
+    // pair space is keyed (digest window / shingle buckets / cid cells),
+    // every stage consumes the PREVIOUS stage's sealed (localCheckpoint)
+    // survivor set instead of re-deriving the corpus chain, and nothing
+    // ever degrades to an unkeyed product. Capture every per-action
+    // executed plan via a QueryExecutionListener and assert both.
+    // (BroadcastNestedLoopJoin is allowed ONLY for the one-row mixture
+    // cmax constant — a broadcast of a single aggregate row.)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val rows =
+      try {
+        val out = SparkEntry.queries("q_pipeline_full")(spark, TestSpark.sfDir)
+          .collect()
+        // the listener bus is async — wait until the callback count settles
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var last = -1
+        while (System.nanoTime() < deadline && plans.size != last) {
+          last = plans.size; Thread.sleep(300)
+        }
+        out
+      } finally spark.listenerManager.unregister(listener)
+    assert(rows.length == 9, "expected the 9-stage attrition vector")
+    import scala.jdk.CollectionConverters._
+    val ps = plans.asScala.toVector
+    assert(ps.size >= 9, s"expected at least one plan per stage, got ${ps.size}")
+    ps.foreach { p =>
+      assert(!p.contains("CartesianProduct"),
+        s"a pipeline stage degraded to a cartesian product:\n$p")
+    }
+    // sealed-survivor consumption: the digest/count aggregates and stage
+    // bodies must read the checkpointed RDD scans, not re-derive lineage
+    val sealedReads = ps.count(_.contains("Scan ExistingRDD"))
+    assert(sealedReads >= 8,
+      s"only $sealedReads stage plans read sealed survivor sets — " +
+        s"stages are re-deriving upstream lineage")
+  }
 }
