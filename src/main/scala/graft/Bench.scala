@@ -43,7 +43,6 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     warmTextPipeline(spark)
     warmStreaming(spark)
-    val wallWarm = wallMark("warmup", wall0)
     // local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b benches a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -55,6 +54,49 @@ object Bench {
         SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    // UNTIMED per-query warm execution (round-11 directive): rep 1 of
+    // nearly every query ran 1.5-2.5x its median — query-specific Janino
+    // codegen + JIT warm-in charged to the measurement, burning a third of
+    // the timed pass wall. One warm execution per query moves that cost
+    // out of the timed window; warm needs no timing fidelity, so it runs
+    // CONCURRENTLY (bounded lanes — local[32] has idle cores during any
+    // single small-SF query) to keep the added wall far below one serial
+    // pass. Safe concurrently: StreamConf serializes session-conf scoping,
+    // per-query temp dirs are unique, and a query that races another into
+    // an exception just forfeits its warmup (the timed pass reports real
+    // failures). Caches/indexes are dropped once afterwards, so the first
+    // timed rep still pays its full plan cost — only JVM-level warmth
+    // (codegen cache, JIT) carries over, which is exactly the point.
+    val warmLanes = sys.env.getOrElse("SPARK_GRAFT_WARM_LANES", "6").toInt
+    if (warmLanes > 0) {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val beforeWarm = spark.sparkContext.getPersistentRDDs.keySet
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(warmLanes)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      val warmFailed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val futs = selected.toVector.map { case (name, fn) =>
+        Future {
+          try { fn(spark, sfDir).count(); () }
+          catch { case e: Throwable =>
+            warmFailed.incrementAndGet()
+            System.err.println(s"[bench-warm] $name: ${e.getMessage}")
+          }
+        }
+      }
+      Await.result(Future.sequence(futs), Duration(900, "s"))
+      pool.shutdown()
+      if (warmFailed.get() > 0)
+        System.err.println(s"[bench-warm] ${warmFailed.get()} warm " +
+          "executions failed (timed pass will report real failures)")
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !beforeWarm(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      graft.plans.KeyedIndexRule.clear()
+    }
+    val wallWarm = wallMark("warmup", wall0)
     // Median of 3 runs per query: single cold timings on this box swing
     // ±40% on identical code (JIT/GC scheduling), which made round-over-
     // round deltas unreadable. Every rep pays the full plan cost (caches
