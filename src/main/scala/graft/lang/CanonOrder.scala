@@ -62,6 +62,12 @@ object CanonOrder {
       case TWord =>
         if (width == 64) c.bitwiseXOR(lit(Long.MinValue))
         else c.bitwiseAND(lit((1L << width) - 1))
+      // boxed nested option (sparkType: struct("s")): rebuild the box
+      // around the inner key. A null (None) input rebuilds to a non-null
+      // struct-of-null-key, which can only collide with Some(None)'s key;
+      // the decorate tie-break then falls to the raw value where null
+      // sorts first — again exactly None < Some.
+      case TOption(u @ TOption(_)) => struct(key(c("s"), u, width).as("s"))
       case TOption(u) => key(c, u, width)
       case TList(u) => transform(c, e => key(e, u, width))
       // stored raw-sorted; the reference enumerates/compares in ITS order,

@@ -228,6 +228,14 @@ object Compiler {
     case TBool => BooleanType
     case TString => StringType
     case TUnit => NullType
+    // options are nullable columns of the inner type — EXCEPT an option
+    // DIRECTLY over an option, which boxes the inner in a single-field
+    // struct so Some(None) (non-null struct holding null) stays distinct
+    // from None (null struct). The box recurses: TOption^n nests n-1
+    // boxes. Closed in r11 — formerly the nested-option-flattening
+    // divergence (the reference's values nest freely, Value.v:5-22).
+    case TOption(u @ TOption(_)) => StructType(Seq(
+      StructField("s", sparkType(u, wideInt, wordWidth))))
     case TOption(u) => sparkType(u, wideInt, wordWidth)
     case TList(u) => ArrayType(sparkType(u, wideInt, wordWidth))
     case TBag(u) => ArrayType(sparkType(u, wideInt, wordWidth))
@@ -1212,7 +1220,10 @@ object Compiler {
       case AString(v) => lit(v)
       case ANil(t) => array().cast(ArrayType(
         sparkType(t, env.wideInt, env.wordWidth)))
-      case ANone(t) => lit(null).cast(sparkType(t, env.wideInt, env.wordWidth))
+      // None : TOption(t) — cast to the OPTION's encoding (boxed struct
+      // when t is itself an option; the inner type's encoding otherwise)
+      case ANone(t) =>
+        lit(null).cast(sparkType(TOption(t), env.wideInt, env.wordWidth))
       case AEmptyDict(k, v) =>
         array().cast(sparkType(TDict(k, v), env.wideInt, env.wordWidth))
       case AEmptyBag(t) => array().cast(ArrayType(
@@ -1238,7 +1249,13 @@ object Compiler {
       case (ONot, v) => CV(!asCV(v))
       case (OLengthString, v) => CV(length(asCV(v)).cast("long"))
       case (OIntToString, v) => CV(asCV(v).cast("string"))
-      case (OSome, v) => CV(asCV(v)) // nullable wrap is a no-op
+      case (OSome, v) => synthLite(e1, env) match {
+        // Some over an OPTION boxes (Some(None) must stay distinct from
+        // None — sparkType's nested-option struct); over any other type
+        // the nullable wrap is a no-op
+        case Some(TOption(_)) => CV(struct(asCV(v).as("s")))
+        case _ => CV(asCV(v))
+      }
     }
 
     case EBinop(op, e1, e2) => compileBinop(op, e1, e2, env)
@@ -1297,8 +1314,15 @@ object Compiler {
     case EOptMatch(e1, none, x, some) =>
       val c = asCV(compile(e1, env))
       val innerT = synthLite(e1, env).collect { case TOption(u) => u }
+      // a boxed scrutinee (option DIRECTLY over option) binds the box's
+      // payload, not the box — Some(None) then reaches the Some branch
+      // with x = None, exactly the reference (Interpret.v:340-345)
+      val unwrap: Column => Column = innerT match {
+        case Some(TOption(_)) => v => v("s")
+        case _ => v => v
+      }
       CV(Fiat2.optMatch(c, asCV(compile(none, env)),
-        v => asCV(compile(some, env.bindTyped(x, CV(v), innerT)))))
+        v => asCV(compile(some, env.bindTyped(x, CV(unwrap(v)), innerT)))))
 
     case EDictFold(d, z, k, v, acc, step) =>
       // fold_right over the sorted entries (Interpret.v:346-350) — sorted
@@ -2048,7 +2072,18 @@ object Compiler {
       // option-typed comparands need the null-safe `<=>` to match.
       case OEq => CV(asCV(v1) <=> asCV(v2))
       case ORange => CV(Fiat2.rangeList(asCV(v1), asCV(v2)))
-      case OLookup => CV(Fiat2.dictLookup(asCV(v1), asCV(v2)))
+      case OLookup => synthLite(e1, env) match {
+        // lookup : TOption(vt) — an OPTION-VALUED dict must box the found
+        // value (a found None is Some(None), distinct from a missing key)
+        case Some(TDict(_, vt @ TOption(_))) =>
+          val entry = get(filter(asCV(v1), e => e("key") <=> asCV(v2)),
+            lit(0))
+          CV(when(entry.isNull,
+            lit(null).cast(sparkType(TOption(vt), env.wideInt,
+              env.wordWidth)))
+            .otherwise(struct(entry("value").as("s"))))
+        case _ => CV(Fiat2.dictLookup(asCV(v1), asCV(v2)))
+      }
       case ODelete => CV(Fiat2.dictDelete(asCV(v1), asCV(v2)))
       case OConcat => (v1, v2) match {
         // Align by NAME (engine convention: name-sorted row structs) — a

@@ -481,6 +481,9 @@ object RefInterp {
     * guided by the language type. */
   def fromSpark(a: Any, t: FType): V = (t, a) match {
     case (TOption(_), null) => VOpt(None)
+    // boxed nested option (Compiler.sparkType: single-field struct "s")
+    case (TOption(u @ TOption(_)), r: org.apache.spark.sql.Row) =>
+      VOpt(Some(fromSpark(r.get(0), u)))
     case (TOption(u), x) => VOpt(Some(fromSpark(x, u)))
     case (_, null) => err(s"null at non-option type $t")
     case (TInt, x: Long) => VI(BigInt(x))

@@ -45,9 +45,11 @@ class DifferentialSpec extends AnyFunSuite {
   /** Types allowed as collection elements / dict keys: TWord INCLUDED
     * since r11 (collections of words sort/canonicalize unsigned through
     * CanonOrder keys, closing the former signed-sort divergence — this
-    * generator is the regression tripwire for it); no TUnit, no TOption
-    * directly under TOption or as a dict value (the nullable encoding
-    * flattens Some(None)/None — SURVEY §1.5). */
+    * generator is the regression tripwire for it), as are TOption
+    * DIRECTLY under TOption and option-valued dicts (the boxed
+    * nested-option encoding keeps Some(None) distinct from None and
+    * disambiguates lookup misses — the r11 closure of the last
+    * representation divergence). Only TUnit stays out (no data). */
   private def genType(rnd: Random, d: Int, allowOpt: Boolean = true): FType =
     if (d <= 0) rnd.nextInt(5) match {
       case 0 | 1 => TInt
@@ -58,7 +60,9 @@ class DifferentialSpec extends AnyFunSuite {
       case 0 | 1 => TInt
       case 2 => TBool
       case 3 => TString
-      case 4 if allowOpt => TOption(genType(rnd, 0))
+      case 4 if allowOpt => TOption(
+        if (rnd.nextInt(4) == 0) TOption(genType(rnd, 0))
+        else genType(rnd, 0))
       case 4 => TInt
       case 5 | 6 => TList(genType(rnd, d - 1))
       case 7 => TBag(genType(rnd, d - 1))
@@ -67,7 +71,7 @@ class DifferentialSpec extends AnyFunSuite {
         if (rnd.nextBoolean())
           TDict(rnd.nextInt(3) match {
             case 0 => TInt; case 1 => TString; case 2 => TWord
-          }, genType(rnd, d - 1, allowOpt = false))
+          }, genType(rnd, d - 1))
         else
           TRecord(fieldNames.take(2 + rnd.nextInt(2)).toList
             .map(n => n -> genType(rnd, d - 1)))

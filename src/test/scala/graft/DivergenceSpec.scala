@@ -23,14 +23,59 @@ class DivergenceSpec extends AnyFunSuite {
       case _ => fail("expected a scalar")
     }
 
-  test("nested options flatten: Some(None) is indistinguishable from None") {
-    // match (Some None) with None => 1 | Some _ => 5
+  test("nested options DON'T flatten: Some(None) is distinct from None (closed r11)") {
+    // Options are nullable columns, EXCEPT an option DIRECTLY over an
+    // option, which boxes the inner in a single-field struct
+    // (Compiler.sparkType) — so Some(None) (non-null box holding null)
+    // stays distinct from None (null box), like the reference's free
+    // value nesting (fiat2/src/fiat2/Value.v:5-22). Formerly the pinned
+    // nested-option-flattening divergence.
+    // match (Some None) with None => 1 | Some _ => 5 — the Some branch
     val e = EOptMatch(EUnop(OSome, EAtom(ANone(TInt))),
       EAtom(AInt(1)), "x", EAtom(AInt(5)))
-    // reference: the Some branch
     assert(interp(e, REnv()) == VI(5))
-    // engine: nullable encoding collapses Some(None) to null → None branch
-    assert(evalCompiled(e) == 1L)
+    assert(evalCompiled(e) == 5L)
+    // the binder carries the INNER option: re-matching it takes ITS None
+    // branch
+    val e2 = EOptMatch(EUnop(OSome, EAtom(ANone(TInt))),
+      EAtom(AInt(1)), "x",
+      EOptMatch(EVar("x"), EAtom(AInt(2)), "y", EVar("y")))
+    assert(interp(e2, REnv()) == VI(2))
+    assert(evalCompiled(e2) == 2L)
+    // deep equality distinguishes the three inhabitants
+    def eq(a: Expr, b: Expr) = EBinop(OEq, a, b)
+    val someNone: Expr = EUnop(OSome, EAtom(ANone(TInt)))
+    val none: Expr = EAtom(ANone(TOption(TInt)))
+    val someSome: Expr = EUnop(OSome, EUnop(OSome, EAtom(AInt(7))))
+    assert(evalCompiled(eq(someNone, none)) == false)
+    assert(evalCompiled(eq(someNone, someNone)) == true)
+    assert(evalCompiled(eq(someSome, someNone)) == false)
+    // canonical order: None < Some(None) < Some(Some 7) — sort position
+    // inside a collection, engine == reference
+    val lst = EBinop(OCons, someSome, EBinop(OCons, none,
+      EBinop(OCons, someNone, EAtom(ANil(TOption(TOption(TInt)))))))
+    val sorted = ESort(LikeList, lst)
+    assert(interp(sorted, REnv()) == VList(Vector(VOpt(None),
+      VOpt(Some(VOpt(None))), VOpt(Some(VOpt(Some(VI(7))))))))
+    val got = Compiler.compile(sorted,
+      Env(Map.empty, Map.empty, spark)) match {
+      case CV(c) =>
+        fromSpark(spark.range(1).select(c.as("v")).head.get(0),
+          TList(TOption(TOption(TInt))))
+      case _ => fail("expected a scalar")
+    }
+    assert(cmp(got, interp(sorted, REnv())) == 0)
+    // option-VALUED dicts: a found None (Some(None)) is distinct from a
+    // missing key (None)
+    val d = ETernop(OInsert, EAtom(AEmptyDict(TInt, TOption(TInt))),
+      EAtom(AInt(1)), EAtom(ANone(TInt)))
+    def look(k: Long) = EBinop(OLookup, d, EAtom(AInt(k)))
+    def branch(l: Expr) = EOptMatch(l, EAtom(AInt(-1)), "x",
+      EOptMatch(EVar("x"), EAtom(AInt(-2)), "y", EVar("y")))
+    assert(interp(branch(look(1)), REnv()) == VI(-2)) // found None
+    assert(interp(branch(look(2)), REnv()) == VI(-1)) // missing key
+    assert(evalCompiled(branch(look(1))) == -2L)
+    assert(evalCompiled(branch(look(2))) == -1L)
   }
 
   test("collections of words sort UNSIGNED — engine matches the reference (closed r11)") {
