@@ -646,7 +646,8 @@ object Compiler {
         // error — anything else is a genuine defect and must propagate
         try compile(l2, env) match {
           case cv @ CV(_) => Some(asCV(cv))
-          case TV(d) => tableArrayLit(d, 10000)
+          case TV(d) =>
+            tableArrayLit(d, 10000, synthElem(l2, env), env.wordWidth)
         } catch { case _: UnsupportedOperationException => None }
       arrOpt.map { arr =>
         val n = s"__jaggleg${latIds.incrementAndGet()}"
@@ -676,7 +677,8 @@ object Compiler {
     var mapping = Map.empty[String, String]
     locs.foreach { nm =>
       compile(ELoc(nm), env) match {
-        case TV(d) => tableArrayLit(d, 10000) match {
+        case TV(d) => tableArrayLit(d, 10000, synthElem(ELoc(nm), env),
+            env.wordWidth) match {
           case Some(arr) =>
             val n = s"__aggloc${latIds.incrementAndGet()}"
             env2 = env2.bind(n, CV(arr))
@@ -1354,17 +1356,7 @@ object Compiler {
       val elemT = synthElem(l, env)
       compile(l, env) match {
         case TV(df) =>
-          val keyed: Option[Seq[Column]] = elemT.collect {
-            case TRecord(fs)
-                if fs.exists(f => CanonOrder.needsKey(f._2, env.wordWidth)) =>
-              fs.sortBy(_._1).map { case (n, ft) =>
-                CanonOrder.key(col(n), ft, env.wordWidth) }
-            case t if CanonOrder.needsKey(t, env.wordWidth) &&
-                df.columns.sameElements(Array("value")) =>
-              Seq(CanonOrder.key(col("value"), t, env.wordWidth))
-          }
-          TV(df.orderBy(
-            keyed.getOrElse(df.columns.sorted.map(col).toSeq): _*))
+          TV(df.orderBy(canonSortCols(df, elemT, env.wordWidth): _*))
         case CV(c) => CV(CanonOrder.sortArray(c, elemT, env.wordWidth))
       }
 
@@ -1751,7 +1743,8 @@ object Compiler {
                 else compile(leg, env) match {
                   case CV(_) => leg
                   case TV(d) =>
-                    val arr = tableArrayLit(d, 10000)
+                    val arr = tableArrayLit(d, 10000,
+                        synthElem(leg, env), env.wordWidth)
                       .getOrElse(throw correlatedError(null))
                     val n = s"__zleg${latIds.incrementAndGet()}"
                     legBinds ::= ((n, CV(arr)))
@@ -1842,8 +1835,10 @@ object Compiler {
           // window — and the inner position join cuts at the shorter
           // side (flat_map2, fiat2/src/fiat2/Interpret.v:7-11).
           assertUncorrelated(env, Set(x1, x2), e3)
-          val z1 = zipIndexed(d1).alias("__zip_l")
-          val z2 = zipIndexed(d2).alias("__zip_r")
+          val z1 = zipIndexed(d1, synthElem(e1, env), env.wordWidth)
+            .alias("__zip_l")
+          val z2 = zipIndexed(d2, synthElem(e2, env), env.wordWidth)
+            .alias("__zip_r")
           val joined = z1.join(z2,
             col("__zip_l.__pos") === col("__zip_r.__pos"), "inner")
           val bound = env
@@ -1896,14 +1891,16 @@ object Compiler {
           aggregate(arr, accCol, (a, v) =>
             asCV(compile(step, env.bind(x, CV(v)).bind(acc, CV(a)))))
         val zCol = asCV(compile(z, env))
-        tableArrayLit(df, batchSize) match {
+        val elemT = synthElem(l, env)
+        tableArrayLit(df, batchSize, elemT, env.wordWidth) match {
           // right fold (Interpret.v:313-319) over the canonical order
           case Some(arr) => CV(foldArr(reverse(arr), zCol))
           case None =>
           // streamed batched fold, canonical-DESC order; the accumulator
           // is re-literalized between batches, so it must stay scalar
           import scala.jdk.CollectionConverters._
-          val it = df.orderBy(cols.map(c => col(c).desc): _*)
+          val it = df.orderBy(canonSortCols(df, elemT, env.wordWidth)
+              .map(_.desc): _*)
             .toLocalIterator().asScala
           var accCol = zCol
           val buf = new scala.collection.mutable.ArrayBuffer[
@@ -1974,13 +1971,33 @@ object Compiler {
     }
   }
 
+  /** Canonical-order sort columns for a TABLE: the name-sorted columns,
+    * keyed through CanonOrder when the element type is known and needs it
+    * (word columns order unsigned, nested-bag columns by run-length
+    * pairs) — the TABLE analog of `CanonOrder.sortArray`, shared by
+    * `ESort`, the table `EFold` stream order, `tableArrayLit`, and
+    * `zipIndexed`. */
+  private def canonSortCols(df: DataFrame, elemT: Option[FType],
+      width: Int): Seq[Column] = {
+    val cols = df.columns.sorted
+    val keyed: Option[Seq[Column]] = elemT.collect {
+      case TRecord(fs) if fs.exists(f => CanonOrder.needsKey(f._2, width)) =>
+        fs.sortBy(_._1).map { case (n, ft) => CanonOrder.key(col(n), ft, width) }
+      case t if CanonOrder.needsKey(t, width) &&
+          cols.sameElements(Array("value")) =>
+        Seq(CanonOrder.key(col("value"), t, width))
+    }
+    keyed.getOrElse(cols.map(col).toSeq)
+  }
+
   /** Canonical-order ARRAY LITERAL of a table — the ≤`cap`-row localization
     * the table EFold and the zip-leg lift share; None when the table is too
     * big to localize. Lazy in the Spark sense: composes into larger
     * expressions with no job beyond the one limit-collect here. */
-  private def tableArrayLit(df: DataFrame, cap: Int): Option[Column] = {
+  private def tableArrayLit(df: DataFrame, cap: Int,
+      elemT: Option[FType] = None, width: Int = 64): Option[Column] = {
     val cols = df.columns.sorted
-    val head = df.orderBy(cols.map(col).toIndexedSeq: _*)
+    val head = df.orderBy(canonSortCols(df, elemT, width): _*)
       .limit(cap + 1).collect()
     if (head.length > cap) None
     else Some {
@@ -2006,11 +2023,13 @@ object Compiler {
   }
 
   /** Contiguous 0-based positions over the canonical (all-columns,
-    * name-sorted) order — `zipWithIndex` computes per-partition offsets
-    * from one count pass and never funnels the data through a single
-    * partition, unlike a global `row_number` window. */
-  private def zipIndexed(df: DataFrame): DataFrame = {
-    val ordered = df.orderBy(df.columns.sorted.map(col): _*)
+    * name-sorted, CanonOrder-keyed when the element type is known) order —
+    * `zipWithIndex` computes per-partition offsets from one count pass and
+    * never funnels the data through a single partition, unlike a global
+    * `row_number` window. */
+  private def zipIndexed(df: DataFrame, elemT: Option[FType] = None,
+      width: Int = 64): DataFrame = {
+    val ordered = df.orderBy(canonSortCols(df, elemT, width): _*)
     val schema2 = ordered.schema.add("__pos", LongType, nullable = false)
     val rdd = ordered.rdd.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)

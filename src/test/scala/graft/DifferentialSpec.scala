@@ -1493,6 +1493,74 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("tables of WORD columns: ESort/EFold/EFlatmap2 canonical order is unsigned via storeTypes") {
+    // The TABLE-level canonical orders (ESort row order, the EFold
+    // stream/array-literal order, EFlatmap2's zip positions) key word
+    // columns through CanonOrder when the store's element types are known
+    // (Env.storeTypes) — closing the table side of the word-order
+    // divergence. Words spanning the sign boundary make signed and
+    // unsigned order disagree on nearly every pair.
+    val rowW = TRecord.sorted("k" -> TInt, "w" -> TWord)
+    val rnd = new Random(4400)
+    val rows = Vector.fill(30)(VRec(Vector(
+      "k" -> VI(BigInt(rnd.between(-5, 6))),
+      "w" -> VW(rnd.nextLong())))) // full-range: both signs, high bit set
+    val df = tableDF(rows, rowW)
+    val storeT: Map[String, FType] = Map("t" -> TList(rowW))
+    val renv = REnv("t" -> VList(rows))
+    def run(prog: Expr, t: FType): Unit = {
+      val expected = interp(prog, renv)
+      Compiler.compileProgram(prog,
+        Env(Map.empty, Map("t" -> df), spark, storeTypes = storeT)) match {
+        case TV(out) =>
+          // ESort output order is observable: compare as ordered rows
+          val got = out.collect().toVector.map(fromSpark(_, rowW))
+          assert(cmp(VList(got), expected) == 0,
+            s"table order diverges\ncompiled=$got\nreference=$expected")
+        case CV(c) =>
+          val got = fromSpark(spark.range(1).select(c.as("v")).head.get(0), t)
+          assert(cmp(got, expected) == 0,
+            s"compiled=$got reference=$expected")
+      }
+    }
+    // ESort over the word-column table: row order IS the result
+    run(ESort(LikeList, ELoc("t")), TList(rowW))
+    // non-commutative fold over the canonically-sorted words — any order
+    // difference changes the value (fold consumes w via OWPlus/OWTimes)
+    val fold = EFold(ESort(LikeList, ELoc("t")), EAtom(AWord(1L)), "x", "acc",
+      EBinop(OWPlus, EBinop(OWTimes, EVar("acc"), EAtom(AWord(31L))),
+        EAccess(EVar("x"), "w")))
+    run(fold, TWord)
+    // zip positions come from each side's canonical order (table-level
+    // EFlatmap2 runs over ESorted legs — the engine's documented stance);
+    // the two legs sort DIFFERENT word derivations, so unsigned vs signed
+    // zip order would misalign nearly every pair
+    val legW = ESort(LikeList,
+      EProj(LikeList, ELoc("t"), "r", EAccess(EVar("r"), "w")))
+    // (an odd multiplier, NOT wneg: negation merely reverses/rotates the
+    // order, which can make signed and unsigned pairings coincide when
+    // the sign split is even — ×3 permutes the unsigned order genuinely)
+    val legN = ESort(LikeList,
+      EProj(LikeList, ELoc("t"), "r",
+        EBinop(OWTimes, EAccess(EVar("r"), "w"), EAtom(AWord(3L)))))
+    val zip = EFlatmap2(legW, legN, "a", "b",
+      EBinop(OCons, EBinop(OWMinus, EVar("a"), EVar("b")),
+        EAtom(ANil(TWord))))
+    // the zip RESULT is a table (multiset): what the differential checks
+    // is the PAIRING — a signed-ordered leg would misalign pairs and
+    // change the multiset of differences
+    val expectedZip = sortedV(elems(interp(zip, renv)))
+    Compiler.compileProgram(zip,
+      Env(Map.empty, Map("t" -> df), spark, storeTypes = storeT)) match {
+      case TV(out) =>
+        val got = sortedV(out.collect().toVector
+          .map(r => fromSpark(r.get(r.fieldIndex("value")), TWord)))
+        assert(cmpValues(got, expectedZip) == 0,
+          s"zip pairing diverges\ncompiled=$got\nreference=$expectedZip")
+      case CV(_) => fail("zip compiled to a scalar")
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Command programs
   // ---------------------------------------------------------------------
