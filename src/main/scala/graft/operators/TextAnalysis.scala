@@ -421,14 +421,116 @@ object TextAnalysis {
         }
       } finally tk.unpersist(blocking = false)
     },
+
+    // BPE ENCODE — the APPLY side of tokenizer training (q_bpe_merges is
+    // the train side): K=6 merges are trained iteratively (per round: one
+    // (pair, partial-count) shuffle with map-side combine + a ONE-ROW
+    // argmax collect), then the whole corpus is ENCODED by folding the
+    // merge TABLE over each document's token array in a single map-side
+    // expression (`bpeApply`) — train once globally, encode anywhere with
+    // the merges shipped as a literal, no per-round corpus rewrites at
+    // encode time. Applying the ordered merge list to the ORIGINAL stream
+    // equals the training rewrites by construction, which is exactly what
+    // the oracle pins: it replays all six training rounds in SQL and
+    // fingerprints the final stream. Output: per-doc piece counts + md5
+    // of the encoded stream, plus the learned merge table as columns.
+    GraftQuery.sql("q_bpe_encode", bpeEncodeSql) { (s, dir) =>
+      import s.implicits._
+      val tk = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", toks($"text").as("t")).cache()
+      val rounds = scala.collection.mutable.ListBuffer.empty[
+        org.apache.spark.sql.DataFrame]
+      try {
+        val merges = scala.collection.mutable.ListBuffer.empty[
+          (String, String)]
+        var cur = tk
+        var exhausted = false
+        while (!exhausted && merges.size < bpeEncodeRounds) {
+          topPair(cur) match {
+            case Some((a, b)) =>
+              merges += ((a, b))
+              val nxt = cur.select($"doc_id", mergeOnce($"t", a, b).as("t"))
+                .cache()
+              rounds += nxt
+              cur = nxt
+            case None => exhausted = true
+          }
+        }
+        if (merges.size < bpeEncodeRounds)
+          // degenerate corpus (some round had no adjacent distinct pair):
+          // the oracle's empty m_k CTE empties its output — mirror it
+          tk.limit(0).select($"doc_id", lit(0L).as("n_tok"),
+            lit(0L).as("n_pieces"), lit("").as("merges"), lit("").as("fp"))
+        else {
+          val enc = graft.operators.TextAnalysis.bpeApply($"t",
+            merges.toList)
+          tk.select($"doc_id", size($"t").cast("long").as("n_tok"),
+              size(enc).cast("long").as("n_pieces"),
+              lit(merges.map { case (a, b) => a + "_" + b }
+                .mkString(",")).as("merges"),
+              md5(concat_ws(" ", enc)).as("fp"))
+            .orderBy("doc_id")
+        }
+      } finally {
+        rounds.foreach(_.unpersist(blocking = false))
+        tk.unpersist(blocking = false)
+      }
+    },
   )
+
+  /** Training depth of `q_bpe_encode` (and its oracle's round count).
+    * A `def`: the `queries` val initializes before any sibling val. */
+  private def bpeEncodeRounds = 6
+
+  /** One oracle training round: argmax adjacent distinct pair of the
+    * previous stream, rewrite every document. Mirrors q_bpe_merges' m/r
+    * CTE pair, generated per round. */
+  private def bpeRoundSql(k: Int): String = {
+    val prev = if (k == 1) "tk" else s"r${k - 1}"
+    s"""m$k AS MATERIALIZED (SELECT a, b FROM (
+       |    SELECT t[i] AS a, t[i+1] AS b, COUNT(*) AS c
+       |    FROM $prev, unnest(range(1, len(t))) AS r(i)
+       |    WHERE t[i] != t[i+1] GROUP BY 1, 2)
+       |  ORDER BY c DESC, a, b LIMIT 1),
+       |r$k AS MATERIALIZED (SELECT doc_id,
+       |    list_transform(
+       |      list_filter(range(1, len(t) + 1),
+       |        i -> NOT (i > 1 AND t[i-1] = m$k.a AND t[i] = m$k.b)),
+       |      i -> CASE WHEN i < len(t) AND t[i] = m$k.a AND t[i+1] = m$k.b
+       |           THEN m$k.a || '_' || m$k.b ELSE t[i] END) AS t
+       |  FROM $prev, m$k),""".stripMargin
+  }
+
+  private def bpeEncodeSql: String =
+    """WITH tk AS MATERIALIZED (SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |""".stripMargin +
+      (1 to bpeEncodeRounds).map(bpeRoundSql).mkString("\n") + "\n" +
+      s"""ms AS MATERIALIZED (SELECT ${(1 to bpeEncodeRounds).map(k =>
+           s"(SELECT a || '_' || b FROM m$k)").mkString(" || ',' || ")}
+      |    AS merges)
+      |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tok,
+      |  CAST(len(r$bpeEncodeRounds.t) AS BIGINT) AS n_pieces,
+      |  ms.merges AS merges,
+      |  md5(array_to_string(r$bpeEncodeRounds.t, ' ')) AS fp
+      |FROM tk JOIN r$bpeEncodeRounds USING (doc_id), ms
+      |ORDER BY doc_id""".stripMargin
 
   /** One BPE-style merge applied to a token array: every adjacent (a, b)
     * occurrence rewrites to the joined token. Callers exclude self-pairs
     * (a ≠ b) when choosing the merge, which makes occurrences
     * non-overlapping — drop a position iff its LEFT neighbor starts a
     * match, independent of any other position. */
-  private[operators] def mergeOnce(t: Column, a: String, b: String): Column = {
+  private[operators] def mergeOnce(t: Column, a: String, b: String): Column =
+    mergeOnceCol(t, lit(a), lit(b))
+
+  /** Column-argument variant — the form `bpeApply`'s merge-table fold
+    * needs (the pair arrives as fields of a literal struct, not Scala
+    * strings). */
+  private[operators] def mergeOnceCol(t: Column, a: Column,
+      b: Column): Column = {
     // size-0 guard: sequence(0, -1) DESCENDS in Spark, it is not empty
     val idx = when(size(t) >= 1, sequence(lit(0), size(t) - 1))
       .otherwise(array().cast("array<int>"))
@@ -436,8 +538,21 @@ object TextAnalysis {
       !((i > lit(0)) && (get(t, i - 1) === a) && (get(t, i) === b)))
     transform(kept, i =>
       when((i < size(t) - 1) && (get(t, i) === a) && (get(t, i + 1) === b),
-        lit(a + "_" + b)).otherwise(get(t, i)))
+        concat(a, lit("_"), b)).otherwise(get(t, i)))
   }
+
+  /** APPLY a trained merge table to a token stream: fold the merges in
+    * training order over the array, entirely map-side — the production
+    * encode path (train once globally, encode anywhere with the merge
+    * table shipped as a literal; no per-round corpus rewrite jobs at
+    * encode time). Composes built-in higher-order functions only, so the
+    * whole K-merge application stays inside codegen. */
+  def bpeApply(t: Column, merges: Seq[(String, String)]): Column =
+    if (merges.isEmpty) t
+    else aggregate(
+      array(merges.map { case (a, b) =>
+        struct(lit(a).as("a"), lit(b).as("b")) }: _*),
+      t, (acc, m) => mergeOnceCol(acc, m("a"), m("b")))
 
   /** The corpus-argmax adjacent pair (count desc, then lexicographic),
     * self-pairs excluded. ONE-row collect — the iterative-training
