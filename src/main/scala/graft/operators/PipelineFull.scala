@@ -259,26 +259,38 @@ object PipelineFull {
         .select($"doc_id", $"shard",
           floor(($"cum" - $"n_tok").cast("double") / 512).as("bin")))
 
-      // the attrition vector: (n_kept, digest) per stage in ONE aggregate
-      // each; n_in chains from the previous stage's count
+      // the attrition vector: every stage's (n_kept, digest) is one
+      // single-row aggregate over its SEALED survivor set — all nine
+      // UNIONED into one plan and collected in ONE job (the per-stage
+      // bodies already ran during sealing); n_in chains driver-side from
+      // the previous stage's count
       def idTag = $"doc_id".cast("string")
-      def measure(df: DataFrame, tag: Column): (Long, Any) = {
-        val r = df.agg(count(lit(1)).as("n"), idsSum(tag).as("h")).head()
-        (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))
-      }
-      val mNorm = measure(docs,
-        concat(idTag, lit(":"), md5($"norm")))
-      val mEx = measure(ex, idTag)
-      val mNd = measure(nd, idTag)
-      val mQl = measure(ql, idTag)
-      val mLm = measure(lm, idTag)
-      val mDs = measure(dsir, idTag)
-      val mSem = measure(sem, idTag)
-      val mMx = measure(mx, idTag)
+      def measured(pos: Long, df: DataFrame, tag: Column): DataFrame =
+        df.agg(count(lit(1)).as("n"), idsSum(tag).as("h"))
+          .select(lit(pos).as("pos"), $"n", $"h")
       val packTag = concat(idTag, lit(":"), $"shard".cast("string"),
         lit(":"), $"bin".cast("string"))
-      val nSeqs = pb.select($"shard", $"bin").distinct().count()
-      val mPk = measure(pb, packTag)
+      val measures = Seq(
+        measured(1L, docs, concat(idTag, lit(":"), md5($"norm"))),
+        measured(2L, ex, idTag),
+        measured(3L, nd, idTag),
+        measured(4L, ql, idTag),
+        measured(5L, lm, idTag),
+        measured(6L, dsir, idTag),
+        measured(7L, sem, idTag),
+        measured(8L, mx, idTag),
+        measured(9L, pb, packTag),
+        // rides the same job: the number of packed SEQUENCES
+        pb.select($"shard", $"bin").distinct()
+          .agg(count(lit(1)).as("n"))
+          .select(lit(10L).as("pos"), $"n", lit(null).cast("long").as("h")))
+        .reduce(_ unionByName _)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+      val Seq(mNorm, mEx, mNd, mQl, mLm, mDs, mSem, mMx, mPk) =
+        (1L to 9L).map(measures(_))
+      val nSeqs = measures(10L)._1
       val nDocs = mNorm._1 // normalize is a transform: n_in == n_kept
 
       val rows = Seq(
