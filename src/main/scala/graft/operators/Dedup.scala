@@ -433,6 +433,69 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // EXACT-SUBSTRING REMOVAL — the CLEANING transform on top of
+    // q_substring_dup's detection (the Lee-et-al "deduplicating training
+    // data" recipe, fixed-k windows): every token covered by an 8-gram
+    // window that occurs ≥2 times corpus-wide (within- OR cross-document)
+    // is MASKED out of the document, and the cleaned stream is
+    // fingerprinted. Symmetric removal (every occurrence masks — the
+    // conservative, order-free policy; keep-one-occurrence is an ordering
+    // policy layered on top). Scale shape: the window stream shuffles
+    // twice — once gram-keyed for the occurrence count (map-side
+    // partials; only duplicated grams flow back), once doc-keyed to
+    // collect each doc's duplicated window STARTS — and the coverage
+    // rewrite is map-side higher-order array work per document. Never a
+    // pair space.
+    GraftQuery.sql("q_exact_substring_rm",
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |win AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS g
+        |        FROM w, unnest(range(1, len(ws) - 6)) AS t(i) WHERE len(ws) >= 8),
+        |hot AS (SELECT g FROM win GROUP BY g HAVING COUNT(*) >= 2),
+        |st AS (SELECT doc_id, list(i) AS ss FROM win JOIN hot USING (g)
+        |       GROUP BY doc_id),
+        |cl AS (SELECT w.doc_id, w.ws, COALESCE(st.ss, []) AS ss
+        |       FROM w LEFT JOIN st USING (doc_id)),
+        |o AS (SELECT doc_id, ws,
+        |        list_transform(
+        |          list_filter(range(1, len(ws) + 1),
+        |            p -> len(list_filter(ss, s -> p - s BETWEEN 0 AND 7)) = 0),
+        |          p -> ws[p]) AS kept
+        |      FROM cl)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+        |  CAST(len(ws) - len(kept) AS BIGINT) AS n_masked,
+        |  md5(COALESCE(array_to_string(kept, ' '), '')) AS fp
+        |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val t = col("t")
+      val tk = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", toks($"text").as("t"))
+      val idx = when(size(t) >= 8, sequence(lit(0), size(t) - 8))
+        .otherwise(array().cast("array<int>"))
+      // OCCURRENCES (not per-doc distinct): a window repeated within one
+      // document is a duplicated substring too
+      val win = tk.select($"doc_id", explode(transform(idx, i =>
+          struct(i.as("i"),
+            array_join(slice(t, i + 1, lit(8)), " ").as("g"))))
+          .as("w"))
+        .select($"doc_id", $"w.i", $"w.g")
+      val hot = win.groupBy($"g").agg(count(lit(1)).as("c"))
+        .filter($"c" >= 2).select($"g")
+      val starts = win.join(hot, "g")
+        .groupBy($"doc_id").agg(collect_list($"i").as("ss"))
+      val ss = coalesce($"ss", array().cast("array<int>"))
+      val keptIdx = filter(
+        when(size(t) >= 1, sequence(lit(0), size(t) - 1))
+          .otherwise(array().cast("array<int>")),
+        p => !exists(ss, ps => (p - ps >= 0) && (p - ps <= 7)))
+      val kept = transform(keptIdx, p => get(t, p))
+      tk.join(starts, Seq("doc_id"), "left")
+        .select($"doc_id", size(t).cast("long").as("n_tok"),
+          (size(t) - size(kept)).cast("long").as("n_masked"),
+          md5(concat_ws(" ", kept)).as("fp"))
+        .orderBy("doc_id")
+    },
+
     // INCREMENTAL NEAR-dup (the LSH complement of q_dedup_incremental's
     // exact-digest anti-join): a small arrival batch (doc_id % 50 = 0,
     // ~2%) checks against the STANDING corpus through the minhash band

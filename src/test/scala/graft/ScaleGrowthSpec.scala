@@ -43,7 +43,8 @@ class ScaleGrowthSpec extends AnyFunSuite {
   // offset preserves the % 50 arrival split); q_embed_hashing is the
   // map+agg featurization pass.
   private val queries =
-    Seq("q_substring_dup", "q_pipeline_clean", "q_dedup_clusters",
+    Seq("q_substring_dup", "q_exact_substring_rm", "q_pipeline_clean",
+      "q_dedup_clusters",
       "q_pagerank", "q_lang_corr_filter_big",
       "q_lm_score", "q_dsir_select", "q_bpe_merges", "q_bpe_encode",
       "q_mine_pairs", "q_dedup_incr_near", "q_embed_hashing")
