@@ -33,6 +33,7 @@ object SparkEntry {
       streaming.StreamUpsert.queries ++
       streaming.Sessionize.queries ++
       streaming.StreamScore.queries ++
+      streaming.StreamCurate.queries ++
       functions.TypedAgg.queries ++
       functions.GraftFunctions.queries ++
       lang.LangQueries.queries

@@ -1,0 +1,242 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.{GraftQuery, Tables}
+import graft.functions.Fingerprints
+
+/** STREAMING composed curation — the ingest-time shape of
+  * `q_pipeline_curate`/`q_temp_mixture`: every model is a BATCH artifact
+  * (bigram-LM counts, DSIR token model, temperature mixture rates — all
+  * vocabulary-bounded, shipped into the stream as literal maps under an
+  * explicit cap), and each arriving document is verdicted MAP-SIDE
+  * against them: quality ∧ LM typicality ∧ DSIR pick ∧ mixture gate. The
+  * ONE stateful operator is exact-dedup keep-first across micro-batches:
+  * `flatMapGroupsWithState` keyed on the content digest, state = "a copy
+  * was already kept", per-batch groups processed in doc_id order so the
+  * keeper is deterministic (arrivals are delivered in three doc_id-range
+  * files — the multi-batch shape that actually exercises cross-batch
+  * state). The oracle replays everything as one batch SQL: stream and
+  * batch must verdict identically (the q_stream_score parity stance,
+  * extended to a composed pass with state).
+  *
+  * 100 TB shape: all per-arrival work is stateless map expressions (no
+  * stream-side joins or aggregations — the models ride the closure);
+  * dedup state is digest-keyed and grows with DISTINCT content, the same
+  * state any streaming dedup carries. The literal-map models are the
+  * bounded-artifact stance (tokenizer-vocabulary scale, like the
+  * ≤16-centroid codebooks); the cap guard turns an oversized vocabulary
+  * into a directed error instead of a driver OOM.
+  */
+object StreamCurate {
+
+  import graft.core.Text.toks
+
+  private val vocabCap = 65536
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery.sql("q_stream_curate",
+      """WITH w AS MATERIALIZED (SELECT doc_id, source, n_chars, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |dp AS MATERIALIZED (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+        |      AS dup
+        |  FROM documents),
+        |bgr AS MATERIALIZED (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg,
+        |    t[i] AS pre
+        |  FROM w, unnest(range(1, len(t))) r(i) WHERE len(t) >= 2),
+        |cb AS MATERIALIZED (SELECT bg, COUNT(*) AS cbg FROM bgr GROUP BY bg),
+        |cp AS MATERIALIZED (SELECT pre, COUNT(*) AS cpre FROM bgr
+        |  GROUP BY pre),
+        |lsc AS MATERIALIZED (SELECT b.doc_id, SUM(cb.cbg) AS sum_bg,
+        |    SUM(cp.cpre) AS sum_pre
+        |  FROM bgr b JOIN cb USING (bg) JOIN cp ON b.pre = cp.pre
+        |  GROUP BY b.doc_id),
+        |dtk AS MATERIALIZED (SELECT doc_id, source = 'src0' AS is_t,
+        |    u.tok AS tok FROM w, unnest(t) u(tok)),
+        |dmd AS MATERIALIZED (SELECT tok,
+        |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt,
+        |    SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS bgd
+        |  FROM dtk GROUP BY tok),
+        |dsc AS MATERIALIZED (SELECT dtk.doc_id, SUM(dmd.tgt) AS st,
+        |    SUM(dmd.bgd) AS sb
+        |  FROM dtk JOIN dmd USING (tok) GROUP BY dtk.doc_id),
+        |ms AS (SELECT source, SUM(n_chars) AS chars FROM documents
+        |  GROUP BY source),
+        |mm AS (SELECT MAX(chars) AS cmax FROM ms),
+        |mr AS (SELECT source, CAST(floor(1000 * sqrt(CAST(chars AS DOUBLE)
+        |    / cmax)) AS BIGINT) AS rate FROM ms, mm),
+        |v AS (SELECT w.doc_id, dp.dup,
+        |    len(t) >= 10 AS quality_ok,
+        |    CASE WHEN lsc.sum_bg IS NULL THEN FALSE
+        |         ELSE CAST(lsc.sum_bg AS DOUBLE) / lsc.sum_pre >= 0.0333
+        |         END AS lm_ok,
+        |    CAST(dsc.st + 1 AS DOUBLE) / (dsc.sb + 1) >= 0.0558 AS dsir_ok,
+        |    (md5_number_lower('tmp:' || CAST(w.doc_id AS VARCHAR))
+        |      & 2147483647) % 1000 < mr.rate AS mix_keep
+        |  FROM w JOIN dp USING (doc_id)
+        |    LEFT JOIN lsc USING (doc_id)
+        |    JOIN dsc USING (doc_id)
+        |    JOIN mr ON w.source = mr.source)
+        |SELECT doc_id, dup, quality_ok, lm_ok, dsir_ok, mix_keep,
+        |  (NOT dup AND quality_ok AND lm_ok AND dsir_ok AND mix_keep)
+        |    AS keep
+        |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars", $"text")
+      // SPARK_GRAFT_STREAM_PROF=1: per-phase wall split on stderr (the
+      // StreamAgg attribution convention)
+      def mark(label: String, t0: Long): Unit =
+        if (sys.env.get("SPARK_GRAFT_STREAM_PROF").contains("1"))
+          System.err.println(
+            f"[curate] $label%-9s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      def phase[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f; mark(label, t0); r
+      }
+
+      def capped[A](rows: Seq[A], what: String): Seq[A] = {
+        if (rows.size > vocabCap) throw new UnsupportedOperationException(
+          s"$what model has ${rows.size} entries — past the $vocabCap " +
+            "literal-broadcast cap; ship it as a store table and use the " +
+            "batch scorer (q_pipeline_curate) instead")
+        rows
+      }
+      // batch artifacts --------------------------------------------------
+      val modelT0 = System.nanoTime()
+      val tokModel = capped(docs
+        .select(($"source" === "src0").as("is_t"),
+          explode(toks($"text")).as("w"))
+        .groupBy($"w").agg(
+          sum(when($"is_t", 1L).otherwise(0L)).as("tgt"),
+          sum(when($"is_t", 0L).otherwise(1L)).as("bgd"))
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))), "DSIR")
+      val tgtM = tokModel.map(r => r._1 -> r._2).toMap
+      val bgdM = tokModel.map(r => r._1 -> r._3).toMap
+      // MATERIALIZE the token array as a column before any lambda indexes
+      // it: `get(toks(text), i)` inside a higher-order function re-runs
+      // the regex split per element access (no CSE inside HOFs — the
+      // shingleSets lesson; here it was 6-8s of pure re-splitting)
+      val t0 = col("t")
+      def bigramsOf(c: org.apache.spark.sql.Column) = when(size(c) >= 2,
+        transform(sequence(lit(0), size(c) - 2),
+          i => concat_ws(" ", get(c, i), get(c, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      def prefixesOf(c: org.apache.spark.sql.Column) =
+        when(size(c) >= 2, slice(c, lit(1), size(c) - 1))
+          .otherwise(array().cast("array<string>"))
+      val docsT = docs.select(toks($"text").as("t"))
+      val cbM = capped(docsT.select(explode(bigramsOf(t0)).as("g"))
+        .groupBy($"g").agg(count(lit(1)).as("c"))
+        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1)),
+        "bigram").toMap
+      val cpM = capped(docsT.select(explode(prefixesOf(t0)).as("p"))
+        .groupBy($"p").agg(count(lit(1)).as("c"))
+        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1)),
+        "prefix").toMap
+      val srcStats = docs.groupBy($"source")
+        .agg(sum($"n_chars").cast("long").as("chars"))
+        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+      val cmax = srcStats.map(_._2).max
+      val rateM = srcStats.map { case (src, chars) =>
+        src -> math.floor(1000 * math.sqrt(chars.toDouble / cmax)).toLong
+      }.toMap
+      mark("models", modelT0)
+
+      // the arriving stream: three doc_id-range files delivered as
+      // separate micro-batches ------------------------------------------
+      val schema = docs.schema
+      val watchDir = java.nio.file.Files.createTempDirectory("graft_curate_")
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_curate_s_")
+      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val cuts = Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
+        (2 * maxId / 3 + 1, maxId))
+      try {
+        val stream = s.readStream.schema(schema).parquet(watchDir.toString)
+        // token array as a materialized column (same HOF-CSE reason)
+        val withTok = stream.select($"doc_id", $"source", $"text",
+          toks($"text").as("t"))
+        val t = col("t")
+        def mapSum(arr: org.apache.spark.sql.Column,
+            m: Map[String, Long]): org.apache.spark.sql.Column =
+          aggregate(arr, lit(0L),
+            (a, k) => a + coalesce(element_at(typedlit(m), k), lit(0L)))
+        val sumBg = mapSum(bigramsOf(t), cbM)
+        val sumPre = mapSum(prefixesOf(t), cpM)
+        val lmOk = when(size(t) < 2, lit(false))
+          .otherwise(sumBg.cast("double") / sumPre >= 0.0333)
+        val dsOk = (mapSum(t, tgtM) + 1).cast("double") /
+          (mapSum(t, bgdM) + 1) >= 0.0558
+        val mixOk = Fingerprints
+          .md5Low64(concat(lit("tmp:"), $"doc_id".cast("string")))
+          .bitwiseAND(0x7fffffffL) % 1000 <
+          coalesce(element_at(typedlit(rateM), $"source"), lit(0L))
+        val verdicts = withTok.select(md5($"text").as("digest"), $"doc_id",
+            (size(t) >= 10).as("quality_ok"), lmOk.as("lm_ok"),
+            dsOk.as("dsir_ok"), mixOk.as("mix_keep"))
+          .as[(String, Long, Boolean, Boolean, Boolean, Boolean)]
+        // keep-first exact dedup across micro-batches: digest-keyed state,
+        // per-batch group processed in doc_id order → deterministic keeper
+        val deduped = verdicts.groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Append(),
+            GroupStateTimeout.NoTimeout)(
+            (_: String,
+             it: Iterator[(String, Long, Boolean, Boolean, Boolean, Boolean)],
+             st: GroupState[Boolean]) => {
+              val sorted = it.toVector.sortBy(_._2)
+              val seen = st.getOption.getOrElse(false)
+              st.update(true)
+              sorted.iterator.zipWithIndex.map { case (r, i) =>
+                (r._2, seen || i > 0, r._3, r._4, r._5, r._6)
+              }
+            })
+          .toDF("doc_id", "dup", "quality_ok", "lm_ok", "dsir_ok",
+            "mix_keep")
+        val sink = s"graft_curate_${
+          java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+        val fromSink =
+          try {
+            StreamConf.withStatePartitions(s, 2) {
+              val q = deduped.writeStream.outputMode("append")
+                .format("memory").queryName(sink).start()
+              try {
+                cuts.zipWithIndex.foreach { case ((lo, hi), k) =>
+                  phase(s"deliver$k") {
+                    val part = stageDir.resolve(s"part$k")
+                    docs.filter($"doc_id".between(lo, hi)).coalesce(1)
+                      .write.mode("overwrite").parquet(part.toString)
+                    val file = java.nio.file.Files.list(part).iterator()
+                    var moved = false
+                    while (file.hasNext && !moved) {
+                      val f = file.next()
+                      if (f.getFileName.toString.endsWith(".parquet")) {
+                        java.nio.file.Files.move(f,
+                          watchDir.resolve(s"p$k.parquet"))
+                        moved = true
+                      }
+                    }
+                  }
+                  phase(s"await$k")(q.processAllAvailable())
+                }
+              } finally q.stop()
+            }
+            s.table(sink).localCheckpoint(true)
+          } finally {
+            s.catalog.dropTempView(sink)
+          }
+        fromSink
+          .select($"doc_id", $"dup", $"quality_ok", $"lm_ok", $"dsir_ok",
+            $"mix_keep",
+            (!$"dup" && $"quality_ok" && $"lm_ok" && $"dsir_ok" &&
+              $"mix_keep").as("keep"))
+          .orderBy("doc_id")
+      } finally {
+        Tables.deleteTree(watchDir.toFile)
+        Tables.deleteTree(stageDir.toFile)
+      }
+    },
+  )
+}
