@@ -199,7 +199,12 @@ object StreamCurate {
           java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
         val fromSink =
           try {
-            StreamConf.withStatePartitions(s, 2) {
+            // no-data micro-batches add one trigger round (~0.3-0.5s
+            // fixed) per processAllAvailable and flush nothing here: the
+            // dedup state has NoTimeout and every emission rides a DATA
+            // batch (the StreamAgg stance)
+            StreamConf.withConf(s, "spark.sql.shuffle.partitions" -> "2",
+              "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
               val q = deduped.writeStream.outputMode("append")
                 .format("memory").queryName(sink).start()
               try {
