@@ -1650,6 +1650,58 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("default-TInt boundary seeds: in-range agrees, out-of-range raises the DIRECTED wideInt error and the fix works") {
+    // Random arithmetic over literals AT the 64-bit boundary
+    // (±2^62, MaxValue, MinValue, small offsets). The default mapping is
+    // overflow-CHECKED (r11): when every intermediate stays in range the
+    // engine must equal the reference; when one leaves it, the engine
+    // must raise the DIRECTED error naming wideInt — and compiling the
+    // SAME expression under Env(wideInt = true) must then produce the
+    // reference's exact unbounded-Z value (the directed fix actually
+    // fixes). Both outcomes must occur across the seeds (anti-vacuity).
+    def msgChain(ex: Throwable): String =
+      Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).map(msgChain).getOrElse("")
+    var inRange = 0; var directed = 0
+    for (i <- 0 until 60) {
+      val rnd = new Random(15000 + i)
+      def gen(d: Int): Expr =
+        if (d <= 0) EAtom(AInt(Vector(Long.MaxValue, Long.MinValue,
+          Long.MaxValue - 1, 1L << 62, -(1L << 62),
+          rnd.between(-5L, 6L))(rnd.nextInt(6))))
+        else rnd.nextInt(4) match {
+          case 0 => EBinop(OPlus, gen(d - 1), gen(d - 1))
+          case 1 => EBinop(OMinus, gen(d - 1), gen(d - 1))
+          case 2 => EBinop(OTimes, gen(0), EAtom(AInt(rnd.between(-3L, 4L))))
+          case 3 => EUnop(ONeg, gen(d - 1))
+        }
+      val e = gen(2 + rnd.nextInt(2))
+      val ref = interp(e, REnv())
+      try {
+        val got = compiledScalar(e, TInt)
+        assert(cmp(got, ref) == 0,
+          s"[bound $i] compiled=$got reference=$ref\n$e")
+        inRange += 1
+      } catch {
+        case ex: Throwable if isOverflow(ex) =>
+          assert(msgChain(ex).contains("wideInt"),
+            s"[bound $i] overflow not DIRECTED: ${msgChain(ex)}\n$e")
+          val wide = Compiler.compileProgram(e,
+            Env(Map.empty, Map.empty, spark, wideInt = true)) match {
+            case CV(c) =>
+              fromSpark(spark.range(1).select(c.as("v")).head.get(0), TInt)
+            case other => fail(s"[bound $i] scalar compiled to $other")
+          }
+          assert(cmp(wide, ref) == 0,
+            s"[bound $i] wideInt fix diverges: $wide vs $ref\n$e")
+          directed += 1
+      }
+    }
+    info(s"$inRange in-range agreed, $directed directed-and-fixed")
+    assert(inRange >= 10 && directed >= 10,
+      s"boundary battery vacuous: $inRange in-range, $directed directed")
+  }
+
   test("notation round-trip: pretty -> parse is identity and compile-equivalent on surface forms") {
     // The reference pins its notation round-trips as Goal-based tests
     // (fiat2/src/fiat2/Notations.v:152-255). Differential analog (r11):
