@@ -845,7 +845,7 @@ object Compiler {
     def takesArrayPath(node: Expr, pe: PeeledSrc): Boolean =
       collectsArray(node) || pe.subst.nonEmpty
     var joined: DataFrame = df.alias(la)
-    var extraBinds = List.empty[(String, Val)]
+    var extraBinds = List.empty[(String, Val, Option[FType])]
     var r2 = rPre // scalar-land-lifted nodes already substituted
     splits.zipWithIndex.foreach { case ((node, pe, sp), i) =>
       // an outer-referencing projection value can only be computed where
@@ -959,13 +959,39 @@ object Compiler {
       if (takesArrayPath(node, pe)) {
         // PER-ROW ARRAY (sequential/ordered consumers — EFold/ESort
         // over a correlated table): collect the matched elements per
-        // outer row into a canonically-sorted array (sort_array over the
-        // name-sorted struct IS the engine's canonical value order), then
-        // rewrite the node to consume the array — ESort becomes the array
-        // itself, EFold folds it through the existing nested-array path.
-        // Elements ride in a one-field wrapper struct so a genuine null
-        // value (None) survives collect_list's null-dropping while
-        // unmatched left-join rows (null marker) are dropped.
+        // outer row into a canonically-sorted array, then rewrite the
+        // node to consume the array — ESort becomes the array itself,
+        // EFold folds it through the existing nested-array path. The sort
+        // runs in REFERENCE order: the chain's value type synthesizes
+        // from PeeledSrc's exprs (core element type through the optional
+        // flatmap/projection layers), so word/bag elements take the
+        // CanonOrder key; an unsynthesizable type (e.g. a projection
+        // reading the outer row, whose type this level doesn't know)
+        // falls back to the raw struct order — exact for word-free,
+        // bag-free elements. Elements ride in a one-field wrapper struct
+        // so a genuine null value (None) survives collect_list's
+        // null-dropping while unmatched left-join rows (null marker) are
+        // dropped.
+        val coreElemT = synthElem(pe.core, env)
+        def withProj(base: Option[FType]): Option[FType] = pe.proj match {
+          case Some((pb, pv)) => base.flatMap { bt =>
+            try Some(TypeCheck.synthesize(pv,
+              env.varTypes + (pb -> bt), env.storeTypes))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+          case None => base
+        }
+        val valT: Option[FType] = withProj(pe.flat match {
+          case Some((fb, fbody)) => coreElemT.flatMap { ct =>
+            try elemTypeOf(TypeCheck.synthesize(fbody,
+              env.varTypes + (fb -> ct), env.storeTypes))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+          case None => coreElemT
+        })
+        val wrapT = valT.map(t => TRecord(List("v" -> t)))
+        def canonArr(c: Column): Column =
+          CanonOrder.sortArray(c, wrapT, env.wordWidth)
         if (untied) {
           // gate-only: ONE global canonical array over the inner —
           // every outer row shares it; the gate below empties it per row
@@ -975,7 +1001,7 @@ object Compiler {
             case None => rowStruct(inner)
           }
           val aggDF = inner.agg(
-            sort_array(collect_list(struct(vCol.as("v")))).as(aName))
+            canonArr(collect_list(struct(vCol.as("v")))).as(aName))
           joined = joined.crossJoin(broadcast(aggDF))
         } else {
           val collected = pe.flat match {
@@ -983,14 +1009,14 @@ object Compiler {
               // flatmap source: collect the per-pair arrays, flatten, and
               // sort canonically — only order-safe consumers reach here
               // (ESort itself, or EFold over an explicit ESort layer)
-              sort_array(flatten(collect_list(flatWrappedArr(fb, fbody, pe))))
+              canonArr(flatten(collect_list(flatWrappedArr(fb, fbody, pe))))
             case None =>
               val vCol = pe.proj match {
                 case Some((pb, pv)) => asCV(compile(pv,
                   env.bindRow(x, CV(oRow)).bindRow(pb, CV(iRow))))
                 case None => iRow
               }
-              sort_array(collect_list(
+              canonArr(collect_list(
                 when(col(s"$ib.$mark").isNotNull, struct(vCol.as("v")))))
           }
           joinBack(perOuter(collected))
@@ -1002,7 +1028,9 @@ object Compiler {
           case None => ext
           case Some(oc) => when(oc, ext).otherwise(slice(ext, lit(1), lit(0)))
         }
-        extraBinds ::= (name, CV(arrCol))
+        // the bound array's ELEMENT type rides along so a LAYERED
+        // ESort re-sorting EVar(name) keys the same way
+        extraBinds ::= ((name, CV(arrCol), valT.map(TList(_))))
         r2 = Rewrites.foldExpr(r2)(e0 => if (e0 == node) (pe.subst match {
           // LAYERED shape: swap only the chain subtree for the array —
           // the ESetOf/EBagOf/EProj/ESort layers above it compile as
@@ -1091,14 +1119,14 @@ object Compiler {
             case _ => when(oc, base).otherwise(lit(0L))
           }
         }
-        extraBinds ::= (name, CV(gated))
+        extraBinds ::= ((name, CV(gated), None))
         r2 = Rewrites.foldExpr(r2)(e0 => if (e0 == node) EVar(name) else e0)
       }
     }
     // x stays a ROW variable: any remaining table-level correlation on it
     // must trip assertUncorrelated, not silently mis-resolve
     val benv = extraBinds.foldLeft(env.bindRow(x, CV(outerRow))) {
-      case (acc, (n, v)) => acc.bind(n, v)
+      case (acc, (n, v, t)) => acc.bindTyped(n, v, t)
     }
     ((joined, benv, r2), la)
   }

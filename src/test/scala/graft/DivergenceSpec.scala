@@ -230,6 +230,62 @@ class DivergenceSpec extends AnyFunSuite {
     assert(got == Seq(Seq(1L, 3L), Seq(1L, 1L, 2L)))
   }
 
+  test("decorrelation's per-outer-row arrays sort words UNSIGNED (closed r11)") {
+    // A correlated EFold/ESort over a WORD-column table collects each
+    // outer row's matches into a canonically-sorted array inside the
+    // unnesting machinery (Compiler's array path). The chain's value type
+    // now synthesizes from PeeledSrc's exprs (core element type through
+    // the flatmap/projection layers), so the collected array sorts with
+    // the CanonOrder key — an order-sensitive fold over sign-spanning
+    // words matches the reference's unsigned order. Formerly the last
+    // raw-order word path.
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rowO = TRecord.sorted("k" -> TInt)
+    val rowW = TRecord.sorted("k" -> TInt, "w" -> TWord)
+    val oRows = Vector(VRec(Vector("k" -> VI(1))))
+    // one group, words spanning the sign boundary: signed order [-5, 3],
+    // unsigned order [3, -5] — the right-fold 31*acc+w differs
+    val iRows = Vector(
+      VRec(Vector("k" -> VI(1), "w" -> VW(-5L))),
+      VRec(Vector("k" -> VI(1), "w" -> VW(3L))))
+    val prog = EProj(LikeList, ELoc("t1"), "x",
+      ERecord(List(
+        "k" -> EAccess(EVar("x"), "k"),
+        "f" -> EFold(
+          ESort(LikeList, EProj(LikeList,
+            EFilter(LikeList, ELoc("t2"), "y",
+              EBinop(OEq, EAccess(EVar("y"), "k"), EAccess(EVar("x"), "k"))),
+            "p", EAccess(EVar("p"), "w"))),
+          EAtom(AWord(1L)), "e", "a",
+          EBinop(OWPlus, EBinop(OWTimes, EVar("a"), EAtom(AWord(31L))),
+            EVar("e"))))))
+    val renv = REnv("t1" -> VList(oRows), "t2" -> VList(iRows))
+    val ref = interp(prog, renv) match {
+      case VList(Vector(VRec(fs))) => fs.collectFirst {
+        case ("f", VW(v)) => v }.get
+      case o => fail(s"unexpected reference shape $o")
+    }
+    def df(schema: StructType, rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val d1 = df(StructType(Seq(StructField("k", LongType))),
+      Seq(org.apache.spark.sql.Row(1L)))
+    val d2 = df(StructType(Seq(StructField("k", LongType),
+      StructField("w", LongType))),
+      Seq(org.apache.spark.sql.Row(1L, -5L), org.apache.spark.sql.Row(1L, 3L)))
+    val got = Compiler.compileProgram(prog, Compiler.Env(Map.empty,
+      Map("t1" -> d1, "t2" -> d2), spark,
+      storeTypes = Map("t1" -> TList(rowO), "t2" -> TList(rowW)))) match {
+      case Compiler.TV(out) => out.collect()(0).getAs[Long]("f")
+      case o => fail(s"expected a table, got $o")
+    }
+    // unsigned order is [3, -5] (a negative word is a HIGH residue); the
+    // RIGHT fold consumes -5 first: f = 31*(31*1 + -5) + 3 = 809
+    assert(ref == 31L * (31L * 1L + -5L) + 3L)
+    assert(got == ref,
+      s"engine produced $got, reference $ref — the decorrelation word " +
+        "order diverged again")
+  }
+
   test("word family boundaries: 125 wraps in Decimal, 126+ wraps in bytes (no ceiling)") {
     // The reference's section parameter ranges over any width: Z
     // (fiat2/src/fiat2/Language.v:4). Through round 9 the engine capped
