@@ -539,6 +539,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"pair join not keyed on the cell id:\n$p")
   }
 
+  test("exact-substring removal: gram-keyed and doc-keyed shuffles only, never a pair space") {
+    val p = plan("q_exact_substring_rm")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"window pair space formed:\n$p")
+    // the hot-gram join must be keyed on the gram string — shuffled on g
+    // at scale, or a broadcast HASH join still keyed [g] at tiny SF
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(g") ||
+        (l.contains("HashJoin") && l.contains("[g#"))),
+      s"hot-gram join not keyed on the gram:\n$p")
+  }
+
+  test("BPE encode applies the merge table map-side: no join in the encode plan") {
+    // training runs its own bounded jobs (pair shuffle + 1-row argmax per
+    // round) BEFORE this plan exists; the returned ENCODE plan must fold
+    // the literal merge table over each document with no join at all —
+    // train once, encode map-side
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"encode plan joins instead of folding the literal merge table:\n$p")
+  }
+
   test("q_pipeline_full stage plans: no cartesian products, survivors consumed from sealed checkpoints") {
     // The composed curation DAG runs one Spark action per stage (count +
     // digest aggregates, plus the training/dedup stage bodies). The scale
