@@ -173,6 +173,16 @@ object Interp {
     case CForeach(e, x, body) => // driver event loop (Interpret.v:519-523)
       val df = toDF(compileProgram(e, env), env)
       val cols = df.columns.sorted
+      // Iteration order is PLAN order: the reference iterates the stored
+      // LIST in list order (Interpret.v:519-523), and the event-loop
+      // tables this construct serves are driver-maintained cons-chain
+      // unions whose plan order IS that list order (consRow prepends).
+      // Canonically re-sorting here would diverge from the reference on
+      // any order-dependent body (pinned by IvmTransfSpec's loop tests
+      // and the command differential); a table WITHOUT meaningful
+      // construction order (a shuffled scan) makes the loop body's
+      // observation order unspecified, exactly like the reference's
+      // unspecified list order for such a table.
       df.collect().foldLeft(env) { (acc, row) =>
         val bound = CV(Compiler.rowLiteral(row, df.schema, cols))
         // x is scoped to the body; restore afterwards

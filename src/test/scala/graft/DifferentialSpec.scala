@@ -1746,6 +1746,36 @@ class DifferentialSpec extends AnyFunSuite {
       s"only $sparkChecked of $printable round-trips Spark-checked")
   }
 
+  test("CForeach iterates driver tables in LIST (plan) order: order-dependent word accumulation == reference") {
+    // The driver event loop iterates in PLAN order — the reference's
+    // stored-list order (Interpret.v:519-523), which the engine's
+    // driver-maintained tables preserve (cons-chain unions, local
+    // collections). An order-DEPENDENT accumulation over a WORD column
+    // must therefore match the reference with the SAME (unsorted) row
+    // order on both sides.
+    val rowW = TRecord.sorted("k" -> TInt, "w" -> TWord)
+    val rnd = new Random(6100)
+    val rows = Vector.fill(25)(VRec(Vector(
+      "k" -> VI(BigInt(rnd.between(0, 100))),
+      "w" -> VW(rnd.nextLong()))))
+    val prog = CSeq(
+      CAssign("acc", EAtom(AWord(1L))),
+      CForeach(ELoc("t"), "r",
+        CAssign("acc", EBinop(OWPlus,
+          EBinop(OWTimes, ELoc("acc"), EAtom(AWord(31L))),
+          EAccess(EVar("r"), "w")))))
+    val ref = RefInterp.run(prog, REnv(
+      "t" -> VList(rows), "acc" -> VW(0L))).store("acc")
+    val env0 = Env(Map.empty, Map("t" -> tableDF(rows, rowW)), spark,
+      scalars = Map("acc" -> org.apache.spark.sql.functions.lit(0L)),
+      storeTypes = Map("t" -> TList(rowW)))
+    val fin = Interp.run(prog, env0)
+    val got = spark.range(1).select(fin.scalars("acc").as("v"))
+      .head.getLong(0)
+    assert(VW(got) == ref,
+      s"engine iterated differently: got $got, reference $ref")
+  }
+
   test("gate-only correlated aggregates: global-agg-then-broadcast == reference per-row loops") {
     // Round-10 boundary closure: every correlated conjunct of the
     // aggregate's filter chain is OUTER-ONLY (a gate on the outer row) —
