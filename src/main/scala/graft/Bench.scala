@@ -85,8 +85,15 @@ object Bench {
           }
         }
       }
-      Await.result(Future.sequence(futs), Duration(900, "s"))
-      pool.shutdown()
+      // Warm pass is best-effort: a timeout degrades to a partially-warm
+      // timed pass rather than aborting the whole benchmark run.
+      try {
+        scala.util.Try(Await.result(Future.sequence(futs), Duration(900, "s")))
+          .failed.foreach { e =>
+            System.err.println(s"[bench-warm] warm pass incomplete: " +
+              s"${e.getClass.getSimpleName} — continuing with timed pass")
+          }
+      } finally pool.shutdown()
       if (warmFailed.get() > 0)
         System.err.println(s"[bench-warm] ${warmFailed.get()} warm " +
           "executions failed (timed pass will report real failures)")

@@ -90,6 +90,37 @@ object Compiler {
     }
   }
 
+  /** Is this (possibly wrapped) failure the engine's DIRECTED TInt-overflow
+    * error — from a checked scalar op (Fiat2.checkedArith via raise_error,
+    * surfacing inside a SparkException at action time) or the eager
+    * table-sum range check? Walks the cause chain: Spark wraps executor
+    * errors several layers deep. */
+  def isTIntOverflow(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(t => Option(t.getMessage).exists(_.contains("TInt overflow")))
+
+  /** TIERED TInt execution — the engine's AUTO stance on the reference's
+    * unbounded `Z` (fiat2/src/fiat2/Value.v:12): run the program on the
+    * fast 64-bit mapping first; if the DIRECTED TInt-overflow error fires
+    * anywhere (eager table folds at compile time, checked scalar ops at
+    * action time), re-run the SAME program on the Decimal(38,0) wide
+    * mapping, which reproduces the reference's exact value. The common
+    * case pays zero widening cost; the overflowing case pays one extra
+    * (narrow, aborted) run — the classic speculative-narrowing tier.
+    *
+    * `run` receives the tier's Env (`wideInt` false then true) and must
+    * (a) rebuild any TInt store columns for the tier's type — Long vs
+    * Decimal(38,0) — and (b) MATERIALIZE its result (run the action):
+    * an overflow that only surfaces after this call returns is too late
+    * to re-tier. Program-level entry points are eager anyway, like the
+    * reference interpreter. Sound to replay because programs are pure —
+    * the narrow run's partial effects live only in its discarded Env. */
+  def autoWide[A](env: Env)(run: Env => A): A =
+    try run(env.copy(wideInt = false))
+    catch { case e: Throwable if isTIntOverflow(e) =>
+      run(env.copy(wideInt = true))
+    }
+
   /** Best-effort type synthesis against the env's partial type knowledge —
     * None whenever a free variable or store table lacks a recorded type.
     * Only consulted for ORDER decisions (CanonOrder), where unknown safely
@@ -2015,7 +2046,12 @@ object Compiler {
           cols.sameElements(Array("value")) =>
         Seq(CanonOrder.key(col("value"), t, width))
     }
-    keyed.getOrElse(cols.map(col).toSeq)
+    // CanonOrder keys are non-injective on null-encoded inputs (None vs
+    // boxed Some(None); null bag vs empty bag) — append the raw
+    // name-sorted columns as trailing tie-breaks so the row order on keyed
+    // ties is deterministic and matches sortArray's decorate-sort, which
+    // tie-breaks on the raw value.
+    keyed.map(_ ++ cols.map(col)).getOrElse(cols.map(col).toSeq)
   }
 
   /** Canonical-order ARRAY LITERAL of a table — the ≤`cap`-row localization

@@ -70,6 +70,38 @@ object LangQueries {
         asScalar(compile(prog, env)).cast("string").as("total"))
     },
 
+    // AUTO-PROMOTION (tiered TInt): the SAME past-2^63 sum as
+    // q_lang_wide_sum, but with NO flag — `Compiler.autoWide` runs the
+    // program on the default 64-bit mapping, catches the directed
+    // TInt-overflow error, and replays it on the Decimal(38,0) mapping,
+    // matching the reference's unbounded-Z value with zero widening cost
+    // for programs that never overflow (README "Known divergences" #1 is
+    // closed at the program boundary by this tier).
+    GraftQuery.sql("q_lang_auto_widen",
+      """SELECT CAST(SUM(CAST(o_custkey AS HUGEINT) * 1000000000000000)
+        |            AS VARCHAR) AS total
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val prog = EACFold(AGSum, EProj(LikeBag, ELoc("orders"), "o",
+        EBinop(OTimes, EAccess(EVar("o"), "o_custkey"),
+          EAtom(AInt(1000000000000000L)))))
+      val total = Compiler.autoWide(Env(Map.empty, Map.empty, s)) { env0 =>
+        // the tier owns the store: TInt table columns are Long on the
+        // narrow tier, Decimal(38,0) on the wide one
+        val orders = Tables.load(s, dir, "orders").select(
+          col("o_custkey").cast(
+            if (env0.wideInt) "decimal(38,0)" else "long").as("o_custkey"))
+        val env = env0.copy(store = Map("orders" -> orders))
+        // table AGSum is EAGER (the overflow surfaces inside the tier);
+        // render the scalar to a string driver-side
+        s.range(1).select(asScalar(compile(prog, env)).cast("string")
+          .as("total")).head().getString(0)
+      }
+      s.createDataFrame(java.util.List.of(org.apache.spark.sql.Row(total)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("total",
+            org.apache.spark.sql.types.StringType))))
+    },
+
     // A monad-comprehension program — `c <- customer; n <- nation;
     // check(c.key == n.key); ret {cust, nat}` — exactly what the reference's
     // notation desugars to (nested flatmap/if/cons, Notations.v:144-149).

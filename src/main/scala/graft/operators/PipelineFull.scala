@@ -40,9 +40,122 @@ object PipelineFull {
   private def idsSum(tag: Column): Column =
     sum(Fingerprints.md5Low64(tag).bitwiseAND(0x7fffffffL))
 
-  val queries: Seq[GraftQuery] = Seq(
-    GraftQuery.sql("q_pipeline_full",
-      """WITH nm AS MATERIALIZED (SELECT doc_id, source, n_chars,
+  /** The sealed survivor sets of cascade stages 1-8 — shared by the
+    * attrition query (`q_pipeline_full`, which measures every stage) and
+    * the corpus sink (`q_pipeline_sink`, which persists only the final
+    * stage-8 set). `keepText` keeps the normalized text through the tail
+    * stages: the sink persists it, the attrition query drops it after
+    * stage 5 to keep the seals lean. */
+  private[operators] final case class DagStages(
+      docs: DataFrame, ex: DataFrame, nd: DataFrame, ql: DataFrame,
+      lm: DataFrame, dsir: DataFrame, sem: DataFrame, mx: DataFrame)
+
+  private def runStages(s: org.apache.spark.sql.SparkSession, dir: String,
+      keepText: Boolean): DagStages = {
+    import s.implicits._
+
+    // Each survivor set is SEALED with an eager localCheckpoint: nine
+    // stacked stages otherwise accumulate one enormous logical plan that
+    // Catalyst re-optimizes per action (measured 120s+ of pure driver
+    // time at sf0.01). Truncating lineage per stage keeps every plan
+    // stage-local — the Spark analog of materializing each curation
+    // stage, which is what a production pipeline does anyway.
+    def seal(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+    val docs = seal(Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id", $"source", $"n_chars",
+        graft.functions.Normalize.nfc(
+          regexp_replace(trim($"text"), "\\s+", " ")).as("norm"))
+      .withColumn("tk", toks($"norm")))
+
+    // stage 2: exact dedup keep-first on the NORMALIZED digest
+    val ex = seal(docs.withColumn("rn", row_number().over(
+        Window.partitionBy(md5($"norm")).orderBy($"doc_id")))
+      .filter($"rn" === 1).drop("rn"))
+
+    // stage 3: MinHash+LSH candidates over survivors, exact-Jaccard
+    // verified at 0.5, larger id of each pair dropped
+    val dsets = Dedup.shingleSets(ex.select($"doc_id", $"norm".as("text")))
+      .cache()
+    dsets.count()
+    val bands = Dedup.bandRows(Dedup.minhashSignatures(dsets))
+    val cands = bands.select($"doc_id".as("a"), $"band", $"bh")
+      .join(bands.select($"doc_id".as("b"), $"band", $"bh"),
+        Seq("band", "bh"))
+      .filter($"a" < $"b").select($"a", $"b").distinct()
+    val dups = Dedup.verified(dsets, cands).select($"b").distinct()
+    val nd = seal(ex.join(dups, ex("doc_id") === dups("b"), "left_anti"))
+
+    // stage 4: quality gate
+    val ql = seal(nd.filter(size($"tk") >= 10))
+
+    // stage 5: bigram-LM gate TRAINED ON the stage-4 survivors
+    val lmOk = TextAnalysis.lmScore(ql.select($"doc_id", $"norm".as("text")))
+      .filter($"cond_mass" >= 0.0333).select($"doc_id")
+    // norm has served its attrition purposes (digest, shingles, LM text);
+    // the sink keeps it as the persisted corpus text
+    val lmCols =
+      Seq($"doc_id", $"source", $"n_chars", $"tk") ++
+        (if (keepText) Seq($"norm") else Nil)
+    val lm = seal(ql.join(lmOk, "doc_id").select(lmCols: _*))
+
+    // stage 6: DSIR gate trained on the stage-5 survivors
+    val tok = lm.select($"doc_id", ($"source" === "src0").as("is_t"),
+      explode($"tk").as("w"))
+    val model = tok.groupBy("w").agg(
+      sum(when($"is_t", 1L).otherwise(0L)).as("tgt"),
+      sum(when($"is_t", 0L).otherwise(1L)).as("bgd"))
+    val dsOk = tok.join(model, "w").groupBy($"doc_id")
+      .agg(sum($"tgt").as("st"), sum($"bgd").as("sb"))
+      .filter(($"st" + 1).cast("double") / ($"sb" + 1) >= 0.0558)
+      .select($"doc_id")
+    val dsir = seal(lm.join(dsOk, "doc_id"))
+
+    // stage 7: semantic dedup over survivor embeddings (1:1 by id);
+    // centroids stay the GLOBAL first-16 vectors — a fixed codebook, so
+    // cluster geometry does not drift with upstream attrition
+    val se = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = se.filter($"vec_id" < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val sen = se.join(dsir.select($"doc_id"),
+        se("vec_id") === dsir("doc_id"), "left_semi")
+      .withColumn("n2", ArrayMath.dot($"v", $"v"))
+      .withColumn("cid", array_min(array(cents.map { case (cid, cv) =>
+        struct(ArrayMath.l2sq($"v", typedlit(cv)).as("d"),
+          lit(cid).as("cid")) }: _*))("cid"))
+    val x = sen.select($"cid", $"vec_id".as("xa"), $"v".as("va"),
+      $"n2".as("na"))
+    val y = sen.select($"cid", $"vec_id".as("b"), $"v".as("vb"),
+      $"n2".as("nb"))
+    val sdup = x.join(y, Seq("cid")).filter($"xa" < $"b")
+      .filter((ArrayMath.dot($"va", $"vb") / sqrt($"na" * $"nb")) >= 0.35)
+      .select($"b").distinct()
+    val sem = seal(dsir.join(sdup, dsir("doc_id") === sdup("b"),
+      "left_anti"))
+
+    // stage 8: temperature mixture (alpha = 0.5) from SURVIVOR stats
+    val stats = sem.groupBy($"source")
+      .agg(sum($"n_chars").cast("long").as("chars"))
+    val rates = stats
+      .crossJoin(broadcast(stats.agg(max($"chars").as("cmax"))))
+      .select($"source", floor(lit(1000) * sqrt($"chars".cast("double")
+        / $"cmax")).cast("long").as("rate"))
+    val bucket = Fingerprints
+      .md5Low64(concat(lit("tmp:"), $"doc_id".cast("string")))
+      .bitwiseAND(0x7fffffffL) % 1000
+    val mx = seal(sem.join(broadcast(rates), "source")
+      .filter(bucket < $"rate"))
+
+    DagStages(docs, ex, nd, ql, lm, dsir, sem, mx)
+  }
+
+  /** DuckDB CTE chain replaying cascade stages 1-8 (ends at `mx`, the
+    * final survivor set) — shared verbatim by both oracles. */
+  private val dagCtes: String =
+    """nm AS MATERIALIZED (SELECT doc_id, source, n_chars,
         |    nfc_normalize(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
         |  FROM documents),
         |tk0 AS MATERIALIZED (SELECT doc_id, source, n_chars, norm,
@@ -110,8 +223,12 @@ object PipelineFull {
         |    / cmax)) AS BIGINT) AS rate FROM ms, mm),
         |mx AS MATERIALIZED (SELECT sem.* FROM sem JOIN mr USING (source)
         |  WHERE (md5_number_lower('tmp:' || CAST(doc_id AS VARCHAR))
-        |    & 2147483647) % 1000 < mr.rate),
-        |pk AS MATERIALIZED (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        |    & 2147483647) % 1000 < mr.rate)""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery.sql("q_pipeline_full",
+      "WITH " + dagCtes + ",\n" +
+      """pk AS MATERIALIZED (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
         |    CAST((md5_number_lower('pk:' || CAST(doc_id AS VARCHAR))
         |      & 2147483647) % 8 AS BIGINT) AS shard
         |  FROM mx),
@@ -157,98 +274,9 @@ object PipelineFull {
         |  CAST(ids_sum AS BIGINT) AS ids_sum
         |FROM dg ORDER BY pos""".stripMargin) { (s, dir) =>
       import s.implicits._
-
-      // Each survivor set is SEALED with an eager localCheckpoint: nine
-      // stacked stages otherwise accumulate one enormous logical plan that
-      // Catalyst re-optimizes per action (measured 120s+ of pure driver
-      // time at sf0.01). Truncating lineage per stage keeps every plan
-      // stage-local — the Spark analog of materializing each curation
-      // stage, which is what a production pipeline does anyway.
       def seal(df: DataFrame): DataFrame = df.localCheckpoint(true)
-
-      val docs = seal(Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", $"source", $"n_chars",
-          graft.functions.Normalize.nfc(
-            regexp_replace(trim($"text"), "\\s+", " ")).as("norm"))
-        .withColumn("tk", toks($"norm")))
-
-      // stage 2: exact dedup keep-first on the NORMALIZED digest
-      val ex = seal(docs.withColumn("rn", row_number().over(
-          Window.partitionBy(md5($"norm")).orderBy($"doc_id")))
-        .filter($"rn" === 1).drop("rn"))
-
-      // stage 3: MinHash+LSH candidates over survivors, exact-Jaccard
-      // verified at 0.5, larger id of each pair dropped
-      val dsets = Dedup.shingleSets(ex.select($"doc_id", $"norm".as("text")))
-        .cache()
-      dsets.count()
-      val bands = Dedup.bandRows(Dedup.minhashSignatures(dsets))
-      val cands = bands.select($"doc_id".as("a"), $"band", $"bh")
-        .join(bands.select($"doc_id".as("b"), $"band", $"bh"),
-          Seq("band", "bh"))
-        .filter($"a" < $"b").select($"a", $"b").distinct()
-      val dups = Dedup.verified(dsets, cands).select($"b").distinct()
-      val nd = seal(ex.join(dups, ex("doc_id") === dups("b"), "left_anti"))
-
-      // stage 4: quality gate
-      val ql = seal(nd.filter(size($"tk") >= 10))
-
-      // stage 5: bigram-LM gate TRAINED ON the stage-4 survivors
-      val lmOk = TextAnalysis.lmScore(ql.select($"doc_id", $"norm".as("text")))
-        .filter($"cond_mass" >= 0.0333).select($"doc_id")
-      // norm has served its purposes (digest, shingles, LM text) — drop it
-      val lm = seal(ql.join(lmOk, "doc_id")
-        .select($"doc_id", $"source", $"n_chars", $"tk"))
-
-      // stage 6: DSIR gate trained on the stage-5 survivors
-      val tok = lm.select($"doc_id", ($"source" === "src0").as("is_t"),
-        explode($"tk").as("w"))
-      val model = tok.groupBy("w").agg(
-        sum(when($"is_t", 1L).otherwise(0L)).as("tgt"),
-        sum(when($"is_t", 0L).otherwise(1L)).as("bgd"))
-      val dsOk = tok.join(model, "w").groupBy($"doc_id")
-        .agg(sum($"tgt").as("st"), sum($"bgd").as("sb"))
-        .filter(($"st" + 1).cast("double") / ($"sb" + 1) >= 0.0558)
-        .select($"doc_id")
-      val dsir = seal(lm.join(dsOk, "doc_id"))
-
-      // stage 7: semantic dedup over survivor embeddings (1:1 by id);
-      // centroids stay the GLOBAL first-16 vectors — a fixed codebook, so
-      // cluster geometry does not drift with upstream attrition
-      val se = Tables.load(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val cents = se.filter($"vec_id" < 16).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-      val sen = se.join(dsir.select($"doc_id"),
-          se("vec_id") === dsir("doc_id"), "left_semi")
-        .withColumn("n2", ArrayMath.dot($"v", $"v"))
-        .withColumn("cid", array_min(array(cents.map { case (cid, cv) =>
-          struct(ArrayMath.l2sq($"v", typedlit(cv)).as("d"),
-            lit(cid).as("cid")) }: _*))("cid"))
-      val x = sen.select($"cid", $"vec_id".as("xa"), $"v".as("va"),
-        $"n2".as("na"))
-      val y = sen.select($"cid", $"vec_id".as("b"), $"v".as("vb"),
-        $"n2".as("nb"))
-      val sdup = x.join(y, Seq("cid")).filter($"xa" < $"b")
-        .filter((ArrayMath.dot($"va", $"vb") / sqrt($"na" * $"nb")) >= 0.35)
-        .select($"b").distinct()
-      val sem = seal(dsir.join(sdup, dsir("doc_id") === sdup("b"),
-        "left_anti"))
-
-      // stage 8: temperature mixture (alpha = 0.5) from SURVIVOR stats
-      val stats = sem.groupBy($"source")
-        .agg(sum($"n_chars").cast("long").as("chars"))
-      val rates = stats
-        .crossJoin(broadcast(stats.agg(max($"chars").as("cmax"))))
-        .select($"source", floor(lit(1000) * sqrt($"chars".cast("double")
-          / $"cmax")).cast("long").as("rate"))
-      val bucket = Fingerprints
-        .md5Low64(concat(lit("tmp:"), $"doc_id".cast("string")))
-        .bitwiseAND(0x7fffffffL) % 1000
-      val mx = seal(sem.join(broadcast(rates), "source")
-        .filter(bucket < $"rate"))
+      val DagStages(docs, ex, nd, ql, lm, dsir, sem, mx) =
+        runStages(s, dir, keepText = false)
 
       // stage 9: sharded sequence packing (budget 512, 8 shards)
       val pk = mx.select($"doc_id", size($"tk").cast("long").as("n_tok"),
@@ -314,6 +342,59 @@ object PipelineFull {
         java.util.Arrays.asList(rows.map(t =>
           org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)): _*),
         schema).orderBy("pos")
+    },
+
+    // WRITE-SIDE CAPSTONE: persist the stage-8 survivor corpus — the
+    // artifact a training run actually consumes. Survivors are written
+    // partitionBy(source) (directory pruning for per-domain reads) and
+    // Z-ordered by (doc_id, n_chars) within files (footer min/max pruning
+    // on either dimension), then READ BACK: the query result is the
+    // read-back per-source audit (count / token total / id digest), so the
+    // oracle proves round-trip parity with the mx survivor set — the same
+    // CTE chain, aggregated per source. PlanQualitySpec asserts the
+    // read-back predicate becomes a PartitionFilter.
+    GraftQuery.sql("q_pipeline_sink",
+      "WITH " + dagCtes + "\n" +
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(tk)) AS BIGINT) AS n_tok,
+        |  CAST(SUM(md5_number_lower(CAST(doc_id AS VARCHAR)) & 2147483647)
+        |    AS BIGINT) AS ids_sum
+        |FROM mx GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val mx = runStages(s, dir, keepText = true).mx
+      val out = {
+        val sf = new java.io.File(dir).getName
+        new java.io.File(new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_sinks"),
+          s"pipeline_corpus/$sf").getAbsolutePath
+      }
+      Layout.zorderRepartition(
+        mx.select($"doc_id", $"source", $"n_chars",
+          size($"tk").cast("long").as("n_tok"), $"norm".as("text")),
+        $"doc_id", $"n_chars",
+        math.max(2, s.sparkContext.defaultParallelism / 4))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("source").parquet(out)
+      s.read.parquet(out)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("n_tok"),
+          idsSum($"doc_id".cast("string")).as("ids_sum"))
+        .orderBy("source")
     }
   )
+
+  /** The read-back scan of the persisted survivor corpus with a
+    * per-domain predicate — exposed for the PlanQualitySpec directory-
+    * pruning guard (run AFTER q_pipeline_sink has written). */
+  def corpusReadBack(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName
+    val out = new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_sinks"),
+      s"pipeline_corpus/$sf").getAbsolutePath
+    s.read.parquet(out).filter(col("source") === "src0")
+      .select(col("doc_id"), col("n_tok"))
+  }
 }

@@ -105,22 +105,11 @@ object StreamCurate {
         rows
       }
       // batch artifacts --------------------------------------------------
-      val modelT0 = System.nanoTime()
-      val tokModel = capped(docs
-        .select(($"source" === "src0").as("is_t"),
-          explode(toks($"text")).as("w"))
-        .groupBy($"w").agg(
-          sum(when($"is_t", 1L).otherwise(0L)).as("tgt"),
-          sum(when($"is_t", 0L).otherwise(1L)).as("bgd"))
-        .collect().toSeq
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))), "DSIR")
-      val tgtM = tokModel.map(r => r._1 -> r._2).toMap
-      val bgdM = tokModel.map(r => r._1 -> r._3).toMap
       // MATERIALIZE the token array as a column before any lambda indexes
       // it: `get(toks(text), i)` inside a higher-order function re-runs
       // the regex split per element access (no CSE inside HOFs — the
       // shingleSets lesson; here it was 6-8s of pure re-splitting)
-      val t0 = col("t")
+      val modelT0 = System.nanoTime()
       def bigramsOf(c: org.apache.spark.sql.Column) = when(size(c) >= 2,
         transform(sequence(lit(0), size(c) - 2),
           i => concat_ws(" ", get(c, i), get(c, i + 1))))
@@ -128,15 +117,35 @@ object StreamCurate {
       def prefixesOf(c: org.apache.spark.sql.Column) =
         when(size(c) >= 2, slice(c, lit(1), size(c) - 1))
           .otherwise(array().cast("array<string>"))
-      val docsT = docs.select(toks($"text").as("t"))
-      val cbM = capped(docsT.select(explode(bigramsOf(t0)).as("g"))
-        .groupBy($"g").agg(count(lit(1)).as("c"))
-        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1)),
-        "bigram").toMap
-      val cpM = capped(docsT.select(explode(prefixesOf(t0)).as("p"))
-        .groupBy($"p").agg(count(lit(1)).as("c"))
-        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1)),
-        "prefix").toMap
+      // All three vocabulary models (DSIR token split, bigram counts,
+      // prefix counts) come from the SAME exploded token stream — build
+      // them in ONE corpus pass: tag each gram with its model kind in a
+      // single combined explode, aggregate once (one shuffle), collect
+      // once, and split driver-side. Was three separate scans+collects.
+      val gramRows = {
+        val tc = col("t")
+        def tagged(arr: org.apache.spark.sql.Column, kind: String) =
+          transform(arr, g => struct(lit(kind).as("k"), g.as("g")))
+        docs.select(($"source" === "src0").as("is_t"),
+            toks($"text").as("t"))
+          .select($"is_t", explode(concat(
+            tagged(tc, "t"), tagged(bigramsOf(tc), "b"),
+            tagged(prefixesOf(tc), "p"))).as("e"))
+          .groupBy($"e.k".as("k"), $"e.g".as("g")).agg(
+            sum(when($"is_t", 1L).otherwise(0L)).as("tgt"),
+            count(lit(1)).as("c"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3)))
+      }
+      def model(kind: String, what: String): Seq[(String, Long, Long)] =
+        capped(gramRows.collect { case (`kind`, g, tgt, c) => (g, tgt, c) },
+          what)
+      val tokModel = model("t", "DSIR")
+      val tgtM = tokModel.map(r => r._1 -> r._2).toMap
+      val bgdM = tokModel.map(r => r._1 -> (r._3 - r._2)).toMap
+      val cbM = model("b", "bigram").map(r => r._1 -> r._3).toMap
+      val cpM = model("p", "prefix").map(r => r._1 -> r._3).toMap
       val srcStats = docs.groupBy($"source")
         .agg(sum($"n_chars").cast("long").as("chars"))
         .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
@@ -151,7 +160,8 @@ object StreamCurate {
       val schema = docs.schema
       val watchDir = java.nio.file.Files.createTempDirectory("graft_curate_")
       val stageDir = java.nio.file.Files.createTempDirectory("graft_curate_s_")
-      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+      val maxRow = docs.agg(max($"doc_id")).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       val cuts = Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
         (2 * maxId / 3 + 1, maxId))
       try {
@@ -213,16 +223,19 @@ object StreamCurate {
                     val part = stageDir.resolve(s"part$k")
                     docs.filter($"doc_id".between(lo, hi)).coalesce(1)
                       .write.mode("overwrite").parquet(part.toString)
-                    val file = java.nio.file.Files.list(part).iterator()
-                    var moved = false
-                    while (file.hasNext && !moved) {
-                      val f = file.next()
-                      if (f.getFileName.toString.endsWith(".parquet")) {
-                        java.nio.file.Files.move(f,
-                          watchDir.resolve(s"p$k.parquet"))
-                        moved = true
+                    val listing = java.nio.file.Files.list(part)
+                    try {
+                      val file = listing.iterator()
+                      var moved = false
+                      while (file.hasNext && !moved) {
+                        val f = file.next()
+                        if (f.getFileName.toString.endsWith(".parquet")) {
+                          java.nio.file.Files.move(f,
+                            watchDir.resolve(s"p$k.parquet"))
+                          moved = true
+                        }
                       }
-                    }
+                    } finally listing.close()
                   }
                   phase(s"await$k")(q.processAllAvailable())
                 }

@@ -143,6 +143,38 @@ class DivergenceSpec extends AnyFunSuite {
     assert(fromSpark(wide, TInt) == VI(BigInt(1L << 62) * 4))
   }
 
+  test("autoWide tier: past-2^63 arithmetic matches the reference with NO flag (closed r12)") {
+    // Tiered TInt execution closes divergence #1 at the program boundary:
+    // Compiler.autoWide runs narrow, catches the directed overflow (from
+    // the eager table fold at compile time OR the checked scalar op at
+    // action time), and replays the program wide — the reference's exact
+    // Z value, with zero widening cost for programs that never overflow.
+    val big = EBinop(OTimes, EAtom(AInt(1L << 62)), EAtom(AInt(4)))
+    val ref = interp(big, REnv())
+    assert(ref == VI(BigInt(1L << 62) * 4))
+    var tiers = 0
+    val got = Compiler.autoWide(Env(Map.empty, Map.empty, spark)) { env =>
+      tiers += 1
+      Compiler.compile(big, env) match {
+        case CV(c) => spark.range(1).select(c.as("v")).head.get(0)
+        case _ => fail("expected a scalar")
+      }
+    }
+    assert(tiers == 2, "expected the narrow tier to abort and the wide tier to run")
+    assert(fromSpark(got, TInt) == ref)
+    // and a program that NEVER overflows stays on the fast narrow tier
+    var tiers2 = 0
+    val small = Compiler.autoWide(Env(Map.empty, Map.empty, spark)) { env =>
+      tiers2 += 1
+      Compiler.compile(EBinop(OPlus, EAtom(AInt(20)), EAtom(AInt(22))),
+        env) match {
+        case CV(c) => spark.range(1).select(c.as("v")).head.get(0)
+        case _ => fail("expected a scalar")
+      }
+    }
+    assert(tiers2 == 1 && small == 42L)
+  }
+
   test("correlated aggregates over tables above the localization cap raise the directed error") {
     // The reference interprets ARBITRARY correlated bodies nested-loop-
     // style (fiat2/src/fiat2/Interpret.v:273-299). The engine decorrelates

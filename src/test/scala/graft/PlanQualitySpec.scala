@@ -610,4 +610,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"only $sealedReads stage plans read sealed survivor sets — " +
         s"stages are re-deriving upstream lineage")
   }
+
+  test("q_pipeline_sink read-back prunes directories on the source predicate") {
+    // run the sink (writes the partitioned, z-ordered survivor corpus and
+    // returns the read-back audit), then assert a per-domain read-back
+    // predicate becomes a PartitionFilter — directory pruning, the reason
+    // the corpus is partitioned by source at all
+    SparkEntry.queries("q_pipeline_sink")(spark, TestSpark.sfDir).collect()
+    val p = graft.operators.PipelineFull
+      .corpusReadBack(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("src0")),
+      s"source predicate did not become a PartitionFilter:\n$p")
+    // and the scan must NOT read the text column for this projection
+    assert(p.linesIterator.exists(l => l.contains("ReadSchema") &&
+      !l.contains("text")),
+      s"column pruning lost on the corpus read-back:\n$p")
+  }
 }
