@@ -41,6 +41,28 @@ import org.apache.spark.sql.functions._
 object CanonOrder {
   import Lang._
 
+  /** LOUD type-unknown fallback (r12): when a sort/canonicalization site
+    * cannot synthesize its element type, the raw encoding order is used —
+    * exact for every word-free, bag-free element type, but DIVERGENT from
+    * the reference if the unknown type hides a TWord (signed vs unsigned)
+    * or a nested TBag (element-wise vs run-length order). Callers report
+    * the ambiguous case here: one stderr warning per JVM by default;
+    * `GRAFT_STRICT_ORDER=1` escalates it to a directed error for
+    * deployments that want the fallback provably unreachable. */
+  private val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def unknownOrder(site: String): Unit =
+    if (sys.env.get("GRAFT_STRICT_ORDER").contains("1"))
+      throw new UnsupportedOperationException(
+        s"$site: element type unsynthesizable and the encoding could hide " +
+          "word/bag values, whose raw order diverges from the reference — " +
+          "declare storeTypes/varTypes so the sort is type-directed " +
+          "(strict order mode, GRAFT_STRICT_ORDER=1)")
+    else if (warned.compareAndSet(false, true))
+      System.err.println(s"[graft] $site: element type unknown — using " +
+        "the raw encoding order (exact unless elements contain words or " +
+        "nested bags); declare storeTypes/varTypes to make the order " +
+        "type-directed, or set GRAFT_STRICT_ORDER=1 to make this an error")
+
   /** Does sorting values of type `t` need a computed key, or is the raw
     * encoding's natural order already the reference order? */
   def needsKey(t: FType, width: Int): Boolean = t match {
@@ -104,13 +126,16 @@ object CanonOrder {
     * element type needs a key, plain `sort_array` otherwise (or when the
     * element type is unknown — the conservative legacy order). */
   def sortArray(c: Column, elemT: Option[FType], width: Int): Column =
-    elemT.filter(needsKey(_, width)) match {
-      case Some(t) =>
+    elemT match {
+      case Some(t) if needsKey(t, width) =>
         transform(
           sort_array(transform(c, e =>
             struct(key(e, t, width).as("k"), e.as("v")))),
           p => p("v"))
-      case None => sort_array(c)
+      case Some(_) => sort_array(c) // known type, raw order provably exact
+      case None =>
+        unknownOrder("array canonical sort")
+        sort_array(c)
     }
 
   /** (Re)order dict (key, value) entries into reference key order — used

@@ -556,8 +556,8 @@ object Compiler {
     * path over zip positions instead (see unnestCorrelatedAggs).
     */
   private def projCorrelatedAggs(tag: CollectionTag, df: DataFrame,
-      x: String, r: Expr, env: Env): Val = {
-    val (joined, benv, r2) = unnestCorrelatedAggs(df, x, r, env)._1
+      x: String, r: Expr, env: Env, xT: Option[FType]): Val = {
+    val (joined, benv, r2) = unnestCorrelatedAggs(df, x, r, env, xT)._1
     val res = asCV(compile(r2, benv))
     TV(canonTagDF(tag, flattenResult(joined, res)))
   }
@@ -570,8 +570,8 @@ object Compiler {
     * outer row back out. The left join is key-grouped so it never
     * duplicates outer rows — filter cardinality semantics survive. */
   private def filterCorrelatedAggs(df: DataFrame, x: String, p: Expr,
-      env: Env): Val = {
-    val ((joined, benv, p2), la) = unnestCorrelatedAggs(df, x, p, env)
+      env: Env, xT: Option[FType]): Val = {
+    val ((joined, benv, p2), la) = unnestCorrelatedAggs(df, x, p, env, xT)
     val kept = joined.filter(asCV(compile(p2, benv)))
     TV(kept.select(df.columns.map(c => col(s"$la.$c").as(c)): _*))
   }
@@ -617,15 +617,16 @@ object Compiler {
     * outer-row field accesses, and go again. The final round returns the
     * usual (joined, benv, rewritten) triple. */
   private def unnestCorrelatedAggs(df: DataFrame, x: String, r: Expr,
-      env: Env): ((DataFrame, Env, Expr), String) = {
-    var curDf = df; var curR = r
+      env: Env, xT: Option[FType] = None): ((DataFrame, Env, Expr), String) = {
+    var curDf = df; var curR = r; var curXT = xT
     var rounds = 0
     while (rounds < 6) {
       val nodes = collectCorrelatedAggs(curR, x)
       val inner = innermostAggs(nodes, x)
       val nested = inner.toSet != nodes.toSet
       val ((joined, benv, r2), la) =
-        unnestAggsOnce(curDf, x, curR, env, if (nested) inner else nodes)
+        unnestAggsOnce(curDf, x, curR, env, if (nested) inner else nodes,
+          curXT)
       if (!nested) return ((joined, benv, r2), la)
       rounds += 1
       val newVars = (benv.vars.keySet -- env.vars.keySet) - x
@@ -636,6 +637,19 @@ object Compiler {
       curDf = joined.select(
         curDf.columns.map(cn => col(s"$la.$cn").as(cn)) ++
           newVars.toSeq.sorted.map(n => asCV(benv.vars(n)).as(n)): _*)
+      // the flattened outer's element type EXTENDS with the hoisted
+      // columns (typed via the binds' recorded types) so the next round's
+      // order/boxing decisions stay type-directed; any unknown hoisted
+      // type degrades the whole record to unknown rather than guessing
+      curXT =
+        if (!newVars.forall(benv.varTypes.contains)) None
+        else curXT.map {
+          case TRecord(fs) => TRecord.sorted(
+            (fs.toMap ++ newVars.map(n => n -> benv.varTypes(n))).toSeq: _*)
+          case t => TRecord.sorted(
+            (Map("value" -> t) ++ newVars.map(n => n -> benv.varTypes(n)))
+              .toSeq: _*)
+        }
     }
     throw new UnsupportedOperationException(
       "correlated aggregate nesting deeper than 6 levels")
@@ -684,7 +698,7 @@ object Compiler {
         val n = s"__jaggleg${latIds.incrementAndGet()}"
         (EFlatmap(jt, l1, a,
           EProj(jt, EFilter(jt, EVar(n), b, p), b, r)),
-          env.bind(n, CV(arr)))
+          env.bindTyped(n, CV(arr), synthLite(l2, env)))
       }
     case _ => None
   }
@@ -712,7 +726,7 @@ object Compiler {
             env.wordWidth) match {
           case Some(arr) =>
             val n = s"__aggloc${latIds.incrementAndGet()}"
-            env2 = env2.bind(n, CV(arr))
+            env2 = env2.bindTyped(n, CV(arr), synthLite(ELoc(nm), env))
             mapping += (nm -> n)
           case None => return None
         }
@@ -730,7 +744,8 @@ object Compiler {
   }
 
   private def unnestAggsOnce(df: DataFrame, x: String, r: Expr,
-      env0: Env, only: List[Expr]): ((DataFrame, Env, Expr), String) = {
+      env0: Env, only: List[Expr],
+      xT: Option[FType]): ((DataFrame, Env, Expr), String) = {
     // join-source / scalar-land lifts extend the env with canonical-array
     // binds; every compile below must see them
     var env = env0
@@ -887,12 +902,38 @@ object Compiler {
         case TV(d) => d
         case cv @ CV(_) => toDF(cv, env)
       }
+      // Binder types for every compile below — the chain's element type
+      // (coreT), the flatmap body's element type (flatT, synthesized with
+      // BOTH binders in scope), and the type feeding the projection layer
+      // (projInT). Threading these through keeps order/boxing decisions
+      // (CanonOrder keys, nested-option boxing) type-directed inside
+      // decorrelated bodies instead of silently falling back to the
+      // legacy encodings when a body reads the outer row.
+      val coreT = synthElem(pe.core, env)
+      def synthWith(e: Expr, extra: (String, Option[FType])*): Option[FType] =
+        try Some(TypeCheck.synthesize(e,
+          env.varTypes ++ xT.map(x -> _) ++
+            extra.collect { case (n, Some(t)) => n -> t },
+          env.storeTypes))
+        catch { case scala.util.control.NonFatal(_) => None }
+      val flatT: Option[FType] = pe.flat.flatMap { case (fb, fbody) =>
+        synthWith(fbody, fb -> coreT).flatMap(elemTypeOf)
+      }
+      val projInT = if (pe.flat.isDefined) flatT else coreT
+      // element/value type of the node's source chain after the optional
+      // projection layer — the array path's element type, and the scalar
+      // ACI fold's result type
+      val valT: Option[FType] = pe.proj match {
+        case Some((pb, pv)) =>
+          projInT.flatMap(bt => synthWith(pv, pb -> Some(bt)))
+        case None => projInT
+      }
       val keyPairs = sp.keyPairs
       val outerOnly = sp.outerOnly
       var inner = innerDF
       sp.residual.reverse.foreach { case (b, p) =>
         inner = inner.filter(asCV(compile(p,
-          env.bindRow(b, CV(rowStruct(inner))))))
+          env.bindRowTyped(b, CV(rowStruct(inner)), coreT))))
       }
       val kName = (j: Int) => s"__k${id}_${i}_$j"
       val vName = s"__v${id}_$i"
@@ -936,10 +977,11 @@ object Compiler {
       lazy val iRow = qualifiedRow(inner.columns, ib)
       def posPredConjs: List[Column] =
         sp.mixed.map { case (b, c) =>
-          asCV(compile(c, env.bindRow(x, CV(oRow)).bindRow(b, CV(iRow))))
+          asCV(compile(c, env.bindRowTyped(x, CV(oRow), xT)
+            .bindRowTyped(b, CV(iRow), coreT)))
         } ++ keyPairs.map { case (oe, (b, ie)) =>
-          asCV(compile(oe, env.bindRow(x, CV(oRow)))) <=>
-            asCV(compile(ie, env.bindRow(b, CV(iRow))))
+          asCV(compile(oe, env.bindRowTyped(x, CV(oRow), xT))) <=>
+            asCV(compile(ie, env.bindRowTyped(b, CV(iRow), coreT)))
         }
       val okName = (c: String) => s"__oc${id}_${i}_$c"
       def perOuter(aggCol: Column): DataFrame =
@@ -966,10 +1008,12 @@ object Compiler {
       // null elements survive counting and unmatched rows drop out
       def flatWrappedArr(fb: String, fbody: Expr, pe: PeeledSrc): Column = {
         val arr0 = asCV(compile(fbody,
-          env.bindRow(x, CV(oRow)).bindRow(fb, CV(iRow))))
+          env.bindRowTyped(x, CV(oRow), xT).bindRowTyped(fb, CV(iRow),
+            coreT)))
         val arr = pe.proj match {
           case Some((pb, pv)) => transform(arr0, e =>
-            asCV(compile(pv, env.bindRow(x, CV(oRow)).bind(pb, CV(e)))))
+            asCV(compile(pv, env.bindRowTyped(x, CV(oRow), xT)
+              .bindTyped(pb, CV(e), flatT))))
           case None => arr0
         }
         when(col(s"$ib.$mark").isNotNull,
@@ -984,7 +1028,8 @@ object Compiler {
       def gateCol: Option[Column] = outerOnly match {
         case Nil => None
         case os => Some(os.map(o =>
-          asCV(compile(o, env.bind(x, CV(outerRow))))).reduce(_ && _))
+          asCV(compile(o, env.bindTyped(x, CV(outerRow), xT))))
+          .reduce(_ && _))
       }
       val name = s"__cagg_${id}_$i"
       if (takesArrayPath(node, pe)) {
@@ -1003,23 +1048,6 @@ object Compiler {
         // so a genuine null value (None) survives collect_list's
         // null-dropping while unmatched left-join rows (null marker) are
         // dropped.
-        val coreElemT = synthElem(pe.core, env)
-        def withProj(base: Option[FType]): Option[FType] = pe.proj match {
-          case Some((pb, pv)) => base.flatMap { bt =>
-            try Some(TypeCheck.synthesize(pv,
-              env.varTypes + (pb -> bt), env.storeTypes))
-            catch { case scala.util.control.NonFatal(_) => None }
-          }
-          case None => base
-        }
-        val valT: Option[FType] = withProj(pe.flat match {
-          case Some((fb, fbody)) => coreElemT.flatMap { ct =>
-            try elemTypeOf(TypeCheck.synthesize(fbody,
-              env.varTypes + (fb -> ct), env.storeTypes))
-            catch { case scala.util.control.NonFatal(_) => None }
-          }
-          case None => coreElemT
-        })
         val wrapT = valT.map(t => TRecord(List("v" -> t)))
         def canonArr(c: Column): Column =
           CanonOrder.sortArray(c, wrapT, env.wordWidth)
@@ -1028,7 +1056,7 @@ object Compiler {
           // every outer row shares it; the gate below empties it per row
           val vCol = pe.proj match {
             case Some((pb, pv)) => asCV(compile(pv,
-              env.bindRow(pb, CV(rowStruct(inner)))))
+              env.bindRowTyped(pb, CV(rowStruct(inner)), projInT)))
             case None => rowStruct(inner)
           }
           val aggDF = inner.agg(
@@ -1044,7 +1072,8 @@ object Compiler {
             case None =>
               val vCol = pe.proj match {
                 case Some((pb, pv)) => asCV(compile(pv,
-                  env.bindRow(x, CV(oRow)).bindRow(pb, CV(iRow))))
+                  env.bindRowTyped(x, CV(oRow), xT)
+                    .bindRowTyped(pb, CV(iRow), projInT)))
                 case None => iRow
               }
               canonArr(collect_list(
@@ -1083,7 +1112,8 @@ object Compiler {
             if (countOnly) lit(1L)
             else pe.proj match {
               case Some((pb, pv)) =>
-                asCV(compile(pv, env.bindRow(pb, CV(rowStruct(inner)))))
+                asCV(compile(pv,
+                  env.bindRowTyped(pb, CV(rowStruct(inner)), projInT)))
               case None => inner.col("value") // scalar-element table
             }
           val aggDF = inner.select(valueCol.as(vName))
@@ -1094,20 +1124,23 @@ object Compiler {
           // side per key — map-side partials, key-sized shuffle — and
           // left-join the per-key aggregates onto the outer.
           val innerKeyCols = keyPairs.zipWithIndex.map { case ((_, (b, ie)), j) =>
-            asCV(compile(ie, env.bindRow(b, CV(rowStruct(inner))))).as(kName(j))
+            asCV(compile(ie, env.bindRowTyped(b, CV(rowStruct(inner)),
+              coreT))).as(kName(j))
           }
           val valueCol =
             if (countOnly) lit(1L)
             else pe.proj match {
               case Some((pb, pv)) =>
-                asCV(compile(pv, env.bindRow(pb, CV(rowStruct(inner)))))
+                asCV(compile(pv,
+                  env.bindRowTyped(pb, CV(rowStruct(inner)), projInT)))
               case None => inner.col("value") // scalar-element table
             }
           val sel = inner.select(innerKeyCols :+ valueCol.as(vName): _*)
           val aggDF = sel.groupBy(keyPairs.indices.map(j => col(kName(j))): _*)
             .agg(aggOf(col(vName)).as(aName))
           val joinPred = keyPairs.zipWithIndex.map { case ((oe, _), j) =>
-            asCV(compile(oe, env.bind(x, CV(outerRow)))) <=> col(kName(j))
+            asCV(compile(oe, env.bindTyped(x, CV(outerRow), xT))) <=>
+              col(kName(j))
           }.reduce(_ && _)
           joined = joined.join(aggDF, joinPred, "left")
         } else {
@@ -1133,7 +1166,8 @@ object Compiler {
                 if (countOnly) col(s"$ib.$mark")
                 else pe.proj match {
                   case Some((pb, pv)) => asCV(compile(pv,
-                    env.bindRow(x, CV(oRow)).bindRow(pb, CV(iRow))))
+                    env.bindRowTyped(x, CV(oRow), xT)
+                      .bindRowTyped(pb, CV(iRow), projInT)))
                   case None => col(s"$ib.value")
                 }
               joinBack(perOuter(aggOf(vCol)))
@@ -1150,13 +1184,21 @@ object Compiler {
             case _ => when(oc, base).otherwise(lit(0L))
           }
         }
-        extraBinds ::= ((name, CV(gated), None))
+        // the hoisted scalar's type: count/sum/length are TInt; ACI folds
+        // carry the source value type, nullable (None on empty)
+        val scalarT: Option[FType] = node match {
+          case EACFold(AGSum, _) | EACFold(AGCount, _) |
+               EUnop(OLength, _) => Some(TInt)
+          case EACIFold(_, _) => valT.map(TOption(_))
+          case _ => None
+        }
+        extraBinds ::= ((name, CV(gated), scalarT))
         r2 = Rewrites.foldExpr(r2)(e0 => if (e0 == node) EVar(name) else e0)
       }
     }
     // x stays a ROW variable: any remaining table-level correlation on it
     // must trip assertUncorrelated, not silently mis-resolve
-    val benv = extraBinds.foldLeft(env.bindRow(x, CV(outerRow))) {
+    val benv = extraBinds.foldLeft(env.bindRowTyped(x, CV(outerRow), xT)) {
       case (acc, (n, v, t)) => acc.bindTyped(n, v, t)
     }
     ((joined, benv, r2), la)
@@ -1432,7 +1474,7 @@ object Compiler {
           // aggregates on, filter, and project the outer row back
           case direct: UnsupportedOperationException
               if collectCorrelatedAggs(p, x).nonEmpty =>
-            try filterCorrelatedAggs(df, x, p, env)
+            try filterCorrelatedAggs(df, x, p, env, synthElem(l, env))
             catch { case scala.util.control.NonFatal(dec) =>
               direct.addSuppressed(dec); throw direct }
         }
@@ -1509,7 +1551,7 @@ object Compiler {
           // inner side on its equi-keys, LEFT-join the aggregates back
           case direct: UnsupportedOperationException
               if collectCorrelatedAggs(r, x).nonEmpty =>
-            try projCorrelatedAggs(tag, df, x, r, env)
+            try projCorrelatedAggs(tag, df, x, r, env, synthElem(l, env))
             catch { case scala.util.control.NonFatal(dec) =>
               direct.addSuppressed(dec); throw direct }
         }
@@ -1600,7 +1642,7 @@ object Compiler {
               }
               if (hoistable) {
                 val ((joined, benv, e2r), la) =
-                  unnestCorrelatedAggs(df, x, e2i, env)
+                  unnestCorrelatedAggs(df, x, e2i, env, synthElem(e1, env))
                 val newVars = (benv.vars.keySet -- env.vars.keySet) - x
                 val flat = joined.select(
                   df.columns.map(cn => col(s"$la.$cn").as(cn)) ++
@@ -1643,8 +1685,9 @@ object Compiler {
             // every filter binder sees the same right-side row (filters
             // preserve schema), x sees the left row; plain bind for x so
             // nested references don't trip assertUncorrelated
-            def bodyEnv(binder: String) = env.bind(x, CV(leftRow))
-              .bindRow(binder, CV(innerRow))
+            def bodyEnv(binder: String) =
+              env.bindTyped(x, CV(leftRow), synthElem(e1, env))
+                .bindRowTyped(binder, CV(innerRow), synthElem(core, env))
             val pred = filters
               .map { case (y, p) => asCV(compile(p, bodyEnv(y))) }
               .reduceOption(_ && _).getOrElse(lit(true))
@@ -1682,14 +1725,16 @@ object Compiler {
               val in1 = legDF(c1); val in2 = legDF(c2)
               val row1 = qualifiedRow(in1.columns, r1a)
               val row2 = qualifiedRow(in2.columns, r2a)
-              val envL = env.bind(x, CV(leftRow))
+              val (legT1, legT2) = (synthElem(c1, env), synthElem(c2, env))
+              val envL = env.bindTyped(x, CV(leftRow), synthElem(e1, env))
               val p1 = fs1.map { case (y, p) =>
-                  asCV(compile(p, envL.bindRow(y, CV(row1)))) }
+                  asCV(compile(p, envL.bindRowTyped(y, CV(row1), legT1))) }
                 .reduceOption(_ && _).getOrElse(lit(true))
               val p2 = fs2.map { case (y, p) =>
-                  asCV(compile(p, envL.bindRow(y, CV(row2)))) }
+                  asCV(compile(p, envL.bindRowTyped(y, CV(row2), legT2))) }
                 .reduceOption(_ && _).getOrElse(lit(true))
-              val envJ = envL.bindRow(a, CV(row1)).bindRow(b, CV(row2))
+              val envJ = envL.bindRowTyped(a, CV(row1), legT1)
+                .bindRowTyped(b, CV(row2), legT2)
               val jpC = asCV(compile(jp, envJ))
               val joined = df.alias(la)
                 .join(in1.alias(r1a), p1, "inner")
@@ -1771,16 +1816,23 @@ object Compiler {
                 }
               }
               val elem = asCV(compile(jr, envJ))
+              // the join element's type, via the typed leg binders —
+              // keeps order/boxing decisions in the layers above the join
+              // type-directed
+              val jrT: Option[FType] =
+                try Some(TypeCheck.synthesize(jr,
+                  envJ.varTypes, envJ.storeTypes))
+                catch { case scala.util.control.NonFatal(_) => None }
               // filters peeled ABOVE the join bind to the join's computed
               // element (jr's value), not to plan attributes
               val kept = filters.map { case (y, p) =>
-                  asCV(compile(p, envL.bind(y, CV(elem)))) }
+                  asCV(compile(p, envL.bindTyped(y, CV(elem), jrT))) }
                 .reduceOption(_ && _).map(joined.where).getOrElse(joined)
               peeledProj match {
                 case None => TV(flattenResult(kept, elem))
                 case Some((u, r)) =>
                   TV(flattenResult(kept,
-                    asCV(compile(r, envL.bind(u, CV(elem))))))
+                    asCV(compile(r, envL.bindTyped(u, CV(elem), jrT)))))
               }
             // CORRELATED ZIP-FLATMAP (EFlatmap2 under a correlated body):
             // each correlated leg is an ESort of a correlated filter chain
@@ -1796,7 +1848,7 @@ object Compiler {
             // without an ESort keep the directed error — their reference
             // order is storage order, which no distributed plan can see.
             case fm2 @ EFlatmap2(zl1, zl2, za, zb, zbody) =>
-              var legBinds = List.empty[(String, Val)]
+              var legBinds = List.empty[(String, Val, Option[FType])]
               def liftLeg(leg: Expr): Expr =
                 if (Rewrites.freeVars(leg).contains(x)) leg
                 else compile(leg, env) match {
@@ -1806,7 +1858,7 @@ object Compiler {
                         synthElem(leg, env), env.wordWidth)
                       .getOrElse(throw correlatedError(null))
                     val n = s"__zleg${latIds.incrementAndGet()}"
-                    legBinds ::= ((n, CV(arr)))
+                    legBinds ::= ((n, CV(arr), synthLite(leg, env)))
                     EVar(n)
                 }
               val fm2b = EFlatmap2(liftLeg(zl1), liftLeg(zl2), za, zb, zbody)
@@ -1814,11 +1866,11 @@ object Compiler {
                 if (legBinds.isEmpty) e2i
                 else Rewrites.foldExpr(e2i)(n0 => if (n0 == fm2) fm2b else n0)
               val envB = legBinds.foldLeft(env) {
-                case (acc, (n, v)) => acc.bind(n, v)
+                case (acc, (n, v, t)) => acc.bindTyped(n, v, t)
               }
               def zipUnnest(): Val = {
                 val ((joined, benv, body2), _) =
-                  unnestCorrelatedAggs(df, x, e2b, envB)
+                  unnestCorrelatedAggs(df, x, e2b, envB, synthElem(e1, env))
                 compile(body2, benv) match {
                   case CV(arr) => TV(canonTagDF(tag,
                     flattenExploded(joined, arr)))
@@ -1831,7 +1883,8 @@ object Compiler {
                 // values): x stays a scalar row reference over the plain
                 // outer table; bindRow keeps any deeper table-level
                 // correlation on the directed-error path
-                compile(e2b, envB.bindRow(x, CV(rowStruct(df)))) match {
+                compile(e2b, envB.bindRowTyped(x, CV(rowStruct(df)),
+                    synthElem(e1, env))) match {
                   case CV(arr) => TV(canonTagDF(tag,
                     flattenExploded(df, arr)))
                   case TV(_) => throw correlatedError(u)
@@ -1848,7 +1901,8 @@ object Compiler {
           // it trips assertUncorrelated (catching the silent same-table
           // case too).
           val body =
-            try compile(e2, env.bindRow(x, CV(rowStruct(df))))
+            try compile(e2, env.bindRowTyped(x, CV(rowStruct(df)),
+              synthElem(e1, env)))
             catch {
               case e: org.apache.spark.sql.AnalysisException
                   if Rewrites.freeVars(e2).contains(x) =>
@@ -1946,11 +2000,13 @@ object Compiler {
         }
         val batchSize = 10000
         val cols = df.columns.sorted
+        val elemT = synthElem(l, env)
+        val accTT = synthLite(z, env)
         def foldArr(arr: Column, accCol: Column): Column =
           aggregate(arr, accCol, (a, v) =>
-            asCV(compile(step, env.bind(x, CV(v)).bind(acc, CV(a)))))
+            asCV(compile(step, env.bindTyped(x, CV(v), elemT)
+              .bindTyped(acc, CV(a), accTT))))
         val zCol = asCV(compile(z, env))
-        val elemT = synthElem(l, env)
         tableArrayLit(df, batchSize, elemT, env.wordWidth) match {
           // right fold (Interpret.v:313-319) over the canonical order
           case Some(arr) => CV(foldArr(reverse(arr), zCol))
@@ -2039,6 +2095,21 @@ object Compiler {
   private def canonSortCols(df: DataFrame, elemT: Option[FType],
       width: Int): Seq[Column] = {
     val cols = df.columns.sorted
+    // LOUD fallback: an UNKNOWN element type over a schema that could
+    // hide words (LongType) or nested bags (ArrayType) may sort in a
+    // non-reference order — report it (warn once / strict error). A
+    // schema with neither is provably order-exact raw, no noise.
+    if (elemT.isEmpty) {
+      def ambiguous(dt: org.apache.spark.sql.types.DataType): Boolean =
+        dt match {
+          case _: LongType => true
+          case _: ArrayType => true
+          case st: StructType => st.fields.exists(f => ambiguous(f.dataType))
+          case _ => false
+        }
+      if (df.schema.fields.exists(f => ambiguous(f.dataType)))
+        CanonOrder.unknownOrder("table canonical sort")
+    }
     val keyed: Option[Seq[Column]] = elemT.collect {
       case TRecord(fs) if fs.exists(f => CanonOrder.needsKey(f._2, width)) =>
         fs.sortBy(_._1).map { case (n, ft) => CanonOrder.key(col(n), ft, width) }

@@ -39,7 +39,11 @@ object Parser {
 
   // --- Tokens ---
   private sealed trait Tok { def pos: Int }
-  private final case class TokInt(v: Long, pos: Int) extends Tok
+  /** `huge` marks the one digit string whose NEGATION is representable but
+    * whose positive form is not (2^63): valid only directly under an
+    * adjacent `-`. */
+  private final case class TokInt(v: Long, pos: Int, huge: Boolean = false)
+      extends Tok
   private final case class TokStr(v: String, pos: Int) extends Tok
   private final case class TokId(v: String, pos: Int) extends Tok
   private final case class TokSym(v: String, pos: Int) extends Tok
@@ -64,10 +68,13 @@ object Parser {
         val start = i
         while (i < src.length && src(i).isDigit) i += 1
         val digits = src.substring(start, i)
-        out += TokInt(
-          try digits.toLong catch { case _: NumberFormatException =>
+        out += (digits.toLongOption match {
+          case Some(v) => TokInt(v, start)
+          case None if BigInt(digits) == BigInt(1) << 63 =>
+            TokInt(Long.MinValue, start, huge = true) // only under `-`
+          case None =>
             throw ParseError(s"integer literal out of range: $digits", start)
-          }, start)
+        })
       } else if (c.isLetter || c == '_') {
         val start = i
         while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
@@ -136,7 +143,18 @@ object Parser {
     "skip", "let", "mut", "set", "if", "then", "else", "end", "for", "in",
     "flatmap", "fold", "check", "ret", "true", "false", "nil", "len",
     "strLen", "toStr", "some", "range", "insert", "delete", "lookup",
-    "fst", "snd")
+    "fst", "snd",
+    // r12 engine-surface extension beyond the reference's Notations.v —
+    // call-forms and binder-forms for the remaining grammar (words,
+    // collections, relational nodes) so the printable fraction of
+    // well-typed ASTs covers the whole expression language
+    "word", "wneg", "wadd", "wsub", "wmul", "wdivu", "wdivs", "wmodu",
+    "wmods", "wltu", "wlts", "wrange",
+    "none", "unit", "emptyDict", "emptyBag", "emptySet",
+    "sum", "count", "min", "max", "bagof", "setof",
+    "bagInsert", "setInsert", "sort", "sortBag", "sortSet",
+    "filter", "filterBag", "filterSet", "map", "mapBag", "mapSet",
+    "join", "flatmap2", "dictfold", "optmatch")
 
   // --- Public API ---
   def parseExpr(src: String): Expr = {
@@ -199,6 +217,31 @@ object Parser {
       p.next(); val l = orExpr(p); val z = orExpr(p)
       val x = p.ident(); val acc = p.ident()
       EFold(l, z, x, acc, expr(p))
+    // --- r12 binder-form extension (engine surface; juxtaposed args
+    // follow the flatmap/fold convention — Pretty parenthesizes them) ---
+    case TokId(kw @ ("filter" | "filterBag" | "filterSet"), _) =>
+      p.next(); val l = orExpr(p); val x = p.ident()
+      EFilter(tagOf(kw), l, x, expr(p))
+    case TokId(kw @ ("map" | "mapBag" | "mapSet"), _) =>
+      p.next(); val l = orExpr(p); val x = p.ident()
+      EProj(tagOf(kw), l, x, expr(p))
+    case TokId("join", _) =>
+      p.next(); val l1 = orExpr(p); val l2 = orExpr(p)
+      val x = p.ident(); val y = p.ident()
+      val pr = orExpr(p)
+      EJoin(LikeList, l1, l2, x, y, pr, expr(p))
+    case TokId("flatmap2", _) =>
+      p.next(); val e1 = orExpr(p); val e2 = orExpr(p)
+      val x = p.ident(); val y = p.ident()
+      EFlatmap2(e1, e2, x, y, expr(p))
+    case TokId("dictfold", _) =>
+      p.next(); val d = orExpr(p); val z = orExpr(p)
+      val k = p.ident(); val v = p.ident(); val acc = p.ident()
+      EDictFold(d, z, k, v, acc, expr(p))
+    case TokId("optmatch", _) =>
+      p.next(); val e1 = orExpr(p); val noneE = orExpr(p)
+      val x = p.ident()
+      EOptMatch(e1, noneE, x, expr(p))
     case TokId("check", _) => // check(p); e  =  if p then e else []
       p.next(); p.eatSym("(")
       val c = expr(p); p.eatSym(")"); p.eatSym(";")
@@ -246,7 +289,15 @@ object Parser {
   }
 
   private def unaryExpr(p: P): Expr = p.peek match {
-    case TokSym("-", _) => p.next(); EUnop(ONeg, unaryExpr(p))
+    case TokSym("-", pos) => p.peek2 match {
+      // `-5` (ADJACENT digits, Coq Number-Notation behavior) is a negative
+      // int ATOM; `- 5` (spaced) stays unary negation — the distinction
+      // Pretty relies on for identity round-trips
+      case TokInt(v, p2, huge) if p2 == pos + 1 =>
+        p.next(); p.next()
+        EAtom(AInt(if (huge) v else -v))
+      case _ => p.next(); EUnop(ONeg, unaryExpr(p))
+    }
     case TokSym("!", _) => p.next(); EUnop(ONot, unaryExpr(p))
     case _ => postfix(p)
   }
@@ -259,7 +310,7 @@ object Parser {
       val f = p.next() match {
         case TokId(x, _) => x
         case TokStr(s, _) => s
-        case TokInt(n, _) => n.toString // pair fields "0"/"1"
+        case TokInt(n, _, _) => n.toString // pair fields "0"/"1"
         case t => throw ParseError(s"expected field name, got $t", t.pos)
       }
       p.eatSym("]")
@@ -272,8 +323,33 @@ object Parser {
     p.eatSym("("); val e = expr(p); p.eatSym(")"); e
   }
 
+  private def callArgs2(p: P): (Expr, Expr) = {
+    p.eatSym("(")
+    val a = expr(p); p.eatSym(","); val b = expr(p); p.eatSym(")")
+    (a, b)
+  }
+
+  private def tagOf(kw: String): CollectionTag =
+    if (kw.endsWith("Bag")) LikeBag
+    else if (kw.endsWith("Set")) LikeSet
+    else LikeList
+
+  /** A signed integer LITERAL — the `word(...)` payload. `-2^63` rides the
+    * `huge` token (only legal under the minus). */
+  private def signedIntLit(p: P): Long = {
+    val neg = p.isSym("-")
+    if (neg) p.next()
+    p.next() match {
+      case TokInt(v, _, huge) =>
+        if (huge && !neg)
+          throw ParseError("integer literal out of range", 0)
+        if (huge) v else if (neg) -v else v
+      case t => throw ParseError(s"expected integer literal, got $t", t.pos)
+    }
+  }
+
   private def primary(p: P): Expr = p.peek match {
-    case TokInt(v, _) => p.next(); EAtom(AInt(v))
+    case TokInt(v, _, huge) if !huge => p.next(); EAtom(AInt(v))
     case TokStr(s, _) => p.next(); EAtom(AString(s))
     case TokId("true", _) => p.next(); EAtom(ABool(true))
     case TokId("false", _) => p.next(); EAtom(ABool(false))
@@ -303,6 +379,52 @@ object Parser {
     case TokId("nil", _) =>
       p.next(); p.eatSym("[")
       val t = ftype(p); p.eatSym("]"); EAtom(ANil(t))
+    // --- r12 call-form extension (engine surface) ---
+    case TokId("word", _) =>
+      p.next(); p.eatSym("(")
+      val v = signedIntLit(p); p.eatSym(")"); EAtom(AWord(v))
+    case TokId("wneg", _) => p.next(); EUnop(OWNeg, callArgs1(p))
+    case TokId(kw @ ("wadd" | "wsub" | "wmul" | "wdivu" | "wdivs" |
+        "wmodu" | "wmods" | "wltu" | "wlts" | "wrange"), _) =>
+      p.next()
+      val (a, b) = callArgs2(p)
+      EBinop(kw match {
+        case "wadd" => OWPlus; case "wsub" => OWMinus; case "wmul" => OWTimes
+        case "wdivu" => OWDivU; case "wdivs" => OWDivS
+        case "wmodu" => OWModU; case "wmods" => OWModS
+        case "wltu" => OWLessU; case "wlts" => OWLessS
+        case "wrange" => OWRange
+      }, a, b)
+    case TokId("none", _) =>
+      p.next()
+      if (p.isSym("[")) {
+        p.eatSym("["); val t = ftype(p); p.eatSym("]"); EAtom(ANone(t))
+      } else EAtom(ANone())
+    case TokId("unit", _) => p.next(); EAtom(AUnit)
+    case TokId("emptyDict", _) =>
+      p.next()
+      if (p.isSym("[")) {
+        p.eatSym("["); val kt = ftype(p); p.eatSym(",")
+        val vt = ftype(p); p.eatSym("]"); EAtom(AEmptyDict(kt, vt))
+      } else EAtom(AEmptyDict())
+    case TokId(kw @ ("emptyBag" | "emptySet"), _) =>
+      p.next()
+      val t = if (p.isSym("[")) {
+        p.eatSym("["); val t0 = ftype(p); p.eatSym("]"); t0
+      } else THole
+      if (kw == "emptyBag") EAtom(AEmptyBag(t)) else EAtom(AEmptySet(t))
+    case TokId("sum", _) => p.next(); EACFold(AGSum, callArgs1(p))
+    case TokId("count", _) => p.next(); EACFold(AGCount, callArgs1(p))
+    case TokId("min", _) => p.next(); EACIFold(AGMin, callArgs1(p))
+    case TokId("max", _) => p.next(); EACIFold(AGMax, callArgs1(p))
+    case TokId("bagof", _) => p.next(); EBagOf(callArgs1(p))
+    case TokId("setof", _) => p.next(); ESetOf(callArgs1(p))
+    case TokId("bagInsert", _) =>
+      p.next(); val (a, b) = callArgs2(p); EBinop(OBagInsert, a, b)
+    case TokId("setInsert", _) =>
+      p.next(); val (a, b) = callArgs2(p); EBinop(OSetInsert, a, b)
+    case TokId(kw @ ("sort" | "sortBag" | "sortSet"), _) =>
+      p.next(); ESort(tagOf(kw), callArgs1(p))
     case TokId("mut", _) => p.next(); ELoc(p.ident())
     case TokId(x, _) if !keywords(x) => p.next(); EVar(x)
     case TokSym("[", _) => // list literal → cons chain onto a nil hole

@@ -1,13 +1,21 @@
 package graft.lang
 
 /** Precedence-aware pretty-printer for the surface notation — the inverse
-  * of `Parser` over the notation's expressible subset (the reference prints
-  * programs back through the same notations it parses with,
-  * fiat2/src/fiat2/Notations.v). `Parser.parseExpr(Pretty(e)) == e` for
-  * every expression made of surface forms (ParserSpec's roundtrip
-  * property); structured relational nodes (EFilter/EJoin/EProj — rewrite
-  * TARGETS, which the notation has no words for) and non-surface atoms
-  * throw.
+  * of `Parser` over the notation's expressible subset. The core mirrors the
+  * reference's notations verbatim (fiat2/src/fiat2/Notations.v:52-148);
+  * r12 extends the ENGINE surface with call/binder forms for the rest of
+  * the grammar: word ops (wadd..wrange, word(n)), collection literals
+  * (none, unit, emptyBag, emptySet, emptyDict), aggregates (sum, count,
+  * min, max), bagof, setof, sort(+Bag,+Set), relational binder forms
+  * (filter, map — each with Bag and Set variants — join, flatmap2,
+  * dictfold, optmatch), and adjacent-minus negative int atoms.
+  * `Parser.parseExpr(Pretty(e)) == e` for every printable form
+  * (ParserSpec + DifferentialSpec round-trip batteries).
+  *
+  * Still Unprintable, enumerated: EFlatmap at Bag/Set tags and EJoin at
+  * Bag/Set tags (the compiler only produces/consumes the List forms — no
+  * generator or reference program emits the others), and empties with a
+  * PARTIALLY-holed type (e.g. AEmptyDict(TInt, THole)).
   *
   * Parenthesization mirrors the Coq levels: a child prints bare iff its
   * level fits the context's maximum; binder arguments that the grammar
@@ -25,10 +33,10 @@ object Pretty {
 
   private def level(e: Expr): Int = e match {
     case EVar(_) | ELoc(_) | EAccess(_, _) | ERecord(_) => 0
-    case EAtom(AInt(v)) if v >= 0 => 0
-    case EAtom(ABool(_) | AString(_) | ANil(_)) => 0
+    case EAtom(AInt(v)) => if (v >= 0) 0 else 10 // `-5`: adjacent-minus atom
+    case EAtom(_) => 0 // every other atom is a literal / call form
     case EUnop(ONeg | ONot, _) => 10
-    case EUnop(_, _) => 0 // len(..) etc — call syntax
+    case EUnop(_, _) => 0 // len(..), wneg(..) etc — call syntax
     case EBinop(OTimes | ODiv | OMod, _, _) => 40
     case EBinop(OPlus | OMinus, _, _) => 50
     case EBinop(OCons, _, _) => 55
@@ -36,8 +44,10 @@ object Pretty {
     case EBinop(OLess | OEq, _, _) => 70
     case EBinop(OAnd, _, _) => 80
     case EBinop(OOr, _, _) => 90
-    case EBinop(ORange | OLookup | ODelete, _, _) => 0 // call syntax
+    case EBinop(_, _, _) => 0 // range/lookup/delete/word ops/bag-set insert
     case ETernop(OInsert, _, _, _) => 0
+    case EACFold(_, _) | EACIFold(_, _) | EBagOf(_) | ESetOf(_) |
+         ESort(_, _) => 0 // call syntax
     case _ => 100
   }
 
@@ -62,19 +72,43 @@ object Pretty {
     case EUnop(OLengthString, e1) => s"strLen(${expr(e1, 100)})"
     case EUnop(OIntToString, e1) => s"toStr(${expr(e1, 100)})"
     case EUnop(OSome, e1) => s"some(${expr(e1, 100)})"
-    case EUnop(op, _) => throw Unprintable(op.toString)
+    case EUnop(OWNeg, e1) => s"wneg(${expr(e1, 100)})"
 
     case EBinop(ORange, a, b) => s"range(${expr(a, 100)}, ${expr(b, 100)})"
     case EBinop(OLookup, d, k) => s"lookup(${expr(d, 100)}, ${expr(k, 100)})"
     case EBinop(ODelete, d, k) => s"delete(${expr(d, 100)}, ${expr(k, 100)})"
     case EBinop(OCons, a, b) => // right-assoc at 55
       s"${expr(a, 54)} :: ${expr(b, 55)}"
+    case EBinop(op, a, b) if callBinop.contains(op) =>
+      s"${callBinop(op)}(${expr(a, 100)}, ${expr(b, 100)})"
     case EBinop(op, a, b) =>
       val (sym, lvl) = binop(op)
       s"${expr(a, lvl)} $sym ${expr(b, lvl - 1)}" // left-assoc
 
     case ETernop(OInsert, d, k, v) =>
       s"insert(${expr(d, 100)}, ${expr(k, 100)} -> ${expr(v, 100)})"
+
+    // --- r12 engine-surface extension (beyond the reference's
+    // Notations.v): call/binder forms for the remaining grammar ---
+    case EACFold(AGSum, l) => s"sum(${expr(l, 100)})"
+    case EACFold(AGCount, l) => s"count(${expr(l, 100)})"
+    case EACIFold(AGMin, l) => s"min(${expr(l, 100)})"
+    case EACIFold(AGMax, l) => s"max(${expr(l, 100)})"
+    case EBagOf(l) => s"bagof(${expr(l, 100)})"
+    case ESetOf(l) => s"setof(${expr(l, 100)})"
+    case ESort(tag, l) => s"${tagged("sort", tag)}(${expr(l, 100)})"
+    case EFilter(tag, l, x, p) =>
+      s"${tagged("filter", tag)} ${arg(l)} $x ${expr(p, 100)}"
+    case EProj(tag, l, x, r) =>
+      s"${tagged("map", tag)} ${arg(l)} $x ${expr(r, 100)}"
+    case EJoin(LikeList, l1, l2, x, y, p, r) =>
+      s"join ${arg(l1)} ${arg(l2)} $x $y ${arg(p)} ${expr(r, 100)}"
+    case EFlatmap2(e1, e2, x, y, b) =>
+      s"flatmap2 ${arg(e1)} ${arg(e2)} $x $y ${expr(b, 100)}"
+    case EDictFold(d, z, k, v, acc, step) =>
+      s"dictfold ${arg(d)} ${arg(z)} $k $v $acc ${expr(step, 100)}"
+    case EOptMatch(e1, noneE, x, someE) =>
+      s"optmatch ${arg(e1)} ${arg(noneE)} $x ${expr(someE, 100)}"
 
     case EIf(c, t, f) =>
       s"if ${expr(c, 100)} then ${expr(t, 100)} else ${expr(f, 100)}"
@@ -104,12 +138,37 @@ object Pretty {
     case other => throw Unprintable(other.toString)
   }
 
+  /** Word and collection-insert binops print as 2-arg call forms. */
+  private val callBinop: Map[Binop, String] = Map(
+    OWPlus -> "wadd", OWMinus -> "wsub", OWTimes -> "wmul",
+    OWDivU -> "wdivu", OWDivS -> "wdivs", OWModU -> "wmodu",
+    OWModS -> "wmods", OWLessU -> "wltu", OWLessS -> "wlts",
+    OWRange -> "wrange", OBagInsert -> "bagInsert",
+    OSetInsert -> "setInsert")
+
+  private def tagged(base: String, tag: CollectionTag): String = tag match {
+    case LikeList => base
+    case LikeBag => base + "Bag"
+    case LikeSet => base + "Set"
+  }
+
   private def atom(a: Atom): String = a match {
-    case AInt(v) if v >= 0 => v.toString
+    case AInt(v) => v.toString // negatives: adjacent-minus atom form
+    case AWord(v) => s"word($v)"
     case ABool(v) => v.toString
     case AString(s) => quote(s)
     case ANil(THole) => "[]"
     case ANil(t) => s"nil[${ftype(t)}]"
+    case ANone(THole) => "none"
+    case ANone(t) => s"none[${ftype(t)}]"
+    case AUnit => "unit"
+    case AEmptyBag(THole) => "emptyBag"
+    case AEmptyBag(t) => s"emptyBag[${ftype(t)}]"
+    case AEmptySet(THole) => "emptySet"
+    case AEmptySet(t) => s"emptySet[${ftype(t)}]"
+    case AEmptyDict(THole, THole) => "emptyDict"
+    case AEmptyDict(kt, vt) if kt != THole && vt != THole =>
+      s"emptyDict[${ftype(kt)}, ${ftype(vt)}]"
     case other => throw Unprintable(other.toString)
   }
 
