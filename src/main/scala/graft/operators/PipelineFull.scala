@@ -363,20 +363,19 @@ object PipelineFull {
       (s, dir) =>
       import s.implicits._
       val mx = runStages(s, dir, keepText = true).mx
-      val out = {
-        val sf = new java.io.File(dir).getName
-        new java.io.File(new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_sinks"),
-          s"pipeline_corpus/$sf").getAbsolutePath
-      }
       Layout.zorderRepartition(
         mx.select($"doc_id", $"source", $"n_chars",
           size($"tk").cast("long").as("n_tok"), $"norm".as("text")),
         $"doc_id", $"n_chars",
         math.max(2, s.sparkContext.defaultParallelism / 4))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("source").parquet(out)
-      s.read.parquet(out)
+        .partitionBy("source").parquet(corpusPath(dir))
+      // read back with the EXPLICIT corpus schema (a production reader
+      // knows it from the catalog): skips inference listing, and an
+      // EMPTY survivor corpus (a legitimate gate outcome — e.g. the DSIR
+      // threshold can zero a mix) reads as an empty relation instead of
+      // failing schema inference on a file-less partitioned directory
+      s.read.schema(corpusSchema).parquet(corpusPath(dir))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_tok").as("n_tok"),
@@ -385,16 +384,30 @@ object PipelineFull {
     }
   )
 
+  private def corpusPath(dir: String): String = {
+    val sf = new java.io.File(dir).getName
+    new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_sinks"),
+      s"pipeline_corpus/$sf").getAbsolutePath
+  }
+
+  /** The persisted corpus schema (`source` is the partition column). */
+  private val corpusSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_chars", LongType),
+      StructField("n_tok", LongType),
+      StructField("text", StringType),
+      StructField("source", StringType)))
+  }
+
   /** The read-back scan of the persisted survivor corpus with a
     * per-domain predicate — exposed for the PlanQualitySpec directory-
     * pruning guard (run AFTER q_pipeline_sink has written). */
   def corpusReadBack(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val sf = new java.io.File(dir).getName
-    val out = new java.io.File(new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_sinks"),
-      s"pipeline_corpus/$sf").getAbsolutePath
-    s.read.parquet(out).filter(col("source") === "src0")
+      dir: String): DataFrame =
+    s.read.schema(corpusSchema).parquet(corpusPath(dir))
+      .filter(col("source") === "src0")
       .select(col("doc_id"), col("n_tok"))
-  }
 }

@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: materialize a larger scale factor from `/root/testdata`'s
+  * largest driver-generated SF by replicating fact tables `copies`× with
+  * disjoint id ranges — the sf1 input for the scale-linearity bench run
+  * (round-12 validation: measure, don't argue, the 10× story).
+  *
+  * Faithful to TPC-H scaling: `region`/`nation` are FIXED dimensions
+  * (constant at every SF) and copy through unshifted; every fact table's
+  * 64-bit id columns shift by `copy * 10^12` so keys stay unique and
+  * referential integrity holds within each copy (joins never match across
+  * copies — the same property a bigger generator run would have).
+  * Content de-correlation, so corpus-shaped work scales linearly instead
+  * of degenerating into cross-copy duplicate blowups:
+  *  - `documents.text` gets a per-copy suffix (identical texts across
+  *    copies would make exact/near dedup collapse 10 copies to 1 and the
+  *    pair spaces grow 100×);
+  *  - `embeddings.embedding` rotates circularly by `copy` positions
+  *    (rotated random vectors are near-orthogonal, so ANN/semantic-dedup
+  *    candidate structure scales like fresh data).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <copies>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, copiesS) = args
+    val copies = copiesS.toInt
+    require(copies >= 1 && copies <= 9, "copies in 1..9 (id stride headroom)")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stride = 1000000000000L // > every sf0.1 id range; 9x fits int64
+
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    val shifts: Seq[(String, Seq[String])] = Seq(
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+    for ((t, cols) <- shifts) {
+      val df = spark.read.parquet(s"$srcDir/$t.parquet")
+      val out = (0 until copies).map { k =>
+        var d = cols.foldLeft(df)((acc, c) =>
+          acc.withColumn(c, col(c) + lit(k.toLong * stride)))
+        if (t == "documents" && k > 0) {
+          val suffix = s" zcopy$k"
+          d = d.withColumn("text", concat(col("text"), lit(suffix)))
+            .withColumn("n_chars", col("n_chars") + lit(suffix.length.toLong))
+        }
+        if (t == "embeddings" && k > 0) {
+          val n = size(col("embedding"))
+          d = d.withColumn("embedding", concat(
+            slice(col("embedding"), lit(k + 1), n - k),
+            slice(col("embedding"), lit(1), lit(k))))
+        }
+        d
+      }.reduce(_ unionByName _)
+      // keep file counts proportionate (documents stays few-partition like
+      // the generator's layout; engines repartition where they need to)
+      val parts = if (t == "documents" || t == "embeddings") copies
+        else 4 * copies
+      out.coalesce(parts)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scaleup] $t -> ${outDir}/$t.parquet")
+    }
+    spark.stop()
+  }
+}
