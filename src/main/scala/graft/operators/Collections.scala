@@ -119,7 +119,7 @@ object Collections {
     GraftQuery.sql("q_sort_word_unsigned",
       """WITH w AS (
         |  SELECT l_orderkey AS k,
-        |    (l_partkey - 1000) * 35184372088832 AS w
+        |    ((l_partkey % 200000) - 1000) * 35184372088832 AS w
         |  FROM lineitem)
         |SELECT k, w,
         |  CAST(row_number() OVER (PARTITION BY k ORDER BY (w < 0), w) - 1
@@ -128,9 +128,13 @@ object Collections {
       import s.implicits._
       import graft.lang.{Compiler, Lang}
       import Lang._
+      // the % 200000 residue keeps the 2^45 scaling inside Long at ANY
+      // data scale (shifted/regenerated partkeys included) while being the
+      // identity at the oracle SFs (partkey <= 20000 there)
       val grouped = Tables.load(s, dir, "lineitem")
         .select($"l_orderkey".as("k"),
-          (($"l_partkey" - 1000).cast("long") * 35184372088832L).as("w"))
+          ((($"l_partkey" % 200000) - 1000).cast("long")
+            * 35184372088832L).as("w"))
         .groupBy($"k").agg(collect_list($"w").as("xs"))
       // the engine's own ESort over a TList(TWord) value — compiles to the
       // decorate-sort-undecorate unsigned-key form, all inside codegen
