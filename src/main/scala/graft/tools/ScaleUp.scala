@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * copies — the same property a bigger generator run would have).
   * Content de-correlation, so corpus-shaped work scales linearly instead
   * of degenerating into cross-copy duplicate blowups:
-  *  - `documents.text` gets a per-copy suffix (identical texts across
-  *    copies would make exact/near dedup collapse 10 copies to 1 and the
-  *    pair spaces grow 100×);
+  *  - `documents.text` salts EVERY token with a per-copy tag (a mere
+  *    suffix left shingle sets ~identical across copies, so the near-dup
+  *    families saw each doc gain ~copies cross-copy partners and the
+  *    candidate pair spaces grew quadratically in copies — measured
+  *    30-48x at 9 copies; per-token salting makes cross-copy shingle
+  *    sets disjoint while preserving within-copy duplicate structure,
+  *    document lengths, and token counts);
   *  - `embeddings.embedding` rotates circularly by `copy` positions
   *    (rotated random vectors are near-orthogonal, so ANN/semantic-dedup
   *    candidate structure scales like fresh data).
@@ -57,9 +61,9 @@ object ScaleUp {
         var d = cols.foldLeft(df)((acc, c) =>
           acc.withColumn(c, col(c) + lit(k.toLong * stride)))
         if (t == "documents" && k > 0) {
-          val suffix = s" zcopy$k"
-          d = d.withColumn("text", concat(col("text"), lit(suffix)))
-            .withColumn("n_chars", col("n_chars") + lit(suffix.length.toLong))
+          d = d.withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", s"$$1zq$k"))
+            .withColumn("n_chars", length(col("text")).cast("long"))
         }
         if (t == "embeddings" && k > 0) {
           val n = size(col("embedding"))
