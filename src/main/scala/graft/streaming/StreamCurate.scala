@@ -170,24 +170,41 @@ object StreamCurate {
         val withTok = stream.select($"doc_id", $"source", $"text",
           toks($"text").as("t"))
         val t = col("t")
-        def mapSum(arr: org.apache.spark.sql.Column,
-            m: Map[String, Long]): org.apache.spark.sql.Column =
-          aggregate(arr, lit(0L),
-            (a, k) => a + coalesce(element_at(typedlit(m), k), lit(0L)))
-        val sumBg = mapSum(bigramsOf(t), cbM)
-        val sumPre = mapSum(prefixesOf(t), cpM)
-        val lmOk = when(size(t) < 2, lit(false))
-          .otherwise(sumBg.cast("double") / sumPre >= 0.0333)
-        val dsOk = (mapSum(t, tgtM) + 1).cast("double") /
-          (mapSum(t, bgdM) + 1) >= 0.0558
+        // digest + mixture gate stay COLUMN expressions (O(1) per row,
+        // and the md5-derived sampling must stay bit-identical to the
+        // batch/oracle form); the three MODEL sums move to a typed
+        // projection over the materialized token array with O(1)
+        // hash-map lookups. The previous literal-map HOF
+        // (`element_at(typedlit(m), k)`) is a LINEAR key scan per gram
+        // in codegen — quadratic once vocabulary grows with the corpus,
+        // measured 30x wall at a 9x corpus with 9x vocabulary. The
+        // closure ships the same cap-guarded model maps the literal
+        // carried, as Scala HashMaps.
         val mixOk = Fingerprints
           .md5Low64(concat(lit("tmp:"), $"doc_id".cast("string")))
           .bitwiseAND(0x7fffffffL) % 1000 <
           coalesce(element_at(typedlit(rateM), $"source"), lit(0L))
         val verdicts = withTok.select(md5($"text").as("digest"), $"doc_id",
-            (size(t) >= 10).as("quality_ok"), lmOk.as("lm_ok"),
-            dsOk.as("dsir_ok"), mixOk.as("mix_keep"))
-          .as[(String, Long, Boolean, Boolean, Boolean, Boolean)]
+            $"t", mixOk.as("mix_keep"))
+          .as[(String, Long, Seq[String], Boolean)]
+          .map { case (digest, docId, toksArr, mix) =>
+            val n = toksArr.length
+            var sumBg = 0L; var sumPre = 0L; var st = 0L; var sb = 0L
+            var i = 0
+            while (i < n) {
+              val w = toksArr(i)
+              st += tgtM.getOrElse(w, 0L)
+              sb += bgdM.getOrElse(w, 0L)
+              if (i < n - 1) {
+                sumBg += cbM.getOrElse(w + " " + toksArr(i + 1), 0L)
+                sumPre += cpM.getOrElse(w, 0L)
+              }
+              i += 1
+            }
+            val lmOk = n >= 2 && sumBg.toDouble / sumPre >= 0.0333
+            val dsOk = (st + 1).toDouble / (sb + 1) >= 0.0558
+            (digest, docId, n >= 10, lmOk, dsOk, mix)
+          }
         // keep-first exact dedup across micro-batches: digest-keyed state,
         // per-batch group processed in doc_id order → deterministic keeper
         val deduped = verdicts.groupByKey(_._1)
