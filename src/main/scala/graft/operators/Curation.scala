@@ -458,5 +458,55 @@ object Curation {
           ($"lm_ok" && $"dsir_ok" && $"sem_ok").as("keep"))
         .orderBy("doc_id")
     },
+
+    // CORPUS SNAPSHOT DIFF (r12): content-addressed dataset versioning —
+    // the audit a training pipeline runs between two corpus versions
+    // before retraining. Two snapshots derive deterministically from
+    // `documents` (v1 drops doc_id%10==7, v2 drops %10==4, and %10==3
+    // docs are EDITED in v2), then the diff is ONE doc_id-keyed
+    // full-outer join comparing content digests: added / removed /
+    // modified / unchanged, each with a count and an order-insensitive
+    // id digest. Scale shape: the join is keyed on doc_id (one shuffle,
+    // map-side digests); at 100 TB the two sides are the two snapshot
+    // manifests — rows of (id, digest), never the payloads.
+    GraftQuery.sql("q_corpus_diff",
+      """WITH v1 AS (SELECT doc_id, md5(text) AS d FROM documents
+        |  WHERE doc_id % 10 != 7),
+        |v2 AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 3 THEN text || ' edited'
+        |        ELSE text END) AS d
+        |  FROM documents WHERE doc_id % 10 != 4),
+        |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN v1.d != v2.d THEN 'modified'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, COUNT(*) AS n,
+        |  CAST(SUM(md5_number_lower(CAST(doc_id AS VARCHAR))
+        |    & 2147483647) AS BIGINT) AS ids_sum
+        |FROM j GROUP BY status ORDER BY status""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text")
+      val v1 = docs.filter($"doc_id" % 10 =!= 7)
+        .select($"doc_id".as("id1"), md5($"text").as("d1"))
+      val v2 = docs.filter($"doc_id" % 10 =!= 4)
+        .select($"doc_id".as("id2"),
+          md5(when($"doc_id" % 10 === 3, concat($"text", lit(" edited")))
+            .otherwise($"text")).as("d2"))
+      v1.join(v2, $"id1" === $"id2", "full_outer")
+        .select(coalesce($"id1", $"id2").as("doc_id"),
+          when($"id1".isNull, "added")
+            .when($"id2".isNull, "removed")
+            .when($"d1" =!= $"d2", "modified")
+            .otherwise("unchanged").as("status"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.Fingerprints
+            .md5Low64($"doc_id".cast("string"))
+            .bitwiseAND(0x7fffffffL)).as("ids_sum"))
+        .orderBy("status")
+    },
   )
 }

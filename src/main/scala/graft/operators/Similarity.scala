@@ -219,6 +219,41 @@ object Similarity {
         .orderBy("qid", "rnk")
     },
 
+    // HARD-NEGATIVE MINING (r12) — the contrastive-training complement of
+    // q_mine_pairs' random id-shifted negatives: for each anchor, the
+    // most-similar candidates BELOW the duplicate band (sim < 0.95, self
+    // excluded) — similar enough to be hard, distinct enough not to be a
+    // positive. Same exact-fold sim arithmetic and (sim DESC, id) tie
+    // order as q_ann_topk, so the ids-and-ranks output is bit-replayable.
+    // Scale shape: anchors broadcast (the query-batch stance), one corpus
+    // scan, one qid-keyed window; the 100 TB variant swaps the scan for
+    // the IVF cell probe exactly like q_ann_ivf_topk.
+    GraftQuery.sql("q_hard_negatives",
+      s"""WITH $enSql,
+        |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM en WHERE vec_id < 8),
+        |scored AS (SELECT qid, vec_id,
+        |             ${dotSql("qv", "v")} / sqrt(qn2 * n2) AS sim
+        |           FROM q, en WHERE vec_id != qid),
+        |hard AS (SELECT * FROM scored WHERE sim < 0.95)
+        |SELECT qid, vec_id AS neg_id, sim, CAST(rnk AS BIGINT) AS rnk FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk FROM hard)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = corpus(Tables.load(s, dir, "embeddings"))
+      val q = e.select($"vec_id".as("qid"), $"v".as("qv"), $"n2".as("qn2"))
+        .filter($"qid" < 8)
+      e.join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (ArrayMath.dot($"qv", $"v") / sqrt($"qn2" * $"n2")).as("sim"))
+        .filter($"sim" < 0.95)
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy($"qid")
+            .orderBy($"sim".desc, $"vec_id")).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"qid", $"vec_id".as("neg_id"), $"sim", $"rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // FILTERED vector search — top-5 neighbors among vectors satisfying an
     // attribute predicate (label = 2), the retrieval shape of a curated
     // corpus ("nearest English wiki documents", not nearest anything).

@@ -477,11 +477,80 @@ object TextAnalysis {
         tk.unpersist(blocking = false)
       }
     },
-  )
+  ) :+ bpeDecodeQuery
 
   /** Training depth of `q_bpe_encode` (and its oracle's round count).
     * A `def`: the `queries` val initializes before any sibling val. */
   private def bpeEncodeRounds = 6
+
+  /** TOKENIZER ROUND-TRIP (r12): decode is the inverse of the merge-table
+    * encode — each piece splits back on the merge joiner and the pieces
+    * flatten to the original token stream (tokens are alphanumeric, so
+    * the '_' joiner never collides). Both engines train the same 6-round
+    * merge table, encode, DECODE, and independently assert
+    * decode(encode(x)) == x per document — the property a production
+    * tokenizer ships with. Decode, like encode, is one map-side
+    * codegen'd projection: no join, no shuffle, linear at any corpus
+    * size. */
+  // a `def` like bpeEncodeRounds: the `queries` val initializes first
+  private def bpeDecodeQuery: GraftQuery = {
+    val k = bpeEncodeRounds
+    GraftQuery.sql("q_bpe_decode",
+      """WITH tk AS MATERIALIZED (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |""".stripMargin +
+        (1 to k).map(bpeRoundSql).mkString("\n") + "\n" +
+        s"""dec AS MATERIALIZED (SELECT doc_id,
+        |    flatten(list_transform(r$k.t, p -> string_split(p, '_')))
+        |      AS t
+        |  FROM r$k)
+        |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tok,
+        |  CAST(len(r$k.t) AS BIGINT) AS n_pieces,
+        |  md5(array_to_string(dec.t, ' ')) =
+        |    md5(array_to_string(tk.t, ' ')) AS round_trip_ok
+        |FROM tk JOIN r$k USING (doc_id) JOIN dec USING (doc_id)
+        |ORDER BY tk.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tk = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", toks($"text").as("t")).cache()
+      val rounds = scala.collection.mutable.ListBuffer.empty[
+        org.apache.spark.sql.DataFrame]
+      try {
+        val merges = scala.collection.mutable.ListBuffer.empty[
+          (String, String)]
+        var cur = tk
+        var exhausted = false
+        while (!exhausted && merges.size < k) {
+          topPair(cur) match {
+            case Some((a, b)) =>
+              merges += ((a, b))
+              val nxt = cur.select($"doc_id", mergeOnce($"t", a, b).as("t"))
+                .cache()
+              rounds += nxt
+              cur = nxt
+            case None => exhausted = true
+          }
+        }
+        if (merges.size < k)
+          tk.limit(0).select($"doc_id", lit(0L).as("n_tok"),
+            lit(0L).as("n_pieces"), lit(false).as("round_trip_ok"))
+        else {
+          val enc = bpeApply($"t", merges.toList)
+          val dec = flatten(transform(enc, p => split(p, "_")))
+          tk.select($"doc_id", size($"t").cast("long").as("n_tok"),
+              size(enc).cast("long").as("n_pieces"),
+              (md5(concat_ws(" ", dec)) === md5(concat_ws(" ", $"t")))
+                .as("round_trip_ok"))
+            .orderBy("doc_id")
+        }
+      } finally {
+        rounds.foreach(_.unpersist(blocking = false))
+        tk.unpersist(blocking = false)
+      }
+    }
+  }
 
   /** One oracle training round: argmax adjacent distinct pair of the
     * previous stream, rewrite every document. Mirrors q_bpe_merges' m/r

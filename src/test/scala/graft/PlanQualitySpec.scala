@@ -611,6 +611,33 @@ class PlanQualitySpec extends AnyFunSuite {
         s"stages are re-deriving upstream lineage")
   }
 
+  test("q_corpus_diff joins snapshots keyed on doc_id, never a product") {
+    val p = plan("q_corpus_diff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"snapshot diff degraded to a product:\n$p")
+    // the full-outer diff must be keyed on the id (shuffled hash/sort-merge
+    // at scale; small SF may broadcast-hash, still keyed)
+    assert(p.contains("FullOuter"), s"diff join not full-outer:\n$p")
+  }
+
+  test("q_hard_negatives broadcasts the anchor batch over one corpus scan") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"anchor batch not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian pair space:\n$p")
+  }
+
+  test("q_bpe_decode plan folds and splits map-side: no join at decode time") {
+    // training runs its bounded jobs before this plan exists; the
+    // returned encode+decode plan must be join-free map work, same
+    // stance as q_bpe_encode
+    val p = plan("q_bpe_decode")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"decode plan joins instead of folding map-side:\n$p")
+  }
+
   test("q_pipeline_sink read-back prunes directories on the source predicate") {
     // run the sink (writes the partitioned, z-ordered survivor corpus and
     // returns the read-back audit), then assert a per-domain read-back
