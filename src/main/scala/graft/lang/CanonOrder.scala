@@ -50,8 +50,13 @@ object CanonOrder {
     * `GRAFT_STRICT_ORDER=1` escalates it to a directed error for
     * deployments that want the fallback provably unreachable. */
   private val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Env var for deployments; the system property exists so a spec can
+    * exercise the strict path in-process. */
+  private def strict: Boolean =
+    sys.props.get("graft.strictOrder").orElse(
+      sys.env.get("GRAFT_STRICT_ORDER")).contains("1")
   def unknownOrder(site: String): Unit =
-    if (sys.env.get("GRAFT_STRICT_ORDER").contains("1"))
+    if (strict)
       throw new UnsupportedOperationException(
         s"$site: element type unsynthesizable and the encoding could hide " +
           "word/bag values, whose raw order diverges from the reference — " +

@@ -175,6 +175,34 @@ class DivergenceSpec extends AnyFunSuite {
     assert(tiers2 == 1 && small == 42L)
   }
 
+  test("strict order mode: an ambiguous type-unknown table sort raises the directed error (r12)") {
+    // The type-unknown fallback is LOUD: by default a once-per-JVM
+    // warning; under strict mode (GRAFT_STRICT_ORDER=1 / the
+    // graft.strictOrder prop) a DIRECTED error whenever a sort's element
+    // type is unsynthesizable AND the schema could hide words/bags. An
+    // untyped ESort over a Long-columned store table is exactly that
+    // case; the same sort with storeTypes declared stays allowed.
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(4).select(col("id").as("k"))
+    val prog = ESort(LikeList, ELoc("t"))
+    sys.props("graft.strictOrder") = "1"
+    try {
+      val err = intercept[UnsupportedOperationException] {
+        Compiler.compile(prog,
+          Env(Map.empty, Map("t" -> df), spark)) match {
+          case Compiler.TV(d) => d.collect()
+          case _ => fail("expected a table")
+        }
+      }
+      assert(err.getMessage.contains("storeTypes"),
+        s"expected the directed strict-order error, got: ${err.getMessage}")
+      // typed: same sort, type declared — no error
+      val ok = Compiler.compile(prog, Env(Map.empty, Map("t" -> df), spark,
+        storeTypes = Map("t" -> TBag(TRecord.sorted("k" -> TInt)))))
+      assert(ok.isInstanceOf[Compiler.TV])
+    } finally sys.props.remove("graft.strictOrder")
+  }
+
   test("correlated aggregates over tables above the localization cap raise the directed error") {
     // The reference interprets ARBITRARY correlated bodies nested-loop-
     // style (fiat2/src/fiat2/Interpret.v:273-299). The engine decorrelates
