@@ -36,6 +36,11 @@ print(f"{'query':34s} {'t_small':>8s} {'t_big':>8s} {'ratio':>7s}")
 for q, a, b, r in rows:
     mark = " <-- SUPER-LINEAR" if r > scale * slack else ""
     print(f"{q:34s} {a:8.2f} {b:8.2f} {r:7.2f}{mark}")
-print(f"\ntotal: {small.get('value'):.1f}s -> {big.get('value'):.1f}s "
-      f"(x{big.get('value')/small.get('value'):.2f} at {scale}x data); "
-      f"{len(flagged)}/{len(rows)} queries over the {scale}x*{slack} budget")
+ts, tb = small.get("value"), big.get("value")
+if isinstance(ts, (int, float)) and isinstance(tb, (int, float)) and ts > 0:
+    print(f"\ntotal: {ts:.1f}s -> {tb:.1f}s (x{tb/ts:.2f} at {scale}x data); "
+          f"{len(flagged)}/{len(rows)} queries over the {scale}x*{slack} budget")
+else:
+    print(f"\ntotal: UNPARSEABLE (value={ts!r}/{tb!r}); "
+          f"{len(flagged)}/{len(rows)} queries over the {scale}x*{slack} budget")
+    sys.exit(2)

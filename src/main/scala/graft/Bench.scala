@@ -86,14 +86,25 @@ object Bench {
         }
       }
       // Warm pass is best-effort: a timeout degrades to a partially-warm
-      // timed pass rather than aborting the whole benchmark run.
+      // timed pass rather than aborting the whole benchmark run. On
+      // timeout the straggler warm executions must STOP before the timed
+      // pass starts — a leftover warm query would pollute timings and
+      // can race the timed copy on shared sink paths — so cancel queued
+      // work, interrupt in-flight tasks, and bound-wait for the pool to
+      // drain.
       try {
         scala.util.Try(Await.result(Future.sequence(futs), Duration(900, "s")))
           .failed.foreach { e =>
             System.err.println(s"[bench-warm] warm pass incomplete: " +
-              s"${e.getClass.getSimpleName} — continuing with timed pass")
+              s"${e.getClass.getSimpleName} — cancelling stragglers, " +
+              "continuing with timed pass")
+            spark.sparkContext.cancelAllJobs()
           }
-      } finally pool.shutdown()
+      } finally {
+        pool.shutdownNow()
+        if (!pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+          System.err.println("[bench-warm] warm pool did not drain in 60s")
+      }
       if (warmFailed.get() > 0)
         System.err.println(s"[bench-warm] ${warmFailed.get()} warm " +
           "executions failed (timed pass will report real failures)")

@@ -145,4 +145,14 @@ object Fingerprints {
   /** array<long> minhash signature of a string-array column (null if empty). */
   def minhash(shingles: Column, perms: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), perms))
+
+  /** Order-insensitive ID-SET digest aggregate: Σ (md5Low64(tag) & 2^31-1)
+    * over rows — map-side combinable, and identical in DuckDB as
+    * `SUM(md5_number_lower(tag) & 2147483647)`. The audit-row convention
+    * shared by the curation pipeline's attrition vector, the corpus sink
+    * read-back, and the snapshot diff. */
+  def idsSum(tag: Column): Column = {
+    import org.apache.spark.sql.functions.sum
+    sum(md5Low64(tag).bitwiseAND(0x7fffffffL))
+  }
 }

@@ -49,7 +49,12 @@ object CanonOrder {
     * the ambiguous case here: one stderr warning per JVM by default;
     * `GRAFT_STRICT_ORDER=1` escalates it to a directed error for
     * deployments that want the fallback provably unreachable. */
-  private val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // warn once PER SITE, not per JVM: a benign unknown-type array sort
+  // (schema unobservable at the Column level, usually word/bag-free)
+  // must not consume the warning slot of a genuinely ambiguous table
+  // sort. Strict mode stays conservative on Column-level sites — the
+  // mode's contract is "declare your types".
+  private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   /** Env var for deployments; the system property exists so a spec can
     * exercise the strict path in-process. */
   private def strict: Boolean =
@@ -62,7 +67,7 @@ object CanonOrder {
           "word/bag values, whose raw order diverges from the reference — " +
           "declare storeTypes/varTypes so the sort is type-directed " +
           "(strict order mode, GRAFT_STRICT_ORDER=1)")
-    else if (warned.compareAndSet(false, true))
+    else if (warned.add(site))
       System.err.println(s"[graft] $site: element type unknown — using " +
         "the raw encoding order (exact unless elements contain words or " +
         "nested bags); declare storeTypes/varTypes to make the order " +

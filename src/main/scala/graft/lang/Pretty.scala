@@ -62,8 +62,8 @@ object Pretty {
   private def arg(e: Expr): String = s"(${expr(e, 100)})"
 
   private def raw(e: Expr): String = e match {
-    case EVar(x) => x
-    case ELoc(x) => s"mut $x"
+    case EVar(x) => ident(x)
+    case ELoc(x) => s"mut ${ident(x)}"
     case EAtom(a) => atom(a)
 
     case EUnop(ONeg, e1) => s"- ${expr(e1, 10)}"
@@ -98,26 +98,26 @@ object Pretty {
     case ESetOf(l) => s"setof(${expr(l, 100)})"
     case ESort(tag, l) => s"${tagged("sort", tag)}(${expr(l, 100)})"
     case EFilter(tag, l, x, p) =>
-      s"${tagged("filter", tag)} ${arg(l)} $x ${expr(p, 100)}"
+      s"${tagged("filter", tag)} ${arg(l)} ${ident(x)} ${expr(p, 100)}"
     case EProj(tag, l, x, r) =>
-      s"${tagged("map", tag)} ${arg(l)} $x ${expr(r, 100)}"
+      s"${tagged("map", tag)} ${arg(l)} ${ident(x)} ${expr(r, 100)}"
     case EJoin(LikeList, l1, l2, x, y, p, r) =>
-      s"join ${arg(l1)} ${arg(l2)} $x $y ${arg(p)} ${expr(r, 100)}"
+      s"join ${arg(l1)} ${arg(l2)} ${ident(x)} ${ident(y)} ${arg(p)} ${expr(r, 100)}"
     case EFlatmap2(e1, e2, x, y, b) =>
-      s"flatmap2 ${arg(e1)} ${arg(e2)} $x $y ${expr(b, 100)}"
+      s"flatmap2 ${arg(e1)} ${arg(e2)} ${ident(x)} ${ident(y)} ${expr(b, 100)}"
     case EDictFold(d, z, k, v, acc, step) =>
-      s"dictfold ${arg(d)} ${arg(z)} $k $v $acc ${expr(step, 100)}"
+      s"dictfold ${arg(d)} ${arg(z)} ${ident(k)} ${ident(v)} ${ident(acc)} ${expr(step, 100)}"
     case EOptMatch(e1, noneE, x, someE) =>
-      s"optmatch ${arg(e1)} ${arg(noneE)} $x ${expr(someE, 100)}"
+      s"optmatch ${arg(e1)} ${arg(noneE)} ${ident(x)} ${expr(someE, 100)}"
 
     case EIf(c, t, f) =>
       s"if ${expr(c, 100)} then ${expr(t, 100)} else ${expr(f, 100)}"
     case ELet(e1, x, e2) =>
-      s"let $x = ${expr(e1, 100)} in ${expr(e2, 100)}"
+      s"let ${ident(x)} = ${expr(e1, 100)} in ${expr(e2, 100)}"
     case EFlatmap(LikeList, e1, x, e2) =>
-      s"flatmap ${arg(e1)} $x ${expr(e2, 100)}"
+      s"flatmap ${arg(e1)} ${ident(x)} ${expr(e2, 100)}"
     case EFold(l, z, x, acc, step) =>
-      s"fold ${arg(l)} ${arg(z)} $x $acc ${expr(step, 100)}"
+      s"fold ${arg(l)} ${arg(z)} ${ident(x)} ${ident(acc)} ${expr(step, 100)}"
 
     case ERecord(List(("0", a), ("1", b))) =>
       s"<( ${expr(a, 100)} , ${expr(b, 100)} )>"
@@ -173,6 +173,14 @@ object Pretty {
   }
 
   private val identPat = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** An IDENTIFIER position (variable, location, binder): a reserved word
+    * or non-identifier spelling has no surface form — raise the pinned
+    * `Unprintable`, never print text that silently misparses (an
+    * `EVar("sum")` printed bare would reparse as a malformed call). */
+  private def ident(x: String): String =
+    if (identPat.matches(x) && !Parser.isKeyword(x)) x
+    else throw Unprintable(s"identifier '$x' (reserved word or non-identifier spelling)")
   private def fieldName(k: String): String = k match {
     case identPat() if !Parser.isKeyword(k) => k
     case _ if k.forall(_.isDigit) && k.nonEmpty => k // pair fields "0"/"1"
@@ -214,13 +222,14 @@ object Pretty {
         case _ => command(a)
       }
       s"$head; ${command(b)}"
-    case CLet(e, x, body) => s"let $x = ${expr(e, 100)} in ${command(body)}"
+    case CLet(e, x, body) =>
+      s"let ${ident(x)} = ${expr(e, 100)} in ${command(body)}"
     case CLetMut(e, x, body) =>
-      s"let mut $x := ${expr(e, 100)} in ${command(body)}"
-    case CAssign(x, e) => s"set $x := ${expr(e, 100)}"
+      s"let mut ${ident(x)} := ${expr(e, 100)} in ${command(body)}"
+    case CAssign(x, e) => s"set ${ident(x)} := ${expr(e, 100)}"
     case CIf(e, a, b) =>
       s"if ${expr(e, 100)} then ${command(a)} else ${command(b)} end"
     case CForeach(e, x, body) =>
-      s"for $x in ${expr(e, 100)} : ${command(body)} end"
+      s"for ${ident(x)} in ${expr(e, 100)} : ${command(body)} end"
   }
 }

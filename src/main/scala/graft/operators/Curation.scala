@@ -503,9 +503,8 @@ object Curation {
             .otherwise("unchanged").as("status"))
         .groupBy($"status")
         .agg(count(lit(1)).as("n"),
-          sum(graft.functions.Fingerprints
-            .md5Low64($"doc_id".cast("string"))
-            .bitwiseAND(0x7fffffffL)).as("ids_sum"))
+          graft.functions.Fingerprints.idsSum($"doc_id".cast("string"))
+            .as("ids_sum"))
         .orderBy("status")
     },
   )

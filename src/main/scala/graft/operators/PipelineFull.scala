@@ -35,10 +35,8 @@ import graft.functions.{ArrayMath, Fingerprints}
   */
 object PipelineFull {
 
-  /** Order-insensitive digest: Σ (md5_low64(tag) & 2^31-1) over rows —
-    * identical in DuckDB as SUM(md5_number_lower(tag) & 2147483647). */
-  private def idsSum(tag: Column): Column =
-    sum(Fingerprints.md5Low64(tag).bitwiseAND(0x7fffffffL))
+  /** Order-insensitive digest — the shared audit-row convention. */
+  private def idsSum(tag: Column): Column = Fingerprints.idsSum(tag)
 
   /** The sealed survivor sets of cascade stages 1-8 — shared by the
     * attrition query (`q_pipeline_full`, which measures every stage) and
