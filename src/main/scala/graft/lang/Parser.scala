@@ -154,7 +154,8 @@ object Parser {
     "sum", "count", "min", "max", "bagof", "setof",
     "bagInsert", "setInsert", "sort", "sortBag", "sortSet",
     "filter", "filterBag", "filterSet", "map", "mapBag", "mapSet",
-    "join", "flatmap2", "dictfold", "optmatch")
+    "join", "joinBag", "joinSet", "flatmapBag", "flatmapSet",
+    "flatmap2", "dictfold", "optmatch")
 
   // --- Public API ---
   def parseExpr(src: String): Expr = {
@@ -210,9 +211,9 @@ object Parser {
       p.next(); val c = expr(p)
       p.eatKw("then"); val t = expr(p)
       p.eatKw("else"); EIf(c, t, expr(p))
-    case TokId("flatmap", _) =>
+    case TokId(kw @ ("flatmap" | "flatmapBag" | "flatmapSet"), _) =>
       p.next(); val e1 = orExpr(p); val x = p.ident()
-      EFlatmap(LikeList, e1, x, expr(p))
+      EFlatmap(tagOf(kw), e1, x, expr(p))
     case TokId("fold", _) =>
       p.next(); val l = orExpr(p); val z = orExpr(p)
       val x = p.ident(); val acc = p.ident()
@@ -225,11 +226,15 @@ object Parser {
     case TokId(kw @ ("map" | "mapBag" | "mapSet"), _) =>
       p.next(); val l = orExpr(p); val x = p.ident()
       EProj(tagOf(kw), l, x, expr(p))
-    case TokId("join", _) =>
+    case TokId(kw @ ("join" | "joinBag" | "joinSet"), _) =>
+      // the predicate is the one juxtaposed argument FOLLOWED by an
+      // arbitrary expression (the result), so it must be a CLOSED paren
+      // group: an orExpr here would greedily extend its binary chain
+      // into a result that begins with `-`
       p.next(); val l1 = orExpr(p); val l2 = orExpr(p)
       val x = p.ident(); val y = p.ident()
-      val pr = orExpr(p)
-      EJoin(LikeList, l1, l2, x, y, pr, expr(p))
+      p.eatSym("("); val pr = expr(p); p.eatSym(")")
+      EJoin(tagOf(kw), l1, l2, x, y, pr, expr(p))
     case TokId("flatmap2", _) =>
       p.next(); val e1 = orExpr(p); val e2 = orExpr(p)
       val x = p.ident(); val y = p.ident()

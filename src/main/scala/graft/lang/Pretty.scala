@@ -12,10 +12,10 @@ package graft.lang
   * `Parser.parseExpr(Pretty(e)) == e` for every printable form
   * (ParserSpec + DifferentialSpec round-trip batteries).
   *
-  * Still Unprintable, enumerated: EFlatmap at Bag/Set tags and EJoin at
-  * Bag/Set tags (the compiler only produces/consumes the List forms — no
-  * generator or reference program emits the others), and empties with a
-  * PARTIALLY-holed type (e.g. AEmptyDict(TInt, THole)).
+  * Still Unprintable, enumerated: identifiers spelled as reserved words
+  * (directed, so a collision can never silently misparse) and empties
+  * with a PARTIALLY-holed type (e.g. AEmptyDict(TInt, THole)) — a form
+  * no surface program can construct.
   *
   * Parenthesization mirrors the Coq levels: a child prints bare iff its
   * level fits the context's maximum; binder arguments that the grammar
@@ -101,8 +101,9 @@ object Pretty {
       s"${tagged("filter", tag)} ${arg(l)} ${ident(x)} ${expr(p, 100)}"
     case EProj(tag, l, x, r) =>
       s"${tagged("map", tag)} ${arg(l)} ${ident(x)} ${expr(r, 100)}"
-    case EJoin(LikeList, l1, l2, x, y, p, r) =>
-      s"join ${arg(l1)} ${arg(l2)} ${ident(x)} ${ident(y)} ${arg(p)} ${expr(r, 100)}"
+    case EJoin(tag, l1, l2, x, y, p, r) =>
+      s"${tagged("join", tag)} ${arg(l1)} ${arg(l2)} ${ident(x)} " +
+        s"${ident(y)} ${arg(p)} ${expr(r, 100)}"
     case EFlatmap2(e1, e2, x, y, b) =>
       s"flatmap2 ${arg(e1)} ${arg(e2)} ${ident(x)} ${ident(y)} ${expr(b, 100)}"
     case EDictFold(d, z, k, v, acc, step) =>
@@ -114,8 +115,8 @@ object Pretty {
       s"if ${expr(c, 100)} then ${expr(t, 100)} else ${expr(f, 100)}"
     case ELet(e1, x, e2) =>
       s"let ${ident(x)} = ${expr(e1, 100)} in ${expr(e2, 100)}"
-    case EFlatmap(LikeList, e1, x, e2) =>
-      s"flatmap ${arg(e1)} ${ident(x)} ${expr(e2, 100)}"
+    case EFlatmap(tag, e1, x, e2) =>
+      s"${tagged("flatmap", tag)} ${arg(e1)} ${ident(x)} ${expr(e2, 100)}"
     case EFold(l, z, x, acc, step) =>
       s"fold ${arg(l)} ${arg(z)} ${ident(x)} ${ident(acc)} ${expr(step, 100)}"
 

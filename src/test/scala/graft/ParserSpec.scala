@@ -155,21 +155,23 @@ class ParserSpec extends AnyFunSuite {
       EAtom(AString(pick(Seq("s", "a b", "q\"q", "n\nl", "back\\slash")))),
       EAtom(ANil()), EAtom(ANil(TList(TInt))), EVar(pick(names)),
       ELoc(pick(names))))
-    else rnd.nextInt(14) match {
+    else rnd.nextInt(21) match {
       case 0 => EUnop(pick(Seq(ONeg, ONot)), genExpr(depth - 1))
-      case 1 => EUnop(pick(Seq(OLength, OLengthString, OIntToString, OSome)),
-        genExpr(depth - 1))
+      case 1 => EUnop(pick(Seq(OLength, OLengthString, OIntToString, OSome,
+        OWNeg)), genExpr(depth - 1))
       case 2 => EBinop(pick(Seq[Binop](OPlus, OMinus, OTimes, ODiv, OMod,
         OAnd, OOr, OConcat, OConcatString, OLess, OEq, OCons)),
         genExpr(depth - 1), genExpr(depth - 1))
-      case 3 => EBinop(pick(Seq[Binop](ORange, OLookup, ODelete)),
+      case 3 => EBinop(pick(Seq[Binop](ORange, OLookup, ODelete,
+        OWPlus, OWMinus, OWTimes, OWDivU, OWDivS, OWModU, OWModS,
+        OWLessU, OWLessS, OWRange, OBagInsert, OSetInsert)),
         genExpr(depth - 1), genExpr(depth - 1))
       case 4 => ETernop(OInsert, genExpr(depth - 1), genExpr(depth - 1),
         genExpr(depth - 1))
       case 5 => EIf(genExpr(depth - 1), genExpr(depth - 1), genExpr(depth - 1))
       case 6 => ELet(genExpr(depth - 1), pick(names), genExpr(depth - 1))
-      case 7 => EFlatmap(LikeList, genExpr(depth - 1), pick(names),
-        genExpr(depth - 1))
+      case 7 => EFlatmap(pick(Seq(LikeList, LikeBag, LikeSet)),
+        genExpr(depth - 1), pick(names), genExpr(depth - 1))
       case 8 => EFold(genExpr(depth - 1), genExpr(depth - 1), pick(names),
         pick(names), genExpr(depth - 1))
       case 9 => ERecord(List("0" -> genExpr(depth - 1), "1" -> genExpr(depth - 1)))
@@ -177,7 +179,33 @@ class ParserSpec extends AnyFunSuite {
         .map(n => n -> genExpr(depth - 1)))
       case 11 => EAccess(pick(Seq[Expr](EVar(pick(names)),
         ELoc(pick(names)))), pick(names :+ "if")) // keyword field → quoted
-      case _ => genExpr(depth - 1)
+      // --- r12 surface extension ---
+      case 12 => pick(Seq[Expr](
+        EAtom(AWord(rnd.nextLong())), EAtom(AInt(-1 - rnd.nextInt(100))),
+        EAtom(AInt(Long.MinValue)), EAtom(AWord(Long.MinValue)),
+        EAtom(ANone()), EAtom(ANone(TInt)), EAtom(AUnit),
+        EAtom(AEmptyBag()), EAtom(AEmptyBag(TWord)),
+        EAtom(AEmptySet(TList(TString))), EAtom(AEmptyDict()),
+        EAtom(AEmptyDict(TInt, TOption(TBool)))))
+      case 13 => pick(Seq[Expr => Expr](
+        EACFold(AGSum, _), EACFold(AGCount, _),
+        EACIFold(AGMin, _), EACIFold(AGMax, _),
+        EBagOf(_), ESetOf(_)))(genExpr(depth - 1))
+      case 14 => ESort(pick(Seq(LikeList, LikeBag, LikeSet)),
+        genExpr(depth - 1))
+      case 15 => EFilter(pick(Seq(LikeList, LikeBag, LikeSet)),
+        genExpr(depth - 1), pick(names), genExpr(depth - 1))
+      case 16 => EProj(pick(Seq(LikeList, LikeBag, LikeSet)),
+        genExpr(depth - 1), pick(names), genExpr(depth - 1))
+      case 17 => EJoin(pick(Seq(LikeList, LikeBag, LikeSet)),
+        genExpr(depth - 1), genExpr(depth - 1), pick(names), pick(names),
+        genExpr(depth - 1), genExpr(depth - 1))
+      case 18 => EFlatmap2(genExpr(depth - 1), genExpr(depth - 1),
+        pick(names), pick(names), genExpr(depth - 1))
+      case 19 => EDictFold(genExpr(depth - 1), genExpr(depth - 1),
+        pick(names), pick(names), pick(names), genExpr(depth - 1))
+      case 20 => EOptMatch(genExpr(depth - 1), genExpr(depth - 1),
+        pick(names), genExpr(depth - 1))
     }
 
   private def genCommand(depth: Int): Command =
@@ -201,6 +229,15 @@ class ParserSpec extends AnyFunSuite {
         case ex: ParseError => fail(s"$ex\nAST: $e\nprinted: $printed")
       }
       assert(parsed === e, s"\nAST: $e\nprinted: $printed")
+    }
+  }
+
+  test("reserved-word identifiers raise the pinned Unprintable, never a misparse") {
+    for (kw <- Seq("sum", "filter", "map", "word", "none", "join")) {
+      intercept[Pretty.Unprintable] { Pretty(EVar(kw)) }
+      intercept[Pretty.Unprintable] {
+        Pretty(ELet(EAtom(AInt(1)), kw, EVar(kw)))
+      }
     }
   }
 
