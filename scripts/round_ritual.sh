@@ -64,10 +64,24 @@ PY
     SPARK_GRAFT_SF_DIR=/root/repo/testdata_sf1 sbt -batch \
       "runMain graft.Bench" 2>/dev/null | grep '"metric"' \
       > /tmp/ritual_bench_sf1.json || true
-    lin=$(python3 scripts/linearity.py /tmp/ritual_bench_sf01.json \
-      /tmp/ritual_bench_sf1.json 9 | tail -2)
-    echo "$lin"
-    echo "$lin" | grep -q " 0/" || gate "linearity (super-linear queries)"
+    # a query failing ONLY at 9x is exactly what this step exists to
+    # catch — gate the artifact's failed list before the ratio check
+    python3 - <<'PY' || gate "9x bench (failed queries)"
+import json, sys
+d = json.load(open('/tmp/ritual_bench_sf1.json'))
+print('9x total', d['value'], 'failed', d['failed'])
+sys.exit(1 if d['failed'] else 0)
+PY
+    if python3 scripts/linearity.py /tmp/ritual_bench_sf01.json \
+         /tmp/ritual_bench_sf1.json 9 > /tmp/ritual_linearity.txt; then
+      tail -2 /tmp/ritual_linearity.txt
+      tail -1 /tmp/ritual_linearity.txt |
+        grep -Eq "; 0/[0-9]+ queries over" ||
+        gate "linearity (super-linear queries)"
+    else
+      tail -2 /tmp/ritual_linearity.txt
+      gate "linearity (unparseable bench artifacts)"
+    fi
   else
     echo "testdata_sf1 missing — run graft.tools.ScaleUp first"
     gate "9x bench (no data)"

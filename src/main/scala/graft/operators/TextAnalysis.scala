@@ -439,36 +439,19 @@ object TextAnalysis {
       val tk = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", toks($"text").as("t")).cache()
-      val rounds = scala.collection.mutable.ListBuffer.empty[
-        org.apache.spark.sql.DataFrame]
+      val (merges, rounds) = trainMerges(tk, bpeEncodeRounds)
       try {
-        val merges = scala.collection.mutable.ListBuffer.empty[
-          (String, String)]
-        var cur = tk
-        var exhausted = false
-        while (!exhausted && merges.size < bpeEncodeRounds) {
-          topPair(cur) match {
-            case Some((a, b)) =>
-              merges += ((a, b))
-              val nxt = cur.select($"doc_id", mergeOnce($"t", a, b).as("t"))
-                .cache()
-              rounds += nxt
-              cur = nxt
-            case None => exhausted = true
-          }
-        }
         if (merges.size < bpeEncodeRounds)
           // degenerate corpus (some round had no adjacent distinct pair):
           // the oracle's empty m_k CTE empties its output — mirror it
           tk.limit(0).select($"doc_id", lit(0L).as("n_tok"),
             lit(0L).as("n_pieces"), lit("").as("merges"), lit("").as("fp"))
         else {
-          val enc = graft.operators.TextAnalysis.bpeApply($"t",
-            merges.toList)
+          val enc = graft.operators.TextAnalysis.bpeApply($"t", merges)
           tk.select($"doc_id", size($"t").cast("long").as("n_tok"),
               size(enc).cast("long").as("n_pieces"),
               lit(merges.map { case (a, b) => a + "_" + b }
-                .mkString(",")).as("merges"),
+              .mkString(",")).as("merges"),
               md5(concat_ws(" ", enc)).as("fp"))
             .orderBy("doc_id")
         }
@@ -478,6 +461,42 @@ object TextAnalysis {
       }
     },
   ) :+ bpeDecodeQuery
+
+  /** Train up to `k` BPE merge rounds over a cached token table —
+    * shared by q_bpe_encode and q_bpe_decode so both always train the
+    * SAME merge table. Returns the (possibly short, if the corpus
+    * exhausts) ordered merges plus the cached per-round intermediates
+    * for the caller's finally-unpersist. */
+  private def trainMerges(tk: org.apache.spark.sql.DataFrame, k: Int)
+      : (List[(String, String)], List[org.apache.spark.sql.DataFrame]) = {
+    import tk.sparkSession.implicits._
+    val rounds = scala.collection.mutable.ListBuffer.empty[
+      org.apache.spark.sql.DataFrame]
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var cur = tk
+    var exhausted = false
+    while (!exhausted && merges.size < k) {
+      topPair(cur) match {
+        case Some((a, b)) =>
+          merges += ((a, b))
+          val nxt = cur.select($"doc_id", mergeOnce($"t", a, b).as("t"))
+            .cache()
+          rounds += nxt
+          cur = nxt
+        case None => exhausted = true
+      }
+    }
+    (merges.toList, rounds.toList)
+  }
+
+  /** The shared oracle prefix: tokenized corpus + the k training-round
+    * CTEs. */
+  private def bpeSqlPrefix(k: Int): String =
+    """WITH tk AS MATERIALIZED (SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |""".stripMargin +
+      (1 to k).map(bpeRoundSql).mkString("\n") + "\n"
 
   /** Training depth of `q_bpe_encode` (and its oracle's round count).
     * A `def`: the `queries` val initializes before any sibling val. */
@@ -496,11 +515,7 @@ object TextAnalysis {
   private def bpeDecodeQuery: GraftQuery = {
     val k = bpeEncodeRounds
     GraftQuery.sql("q_bpe_decode",
-      """WITH tk AS MATERIALIZED (SELECT doc_id,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |""".stripMargin +
-        (1 to k).map(bpeRoundSql).mkString("\n") + "\n" +
+      bpeSqlPrefix(k) +
         s"""dec AS MATERIALIZED (SELECT doc_id,
         |    flatten(list_transform(r$k.t, p -> string_split(p, '_')))
         |      AS t
@@ -515,29 +530,13 @@ object TextAnalysis {
       val tk = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", toks($"text").as("t")).cache()
-      val rounds = scala.collection.mutable.ListBuffer.empty[
-        org.apache.spark.sql.DataFrame]
+      val (merges, rounds) = trainMerges(tk, k)
       try {
-        val merges = scala.collection.mutable.ListBuffer.empty[
-          (String, String)]
-        var cur = tk
-        var exhausted = false
-        while (!exhausted && merges.size < k) {
-          topPair(cur) match {
-            case Some((a, b)) =>
-              merges += ((a, b))
-              val nxt = cur.select($"doc_id", mergeOnce($"t", a, b).as("t"))
-                .cache()
-              rounds += nxt
-              cur = nxt
-            case None => exhausted = true
-          }
-        }
         if (merges.size < k)
           tk.limit(0).select($"doc_id", lit(0L).as("n_tok"),
             lit(0L).as("n_pieces"), lit(false).as("round_trip_ok"))
         else {
-          val enc = bpeApply($"t", merges.toList)
+          val enc = bpeApply($"t", merges)
           val dec = flatten(transform(enc, p => split(p, "_")))
           tk.select($"doc_id", size($"t").cast("long").as("n_tok"),
               size(enc).cast("long").as("n_pieces"),
@@ -572,11 +571,7 @@ object TextAnalysis {
   }
 
   private def bpeEncodeSql: String =
-    """WITH tk AS MATERIALIZED (SELECT doc_id,
-      |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
-      |  FROM documents),
-      |""".stripMargin +
-      (1 to bpeEncodeRounds).map(bpeRoundSql).mkString("\n") + "\n" +
+    bpeSqlPrefix(bpeEncodeRounds) +
       s"""ms AS MATERIALIZED (SELECT ${(1 to bpeEncodeRounds).map(k =>
            s"(SELECT a || '_' || b FROM m$k)").mkString(" || ',' || ")}
       |    AS merges)
