@@ -102,8 +102,25 @@ object Bench {
           }
       } finally {
         pool.shutdownNow()
-        if (!pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
-          System.err.println("[bench-warm] warm pool did not drain in 60s")
+        // The timed pass MUST NOT start with warm stragglers alive —
+        // leftover executions pollute timings and can race the timed
+        // copy on shared sink paths. Keep cancelling + re-waiting; if
+        // the pool still won't drain, fail the bench run rather than
+        // produce silently-polluted numbers.
+        var drained =
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        var rounds = 0
+        while (!drained && rounds < 4) {
+          rounds += 1
+          System.err.println(s"[bench-warm] warm pool not drained after " +
+            s"${60 * (rounds)}s — cancelling jobs and re-waiting")
+          spark.sparkContext.cancelAllJobs()
+          drained =
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        if (!drained) sys.error("[bench-warm] warm pool failed to drain " +
+          "after repeated cancellation — aborting the bench run (a timed " +
+          "pass with live stragglers would report polluted timings)")
       }
       if (warmFailed.get() > 0)
         System.err.println(s"[bench-warm] ${warmFailed.get()} warm " +

@@ -55,11 +55,21 @@ object CanonOrder {
   // sort. Strict mode stays conservative on Column-level sites — the
   // mode's contract is "declare your types".
   private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  /** Env var for deployments; the system property exists so a spec can
-    * exercise the strict path in-process. */
+  /** THREAD-SCOPED strict override: lets a spec exercise the strict path
+    * without mutating process-global state (a sys.props flip would leak
+    * into concurrently-running compiles under parallel test execution —
+    * compile-time plan construction runs on the caller's thread, so a
+    * DynamicVariable scopes exactly the compilation under test). */
+  private val strictScope =
+    new scala.util.DynamicVariable[Option[Boolean]](None)
+  def withStrict[A](on: Boolean)(body: => A): A =
+    strictScope.withValue(Some(on))(body)
+  /** Env var for deployments; the system property remains as a JVM-wide
+    * opt-in (spark-submit -D); specs use `withStrict`. */
   private def strict: Boolean =
-    sys.props.get("graft.strictOrder").orElse(
-      sys.env.get("GRAFT_STRICT_ORDER")).contains("1")
+    strictScope.value.getOrElse(
+      sys.props.get("graft.strictOrder").orElse(
+        sys.env.get("GRAFT_STRICT_ORDER")).contains("1"))
   def unknownOrder(site: String): Unit =
     if (strict)
       throw new UnsupportedOperationException(

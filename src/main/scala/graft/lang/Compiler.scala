@@ -1185,11 +1185,19 @@ object Compiler {
           }
         }
         // the hoisted scalar's type: count/sum/length are TInt; ACI folds
-        // carry the source value type, nullable (None on empty)
+        // carry the source value type, nullable (None on empty). When the
+        // source value type is ITSELF an option, the aggregated column is
+        // the raw unboxed nullable value — recording TOption(TOption(t))
+        // would declare the boxed struct("s") encoding and mislead
+        // downstream type-directed boxing, so record unknown instead
+        // (order decisions then safely degrade to the raw encoding).
         val scalarT: Option[FType] = node match {
           case EACFold(AGSum, _) | EACFold(AGCount, _) |
                EUnop(OLength, _) => Some(TInt)
-          case EACIFold(_, _) => valT.map(TOption(_))
+          case EACIFold(_, _) => valT match {
+            case Some(TOption(_)) => None
+            case other => other.map(TOption(_))
+          }
           case _ => None
         }
         extraBinds ::= ((name, CV(gated), scalarT))

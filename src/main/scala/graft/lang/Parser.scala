@@ -345,9 +345,9 @@ object Parser {
     val neg = p.isSym("-")
     if (neg) p.next()
     p.next() match {
-      case TokInt(v, _, huge) =>
+      case t @ TokInt(v, _, huge) =>
         if (huge && !neg)
-          throw ParseError("integer literal out of range", 0)
+          throw ParseError("integer literal out of range", t.pos)
         if (huge) v else if (neg) -v else v
       case t => throw ParseError(s"expected integer literal, got $t", t.pos)
     }

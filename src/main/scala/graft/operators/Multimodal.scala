@@ -11,8 +11,13 @@ import graft.core.{GraftQuery, Tables}
   * `PngCodec` round-trips genuine zlib-compressed PNG through
   * `javax.imageio` (`q_multimodal_png`), and `WavCodec` round-trips a
   * genuine RIFF/WAV PCM container through `javax.sound.sampled`
-  * (`q_multimodal_wav`). Only VIDEO decode remains a deterministic STUB
-  * (`FakeDecoder`) — no video codec ships with the JDK or this container.
+  * (`q_multimodal_wav`), and VIDEO round-trips a genuine RIFF/AVI
+  * container (`AviCodec`, operators/VideoAvi.scala): uncompressed BI_RGB
+  * frames for the exactly-replayable oracle path (`q_multimodal_avi`)
+  * plus a Motion-JPEG fourcc through the JDK's real JPEG codec
+  * (spec-validated — JPEG is lossy, so no exact SQL replay). The
+  * `FakeDecoder` remains only as the generic batch-shape stub the
+  * feature/resize/frame queries exercise.
   */
 object Multimodal {
 
@@ -299,6 +304,54 @@ object Multimodal {
           val codec = WavCodec.open()
           iter.map(codec.decodeStats)
         }.toDF().orderBy("doc_id")
+    },
+
+    // REAL AVI ROUND TRIP (pure-JVM RIFF muxer/demuxer, zero external
+    // deps): synthesize a 4-frame 16×12 BGR24 video whose pixels are a
+    // pure function of the text bytes, mux it into a genuine AVI
+    // container (RIFF hdrl/strl/movi/idx1, BI_RGB '00db' frames), then
+    // demux + decode for per-frame channel sums. Uncompressed RGB is
+    // lossless, so the oracle replays the pixel arithmetic from character
+    // codes; the AVI bytes only exist on the Spark side, proving the
+    // container codec ran. The MJPG fourcc path (real javax.imageio JPEG
+    // per frame) rides the same demuxer and is spec-validated
+    // (AviCodecSpec) — JPEG loss rules out an exact SQL replay.
+    GraftQuery.sql("q_multimodal_avi",
+      """WITH px AS (
+        |  SELECT d.doc_id, q // 192 AS f,
+        |    ascii(substr(d.text, CAST(((3*q + 2) % n) + 1 AS INT), 1)) AS r,
+        |    ascii(substr(d.text, CAST(((3*q + 1) % n) + 1 AS INT), 1)) AS g,
+        |    ascii(substr(d.text, CAST(((3*q) % n) + 1 AS INT), 1)) AS b
+        |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |        FROM documents) d,
+        |       unnest(range(0, 768)) AS t(q))
+        |SELECT doc_id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+        |  CAST(4 AS INT) AS n_frames, CAST(f AS INT) AS frame_idx,
+        |  CAST(SUM(r) AS BIGINT) AS r_sum,
+        |  CAST(SUM(g) AS BIGINT) AS g_sum,
+        |  CAST(SUM(b) AS BIGINT) AS b_sum
+        |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      // AVI corpus staged once per JVM (fixture prep, like the PNGs/WAVs);
+      // the operator under test/bench is the per-partition demux + decode
+      // over binary columns, fanned out one row per frame.
+      val staged = graft.streaming.StreamStage.stagedOnce("avi_blobs", dir) {
+        p =>
+          Tables.load(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism)
+            .select($"doc_id", encode($"text", "utf-8").as("data"),
+              lit("video/avi").as("fmt"))
+            .as[MediaBlob]
+            .map(b => MediaBlob(b.doc_id,
+              AviCodec.encode(AviCodec.framesOf(b.data), mjpeg = false),
+              "video/avi"))
+            .write.mode("overwrite").parquet(p.toString)
+      }
+      s.read.parquet(staged.toString)
+        .repartition(s.sparkContext.defaultParallelism).as[MediaBlob]
+        .flatMap(b => AviCodec.stats(b.doc_id, b.data))
+        .toDF().orderBy("doc_id", "frame_idx")
     },
 
     // Metadata extraction through the binary path: text bytes stand in for

@@ -165,7 +165,17 @@ object StreamCurate {
       val cuts = Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
         (2 * maxId / 3 + 1, maxId))
       try {
-        val stream = s.readStream.schema(schema).parquet(watchDir.toString)
+        // maxFilesPerTrigger=1 keeps the three delivery files arriving as
+        // THREE micro-batches (the cross-batch dedup state must actually
+        // be exercised) while letting the driver pay ONE
+        // processAllAvailable await instead of one per delivery — the
+        // per-await ~1s trigger floor was the whole residual cost of this
+        // query (r12 watch item). FileStreamSource orders candidate files
+        // by modification time (latestFirst=false), so the deliveries
+        // below stamp ascending mod times to pin batch order = doc_id
+        // order, which the keep-first dedup's determinism needs.
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watchDir.toString)
         // token array as a materialized column (same HOF-CSE reason)
         val withTok = stream.select($"doc_id", $"source", $"text",
           toks($"text").as("t"))
@@ -235,6 +245,8 @@ object StreamCurate {
               val q = deduped.writeStream.outputMode("append")
                 .format("memory").queryName(sink).start()
               try {
+                val epoch = java.nio.file.Files.getLastModifiedTime(
+                  watchDir).toMillis
                 cuts.zipWithIndex.foreach { case ((lo, hi), k) =>
                   phase(s"deliver$k") {
                     val part = stageDir.resolve(s"part$k")
@@ -247,15 +259,20 @@ object StreamCurate {
                       while (file.hasNext && !moved) {
                         val f = file.next()
                         if (f.getFileName.toString.endsWith(".parquet")) {
-                          java.nio.file.Files.move(f,
+                          val dst = java.nio.file.Files.move(f,
                             watchDir.resolve(s"p$k.parquet"))
+                          // ascending mod times spaced well past FS
+                          // timestamp granularity: batch order = k order
+                          java.nio.file.Files.setLastModifiedTime(dst,
+                            java.nio.file.attribute.FileTime.fromMillis(
+                              epoch + k * 10000L))
                           moved = true
                         }
                       }
                     } finally listing.close()
                   }
-                  phase(s"await$k")(q.processAllAvailable())
                 }
+                phase("await")(q.processAllAvailable())
               } finally q.stop()
             }
             s.table(sink).localCheckpoint(true)

@@ -185,8 +185,10 @@ class DivergenceSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val df = spark.range(4).select(col("id").as("k"))
     val prog = ESort(LikeList, ELoc("t"))
-    sys.props("graft.strictOrder") = "1"
-    try {
+    // thread-scoped strict (CanonOrder.withStrict) — not a sys.props
+    // flip, which would leak into concurrently-running compiles under
+    // parallel test execution
+    CanonOrder.withStrict(true) {
       val err = intercept[UnsupportedOperationException] {
         Compiler.compile(prog,
           Env(Map.empty, Map("t" -> df), spark)) match {
@@ -200,7 +202,7 @@ class DivergenceSpec extends AnyFunSuite {
       val ok = Compiler.compile(prog, Env(Map.empty, Map("t" -> df), spark,
         storeTypes = Map("t" -> TBag(TRecord.sorted("k" -> TInt)))))
       assert(ok.isInstanceOf[Compiler.TV])
-    } finally sys.props.remove("graft.strictOrder")
+    }
   }
 
   test("correlated aggregates over tables above the localization cap raise the directed error") {
