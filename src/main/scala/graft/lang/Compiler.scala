@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Fiat2
-import graft.functions.WordOps
+import graft.functions.{BigIntOps, WordOps}
 
 /** Compiles `Lang` expressions to Spark plans. Two levels, mirroring the
   * reference's table/value split (tables are list-of-record globals,
@@ -40,6 +40,12 @@ object Compiler {
       // opt-in unbounded-TInt mapping (DecimalType(38,0) instead of
       // LongType) — see sparkType; set once when building the Env
       wideInt: Boolean = false,
+      // the THIRD TInt tier: arbitrary-precision integers in BinaryType
+      // columns under BigIntMath's order-preserving canonical encoding
+      // (functions/BigIntOps.scala) — the reference's actual unbounded Z
+      // (fiat2/src/fiat2/Value.v:12), memory-bounded only. autoWide
+      // escalates narrow → wide → big; set once when building the Env.
+      bigInt: Boolean = false,
       // TWord width (the reference is width-parametric, `Section WithWord`
       // fiat2/src/fiat2/Language.v:4): 64 (default) or 32 — selects the
       // WordOps bundle and canonicalizes AWord literals. Set once when
@@ -99,6 +105,22 @@ object Compiler {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
       .exists(t => Option(t.getMessage).exists(_.contains("TInt overflow")))
 
+  /** Is this failure the WIDE tier's Decimal(38,0) ceiling? In a wide-tier
+    * run the ONLY Decimal(38,0) expressions are the TInt mapping itself —
+    * the wide TWord family (WordMathWide) masks residues in BigInteger and
+    * never lets ANSI see an overflow — so an ANSI decimal-out-of-range
+    * there is, by construction, a TInt value past 10^38 and it is sound
+    * for `autoWide` to re-tier on it. (Long-overflow ANSI errors say
+    * "long overflow" and directed narrow errors say "TInt overflow" —
+    * neither matches these Decimal-specific markers.) */
+  def isWideDecimalOverflow(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(t => Option(t.getMessage).exists(m =>
+        m.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+          m.contains("cannot be represented as Decimal(38") ||
+          m.contains("Overflow in sum of decimals") ||
+          m.contains("Decimal(38, 0)") && m.contains("overflow")))
+
   /** TIERED TInt execution — the engine's AUTO stance on the reference's
     * unbounded `Z` (fiat2/src/fiat2/Value.v:12): run the program on the
     * fast 64-bit mapping first; if the DIRECTED TInt-overflow error fires
@@ -108,18 +130,43 @@ object Compiler {
     * case pays zero widening cost; the overflowing case pays one extra
     * (narrow, aborted) run — the classic speculative-narrowing tier.
     *
-    * `run` receives the tier's Env (`wideInt` false then true) and must
+    * Past 10^38 the wide tier itself overflows (ANSI Decimal — see
+    * isWideDecimalOverflow for why that error is unambiguous there) and
+    * the program re-tiers ONCE more onto the BIGNUM mapping
+    * (`Env.bigInt`): arbitrary-precision BinaryType columns under
+    * BigIntMath's order-preserving encoding — the reference's actual
+    * unbounded Z, bounded only by memory. Three tiers, three runs worst
+    * case; zero cost for the (overwhelming) non-overflowing majority.
+    *
+    * `run` receives the tier's Env (`wideInt`/`bigInt` per tier) and must
     * (a) rebuild any TInt store columns for the tier's type — Long vs
-    * Decimal(38,0) — and (b) MATERIALIZE its result (run the action):
-    * an overflow that only surfaces after this call returns is too late
-    * to re-tier. Program-level entry points are eager anyway, like the
-    * reference interpreter. Sound to replay because programs are pure —
-    * the narrow run's partial effects live only in its discarded Env. */
+    * Decimal(38,0) vs canonical bytes (BigIntOps.fromLong) — and (b)
+    * MATERIALIZE its result (run the action): an overflow that only
+    * surfaces after this call returns is too late to re-tier.
+    * Program-level entry points are eager anyway, like the reference
+    * interpreter. Sound to replay because programs are pure — the
+    * narrow run's partial effects live only in its discarded Env. */
   def autoWide[A](env: Env)(run: Env => A): A =
-    try run(env.copy(wideInt = false))
-    catch { case e: Throwable if isTIntOverflow(e) =>
-      run(env.copy(wideInt = true))
+    try run(env.copy(wideInt = false, bigInt = false))
+    catch {
+      // the narrow tier's eager table-sum check sums in Decimal(38,0)
+      // partials: a sum past 10^38 surfaces the DECIMAL marker directly
+      // from tier 1 — skip the doomed wide tier and go straight to bignum
+      case e: Throwable if isWideDecimalOverflow(e) =>
+        run(env.copy(wideInt = false, bigInt = true))
+      case e: Throwable if isTIntOverflow(e) =>
+        try run(env.copy(wideInt = true, bigInt = false))
+        catch { case e2: Throwable if isWideDecimalOverflow(e2) =>
+          run(env.copy(wideInt = false, bigInt = true))
+        }
     }
+
+  /** A TInt-producing Long column, re-encoded for the bignum tier (the
+    * narrow and wide tiers both consume raw Longs — Spark coerces Long
+    * into Decimal arithmetic implicitly; BinaryType has no implicit
+    * coercion, so every TInt PRODUCER must encode on the big tier). */
+  private def intCol(c: Column, env: Env): Column =
+    if (env.bigInt) BigIntOps.fromLong(c) else c
 
   /** Best-effort type synthesis against the env's partial type knowledge —
     * None whenever a free variable or store table lacks a recorded type.
@@ -245,10 +292,13 @@ object Compiler {
     * the widened mapping gives 10^38 headroom with ANSI overflow checking
     * beyond that, while `TWord` keeps its machine-word wrap semantics). */
   def sparkType(t: FType, wideInt: Boolean = false,
-      wordWidth: Int = 64): DataType = t match {
+      wordWidth: Int = 64, bigInt: Boolean = false): DataType = t match {
     case THole => throw new UnsupportedOperationException(
       "unelaborated type hole — run TypeCheck.analyze against the expected " +
         "type before compiling")
+    // bignum tier: order-preserving canonical bytes (BigIntMath) — binary
+    // lexicographic IS numeric order, so native compare/sort/group work
+    case TInt if bigInt => BinaryType
     case TInt if wideInt => DecimalType(38, 0)
     // TWord's physical type follows the width family (WordOps.forWidth):
     // sign-extended Long through 64, Decimal(38,0) residues through 125,
@@ -266,17 +316,17 @@ object Compiler {
     // boxes. Closed in r11 — formerly the nested-option-flattening
     // divergence (the reference's values nest freely, Value.v:5-22).
     case TOption(u @ TOption(_)) => StructType(Seq(
-      StructField("s", sparkType(u, wideInt, wordWidth))))
-    case TOption(u) => sparkType(u, wideInt, wordWidth)
-    case TList(u) => ArrayType(sparkType(u, wideInt, wordWidth))
-    case TBag(u) => ArrayType(sparkType(u, wideInt, wordWidth))
-    case TSet(u) => ArrayType(sparkType(u, wideInt, wordWidth))
+      StructField("s", sparkType(u, wideInt, wordWidth, bigInt))))
+    case TOption(u) => sparkType(u, wideInt, wordWidth, bigInt)
+    case TList(u) => ArrayType(sparkType(u, wideInt, wordWidth, bigInt))
+    case TBag(u) => ArrayType(sparkType(u, wideInt, wordWidth, bigInt))
+    case TSet(u) => ArrayType(sparkType(u, wideInt, wordWidth, bigInt))
     case TDict(k, v) => ArrayType(StructType(Seq(
-      StructField("key", sparkType(k, wideInt, wordWidth)),
-      StructField("value", sparkType(v, wideInt, wordWidth)))))
+      StructField("key", sparkType(k, wideInt, wordWidth, bigInt)),
+      StructField("value", sparkType(v, wideInt, wordWidth, bigInt)))))
     case TRecord(fs) => StructType(
       fs.sortBy(_._1).map { case (n, u) =>
-        StructField(n, sparkType(u, wideInt, wordWidth)) })
+        StructField(n, sparkType(u, wideInt, wordWidth, bigInt)) })
   }
 
   /** Fresh alias ids for flatmap decorrelation — nested correlated
@@ -1325,41 +1375,45 @@ object Compiler {
 
     case EAtom(a) => CV(a match {
       case AWord(v) => WordOps.forWidth(env.wordWidth).literal(v)
+      case AInt(v) if env.bigInt => BigIntOps.literal(v)
       case AInt(v) if env.wideInt => lit(v).cast(DecimalType(38, 0))
       case AInt(v) => lit(v)
       case ABool(v) => lit(v)
       case AString(v) => lit(v)
       case ANil(t) => array().cast(ArrayType(
-        sparkType(t, env.wideInt, env.wordWidth)))
+        sparkType(t, env.wideInt, env.wordWidth, env.bigInt)))
       // None : TOption(t) — cast to the OPTION's encoding (boxed struct
       // when t is itself an option; the inner type's encoding otherwise)
       case ANone(t) =>
-        lit(null).cast(sparkType(TOption(t), env.wideInt, env.wordWidth))
+        lit(null).cast(sparkType(TOption(t), env.wideInt, env.wordWidth, env.bigInt))
       case AEmptyDict(k, v) =>
-        array().cast(sparkType(TDict(k, v), env.wideInt, env.wordWidth))
+        array().cast(sparkType(TDict(k, v), env.wideInt, env.wordWidth, env.bigInt))
       case AEmptyBag(t) => array().cast(ArrayType(
-        sparkType(t, env.wideInt, env.wordWidth)))
+        sparkType(t, env.wideInt, env.wordWidth, env.bigInt)))
       case AEmptySet(t) => array().cast(ArrayType(
-        sparkType(t, env.wideInt, env.wordWidth)))
+        sparkType(t, env.wideInt, env.wordWidth, env.bigInt)))
       case AUnit => lit(null)
     })
 
     case EUnop(OLength, e1) => lenMemoHit(env, e1) match {
-      case Some(n) => CV(lit(n)) // pre-counted by batchLengths
+      case Some(n) => CV(intCol(lit(n), env)) // pre-counted by batchLengths
       case None => compile(e1, env) match {
-        case TV(df) => CV(lit(df.count())) // eager, like the interp
-        case v => CV(size(asCV(v)).cast("long"))
+        case TV(df) => CV(intCol(lit(df.count()), env)) // eager, like the interp
+        case v => CV(intCol(size(asCV(v)).cast("long"), env))
       }
     }
 
     case EUnop(op, e1) => (op, compile(e1, env)) match {
       case (OWNeg, v) => // wraps at the width's MinValue
         CV(WordOps.forWidth(env.wordWidth).wneg(asCV(v)))
-      case (ONeg, v) => CV(if (env.wideInt) -asCV(v)
+      case (ONeg, v) => CV(if (env.bigInt) BigIntOps.neg(asCV(v))
+        else if (env.wideInt) -asCV(v)
         else Fiat2.checkedNeg(asCV(v)))
       case (ONot, v) => CV(!asCV(v))
-      case (OLengthString, v) => CV(length(asCV(v)).cast("long"))
-      case (OIntToString, v) => CV(asCV(v).cast("string"))
+      case (OLengthString, v) =>
+        CV(intCol(length(asCV(v)).cast("long"), env))
+      case (OIntToString, v) => CV(if (env.bigInt) BigIntOps.toStr(asCV(v))
+        else asCV(v).cast("string"))
       case (OSome, v) => synthLite(e1, env) match {
         // Some over an OPTION boxes (Some(None) must stay distinct from
         // None — sparkType's nested-option struct); over any other type
@@ -2050,6 +2104,12 @@ object Compiler {
     // and the reference interpreter's eagerness) — so an aggregate composes
     // into records/arithmetic anywhere a scalar goes.
     case EACFold(agg, e1) => (agg, compile(e1, env)) match {
+      case (AGSum, TV(df)) if env.bigInt =>
+        // ONE distributed agg, map-side-combinable partials in the
+        // canonical encoding (BigIntSumAgg); empty input yields the
+        // aggregator's zero, not null — same stance as the other tiers
+        CV(lit(df.agg(BigIntOps.sumCol(col("value"))).head()
+          .getAs[Array[Byte]](0)))
       case (AGSum, TV(df)) if !env.wideInt =>
         // sum WIDE (Decimal(38,0) partials — still one distributed agg),
         // then range-check on the driver: a table sum past 2^63 raises the
@@ -2068,11 +2128,14 @@ object Compiler {
       case (AGSum, TV(df)) => CV(lit(
         df.agg(coalesce(sum(col("value")), lit(0L)).as("value"))
           .head().get(0)))
-      case (AGCount, TV(df)) => CV(lit(df.count()))
-      case (AGSum, CV(c)) => CV(if (env.wideInt)
+      case (AGCount, TV(df)) => CV(intCol(lit(df.count()), env))
+      case (AGSum, CV(c)) => CV(if (env.bigInt)
+          aggregate(c, lit(graft.functions.BigIntMath.ZERO_BYTES),
+            (a, v) => BigIntOps.add(a, v))
+        else if (env.wideInt)
           aggregate(c, lit(0).cast(DecimalType(38, 0)), (a, v) => a + v)
         else aggregate(c, lit(0L), (a, v) => Fiat2.checkedAdd(a, v)))
-      case (AGCount, CV(c)) => CV(size(c).cast("long"))
+      case (AGCount, CV(c)) => CV(intCol(size(c).cast("long"), env))
     }
 
     case EACIFold(agg, e1) => (agg, compile(e1, env)) match {
@@ -2201,15 +2264,20 @@ object Compiler {
       // a silent wrap or a bare ANSI error would both mis-serve it). The
       // wideInt (Decimal(38,0)) path keeps plain ops: ANSI checks them at
       // 10^38, the documented headroom of the wide mapping.
-      case OPlus => CV(if (env.wideInt) asCV(v1) + asCV(v2)
+      case OPlus => CV(if (env.bigInt) BigIntOps.add(asCV(v1), asCV(v2))
+        else if (env.wideInt) asCV(v1) + asCV(v2)
         else Fiat2.checkedAdd(asCV(v1), asCV(v2)))
-      case OMinus => CV(if (env.wideInt) asCV(v1) - asCV(v2)
+      case OMinus => CV(if (env.bigInt) BigIntOps.sub(asCV(v1), asCV(v2))
+        else if (env.wideInt) asCV(v1) - asCV(v2)
         else Fiat2.checkedSub(asCV(v1), asCV(v2)))
-      case OTimes => CV(if (env.wideInt) asCV(v1) * asCV(v2)
+      case OTimes => CV(if (env.bigInt) BigIntOps.mul(asCV(v1), asCV(v2))
+        else if (env.wideInt) asCV(v1) * asCV(v2)
         else Fiat2.checkedMul(asCV(v1), asCV(v2)))
-      case ODiv => CV(if (env.wideInt) Fiat2.edivWide(asCV(v1), asCV(v2))
+      case ODiv => CV(if (env.bigInt) BigIntOps.ediv(asCV(v1), asCV(v2))
+        else if (env.wideInt) Fiat2.edivWide(asCV(v1), asCV(v2))
         else Fiat2.ediv(asCV(v1), asCV(v2)))
-      case OMod => CV(Fiat2.emod(asCV(v1), asCV(v2)))
+      case OMod => CV(if (env.bigInt) BigIntOps.emod(asCV(v1), asCV(v2))
+        else Fiat2.emod(asCV(v1), asCV(v2)))
       // TWord machine-word family — wrap-around + total div/mod, never the
       // ANSI overflow-checked builtins (functions/WordOps.scala). The op
       // bundle is width-selected (64 default, 32 opt-in via Env.wordWidth).
@@ -2233,7 +2301,13 @@ object Compiler {
       // Some _ is false. Spark `===` returns NULL on a null operand, so
       // option-typed comparands need the null-safe `<=>` to match.
       case OEq => CV(asCV(v1) <=> asCV(v2))
-      case ORange => CV(Fiat2.rangeList(asCV(v1), asCV(v2)))
+      case ORange => CV(if (env.bigInt)
+          // bounds decode to the Long domain (a range longer than 2^63 is
+          // unmaterializable at ANY tier — BigIntToLong raises directed);
+          // elements re-encode so the result list is tier-consistent
+          transform(Fiat2.rangeList(BigIntOps.toLong(asCV(v1)),
+            BigIntOps.toLong(asCV(v2))), e => BigIntOps.fromLong(e))
+        else Fiat2.rangeList(asCV(v1), asCV(v2)))
       case OLookup => synthLite(e1, env) match {
         // lookup : TOption(vt) — an OPTION-VALUED dict must box the found
         // value (a found None is Some(None), distinct from a missing key)
@@ -2242,7 +2316,7 @@ object Compiler {
             lit(0))
           CV(when(entry.isNull,
             lit(null).cast(sparkType(TOption(vt), env.wideInt,
-              env.wordWidth)))
+              env.wordWidth, env.bigInt)))
             .otherwise(struct(entry("value").as("s"))))
         case _ => CV(Fiat2.dictLookup(asCV(v1), asCV(v2)))
       }

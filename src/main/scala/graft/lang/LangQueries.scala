@@ -102,6 +102,46 @@ object LangQueries {
             org.apache.spark.sql.types.StringType))))
     },
 
+    // THE THIRD TIER (r13): a sum whose VALUE passes 10^38 — past the
+    // narrow Long mapping AND the Decimal(38,0) wide mapping. autoWide
+    // re-tiers twice (the per-row ×10^18 overflows Long; the 1.2×10^38
+    // total overflows the wide sum's ANSI Decimal ceiling) and lands on
+    // the BIGNUM mapping (Env.bigInt — BinaryType columns under
+    // BigIntMath's order-preserving encoding), reproducing the
+    // reference's unbounded Z exactly (fiat2/src/fiat2/Value.v:12).
+    // nation is the fixture because it is SF-stable (sum(n_nationkey) =
+    // 300 at every SF), keeping the oracle's HUGEINT arithmetic in range:
+    // 300 × 4×10^35 = 1.2×10^38 < 2^127.
+    GraftQuery.sql("q_lang_bignum",
+      """SELECT CAST(SUM(CAST(n_nationkey AS HUGEINT)
+        |                * 1000000000000000000 * 400000000000000000)
+        |            AS VARCHAR) AS total
+        |FROM nation""".stripMargin) { (s, dir) =>
+      val prog = EUnop(OIntToString, EACFold(AGSum,
+        EProj(LikeBag, ELoc("nation"), "n",
+          EBinop(OTimes, EBinop(OTimes,
+            EAccess(EVar("n"), "n_nationkey"),
+            EAtom(AInt(1000000000000000000L))),
+            EAtom(AInt(400000000000000000L))))))
+      val total = Compiler.autoWide(Env(Map.empty, Map.empty, s)) { env0 =>
+        // the tier owns the store: Long → Decimal(38,0) → canonical bytes
+        val key = col("n_nationkey").cast("long")
+        val nation = Tables.load(s, dir, "nation").select(
+          (if (env0.bigInt) graft.functions.BigIntOps.fromLong(key)
+           else if (env0.wideInt) key.cast("decimal(38,0)")
+           else key).as("n_nationkey"))
+        val env = env0.copy(store = Map("nation" -> nation))
+        // OIntToString renders tier-correctly (bignum decodes; the other
+        // tiers cast) — the driver just reads the string back
+        s.range(1).select(asScalar(compile(prog, env)).as("total"))
+          .head().getString(0)
+      }
+      s.createDataFrame(java.util.List.of(org.apache.spark.sql.Row(total)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("total",
+            org.apache.spark.sql.types.StringType))))
+    },
+
     // A monad-comprehension program — `c <- customer; n <- nation;
     // check(c.key == n.key); ret {cust, nat}` — exactly what the reference's
     // notation desugars to (nested flatmap/if/cons, Notations.v:144-149).

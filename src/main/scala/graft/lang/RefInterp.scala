@@ -488,6 +488,8 @@ object RefInterp {
     case (_, null) => err(s"null at non-option type $t")
     case (TInt, x: Long) => VI(BigInt(x))
     case (TInt, x: java.math.BigDecimal) => VI(BigInt(x.toBigInteger))
+    case (TInt, x: Array[Byte]) => // bignum tier: canonical ordered bytes
+      VI(BigInt(graft.functions.BigIntMath.decode(x)))
     case (TWord, x: Long) => VW(x)
     case (TWord, x: java.math.BigDecimal) => // wide widths: Decimal residue
       VWide(BigInt(x.toBigInteger))

@@ -32,7 +32,10 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, copiesS) = args
     val copies = copiesS.toInt
-    require(copies >= 1 && copies <= 9, "copies in 1..9 (id stride headroom)")
+    // stride 10^12 with ≤27 copies tops out at 2.7×10^13 — five decimal
+    // orders under int64; 27 is the second linearity point (9× → 27× gives
+    // a two-point growth-exponent fit, r13 directive 2)
+    require(copies >= 1 && copies <= 27, "copies in 1..27 (id stride headroom)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -499,6 +499,65 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("bignum differential: unbounded arithmetic, order, and aggregates match Coq Z") {
+    // the THIRD TInt tier (Env(bigInt = true), BinaryType canonical
+    // encoding, r13): product chains grow unbounded (up to ~10^300 at
+    // depth 4), floor div/mod keep Coq Z.div/Z.modulo semantics, and
+    // OLess rides Spark's native binary comparison — sound only because
+    // the encoding is order-preserving. RefInterp computes in BigInt.
+    val envBig = Env(Map.empty, Map.empty, spark, bigInt = true)
+    for (i <- 0 until 25) {
+      val rnd = new Random(7700 + i)
+      def gen(d: Int): Expr =
+        if (d <= 0) EAtom(AInt(rnd.between(-(1L << 61), 1L << 61)))
+        else rnd.nextInt(7) match {
+          case 0 => EBinop(OPlus, gen(d - 1), gen(d - 1))
+          case 1 => EBinop(OMinus, gen(d - 1), gen(d - 1))
+          case 2 => EBinop(OTimes, gen(d - 1), gen(d - 1)) // UNBOUNDED
+          case 3 => EBinop(ODiv, gen(d - 1),
+            EAtom(AInt(rnd.between(-999, 1000))))
+          case 4 => EBinop(OMod, gen(d - 1),
+            EAtom(AInt(rnd.between(-999, 1000))))
+          case 5 => EUnop(ONeg, gen(d - 1))
+          case 6 => EIf(EBinop(OLess, gen(d - 1), gen(d - 1)),
+            gen(d - 1), gen(d - 1))
+        }
+      val e = gen(4)
+      val expected = interp(e, REnv())
+      Compiler.compileProgram(e, envBig) match {
+        case CV(c) =>
+          val got = fromSpark(spark.range(1).select(c.as("v")).head.get(0), TInt)
+          assert(cmp(got, expected) == 0,
+            s"[bignum case $i] compiled=$got reference=$expected\n${show(e)}")
+        case TV(_) => fail("scalar expression compiled to a table")
+      }
+    }
+    // ORDER at scale: sort / min / max / sum over a list of values
+    // straddling ±10^41 — exercises array sort_array, array_min/max, and
+    // the fold-style sum on binary elements
+    val rnd = new Random(7799)
+    val bigAtoms = (0 until 10).map { _ =>
+      EBinop(OTimes, EBinop(OTimes,
+        EAtom(AInt(rnd.between(-(1L << 40), 1L << 40))),
+        EAtom(AInt(1000000000000000000L))), EAtom(AInt(500000000007L)))
+    }
+    val lst = bigAtoms.foldRight(EAtom(ANil(TInt)): Expr)(
+      (x, acc) => EBinop(OCons, x, acc))
+    for (prog <- Seq(ESort(LikeList, lst), ESort(LikeSet, lst),
+        EACFold(AGSum, lst), EACIFold(AGMin, lst), EACIFold(AGMax, lst),
+        EACFold(AGCount, lst))) {
+      val expected = interp(prog, REnv())
+      val t = TypeCheck.synthesize(prog, Map.empty, Map.empty)
+      Compiler.compileProgram(prog, envBig) match {
+        case CV(c) =>
+          val got = fromSpark(spark.range(1).select(c.as("v")).head.get(0), t)
+          assert(cmp(got, expected) == 0,
+            s"[bignum order ${show(prog).take(40)}] compiled=$got reference=$expected")
+        case TV(_) => fail("scalar expression compiled to a table")
+      }
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Table-level pipelines
   // ---------------------------------------------------------------------

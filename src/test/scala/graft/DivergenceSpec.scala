@@ -175,6 +175,80 @@ class DivergenceSpec extends AnyFunSuite {
     assert(tiers2 == 1 && small == 42L)
   }
 
+  test("bignum tier: past-10^38 arithmetic matches the reference with NO flag (r13)") {
+    // The THIRD tier (VERDICT r12 directive 3): a value past the wide
+    // mapping's Decimal(38,0) ceiling re-tiers onto the BinaryType bignum
+    // encoding and matches the reference interpreter's unbounded Z — here
+    // (10^18)^6 = 10^108, far past both lower tiers. Floor div/mod and
+    // negation ride along to pin Coq Z semantics at arbitrary precision.
+    val e18 = EAtom(AInt(1000000000000000000L)) // 10^18
+    def mul(a: Expr, b: Expr) = EBinop(OTimes, a, b)
+    val big = mul(mul(mul(e18, e18), mul(e18, e18)), mul(e18, e18)) // 10^108
+    val prog = EBinop(OMinus,
+      EBinop(ODiv, big, EAtom(AInt(-7))), // floor(-10^108 / 7) semantics
+      EUnop(ONeg, EBinop(OMod, big, EAtom(AInt(-13)))))
+    val ref = interp(prog, REnv())
+    assert(ref.isInstanceOf[VI] &&
+      ref.asInstanceOf[VI].v.abs > BigInt(10).pow(100))
+    var tiers = 0
+    val got = Compiler.autoWide(Env(Map.empty, Map.empty, spark)) { env =>
+      tiers += 1
+      Compiler.compile(prog, env) match {
+        case CV(c) => spark.range(1).select(c.as("v")).head.get(0)
+        case _ => fail("expected a scalar")
+      }
+    }
+    // 10^36 per-literal products stay under 10^38, so the WIDE tier only
+    // dies once the chain passes the ceiling: narrow → wide → big = 3 runs
+    assert(tiers == 3,
+      s"expected narrow and wide tiers to abort and the bignum tier to run, got $tiers")
+    assert(fromSpark(got, TInt) == ref)
+    // and OIntToString renders the bignum tier's exact decimal digits
+    val s = Compiler.compile(EUnop(OIntToString, prog),
+      Env(Map.empty, Map.empty, spark, bigInt = true)) match {
+      case CV(c) => spark.range(1).select(c.as("v")).head.getString(0)
+      case _ => fail("expected a scalar")
+    }
+    assert(s == ref.asInstanceOf[VI].v.toString)
+  }
+
+  test("bignum encoding: order-preserving, canonical, and round-trips (r13)") {
+    // The BinaryType tier leans on Spark's native unsigned-lexicographic
+    // binary comparison for <, sort, min/max, and group-by — sound ONLY if
+    // the encoding is order-preserving and canonical. Pin both properties
+    // over a structured + random value battery (both sides of zero, limb
+    // boundaries, hundreds of digits).
+    import graft.functions.BigIntMath
+    val rnd = new scala.util.Random(20260815)
+    val vals: Seq[BigInt] =
+      (Seq(BigInt(0), BigInt(1), BigInt(-1), BigInt(255), BigInt(256),
+        BigInt(-255), BigInt(-256), BigInt(Long.MaxValue), BigInt(Long.MinValue),
+        BigInt(10).pow(38), -BigInt(10).pow(38), BigInt(10).pow(100),
+        -BigInt(10).pow(100)) ++
+        (1 to 200).map(_ => BigInt(rnd.nextInt(900) + 1, rnd))
+          .map(v => if (rnd.nextBoolean()) -v else v)).distinct
+    def lexCmp(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    for (v <- vals) {
+      val enc = BigIntMath.encode(v.bigInteger)
+      assert(BigInt(BigIntMath.decode(enc)) == v, s"round-trip $v")
+      // canonical: re-encoding the decoded value is byte-identical
+      assert(java.util.Arrays.equals(enc,
+        BigIntMath.encode(BigIntMath.decode(enc))))
+    }
+    val sortedByBytes = vals.sortWith((a, b) =>
+      lexCmp(BigIntMath.encode(a.bigInteger), BigIntMath.encode(b.bigInteger)) < 0)
+    assert(sortedByBytes == vals.sorted, "byte order must equal numeric order")
+  }
+
   test("strict order mode: an ambiguous type-unknown table sort raises the directed error (r12)") {
     // The type-unknown fallback is LOUD: by default a once-per-JVM
     // warning; under strict mode (GRAFT_STRICT_ORDER=1 / the
