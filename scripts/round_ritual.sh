@@ -5,27 +5,36 @@
 #   1. sbt test                       (unit + plan-guard + differential)
 #   2. 1200-seed extended sweep       (GRAFT_SWEEP=1, ExtendedSweepSpec)
 #   3. full oracle correctness sf0.01 (Verify + DuckDB compare)
-#   4. full oracle correctness sf0.1  (the 10x gate)
-#   5. bench sf0.1                    (BENCH_r{N}_sf01 candidate)
-#   6. 9x scale bench + linearity     (needs testdata_sf1 — run
-#      `sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 \
-#       /root/repo/testdata_sf1 9"` once per data regeneration)
-# Usage: scripts/round_ritual.sh [fast]   ("fast" skips steps 4-6)
+#   4. full oracle correctness sf0.1 AND on the 9x corpus (the scale
+#      gates — correctness at scale catches what bench alone cannot:
+#      silently wrong results don't fail a bench; r12 caught 3 this way)
+#   5. bench sf0.1                    (committed as BENCH_r{N}_sf01.json)
+#   6. 9x scale bench + linearity     (committed as BENCH_r{N}_sf1.json +
+#                                      LINEARITY_r{N}.txt)
+#   7. 27x bench on the top slow queries + two-point growth-exponent fit
+#      (committed as GROWTH_r{N}.txt — one scale point cannot tell linear
+#      from quadratic-with-small-coefficient)
+# Scale corpora (regenerate once per data regeneration):
+#   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /root/repo/testdata_sf1 9"
+#   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /root/repo/testdata_27x 27"
+# Usage: scripts/round_ritual.sh [fast] [roundN]
+#   "fast" skips steps 4-7; roundN (e.g. 13) names the committed artifacts.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 FAST="${1:-}"
+ROUND="${2:-}"
 status=0
 step() { echo; echo "=== $1 ==="; }
 gate() { # gate <label>: mark the round failed
   echo "STEP FAILED: $1"; status=1
 }
 
-step "1/6 sbt test"
+step "1/7 sbt test"
 out=$(sbt -batch test 2>&1 | grep -E "Tests:|All tests" | tail -2)
 echo "$out"
 echo "$out" | grep -q "failed 0" || gate "sbt test"
 
-step "2/6 extended sweep (1200 seeds)"
+step "2/7 extended sweep (1200 seeds)"
 out=$(GRAFT_SWEEP=1 sbt -batch "testOnly graft.ExtendedSweepSpec" 2>&1 |
   grep -E "seeds|Tests:" | tail -3)
 echo "$out"
@@ -41,29 +50,39 @@ run_verify() { # run_verify <sfDir> <outDir> <label>
   echo "$line" | grep -q "^PASS" || gate "$3"
 }
 
-step "3/6 oracle correctness sf0.01"
+step "3/7 oracle correctness sf0.01"
 run_verify /root/testdata/sf0.01 /tmp/ritual_v001 "oracle sf0.01"
 
 if [ "$FAST" != "fast" ]; then
-  step "4/6 oracle correctness sf0.1"
+  step "4/7 oracle correctness sf0.1 + 9x"
   SPARK_GRAFT_CPUS=16 run_verify /root/testdata/sf0.1 /tmp/ritual_v01 \
     "oracle sf0.1"
+  if [ -d /root/repo/testdata_sf1 ]; then
+    SPARK_GRAFT_CPUS=16 run_verify /root/repo/testdata_sf1 /tmp/ritual_v9x \
+      "oracle 9x"
+  else
+    echo "testdata_sf1 missing — run graft.tools.ScaleUp first"
+    gate "oracle 9x (no data)"
+  fi
 
-  step "5/6 bench sf0.1"
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
-    2>/dev/null | grep '"metric"' > /tmp/ritual_bench_sf01.json || true
+  step "5/7 bench sf0.1"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    SPARK_GRAFT_BENCH_OUT=/tmp/ritual_bench_sf01.json \
+    sbt -batch "runMain graft.Bench" >/dev/null 2>&1 || true
   python3 - <<'PY' || gate "bench sf0.1"
 import json, sys
 d = json.load(open('/tmp/ritual_bench_sf01.json'))
 print('total', d['value'], 'failed', d['failed'])
 sys.exit(1 if d['failed'] else 0)
 PY
+  [ -n "$ROUND" ] && cp /tmp/ritual_bench_sf01.json \
+    "BENCH_r${ROUND}_sf01.json"
 
-  step "6/6 9x bench + linearity"
+  step "6/7 9x bench + linearity"
   if [ -d /root/repo/testdata_sf1 ]; then
-    SPARK_GRAFT_SF_DIR=/root/repo/testdata_sf1 sbt -batch \
-      "runMain graft.Bench" 2>/dev/null | grep '"metric"' \
-      > /tmp/ritual_bench_sf1.json || true
+    SPARK_GRAFT_SF_DIR=/root/repo/testdata_sf1 \
+      SPARK_GRAFT_BENCH_OUT=/tmp/ritual_bench_sf1.json \
+      sbt -batch "runMain graft.Bench" >/dev/null 2>&1 || true
     # a query failing ONLY at 9x is exactly what this step exists to
     # catch — gate the artifact's failed list before the ratio check
     python3 - <<'PY' || gate "9x bench (failed queries)"
@@ -72,6 +91,8 @@ d = json.load(open('/tmp/ritual_bench_sf1.json'))
 print('9x total', d['value'], 'failed', d['failed'])
 sys.exit(1 if d['failed'] else 0)
 PY
+    [ -n "$ROUND" ] && cp /tmp/ritual_bench_sf1.json \
+      "BENCH_r${ROUND}_sf1.json"
     if python3 scripts/linearity.py /tmp/ritual_bench_sf01.json \
          /tmp/ritual_bench_sf1.json 9 > /tmp/ritual_linearity.txt; then
       tail -2 /tmp/ritual_linearity.txt
@@ -82,9 +103,42 @@ PY
       tail -2 /tmp/ritual_linearity.txt
       gate "linearity (unparseable bench artifacts)"
     fi
+    [ -n "$ROUND" ] && cp /tmp/ritual_linearity.txt "LINEARITY_r${ROUND}.txt"
   else
     echo "testdata_sf1 missing — run graft.tools.ScaleUp first"
     gate "9x bench (no data)"
+  fi
+
+  step "7/7 27x bench (top slow queries) + growth-exponent fit"
+  if [ -d /root/repo/testdata_27x ] && [ -f /tmp/ritual_bench_sf1.json ]; then
+    TOP=$(python3 - <<'PY'
+import json
+d = json.load(open('/tmp/ritual_bench_sf1.json'))
+qs = sorted(d['queries'].items(), key=lambda kv: -kv[1])[:20]
+print(','.join(q for q, _ in qs))
+PY
+)
+    SPARK_GRAFT_SF_DIR=/root/repo/testdata_27x SPARK_GRAFT_ONLY="$TOP" \
+      SPARK_GRAFT_BENCH_OUT=/tmp/ritual_bench_27x.json \
+      sbt -batch "runMain graft.Bench" >/dev/null 2>&1 || true
+    python3 - <<'PY' || gate "27x bench (failed queries)"
+import json, sys
+d = json.load(open('/tmp/ritual_bench_27x.json'))
+print('27x total (top-20)', d['value'], 'failed', d['failed'])
+sys.exit(1 if d['failed'] else 0)
+PY
+    if python3 scripts/growth_fit.py /tmp/ritual_bench_sf01.json \
+         /tmp/ritual_bench_sf1.json /tmp/ritual_bench_27x.json 1.2 \
+         > /tmp/ritual_growth.txt; then
+      tail -3 /tmp/ritual_growth.txt
+    else
+      tail -5 /tmp/ritual_growth.txt
+      gate "growth fit (super-linear exponent)"
+    fi
+    [ -n "$ROUND" ] && cp /tmp/ritual_growth.txt "GROWTH_r${ROUND}.txt"
+  else
+    echo "testdata_27x missing — run graft.tools.ScaleUp first"
+    gate "27x bench (no data)"
   fi
 fi
 

@@ -255,7 +255,7 @@ object Bench {
     val wallJson = s""""wall":{"warmup":${fmt((wallWarm - wall0) / 1e9)},""" +
       s""""passes":${fmt((wallPasses - wallWarm) / 1e9)},""" +
       s""""reps_total":${fmt(allRepsSec)}},"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+    val jsonLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       wallJson +
       s""""n_queries":${results.size},"reps":$reps,"stat":"median",""" +
       s""""queries":$qs,""" +
@@ -263,7 +263,15 @@ object Bench {
       s""""jobs":$jobsJson,""" +
       s""""failed":${failed.mkString("[", ",", "]")},""" +
       s""""fast_omitted":${fast.size},"fast_total":${fmt(fast.values.sum)},""" +
-      s""""sf":"$sfName"}""")
+      s""""sf":"$sfName"}"""
+    println(jsonLine)
+    // ALSO write the full line to a stable path when asked (r12 verdict:
+    // the driver's stdout capture truncates its tail, losing the per-query
+    // map — the committed BENCH_r{N}_*.json artifacts come from here)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     wallMark("total", wall0)
     spark.stop()
   }

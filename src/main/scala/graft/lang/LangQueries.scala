@@ -248,7 +248,7 @@ object LangQueries {
         "supplier" -> Tables.load(s, dir, "supplier")
           .select(col("s_suppkey").cast("long").as("s_suppkey"),
             col("s_name"), col("s_nationkey").cast("long").as("s_nationkey"))),
-        s)
+        s, storeTypes = storeTypes)
       compileProgram(prog, env).asInstanceOf[TV].df
     },
 
@@ -541,7 +541,7 @@ object LangQueries {
         "supplier" -> Tables.load(s, dir, "supplier")
           .select(col("s_name"),
             col("s_nationkey").cast("long").as("s_nationkey"))),
-        s)
+        s, storeTypes = storeT)
       compileProgram(prog, env).asInstanceOf[TV].df
         .orderBy("n_nationkey")
     },
@@ -775,6 +775,12 @@ object LangQueries {
         EBinop(OPlus, f("a1", "s_suppkey"), f("b1", "r_regionkey"))))
       val prog = EProj(LikeBag, ELoc("nation"), "x", ERecord(List(
         "nat" -> f("x", "n_name"), "g" -> g, "gsum" -> gsum)))
+      val storeT = Map(
+        "nation" -> TBag(TRecord.sorted(
+          "n_nationkey" -> TInt, "n_name" -> TString)),
+        "region" -> TBag(TRecord.sorted("r_regionkey" -> TInt)),
+        "supplier" -> TBag(TRecord.sorted(
+          "s_suppkey" -> TInt, "s_nationkey" -> TInt)))
       val env = Env(Map.empty, Map(
         "nation" -> Tables.load(s, dir, "nation")
           .select(col("n_nationkey").cast("long").as("n_nationkey"),
@@ -783,7 +789,8 @@ object LangQueries {
           .select(col("r_regionkey").cast("long").as("r_regionkey")),
         "supplier" -> Tables.load(s, dir, "supplier")
           .select(col("s_suppkey").cast("long").as("s_suppkey"),
-            col("s_nationkey").cast("long").as("s_nationkey"))), s)
+            col("s_nationkey").cast("long").as("s_nationkey"))), s,
+        storeTypes = storeT)
       compileProgram(prog, env).asInstanceOf[TV].df.orderBy("nat")
     },
 
@@ -889,7 +896,7 @@ object LangQueries {
         "customer" -> Tables.load(s, dir, "customer")
           .select(col("c_name"),
             col("c_nationkey").cast("long").as("c_nationkey"))),
-        s)
+        s, storeTypes = storeT)
       compileProgram(prog, env).asInstanceOf[TV].df
         .orderBy("n_name", "s_name", "c_name")
     },
@@ -953,7 +960,8 @@ object LangQueries {
         EBinop(OPlus, EBinop(OTimes, EVar("acc"), EAtom(AInt(31))), EVar("x")))
       val keys = Tables.load(s, dir, "region")
         .select(col("r_regionkey").cast("long").as("value"))
-      val env = Env(Map.empty, Map("keys" -> keys), s)
+      val env = Env(Map.empty, Map("keys" -> keys), s,
+        storeTypes = Map("keys" -> TBag(TInt)))
       val h = compileProgram(prog, env).asInstanceOf[CV].c
       s.range(1).select(h.cast("long").as("h"))
     },
@@ -979,7 +987,8 @@ object LangQueries {
       val keys = Tables.load(s, dir, "lineitem")
         .filter(col("l_orderkey") < 15000)
         .select(col("l_orderkey").cast("long").as("value"))
-      val env = Env(Map.empty, Map("keys" -> keys), s)
+      val env = Env(Map.empty, Map("keys" -> keys), s,
+        storeTypes = Map("keys" -> TBag(TInt)))
       val h = compileProgram(prog, env).asInstanceOf[CV].c
       s.range(1).select(h.cast("long").as("h"))
     },
@@ -1060,7 +1069,8 @@ object LangQueries {
       val env = Env(Map.empty, Map(
         "region" -> Tables.load(s, dir, "region")
           .select(col("r_regionkey"), col("r_name")),
-        "nation" -> Tables.load(s, dir, "nation")), s)
+        "nation" -> Tables.load(s, dir, "nation")), s,
+        storeTypes = storeT)
       Interp.run(prog, env).store("result").orderBy("k")
     },
 
@@ -1365,7 +1375,8 @@ object LangQueries {
         .select(col("s_name").as("name"), col("n_name").as("department"),
           concat(lit("ok from "), col("s_name")).as("feedback"),
           (col("s_suppkey") * 100).cast("long").as("salary"))
-      Optimize.run(prog, Env(Map.empty, Map("responses" -> resp), s))
+      Optimize.run(prog, Env(Map.empty, Map("responses" -> resp), s,
+        storeTypes = Map("responses" -> TList(rowT))))
         .store("result")
     },
 
@@ -1478,11 +1489,17 @@ object LangQueries {
           "nk" -> EAccess(EVar("n"), "n_nationkey"),
           "nname" -> EAccess(EVar("n"), "n_name"))),
           EAtom(ANil(rowT))))
+      val storeT = Map(
+        "customer" -> TBag(TRecord.sorted(
+          "c_custkey" -> TInt, "c_name" -> TString)),
+        "nation" -> TBag(TRecord.sorted(
+          "n_name" -> TString, "n_nationkey" -> TInt)))
       val env = Env(Map.empty, Map(
         "customer" -> Tables.load(s, dir, "customer")
           .select(col("c_custkey"), col("c_name")),
         "nation" -> Tables.load(s, dir, "nation")
-          .select(col("n_name"), col("n_nationkey"))), s)
+          .select(col("n_name"), col("n_nationkey"))), s,
+        storeTypes = storeT)
       compile(prog, env).asInstanceOf[TV].df.orderBy("ck", "nk")
     },
 
