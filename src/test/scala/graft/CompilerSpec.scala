@@ -119,7 +119,8 @@ class CompilerSpec extends AnyFunSuite {
     val prog = EFlatmap2(ELoc("t"), EBinop(ORange, EAtom(AInt(0)), EAtom(AInt(2))),
       "a", "b",
       EBinop(OCons, EBinop(OPlus, EVar("a"), EVar("b")), EAtom(ANil(TInt))))
-    val out = compile(prog, Env(Map.empty, Map("t" -> keys), spark))
+    val out = compile(prog, Env(Map.empty, Map("t" -> keys), spark,
+      storeTypes = Map("t" -> TBag(TInt))))
       .asInstanceOf[TV].df.orderBy(col("value"))
       .collect().map(_.getLong(0)).toSeq
     // canonical order of t = [10,20,30]; range = [0,1]; shorter cuts
@@ -385,7 +386,8 @@ class CompilerSpec extends AnyFunSuite {
         EBinop(OPlus, EBinop(OTimes, EVar("acc"), EAtom(AInt(31))), EVar("x")),
         EAtom(AInt(1000000007))))
     val got = spark.range(1)
-      .select(asColumn(compile(prog, Env(Map.empty, Map("t" -> t), spark))))
+      .select(asColumn(compile(prog, Env(Map.empty, Map("t" -> t), spark,
+        storeTypes = Map("t" -> TBag(TInt))))))
       .head().getLong(0)
     val vals = (0L until n).map(i => i * 7 % 26371).sorted
     val want = vals.foldRight(0L)((x, a) =>

@@ -904,7 +904,8 @@ class DifferentialSpec extends AnyFunSuite {
             TRecord.sorted("k" -> TInt, "g" -> fieldT))
       val expected = interp(prog, renv)
       Compiler.compileProgram(prog, Env(Map.empty,
-        Map("t1" -> d1, "t2" -> d2), spark)) match {
+        Map("t1" -> d1, "t2" -> d2), spark,
+        storeTypes = Map("t1" -> TList(outT), "t2" -> TBag(inT)))) match {
         case TV(df) =>
           val got = collectTable(df, elemT)
           val want = sortedV(elems(expected))
@@ -1004,7 +1005,8 @@ class DifferentialSpec extends AnyFunSuite {
         "g3" -> TInt)
       val expected = interp(prog, renv)
       Compiler.compileProgram(prog, Env(Map.empty,
-        Map("t1" -> d1, "t2" -> d2), spark)) match {
+        Map("t1" -> d1, "t2" -> d2), spark,
+        storeTypes = Map("t1" -> TList(outT), "t2" -> TBag(inT)))) match {
         case TV(df) =>
           val got = collectTable(df, elemT)
           val want = sortedV(elems(expected))
@@ -1479,7 +1481,8 @@ class DifferentialSpec extends AnyFunSuite {
       val expected = interp(prog, renv)
       try {
         Compiler.compileProgram(prog, Env(Map.empty,
-          Map("t1" -> d1, "t2" -> d2), spark)) match {
+          Map("t1" -> d1, "t2" -> d2), spark,
+          storeTypes = Map("t1" -> TList(outT), "t2" -> TList(inT)))) match {
           case TV(df) =>
             val got = collectTable(df, elemT)
             val want = sortedV(elems(expected))
@@ -1586,7 +1589,8 @@ class DifferentialSpec extends AnyFunSuite {
         .select((col("id") * 37L % 50021L).as("value"))
       val expected = interp(prog,
         REnv("t" -> VList(values.sorted.map(v => VI(BigInt(v))).toVector)))
-      Compiler.compile(prog, Env(Map.empty, Map("t" -> df), spark)) match {
+      Compiler.compile(prog, Env(Map.empty, Map("t" -> df), spark,
+        storeTypes = Map("t" -> TBag(TInt)))) match {
         case CV(c) =>
           val got = fromSpark(spark.range(1).select(c.as("v")).head.get(0), TInt)
           assert(cmp(got, expected) == 0,
@@ -1978,7 +1982,8 @@ class DifferentialSpec extends AnyFunSuite {
       val expected = interp(prog, renv)
       try {
         Compiler.compileProgram(prog, Env(Map.empty,
-          Map("t1" -> d1, "t2" -> d2), spark)) match {
+          Map("t1" -> d1, "t2" -> d2), spark,
+          storeTypes = Map("t1" -> TList(outT), "t2" -> TList(inT)))) match {
           case TV(df) =>
             val got = collectTable(df, elemT)
             val want = sortedV(elems(expected))
@@ -2310,7 +2315,9 @@ class DifferentialSpec extends AnyFunSuite {
       val expected = interp(prog, renv)
       try {
         Compiler.compileProgram(prog, Env(Map.empty,
-          Map("t1" -> d1, "t2" -> d2, "t3" -> d3), spark)) match {
+          Map("t1" -> d1, "t2" -> d2, "t3" -> d3), spark,
+          storeTypes = Map("t1" -> TList(outT), "t2" -> TList(lT),
+            "t3" -> TList(rT)))) match {
           case TV(df) =>
             val got = collectTable(df, elemT)
             val want = sortedV(elems(expected))
@@ -2348,7 +2355,9 @@ class DifferentialSpec extends AnyFunSuite {
         EBinop(OMinus, EVar("fe"), EVar("fc"))))))
     val err = intercept[UnsupportedOperationException] {
       Compiler.compileProgram(foldDirect, Env(Map.empty,
-        Map("t1" -> d1, "t2" -> d2, "t3" -> d3), spark)) match {
+        Map("t1" -> d1, "t2" -> d2, "t3" -> d3), spark,
+        storeTypes = Map("t1" -> TList(outT), "t2" -> TList(lT),
+          "t3" -> TList(rT)))) match {
         case TV(df) => df.collect()
         case other => other
       }

@@ -319,8 +319,10 @@ class DivergenceSpec extends AnyFunSuite {
       java.util.List.of(org.apache.spark.sql.Row(1L, 5L)), schema)
     // BELOW the cap the shape is supported-and-correct (round 10): the
     // scalar-land fallback matches the reference
+    val storeT = Map("t1" -> TList(rowT), "t2" -> TList(rowT))
     Compiler.compileProgram(prog,
-      Env(Map.empty, Map("t1" -> df, "t2" -> df), spark)) match {
+      Env(Map.empty, Map("t1" -> df, "t2" -> df), spark,
+        storeTypes = storeT)) match {
       case Compiler.TV(out) =>
         val got = out.collect().map(r =>
           (r.getAs[Long]("k"), r.getAs[Long]("h"))).toSeq
@@ -333,7 +335,8 @@ class DivergenceSpec extends AnyFunSuite {
       col("id").as("v"))
     val err = intercept[UnsupportedOperationException] {
       Compiler.compileProgram(prog,
-        Env(Map.empty, Map("t1" -> df, "t2" -> big), spark)) match {
+        Env(Map.empty, Map("t1" -> df, "t2" -> big), spark,
+          storeTypes = storeT)) match {
         case Compiler.TV(out) => out.collect()
         case other => other
       }

@@ -79,9 +79,11 @@ class OptimizeSpec extends AnyFunSuite {
     def rows(env: Env) = env.store("result")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     val plain = rows(Interp.run(prog,
-      Env(Map.empty, Map("t" -> respDF), spark)))
+      Env(Map.empty, Map("t" -> respDF), spark,
+        storeTypes = Map("t" -> TList(rowT)))))
     val fast = rows(Optimize.run(prog,
-      Env(Map.empty, Map("t" -> respDF), spark)))
+      Env(Map.empty, Map("t" -> respDF), spark,
+        storeTypes = Map("t" -> TList(rowT)))))
     assert(plain === fast)
     // sorted CS rows: (CS,fine,cy), (CS,good,ann), (CS,x,dd), (CS,y,ee);
     // result columns are name-sorted: (fb, m, s)
@@ -121,9 +123,11 @@ class OptimizeSpec extends AnyFunSuite {
     def rows(env: Env) = env.store("result")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     val plain = rows(Interp.run(clobber,
-      Env(Map.empty, Map("t" -> respDF), spark)))
+      Env(Map.empty, Map("t" -> respDF), spark,
+        storeTypes = Map("t" -> TList(rowT)))))
     val fast = rows(Optimize.run(clobber,
-      Env(Map.empty, Map("t" -> respDF), spark)))
+      Env(Map.empty, Map("t" -> respDF), spark,
+        storeTypes = Map("t" -> TList(rowT)))))
     assert(plain === fast)
   }
 }

@@ -84,7 +84,9 @@ class ToSqlSpec extends AnyFunSuite {
     val viaSql = spark.sql(ToSql(prog))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val viaCompile = Compiler.compileProgram(prog,
-      Compiler.Env(Map.empty, Map("t_sql_spec" -> df), spark))
+      Compiler.Env(Map.empty, Map("t_sql_spec" -> df), spark,
+        storeTypes = Map("t_sql_spec" -> TBag(TRecord.sorted(
+          "k" -> TInt, "v" -> TString)))))
       .asInstanceOf[Compiler.TV].df
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(viaSql === viaCompile)
