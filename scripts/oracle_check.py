@@ -11,8 +11,13 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
+    # driver-generated SFs are single files; ScaleUp corpora are Spark
+    # parquet DIRECTORIES of part files — glob those
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
     con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 fail = 0

@@ -1791,7 +1791,10 @@ object LangQueries {
     // AWord literal itself is canonicalized by truncation. The oracle
     // replays 32-bit two's complement with BIGINT math wrapped mod 2^32.
     GraftQuery.sql("q_word_ops32",
-      """WITH t AS (SELECT o_orderkey AS k, CAST(o_orderkey - 700 AS BIGINT) AS w FROM orders),
+      """WITH t AS (SELECT o_orderkey AS k,
+        |            (((CAST(o_orderkey - 700 AS BIGINT) % 4294967296)
+        |              + 4294967296 + 2147483648) % 4294967296)
+        |              - 2147483648 AS w FROM orders),
         |u AS (SELECT k, w,
         |        CASE WHEN w < 0 THEN w + 4294967296 ELSE w END AS uw,
         |        (((w * 2654435761) % 4294967296) + 4294967296 + 2147483648)
@@ -1830,9 +1833,15 @@ object LangQueries {
         "wm" -> TWord, "wa" -> TWord, "ult" -> TBool, "slt" -> TBool)
       val storeT = Map("t" -> TBag(TRecord.sorted("k" -> TInt, "w" -> TWord)))
       require(TypeCheck.synthesize(prog, Map.empty, storeT) == TBag(rowT))
+      // the store column must hold the CANONICAL width-32 form
+      // (sign-extended Int in a Long) — at 9x+ corpora o_orderkey passes
+      // 2^31 and the raw difference is not a 32-bit word; mask both
+      // engines identically (identity at the driver SFs)
+      val raw = (col("o_orderkey") - 700).cast("long")
+      val canon32 = (((raw % 4294967296L) + 4294967296L + 2147483648L)
+        % 4294967296L) - 2147483648L
       val t = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey").as("k"),
-          (col("o_orderkey") - 700).cast("long").as("w"))
+        .select(col("o_orderkey").as("k"), canon32.as("w"))
       compileProgram(prog, Env(Map.empty, Map("t" -> t), s, wordWidth = 32))
         .asInstanceOf[TV].df.orderBy("k")
     },

@@ -61,8 +61,7 @@ object Sessionize {
       import s.implicits._
       val schema = Tables.load(s, dir, "events").schema
       val watchDir = java.nio.file.Files.createTempDirectory("graft_sess_")
-      java.nio.file.Files.createSymbolicLink(watchDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      StreamStage.linkTable(watchDir, dir, "events")
       val src = s.readStream.schema(schema).parquet(watchDir.toString)
       val stream = src
         .select($"user_id", Tables.epochUs(src).as("t"))

@@ -29,9 +29,7 @@ object StreamAgg {
       // The file-stream source needs a directory to watch; expose the single
       // events file through a temp dir (the arrival directory of a real feed).
       val watchDir = java.nio.file.Files.createTempDirectory("graft_stream_")
-      val link = watchDir.resolve("events.parquet")
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      StreamStage.linkTable(watchDir, dir, "events")
       val stream = s.readStream.schema(schema).parquet(watchDir.toString)
       val agg = stream
         .withColumn("tstamp", Tables.tsCol(stream))
@@ -62,9 +60,7 @@ object StreamAgg {
       import s.implicits._
       val schema = Tables.load(s, dir, "events").schema
       val watchDir = java.nio.file.Files.createTempDirectory("graft_sjoin_")
-      java.nio.file.Files.createSymbolicLink(
-        watchDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      StreamStage.linkTable(watchDir, dir, "events")
       val stream = s.readStream.schema(schema).parquet(watchDir.toString)
       val dim = broadcast(Tables.load(s, dir, "customer")
         .select($"c_custkey", $"c_mktsegment"))
@@ -102,9 +98,7 @@ object StreamAgg {
       import s.implicits._
       val schema = Tables.load(s, dir, "events").schema
       val watchDir = java.nio.file.Files.createTempDirectory("graft_ssjoin_")
-      java.nio.file.Files.createSymbolicLink(
-        watchDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      StreamStage.linkTable(watchDir, dir, "events")
       val src = s.readStream.schema(schema).parquet(watchDir.toString)
       val clicks = src.filter($"event_type" === "click")
         .select($"event_id".as("click_id"), $"user_id".as("c_user"),

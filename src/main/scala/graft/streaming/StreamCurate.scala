@@ -247,29 +247,39 @@ object StreamCurate {
               try {
                 val epoch = java.nio.file.Files.getLastModifiedTime(
                   watchDir).toMillis
-                cuts.zipWithIndex.foreach { case ((lo, hi), k) =>
-                  phase(s"deliver$k") {
-                    val part = stageDir.resolve(s"part$k")
-                    docs.filter($"doc_id".between(lo, hi)).coalesce(1)
-                      .write.mode("overwrite").parquet(part.toString)
-                    val listing = java.nio.file.Files.list(part)
-                    try {
-                      val file = listing.iterator()
-                      var moved = false
-                      while (file.hasNext && !moved) {
-                        val f = file.next()
-                        if (f.getFileName.toString.endsWith(".parquet")) {
-                          val dst = java.nio.file.Files.move(f,
-                            watchDir.resolve(s"p$k.parquet"))
-                          // ascending mod times spaced well past FS
-                          // timestamp granularity: batch order = k order
-                          java.nio.file.Files.setLastModifiedTime(dst,
-                            java.nio.file.attribute.FileTime.fromMillis(
-                              epoch + k * 10000L))
-                          moved = true
+                phase("deliver") {
+                  // ONE write job produces all three delivery files
+                  // (partitionBy(cut) — was one filter+write job per cut,
+                  // two redundant corpus scans); the per-cut moves below
+                  // just rename part files into the watch dir
+                  val cutCol = when($"doc_id" <= maxId / 3, 0)
+                    .when($"doc_id" <= 2 * maxId / 3, 1).otherwise(2)
+                  val parts = stageDir.resolve("parts")
+                  docs.withColumn("cut", cutCol).coalesce(1)
+                    .write.partitionBy("cut").mode("overwrite")
+                    .parquet(parts.toString)
+                  cuts.indices.foreach { k =>
+                    val d = parts.resolve(s"cut=$k")
+                    if (java.nio.file.Files.isDirectory(d)) {
+                      val listing = java.nio.file.Files.list(d)
+                      try {
+                        val file = listing.iterator()
+                        var moved = false
+                        while (file.hasNext && !moved) {
+                          val f = file.next()
+                          if (f.getFileName.toString.endsWith(".parquet")) {
+                            val dst = java.nio.file.Files.move(f,
+                              watchDir.resolve(s"p$k.parquet"))
+                            // ascending mod times spaced well past FS
+                            // timestamp granularity: batch order = k order
+                            java.nio.file.Files.setLastModifiedTime(dst,
+                              java.nio.file.attribute.FileTime.fromMillis(
+                                epoch + k * 10000L))
+                            moved = true
+                          }
                         }
-                      }
-                    } finally listing.close()
+                      } finally listing.close()
+                    }
                   }
                 }
                 phase("await")(q.processAllAvailable())

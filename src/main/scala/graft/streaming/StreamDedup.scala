@@ -27,9 +27,7 @@ object StreamDedup {
       import s.implicits._
       val schema = Tables.load(s, dir, "documents").schema
       val watchDir = java.nio.file.Files.createTempDirectory("graft_sdedup_")
-      java.nio.file.Files.createSymbolicLink(
-        watchDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      StreamStage.linkTable(watchDir, dir, "documents")
       val stream = s.readStream.schema(schema).parquet(watchDir.toString)
       val deduped = stream
         .select(md5($"text").as("digest"))

@@ -50,9 +50,7 @@ object StreamScore {
       // pattern the rest of the streaming family uses)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val watchDir = java.nio.file.Files.createTempDirectory("graft_score_")
-      java.nio.file.Files.createSymbolicLink(
-        watchDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      StreamStage.linkTable(watchDir, dir, "documents")
       val stream = s.readStream.schema(schema).parquet(watchDir.toString)
       val scored = stream
         .select($"doc_id", explode(toks($"text")).as("w"))
@@ -75,9 +73,9 @@ object StreamScore {
           s.table(sink).localCheckpoint(true)
         } finally {
           s.catalog.dropTempView(sink)
-          java.nio.file.Files.deleteIfExists(
-            watchDir.resolve("documents.parquet"))
-          java.nio.file.Files.deleteIfExists(watchDir)
+          // linkTable stages one link per part file (several on the
+          // ScaleUp corpora) — remove whatever it created, then the dir
+          graft.core.Tables.deleteTree(watchDir.toFile)
         }
       val affinity = ($"sum_tgt" + 1).cast("double") / ($"sum_bgd" + 1)
       fromSink

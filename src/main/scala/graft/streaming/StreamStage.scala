@@ -60,6 +60,29 @@ object StreamStage {
     })
   }
 
+  /** Expose a source table inside a file-stream watch directory. The
+    * driver-generated SFs are single parquet FILES (one symlink); the
+    * ScaleUp corpora are Spark-written DIRECTORIES of part files — a
+    * symlink to the directory itself is INVISIBLE to FileStreamSource's
+    * non-recursive listing (the r13 9× oracle run caught six streaming
+    * queries returning 0 rows this way), so link each part file
+    * individually. With no maxFilesPerTrigger option set the source takes
+    * every available file in ONE micro-batch, so watermark/state
+    * semantics match the single-file case exactly. */
+  def linkTable(watchDir: Path, dir: String, table: String): Unit = {
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    if (Files.isDirectory(src)) {
+      val parts = Option(src.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      require(parts.nonEmpty, s"no parquet part files under $src")
+      parts.zipWithIndex.foreach { case (f, i) =>
+        Files.createSymbolicLink(
+          watchDir.resolve(f"${table}_p$i%05d.parquet"), f.toPath)
+      }
+    } else
+      Files.createSymbolicLink(watchDir.resolve(s"$table.parquet"), src)
+  }
+
   /** Write one DataFrame as a single parquet file named `name` inside
     * `staged` — the standard batch-file layout the file-stream source
     * consumes one arrival at a time. */
