@@ -70,9 +70,18 @@ object CanonOrder {
     strictScope.value.getOrElse(
       sys.props.get("graft.strictOrder").orElse(
         sys.env.get("GRAFT_STRICT_ORDER")).contains("1"))
+  /** The strict-mode error gets its OWN type: the compiler's
+    * correlated-body machinery catches UnsupportedOperationException to
+    * drive its try-direct-then-decorrelate fallbacks, and a strict trip
+    * inside a fallback leg must surface AS a strict trip ("declare your
+    * types"), not be suppressed under a misleading rewrite-as-EJoin
+    * directive (observed in the r13 strict validation run). */
+  final class StrictOrderViolation(msg: String)
+    extends UnsupportedOperationException(msg)
+
   def unknownOrder(site: String): Unit =
     if (strict)
-      throw new UnsupportedOperationException(
+      throw new StrictOrderViolation(
         s"$site: element type unsynthesizable and the encoding could hide " +
           "word/bag values, whose raw order diverges from the reference — " +
           "declare storeTypes/varTypes so the sort is type-directed " +

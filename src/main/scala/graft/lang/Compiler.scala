@@ -1537,8 +1537,16 @@ object Compiler {
           case direct: UnsupportedOperationException
               if collectCorrelatedAggs(p, x).nonEmpty =>
             try filterCorrelatedAggs(df, x, p, env, synthElem(l, env))
-            catch { case scala.util.control.NonFatal(dec) =>
-              direct.addSuppressed(dec); throw direct }
+            catch {
+              // a strict-order trip in the fallback leg is the REAL
+              // diagnosis ("declare your types") — surface it, with the
+              // direct-path error attached, instead of burying it under
+              // a misleading rewrite-as-EJoin directive
+              case dec: CanonOrder.StrictOrderViolation =>
+                dec.addSuppressed(direct); throw dec
+              case scala.util.control.NonFatal(dec) =>
+                direct.addSuppressed(dec); throw direct
+            }
         }
       case CV(c) =>
         val et = synthElem(l, env)
@@ -1614,8 +1622,16 @@ object Compiler {
           case direct: UnsupportedOperationException
               if collectCorrelatedAggs(r, x).nonEmpty =>
             try projCorrelatedAggs(tag, df, x, r, env, synthElem(l, env))
-            catch { case scala.util.control.NonFatal(dec) =>
-              direct.addSuppressed(dec); throw direct }
+            catch {
+              // a strict-order trip in the fallback leg is the REAL
+              // diagnosis ("declare your types") — surface it, with the
+              // direct-path error attached, instead of burying it under
+              // a misleading rewrite-as-EJoin directive
+              case dec: CanonOrder.StrictOrderViolation =>
+                dec.addSuppressed(direct); throw dec
+              case scala.util.control.NonFatal(dec) =>
+                direct.addSuppressed(dec); throw direct
+            }
         }
       case CV(c) =>
         val et = synthElem(l, env)
@@ -1984,8 +2000,16 @@ object Compiler {
           case direct: UnsupportedOperationException
               if Rewrites.freeVars(e2).contains(x) =>
             try decorrelate()
-            catch { case scala.util.control.NonFatal(dec) =>
-              direct.addSuppressed(dec); throw direct }
+            catch {
+              // a strict-order trip in the fallback leg is the REAL
+              // diagnosis ("declare your types") — surface it, with the
+              // direct-path error attached, instead of burying it under
+              // a misleading rewrite-as-EJoin directive
+              case dec: CanonOrder.StrictOrderViolation =>
+                dec.addSuppressed(direct); throw dec
+              case scala.util.control.NonFatal(dec) =>
+                direct.addSuppressed(dec); throw direct
+            }
         }
       case CV(c) =>
         val et = synthElem(e1, env)

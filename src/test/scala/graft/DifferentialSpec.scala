@@ -558,6 +558,59 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("bignum tier: table joins/filters/sorts over binary-encoded TInt columns") {
+    // The bignum tier's TABLE story: store columns carry the canonical
+    // order-preserving byte encoding, so equi-JOIN keys (byte equality),
+    // filter comparisons and the final sort (byte order = numeric order)
+    // all run on Spark's native binary machinery, with only the product
+    // arithmetic in codegen'd BigInteger expressions. The projection
+    // multiplies into ±10^37-ish, straddling zero, so a wrong sort or a
+    // wrongly-joined pair cannot hash-match the reference interpreter.
+    import graft.functions.BigIntOps
+    import org.apache.spark.sql.functions.col
+    val t1 = spark.range(6).select(BigIntOps.fromLong(col("id")).as("k"))
+    val t2 = spark.range(10).select(BigIntOps.fromLong(col("id")).as("k"),
+      BigIntOps.fromLong(col("id") * 3 - 7).as("v"))
+    val t1T = TRecord.sorted("k" -> TInt)
+    val t2T = TRecord.sorted("k" -> TInt, "v" -> TInt)
+    val prog = ESort(LikeList, EJoin(LikeBag,
+      ELoc("t1"),
+      EFilter(LikeBag, ELoc("t2"), "f",
+        EBinop(OLess, EAccess(EVar("f"), "v"), EAtom(AInt(14)))),
+      "a", "b",
+      EBinop(OEq, EAccess(EVar("a"), "k"), EAccess(EVar("b"), "k")),
+      ERecord(List(
+        "k" -> EAccess(EVar("a"), "k"),
+        "w" -> EBinop(OTimes, EBinop(OTimes,
+          EAccess(EVar("b"), "v"), EAtom(AInt(1000000000000000000L))),
+          EAtom(AInt(400000000000000000L)))))))
+    val renv = REnv(
+      "t1" -> VList((0 until 6).map(i =>
+        VRec(Vector("k" -> VI(BigInt(i))))).toVector),
+      "t2" -> VList((0 until 10).map(i => VRec(Vector(
+        "k" -> VI(BigInt(i)), "v" -> VI(BigInt(i) * 3 - 7)))).toVector))
+    val expected = interp(prog, renv)
+    val env = Env(Map.empty, Map("t1" -> t1, "t2" -> t2), spark,
+      bigInt = true,
+      storeTypes = Map("t1" -> TList(t1T), "t2" -> TList(t2T)))
+    Compiler.compileProgram(prog, env) match {
+      case TV(df) =>
+        val got = collectTable(df, TRecord.sorted("k" -> TInt, "w" -> TInt))
+        val want = sortedV(elems(expected))
+        assert(cmpValues(got, want) == 0,
+          s"compiled=$got\nreference=$want")
+        // per-row products reach ±10^36-scale — past Long, minted by the
+        // bignum expressions, joined/sorted on the byte encoding
+        assert(elems(expected).exists {
+          case VRec(fs) => fs.exists {
+            case ("w", VI(x)) => x.abs > BigInt(10).pow(35); case _ => false
+          }
+          case _ => false
+        })
+      case CV(_) => fail("table program compiled to a scalar")
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Table-level pipelines
   // ---------------------------------------------------------------------

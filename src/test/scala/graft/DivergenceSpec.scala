@@ -279,6 +279,46 @@ class DivergenceSpec extends AnyFunSuite {
     }
   }
 
+  test("strict-order trips inside decorrelation fallbacks surface as strict errors (r13)") {
+    // The correlated-body machinery drives try-direct-then-decorrelate
+    // fallbacks on UnsupportedOperationException; before r13 a strict
+    // trip inside the fallback leg was SUPPRESSED under the direct
+    // path's rewrite-as-EJoin directive — the user was told to
+    // restructure a program whose actual problem was undeclared types
+    // (observed on q_lang_corr_{fold,zip,jsrc} in the strict validation
+    // run). Pinned: an UNTYPED correlated fold now raises
+    // StrictOrderViolation naming storeTypes, with the correlation error
+    // attached as suppressed context — and declaring the types fixes it.
+    import org.apache.spark.sql.functions.col
+    val t1 = spark.range(3).select(col("id").as("k"))
+    val t2 = spark.range(5).select(col("id").as("k"), col("id").as("v"))
+    val corr = EFilter(LikeBag, ELoc("t2"), "s",
+      EBinop(OLess, EAccess(EVar("s"), "k"), EAccess(EVar("n"), "k")))
+    val folded = EFold(
+      ESort(LikeList, EProj(LikeBag, corr, "p", EAccess(EVar("p"), "v"))),
+      EAtom(AInt(0)), "e", "a", EBinop(OPlus, EVar("e"), EVar("a")))
+    val prog = EProj(LikeBag, ELoc("t1"), "n", ERecord(List(
+      "k" -> EAccess(EVar("n"), "k"), "g" -> folded)))
+    CanonOrder.withStrict(true) {
+      val err = intercept[CanonOrder.StrictOrderViolation] {
+        Compiler.compileProgram(prog,
+          Env(Map.empty, Map("t1" -> t1, "t2" -> t2), spark)) match {
+          case Compiler.TV(df) => df.collect()
+          case other => other
+        }
+      }
+      assert(err.getMessage.contains("storeTypes"),
+        s"strict error must direct at type declaration: ${err.getMessage}")
+      // and WITH the types declared the same program compiles and runs
+      val typed = Compiler.compileProgram(prog,
+        Env(Map.empty, Map("t1" -> t1, "t2" -> t2), spark,
+          storeTypes = Map(
+            "t1" -> TBag(TRecord.sorted("k" -> TInt)),
+            "t2" -> TBag(TRecord.sorted("k" -> TInt, "v" -> TInt)))))
+      assert(typed.asInstanceOf[Compiler.TV].df.count() == 3)
+    }
+  }
+
   test("correlated aggregates over tables above the localization cap raise the directed error") {
     // The reference interprets ARBITRARY correlated bodies nested-loop-
     // style (fiat2/src/fiat2/Interpret.v:273-299). The engine decorrelates

@@ -55,4 +55,42 @@ class StreamingSpec extends AnyFunSuite {
     // the late event's window was already closed; count stays 2 (dropped)
     assert(!out.contains("2024-01-01 00:00:00.0") || out("2024-01-01 00:00:00.0") == 2L)
   }
+
+  test("linkTable stages directory-shaped tables so the file stream sees every row (r13)") {
+    // The ScaleUp corpora are Spark-written parquet DIRECTORIES; a
+    // symlink to the directory is invisible to FileStreamSource's
+    // non-recursive listing, which made six streaming queries consume
+    // ZERO rows at 9x (caught by the first 9x oracle run). linkTable
+    // links each part file individually; with no maxFilesPerTrigger the
+    // source takes them all in ONE micro-batch.
+    val dir = Files.createTempDirectory("graft_link_src_").toString
+    spark.range(100).select(col("id").as("doc_id"))
+      .repartition(4) // several part files, like a ScaleUp table
+      .write.parquet(s"$dir/documents.parquet")
+    val watch = Files.createTempDirectory("graft_link_watch_")
+    graft.streaming.StreamStage.linkTable(watch, dir, "documents")
+    assert(java.nio.file.Files.list(watch).count() >= 4)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(watch.toString)
+      .groupBy().agg(count(lit(1)).as("n"), sum($"doc_id").as("s"))
+    val sink = "graft_link_sink"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(sink).start()
+    try q.processAllAvailable() finally q.stop()
+    val row = spark.table(sink).head()
+    assert(row.getLong(0) == 100L && row.getLong(1) == 4950L)
+    spark.catalog.dropTempView(sink)
+    // and the single-file layout (driver-generated SFs) still stages
+    val one = Files.createTempDirectory("graft_link_one_").toString
+    spark.range(5).select(col("id").as("doc_id")).coalesce(1)
+      .write.parquet(s"$one/stage")
+    val f = new java.io.File(s"$one/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(f.toPath,
+      java.nio.file.Paths.get(s"$one/documents.parquet"))
+    val watch2 = Files.createTempDirectory("graft_link_watch2_")
+    graft.streaming.StreamStage.linkTable(watch2, one, "documents")
+    assert(spark.read.parquet(watch2.toString).count() == 5)
+  }
+
 }
