@@ -556,6 +556,34 @@ class DifferentialSpec extends AnyFunSuite {
         case TV(_) => fail("scalar expression compiled to a table")
       }
     }
+    // DICTS keyed by bignum values: storage sort, lookup equality, and
+    // EDictFold's reference iteration order all ride the canonical byte
+    // encoding (keys straddle zero at ~10^41 magnitudes)
+    val dict = bigAtoms.zipWithIndex.foldLeft(
+      EAtom(AEmptyDict(TInt, TInt)): Expr) { case (d, (k, i)) =>
+      ETernop(OInsert, d, k, EAtom(AInt(i.toLong)))
+    }
+    val dictProgs = Seq(
+      // fold in reference key order: order-sensitive accumulator
+      EDictFold(dict, EAtom(AInt(1)), "k", "v", "a",
+        EBinop(OPlus, EBinop(OTimes, EVar("a"), EAtom(AInt(7))),
+          EBinop(OPlus,
+            EBinop(OMod, EVar("k"), EAtom(AInt(1000000007))), EVar("v")))),
+      // lookup on byte-equal keys: present and absent
+      EOptMatch(EBinop(OLookup, dict, bigAtoms.head),
+        EAtom(AInt(-1)), "x", EVar("x")),
+      EOptMatch(EBinop(OLookup, dict, EAtom(AInt(12345))),
+        EAtom(AInt(-1)), "x", EVar("x")))
+    for (prog <- dictProgs) {
+      val expected = interp(prog, REnv())
+      Compiler.compileProgram(prog, envBig) match {
+        case CV(c) =>
+          val got = fromSpark(spark.range(1).select(c.as("v")).head.get(0), TInt)
+          assert(cmp(got, expected) == 0,
+            s"[bignum dict ${show(prog).take(40)}] compiled=$got reference=$expected")
+        case TV(_) => fail("scalar expression compiled to a table")
+      }
+    }
   }
 
   test("bignum tier: table joins/filters/sorts over binary-encoded TInt columns") {
