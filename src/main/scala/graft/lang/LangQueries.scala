@@ -1319,7 +1319,7 @@ object LangQueries {
       """WITH resp AS (
         |  SELECT s_name AS name, n_name AS department,
         |         'ok from ' || s_name AS feedback,
-        |         CAST(s_suppkey * 100 AS BIGINT) AS salary
+        |         CAST((s_suppkey % 100000) * 100 AS BIGINT) AS salary
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |  UNION ALL
         |  SELECT * FROM (VALUES ('zz_alice','CANADA','great',CAST(120 AS BIGINT)),
@@ -1374,7 +1374,10 @@ object LangQueries {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_name").as("name"), col("n_name").as("department"),
           concat(lit("ok from "), col("s_name")).as("feedback"),
-          (col("s_suppkey") * 100).cast("long").as("salary"))
+          // residue-capped: the fixture tests composed-index structure,
+          // not width — a 27x id shift would push the TOTAL salary sum
+          // past int64 (identity at the driver SFs)
+          ((col("s_suppkey") % 100000) * 100).cast("long").as("salary"))
       Optimize.run(prog, Env(Map.empty, Map("responses" -> resp), s,
         storeTypes = Map("responses" -> TList(rowT))))
         .store("result")
@@ -1555,7 +1558,7 @@ object LangQueries {
     GraftQuery.sql("q_optimize_surface",
       """SELECT CAST(k AS BIGINT) AS k,
         |  (SELECT COUNT(*) FROM orders) + k AS n,
-        |  (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM orders)
+        |  (SELECT CAST(SUM(o_custkey % 1000000) AS BIGINT) FROM orders)
         |    + CAST((k*(k+1))/2 AS BIGINT) AS s
         |FROM (VALUES (1), (2), (3)) t(k) ORDER BY k""".stripMargin) { (s, dir) =>
       val src =
@@ -1569,8 +1572,13 @@ object LangQueries {
           |end;
           |set result := mut out""".stripMargin
       val prog = Parser.parseCommand(src)
+      // this fixture tests the OPTIMIZER pipeline (recognition + IVM
+      // cells), not arithmetic width — cap the summed column to the
+      // sub-million residue (identity at the driver SFs; keeps the TInt
+      // fold inside Long at any replication factor, the r12 word-fixture
+      // mask stance)
       val orders = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
+        .select(col("o_orderkey"), (col("o_custkey") % 1000000).as("o_custkey"))
       Optimize.run(prog, Env(Map.empty, Map("orders" -> orders), s))
         .store("result").orderBy("k")
     },

@@ -127,13 +127,17 @@ object Analytics {
     // and long sums at every level in one pass (Expand + single shuffle).
     GraftQuery.sql("q_rollup",
       """SELECT o_orderstatus AS status, o_orderpriority AS priority,
-        |  COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        |  COUNT(*) AS n, CAST(CAST(SUM(o_custkey) AS HUGEINT) AS VARCHAR) AS cust_sum
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status NULLS FIRST, priority NULLS FIRST""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // Decimal(38,0) partials: the grand-total rollup row sums EVERY
+      // 64-bit key — past int64 at the 27x corpus already
       Tables.load(s, dir, "orders")
         .rollup($"o_orderstatus".as("status"), $"o_orderpriority".as("priority"))
-        .agg(count(lit(1)).as("n"), sum($"o_custkey").as("cust_sum"))
+        .agg(count(lit(1)).as("n"),
+          sum($"o_custkey".cast("decimal(38,0)")).cast("string")
+            .as("cust_sum"))
         .orderBy($"status".asc_nulls_first, $"priority".asc_nulls_first)
     },
 

@@ -109,7 +109,7 @@ object Workloads {
     // reconstructs it exactly.
     GraftQuery.sql("q_join_ivm",
       """SELECT c_mktsegment AS segment, COUNT(*) AS n,
-        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |  CAST(CAST(SUM(o_orderkey) AS HUGEINT) AS VARCHAR) AS key_sum
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -122,7 +122,9 @@ object Workloads {
       Ivm.incrementalJoin(ordersB, custB,
           (o, c) => o.join(c, o("o_custkey") === c("c_custkey")))
         .groupBy($"c_mktsegment".as("segment"))
-        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+        .agg(count(lit(1)).as("n"),
+          sum($"o_orderkey".cast("decimal(38,0)")).cast("string")
+            .as("key_sum"))
         .orderBy("segment")
     },
 

@@ -42,17 +42,26 @@ object SourceSink {
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
 
-  /** Shared read-back aggregate: per-status counts + long sums — integer
-    * arithmetic only, so the roundtrip compare is exact in any format. */
+  /** Shared read-back aggregate: per-status counts + key sums — integer
+    * arithmetic only, so the roundtrip compare is exact in any format.
+    * Key sums accumulate in Decimal(38,0) and RENDER as exact decimal
+    * strings: a group of 64-bit ids exceeds int64 long before 100 TB
+    * (the 27x corpus already does — 1.7e19 per status), ANSI's long-sum
+    * overflow would kill the roundtrip for a reason that has nothing to
+    * do with the format, and past 2^53 only a string survives every
+    * engine's exact-compare path (the q_lang_wide_sum precedent). */
   private def rollup(df: DataFrame): DataFrame =
     df.groupBy(col("status"))
-      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"),
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_custkey").cast("decimal(38,0)")).cast("string")
+          .as("sum_cust"),
         max(col("o_orderkey")).as("max_key"))
       .orderBy("status")
 
   private val rollupSql =
     """SELECT o_orderstatus AS status, COUNT(*) AS n,
-      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust, MAX(o_orderkey) AS max_key
+      |  CAST(CAST(SUM(o_custkey) AS HUGEINT) AS VARCHAR) AS sum_cust,
+      |  MAX(o_orderkey) AS max_key
       |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
@@ -93,7 +102,7 @@ object SourceSink {
     // no-Exchange property). The oracle is the plain join.
     GraftQuery.sql("q_bucketed_join",
       """SELECT c_mktsegment AS segment, COUNT(*) AS n,
-        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |  CAST(CAST(SUM(o_orderkey) AS HUGEINT) AS VARCHAR) AS key_sum
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
       val sf = new java.io.File(dir).getName.replace('.', '_')
@@ -117,7 +126,9 @@ object SourceSink {
         .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
       s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey").cast("decimal(38,0)")).cast("string")
+            .as("key_sum"))
         .orderBy("segment")
     },
 
@@ -128,7 +139,7 @@ object SourceSink {
     // rewriting history; mergeSchema is opt-in because reconciling
     // footers costs a pass over file metadata at scale.
     GraftQuery.sql("q_schema_evolution",
-      """SELECT priority, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum FROM (
+      """SELECT priority, COUNT(*) AS n, CAST(CAST(SUM(o_custkey) AS HUGEINT) AS VARCHAR) AS cust_sum FROM (
         |  SELECT NULL AS priority, o_custkey FROM orders WHERE o_orderkey % 2 = 0
         |  UNION ALL
         |  SELECT o_orderpriority, o_custkey FROM orders WHERE o_orderkey % 2 = 1)
@@ -143,7 +154,9 @@ object SourceSink {
         .write.mode(SaveMode.Overwrite).parquet(s"$out/v2")
       s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
         .groupBy(col("priority"))
-        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey").cast("decimal(38,0)")).cast("string")
+            .as("cust_sum"))
         .orderBy(col("priority").asc_nulls_first)
     },
 
@@ -152,7 +165,7 @@ object SourceSink {
     // pruning), so the scan reads only the 'F' partition's files.
     GraftQuery.sql("q_partitioned_sink",
       """SELECT o_orderpriority AS priority, COUNT(*) AS n,
-        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |  CAST(CAST(SUM(o_custkey) AS HUGEINT) AS VARCHAR) AS sum_cust
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY 1 ORDER BY priority""".stripMargin) { (s, dir) =>
       val out = sinkDir("part_parquet", dir)
@@ -161,7 +174,9 @@ object SourceSink {
       s.read.parquet(out)
         .filter(col("status") === "F")
         .groupBy(col("priority"))
-        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey").cast("decimal(38,0)")).cast("string")
+            .as("sum_cust"))
         .orderBy("priority")
     },
   )
