@@ -13,7 +13,9 @@ class SourceSinkSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val direct = graft.core.Tables.load(spark, TestSpark.sfDir, "orders")
       .groupBy(col("o_orderstatus").as("status"))
-      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"),
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_custkey").cast("decimal(38,0)")).cast("string")
+          .as("sum_cust"),
         max(col("o_orderkey")).as("max_key"))
       .orderBy("status").collect().toSeq
     Seq("q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip").foreach { q =>
