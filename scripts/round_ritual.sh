@@ -14,6 +14,10 @@
 #   7. 27x bench on the top slow queries + two-point growth-exponent fit
 #      (committed as GROWTH_r{N}.txt — one scale point cannot tell linear
 #      from quadratic-with-small-coefficient)
+#   8. FINAL GATE: refuse to bless a dirty or unre-tested tree. The tree
+#      must be committed (git status clean), and if HEAD moved or the tree
+#      was dirty when step 1 ran, the full test suite re-runs against HEAD
+#      (r13 shipped red because a post-ritual source commit skipped this).
 # Scale corpora (regenerate once per data regeneration):
 #   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /root/repo/testdata_sf1 9"
 #   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /root/repo/testdata_27x 27"
@@ -29,12 +33,23 @@ gate() { # gate <label>: mark the round failed
   echo "STEP FAILED: $1"; status=1
 }
 
-step "1/7 sbt test"
+# CI runs strict-order mode: a universal-order comparison that would
+# silently drop type information is a hard failure here, while the
+# runtime default stays warn-only for users (r13 proved the whole
+# battery green under strict, so any strict trip is a regression).
+export GRAFT_STRICT_ORDER=1
+
+# Snapshot the tree identity step 1 tests, so step 8 can tell whether the
+# suite that passed is the suite at HEAD.
+START_HEAD=$(git rev-parse HEAD)
+START_DIRTY=$(git status --porcelain | wc -l)
+
+step "1/8 sbt test (strict order)"
 out=$(sbt -batch test 2>&1 | grep -E "Tests:|All tests" | tail -2)
 echo "$out"
 echo "$out" | grep -q "failed 0" || gate "sbt test"
 
-step "2/7 extended sweep (1200 seeds)"
+step "2/8 extended sweep (1200 seeds, strict order)"
 out=$(GRAFT_SWEEP=1 sbt -batch "testOnly graft.ExtendedSweepSpec" 2>&1 |
   grep -E "seeds|Tests:" | tail -3)
 echo "$out"
@@ -50,11 +65,11 @@ run_verify() { # run_verify <sfDir> <outDir> <label>
   echo "$line" | grep -q "^PASS" || gate "$3"
 }
 
-step "3/7 oracle correctness sf0.01"
+step "3/8 oracle correctness sf0.01"
 run_verify /root/testdata/sf0.01 /tmp/ritual_v001 "oracle sf0.01"
 
 if [ "$FAST" != "fast" ]; then
-  step "4/7 oracle correctness sf0.1 + 9x"
+  step "4/8 oracle correctness sf0.1 + 9x + 27x"
   SPARK_GRAFT_CPUS=16 run_verify /root/testdata/sf0.1 /tmp/ritual_v01 \
     "oracle sf0.1"
   if [ -d /root/repo/testdata_sf1 ]; then
@@ -64,8 +79,19 @@ if [ "$FAST" != "fast" ]; then
     echo "testdata_sf1 missing — run graft.tools.ScaleUp first"
     gate "oracle 9x (no data)"
   fi
+  # the 27x oracle run is what caught the r13 int64-sum scale bugs —
+  # it is a gate, not a spot check. Full 199 queries against DuckDB.
+  if [ -d /root/repo/testdata_27x ]; then
+    SPARK_GRAFT_CPUS=16 run_verify /root/repo/testdata_27x /tmp/ritual_v27x \
+      "oracle 27x"
+    [ -n "$ROUND" ] && [ -f /tmp/ritual_v27x/summary.json ] &&
+      cp /tmp/ritual_v27x/summary.json "CORRECTNESS_r${ROUND}_27x.json"
+  else
+    echo "testdata_27x missing — run graft.tools.ScaleUp first"
+    gate "oracle 27x (no data)"
+  fi
 
-  step "5/7 bench sf0.1"
+  step "5/8 bench sf0.1"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     SPARK_GRAFT_BENCH_OUT=/tmp/ritual_bench_sf01.json \
     sbt -batch "runMain graft.Bench" >/dev/null 2>&1 || true
@@ -78,7 +104,7 @@ PY
   [ -n "$ROUND" ] && cp /tmp/ritual_bench_sf01.json \
     "BENCH_r${ROUND}_sf01.json"
 
-  step "6/7 9x bench + linearity"
+  step "6/8 9x bench + linearity"
   if [ -d /root/repo/testdata_sf1 ]; then
     SPARK_GRAFT_SF_DIR=/root/repo/testdata_sf1 \
       SPARK_GRAFT_BENCH_OUT=/tmp/ritual_bench_sf1.json \
@@ -109,7 +135,7 @@ PY
     gate "9x bench (no data)"
   fi
 
-  step "7/7 27x bench (top slow queries) + growth-exponent fit"
+  step "7/8 27x bench (top slow queries) + growth-exponent fit"
   if [ -d /root/repo/testdata_27x ] && [ -f /tmp/ritual_bench_sf1.json ]; then
     TOP=$(python3 - <<'PY'
 import json
@@ -140,6 +166,23 @@ PY
     echo "testdata_27x missing — run graft.tools.ScaleUp first"
     gate "27x bench (no data)"
   fi
+fi
+
+step "8/8 final gate (clean tree, tests ran against HEAD)"
+END_HEAD=$(git rev-parse HEAD)
+END_DIRTY=$(git status --porcelain | wc -l)
+if [ "$END_DIRTY" -ne 0 ]; then
+  git status --porcelain | head -20
+  gate "final gate (uncommitted changes — commit, then re-run the ritual)"
+elif [ "$END_HEAD" != "$START_HEAD" ] || [ "$START_DIRTY" -ne 0 ]; then
+  echo "tree moved since step 1 (${START_HEAD:0:9} dirty=$START_DIRTY ->" \
+    "${END_HEAD:0:9}) — re-running the full suite against HEAD"
+  out=$(sbt -batch test 2>&1 | grep -E "Tests:|All tests" | tail -2)
+  echo "$out"
+  echo "$out" | grep -q "failed 0" || gate "final gate (sbt test at HEAD)"
+else
+  echo "HEAD ${END_HEAD:0:9} unchanged and clean — step-1 run WAS the" \
+    "HEAD run"
 fi
 
 echo; echo "ritual exit: $status"

@@ -92,6 +92,10 @@ object Bench {
       // can race the timed copy on shared sink paths — so cancel queued
       // work, interrupt in-flight tasks, and bound-wait for the pool to
       // drain.
+      // Tracks whether the try body completed: if it threw, the finally
+      // block's drain-failure must not REPLACE that root cause — attach
+      // the drain failure as a log line and let the original propagate.
+      var warmBodyOk = false
       try {
         scala.util.Try(Await.result(Future.sequence(futs), Duration(900, "s")))
           .failed.foreach { e =>
@@ -100,6 +104,7 @@ object Bench {
               "continuing with timed pass")
             spark.sparkContext.cancelAllJobs()
           }
+        warmBodyOk = true
       } finally {
         pool.shutdownNow()
         // The timed pass MUST NOT start with warm stragglers alive —
@@ -118,9 +123,14 @@ object Bench {
           drained =
             pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
         }
-        if (!drained) sys.error("[bench-warm] warm pool failed to drain " +
-          "after repeated cancellation — aborting the bench run (a timed " +
-          "pass with live stragglers would report polluted timings)")
+        if (!drained) {
+          val msg = "[bench-warm] warm pool failed to drain after " +
+            "repeated cancellation — aborting the bench run (a timed " +
+            "pass with live stragglers would report polluted timings)"
+          // only raise when the try body completed; if it threw, raising
+          // here would silently swallow the root cause
+          if (warmBodyOk) sys.error(msg) else System.err.println(msg)
+        }
       }
       if (warmFailed.get() > 0)
         System.err.println(s"[bench-warm] ${warmFailed.get()} warm " +

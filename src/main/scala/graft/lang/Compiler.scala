@@ -743,7 +743,11 @@ object Compiler {
           case cv @ CV(_) => Some(asCV(cv))
           case TV(d) =>
             tableArrayLit(d, 10000, synthElem(l2, env), env.wordWidth)
-        } catch { case _: UnsupportedOperationException => None }
+        } catch {
+          // a strict-order trip is a real diagnosis, never a shape refusal
+          case dec: CanonOrder.StrictOrderViolation => throw dec
+          case _: UnsupportedOperationException => None
+        }
       arrOpt.map { arr =>
         val n = s"__jaggleg${latIds.incrementAndGet()}"
         (EFlatmap(jt, l1, a,
@@ -1956,7 +1960,12 @@ object Compiler {
                 }
               }
               try zipUnnest()
-              catch { case u: UnsupportedOperationException =>
+              catch {
+                // a strict trip inside zipUnnest is the REAL diagnosis
+                // ("declare your types") — never re-bury it as the cause
+                // of correlatedError's rewrite-as-EJoin directive
+                case dec: CanonOrder.StrictOrderViolation => throw dec
+                case u: UnsupportedOperationException =>
                 // no collectible correlated leg (both lifted / list
                 // values): x stays a scalar row reference over the plain
                 // outer table; bindRow keeps any deeper table-level

@@ -322,7 +322,12 @@ object Multimodal {
         |    ascii(substr(d.text, CAST(((3*q + 2) % n) + 1 AS INT), 1)) AS r,
         |    ascii(substr(d.text, CAST(((3*q + 1) % n) + 1 AS INT), 1)) AS g,
         |    ascii(substr(d.text, CAST(((3*q) % n) + 1 AS INT), 1)) AS b
-        |  FROM (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM (SELECT doc_id, text,
+        |          -- GREATEST(n,1) mirrors framesOf's [0] fallback for an
+        |          -- empty document: index (q%1)+1=1 over '' gives
+        |          -- ascii('')=0, exactly the one-zero-byte source —
+        |          -- without it `% 0` would NULL every pixel
+        |          GREATEST(octet_length(encode(text)), 1) AS n
         |        FROM documents) d,
         |       unnest(range(0, 768)) AS t(q))
         |SELECT doc_id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,

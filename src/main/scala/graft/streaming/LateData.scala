@@ -69,8 +69,8 @@ object LateData {
         .groupBy(window($"tstamp", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"),
           sum($"value".cast(DecimalType(18, 2))).cast("double").as("total"))
-        .select($"window.start".as("window_start"), $"event_type",
-          $"n", $"total")
+        .select($"window.start".cast("timestamp_ntz").as("window_start"),
+          $"event_type", $"n", $"total")
       val sink = s"graft_late_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       StreamConf.withStatePartitions(s, 2) {
         val q = agg.writeStream.outputMode("append")

@@ -36,7 +36,11 @@ object StreamAgg {
         .groupBy(window($"tstamp", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"),
           sum($"value".cast(DecimalType(18, 2))).cast("double").as("total"))
-        .select($"window.start".as("window_start"), $"event_type", $"n", $"total")
+        // ntz: the dump's parquet timestamp must be naive MICROS (what the
+        // DuckDB oracle yields); LTZ would write INT96/adjusted-to-UTC and
+        // read back as a different pandas dtype than the oracle's.
+        .select($"window.start".cast("timestamp_ntz").as("window_start"),
+          $"event_type", $"n", $"total")
       val sink = s"graft_stream_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
       StreamConf.withStatePartitions(s, 2) {
         val q = agg.writeStream.outputMode("complete")

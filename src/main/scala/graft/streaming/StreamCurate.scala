@@ -268,13 +268,21 @@ object StreamCurate {
                         while (file.hasNext && !moved) {
                           val f = file.next()
                           if (f.getFileName.toString.endsWith(".parquet")) {
-                            val dst = java.nio.file.Files.move(f,
-                              watchDir.resolve(s"p$k.parquet"))
-                            // ascending mod times spaced well past FS
-                            // timestamp granularity: batch order = k order
-                            java.nio.file.Files.setLastModifiedTime(dst,
+                            // stamp WHILE STILL IN STAGING, then move:
+                            // the FileStreamSource is already running, and
+                            // a listing between move and stamp could see
+                            // an unstamped later file sort before a
+                            // stamped earlier one (stamped times can be in
+                            // the future of a raw mtime), breaking the
+                            // batch-order = doc_id-order determinism the
+                            // keep-first dedup relies on. Ascending mod
+                            // times spaced well past FS granularity:
+                            // batch order = k order.
+                            java.nio.file.Files.setLastModifiedTime(f,
                               java.nio.file.attribute.FileTime.fromMillis(
                                 epoch + k * 10000L))
+                            java.nio.file.Files.move(f,
+                              watchDir.resolve(s"p$k.parquet"))
                             moved = true
                           }
                         }

@@ -59,7 +59,7 @@ object StreamUpsert {
       }
       val q = stream.writeStream.foreachBatch(mergeBatch).start()
       try q.processAllAvailable() finally q.stop()
-      target.select($"user_id", $"ts".as("last_ts"),
+      target.select($"user_id", $"ts".cast("timestamp_ntz").as("last_ts"),
         $"value".as("last_value")).orderBy("user_id")
     },
   )
