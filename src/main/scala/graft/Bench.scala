@@ -275,6 +275,14 @@ object Bench {
       s""""fast_omitted":${fast.size},"fast_total":${fmt(fast.values.sum)},""" +
       s""""sf":"$sfName"}"""
     println(jsonLine)
+    // Compact trailer AFTER the full line: the driver keeps only the tail
+    // of stdout, and on a long JSON line that tail retains the line's END
+    // (jobs/failed) while losing "value" and the per-query seconds at the
+    // front. This second line is short enough to always survive whole.
+    val top10 = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_tail","value":${fmt(total)},"unit":"sec",""" +
+      s""""top10":$top10,"failed_n":${failed.size},"sf":"$sfName"}""")
     // ALSO write the full line to a stable path when asked (r12 verdict:
     // the driver's stdout capture truncates its tail, losing the per-query
     // map — the committed BENCH_r{N}_*.json artifacts come from here)

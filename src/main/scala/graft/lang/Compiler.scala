@@ -947,7 +947,171 @@ object Compiler {
     var joined: DataFrame = df.alias(la)
     var extraBinds = List.empty[(String, Val, Option[FType])]
     var r2 = rPre // scalar-land-lifted nodes already substituted
-    splits.zipWithIndex.foreach { case ((node, pe, sp), i) =>
+
+    // FLAT-EQUI MERGED PATH: a scalar aggregate over a correlated FLATMAP
+    // source (a lifted join leg) whose body never reads the outer row and
+    // whose correlation is pure equi-keys does NOT need the distinct-outer
+    // join-then-reaggregate plan — the inner side can explode its per-row
+    // element arrays, aggregate per KEY (map-side partials, key-sized
+    // shuffle), and left-join the per-key values onto the outer. Better
+    // still, MULTIPLE such aggregates over the same source (`len(J)` and
+    // `sum(J)` over one join — q_lang_corr_jsrc's shape) share ONE
+    // exploded frame and ONE groupBy: one shuffle instead of N, and no
+    // duplicated join subtrees whose racing broadcast materializations
+    // made bench job counts nondeterministic across reps (r13 directive
+    // 8: [12,14,14]). Alpha-renamed binders compile to the same plan, so
+    // grouping keys on the CANONICALIZED (inner ⋈-keys) plan, not on
+    // expression identity.
+    val mergedIdx: scala.collection.mutable.Set[Int] =
+      scala.collection.mutable.Set.empty[Int]
+    locally {
+      def scalarAggNode(node: Expr): Boolean = node match {
+        case EACFold(_, _) | EACIFold(_, _) | EUnop(OLength, _) => true
+        case _ => false
+      }
+      def synthW(e: Expr, extra: (String, Option[FType])*): Option[FType] =
+        try Some(TypeCheck.synthesize(e,
+          env.varTypes ++ xT.map(x -> _) ++
+            extra.collect { case (n, Some(t)) => n -> t },
+          env.storeTypes))
+        catch { case scala.util.control.NonFatal(_) => None }
+      val eligible = splits.zipWithIndex.filter { case ((node, pe, sp), _) =>
+        scalarAggNode(node) && !takesArrayPath(node, pe) &&
+          sp.keyPairs.nonEmpty && sp.mixed.isEmpty &&
+          pe.flat.exists { case (_, fbody) =>
+            !Rewrites.freeVars(fbody).contains(x) } &&
+          !pe.proj.exists(p => Rewrites.freeVars(p._2).contains(x))
+      }
+      // per eligible node: residual-filtered inner + canonical signature
+      // of (inner, join keys) for alpha-insensitive grouping
+      val prepared = eligible.flatMap { case ((node, pe, sp), i) =>
+        try {
+          val coreT = synthElem(pe.core, env)
+          var inner = compile(pe.core, env) match {
+            case TV(d) => d
+            case cv @ CV(_) => toDF(cv, env)
+          }
+          sp.residual.reverse.foreach { case (b, p) =>
+            inner = inner.filter(asCV(compile(p,
+              env.bindRowTyped(b, CV(rowStruct(inner)), coreT))))
+          }
+          val keyCols = sp.keyPairs.zipWithIndex.map { case ((_, (b, ie)), j) =>
+            asCV(compile(ie, env.bindRowTyped(b, CV(rowStruct(inner)),
+              coreT))).as(s"__sig$j")
+          }
+          val sig = inner.select(keyCols.toIndexedSeq: _*)
+            .queryExecution.analyzed.canonicalized
+          Some((sig, (node, pe, sp, i, inner, coreT)))
+        } catch { case dec: CanonOrder.StrictOrderViolation => throw dec
+          case scala.util.control.NonFatal(_) => None }
+      }
+      prepared.groupBy(_._1).values.toList.sortBy(_.head._2._4)
+        .foreach { g =>
+        val group = g.map(_._2)
+        val (_, _, sp0, i0, inner, coreT0) = group.head
+        val kN = (j: Int) => s"__k${id}_${i0}_$j"
+        val vN = s"__v${id}_$i0"
+        // per-node element-value arrays over ONE inner row, plus each
+        // value's resolved Spark type (for the null slots of the shared
+        // tagged element struct)
+        val nodeArrs = group.map { case (node, pe, _, _, _, coreT) =>
+          val (fb, fbody) = pe.flat.get
+          val flatT = synthW(fbody, fb -> coreT).flatMap(elemTypeOf)
+          val arr0 = asCV(compile(fbody,
+            env.bindRowTyped(fb, CV(rowStruct(inner)), coreT)))
+          pe.proj match {
+            case Some((pb, pv)) => transform(arr0, e =>
+              asCV(compile(pv, env.bindTyped(pb, CV(e), flatT))))
+            case None => arr0
+          }
+        }
+        val countOnlyK = group.map { case (node, _, _, _, _, _) => node match {
+          case EACFold(AGCount, _) | EUnop(OLength, _) => true
+          case _ => false
+        }}
+        val vdt = nodeArrs.zip(countOnlyK).map { case (arr, co) =>
+          if (co) org.apache.spark.sql.types.LongType
+          else inner.select(explode(arr).as("__pv")).schema("__pv").dataType
+        }
+        // element of node k carries its value in field v<k>, null elsewhere
+        // — sum/min/max skip the nulls, count counts the constant 1s, so
+        // one explode feeds every aggregate
+        val tagged = nodeArrs.zipWithIndex.map { case (arr, k) =>
+          transform(arr, e => struct(vdt.indices.map { j =>
+            (if (j == k) { if (countOnlyK(k)) lit(1L) else e }
+             else lit(null).cast(vdt(j))).as(s"v$j")
+          }.toIndexedSeq: _*))
+        }
+        val keyCols = sp0.keyPairs.zipWithIndex.map { case ((_, (b, ie)), j) =>
+          asCV(compile(ie, env.bindRowTyped(b, CV(rowStruct(inner)),
+            coreT0))).as(kN(j))
+        }
+        val sel = inner.select((keyCols :+
+          explode(concat(tagged.toIndexedSeq: _*)).as(vN)).toIndexedSeq: _*)
+        val aNameK = group.map { case (_, _, _, i, _, _) => s"__agg${id}_$i" }
+        val aggCols = group.zipWithIndex.map { case ((node, _, _, _, _, _), k) =>
+          val v = col(vN)(s"v$k")
+          (node match {
+            case EACFold(AGSum, _) => sum(v)
+            case EACFold(AGCount, _) | EUnop(OLength, _) => count(v)
+            case EACIFold(AGMin, _) => min(v)
+            case EACIFold(AGMax, _) => max(v)
+            case _ => throw new IllegalStateException("non-agg in merge")
+          }).as(aNameK(k))
+        }
+        val aggDF = sel.groupBy(sp0.keyPairs.indices.map(j => col(kN(j))): _*)
+          .agg(aggCols.head, aggCols.tail.toIndexedSeq: _*)
+        val joinPred = sp0.keyPairs.zipWithIndex.map { case ((oe, _), j) =>
+          asCV(compile(oe, env.bindTyped(x, CV(outerRow), xT))) <=> col(kN(j))
+        }.reduce(_ && _)
+        joined = joined.join(aggDF, joinPred, "left")
+        group.zipWithIndex.foreach { case ((node, pe, sp, i, _, _), k) =>
+          mergedIdx += i
+          val valT: Option[FType] = {
+            val (fb, fbody) = pe.flat.get
+            val coreT = synthElem(pe.core, env)
+            val flatT = synthW(fbody, fb -> coreT).flatMap(elemTypeOf)
+            pe.proj match {
+              case Some((pb, pv)) => flatT.flatMap(bt =>
+                synthW(pv, pb -> Some(bt)))
+              case None => flatT
+            }
+          }
+          val base = node match {
+            case EACIFold(_, _) => col(aNameK(k))
+            case _ => coalesce(col(aNameK(k)), lit(0L))
+          }
+          val gate: Option[Column] = sp.outerOnly match {
+            case Nil => None
+            case os => Some(os.map(o =>
+              asCV(compile(o, env.bindTyped(x, CV(outerRow), xT))))
+              .reduce(_ && _))
+          }
+          val gated = gate match {
+            case None => base
+            case Some(oc) => node match {
+              case EACIFold(_, _) => when(oc, base)
+              case _ => when(oc, base).otherwise(lit(0L))
+            }
+          }
+          val scalarT: Option[FType] = node match {
+            case EACFold(AGSum, _) | EACFold(AGCount, _) |
+                 EUnop(OLength, _) => Some(TInt)
+            case EACIFold(_, _) => valT match {
+              case Some(TOption(_)) => None
+              case other => other.map(TOption(_))
+            }
+            case _ => None
+          }
+          val name = s"__cagg_${id}_$i"
+          extraBinds ::= ((name, CV(gated), scalarT))
+          r2 = Rewrites.foldExpr(r2)(e0 => if (e0 == node) EVar(name) else e0)
+        }
+      }
+    }
+
+    splits.zipWithIndex.filterNot(t => mergedIdx(t._2))
+      .foreach { case ((node, pe, sp), i) =>
       // an outer-referencing projection value can only be computed where
       // BOTH rows are in scope — the distinct-outer join paths below
       val projRefsX =

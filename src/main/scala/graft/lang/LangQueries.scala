@@ -1391,7 +1391,7 @@ object LangQueries {
     // the per-iteration read is O(1) instead of re-aggregating the growing
     // table. Oracle: the cumulative sum as a window function.
     GraftQuery.sql("q_scoped_ivm",
-      """SELECT n_nationkey AS k,
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
         |  CAST(SUM(n_nationkey) OVER (ORDER BY n_nationkey) AS BIGINT) AS s,
         |  CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS n
         |FROM nation ORDER BY k""".stripMargin) { (s, dir) =>
@@ -1482,7 +1482,8 @@ object LangQueries {
         |b AS (SELECT n_name, n_nationkey,
         |       row_number() OVER (ORDER BY n_name, n_nationkey) AS rn
         |      FROM nation)
-        |SELECT a.c_custkey AS ck, b.n_nationkey AS nk, b.n_name AS nname
+        |SELECT a.c_custkey AS ck, CAST(b.n_nationkey AS BIGINT) AS nk,
+        |  b.n_name AS nname
         |FROM a JOIN b USING (rn) ORDER BY ck, nk""".stripMargin) { (s, dir) =>
       val rowT = TRecord.sorted(
         "ck" -> TInt, "nk" -> TInt, "nname" -> TString)
