@@ -110,6 +110,36 @@ object StreamCurate {
       // the regex split per element access (no CSE inside HOFs — the
       // shingleSets lesson; here it was 6-8s of pure re-splitting)
       val modelT0 = System.nanoTime()
+      // one job covers BOTH per-source char totals (mixture rates) and the
+      // global max doc_id (delivery cut points) — was two separate actions
+      val srcRows = docs.groupBy($"source")
+        .agg(sum($"n_chars").cast("long").as("chars"),
+          max($"doc_id").as("mx"))
+        .collect().toSeq
+      val srcStats = srcRows.map(r => r.getString(0) -> r.getLong(1))
+      val cmax = srcStats.map(_._2).max
+      val rateM = srcStats.map { case (src, chars) =>
+        src -> math.floor(1000 * math.sqrt(chars.toDouble / cmax)).toLong
+      }.toMap
+      val maxId = srcRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))
+        .foldLeft(0L)(math.max)
+      val schema = docs.schema
+      val watchDir = java.nio.file.Files.createTempDirectory("graft_curate_")
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_curate_s_")
+      val cuts = Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
+        (2 * maxId / 3 + 1, maxId))
+      // stage the delivery parquet CONCURRENTLY with stream start-up: the
+      // write only needs the cut points, not the models or the running
+      // query, and its ~0.2s job otherwise serializes before the await —
+      // it runs UNDER the gram pass below instead
+      val partsDir = stageDir.resolve("parts")
+      val partsWrite = scala.concurrent.Future {
+        val cutCol = when($"doc_id" <= maxId / 3, 0)
+          .when($"doc_id" <= 2 * maxId / 3, 1).otherwise(2)
+        docs.withColumn("cut", cutCol).coalesce(1)
+          .write.partitionBy("cut").mode("overwrite")
+          .parquet(partsDir.toString)
+      }(scala.concurrent.ExecutionContext.global)
       def bigramsOf(c: org.apache.spark.sql.Column) = when(size(c) >= 2,
         transform(sequence(lit(0), size(c) - 2),
           i => concat_ws(" ", get(c, i), get(c, i + 1))))
@@ -146,24 +176,10 @@ object StreamCurate {
       val bgdM = tokModel.map(r => r._1 -> (r._3 - r._2)).toMap
       val cbM = model("b", "bigram").map(r => r._1 -> r._3).toMap
       val cpM = model("p", "prefix").map(r => r._1 -> r._3).toMap
-      val srcStats = docs.groupBy($"source")
-        .agg(sum($"n_chars").cast("long").as("chars"))
-        .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
-      val cmax = srcStats.map(_._2).max
-      val rateM = srcStats.map { case (src, chars) =>
-        src -> math.floor(1000 * math.sqrt(chars.toDouble / cmax)).toLong
-      }.toMap
       mark("models", modelT0)
 
       // the arriving stream: three doc_id-range files delivered as
       // separate micro-batches ------------------------------------------
-      val schema = docs.schema
-      val watchDir = java.nio.file.Files.createTempDirectory("graft_curate_")
-      val stageDir = java.nio.file.Files.createTempDirectory("graft_curate_s_")
-      val maxRow = docs.agg(max($"doc_id")).head()
-      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val cuts = Seq((0L, maxId / 3), (maxId / 3 + 1, 2 * maxId / 3),
-        (2 * maxId / 3 + 1, maxId))
       try {
         // maxFilesPerTrigger=1 keeps the three delivery files arriving as
         // THREE micro-batches (the cross-batch dedup state must actually
@@ -248,16 +264,13 @@ object StreamCurate {
                 val epoch = java.nio.file.Files.getLastModifiedTime(
                   watchDir).toMillis
                 phase("deliver") {
-                  // ONE write job produces all three delivery files
-                  // (partitionBy(cut) — was one filter+write job per cut,
-                  // two redundant corpus scans); the per-cut moves below
-                  // just rename part files into the watch dir
-                  val cutCol = when($"doc_id" <= maxId / 3, 0)
-                    .when($"doc_id" <= 2 * maxId / 3, 1).otherwise(2)
-                  val parts = stageDir.resolve("parts")
-                  docs.withColumn("cut", cutCol).coalesce(1)
-                    .write.partitionBy("cut").mode("overwrite")
-                    .parquet(parts.toString)
+                  // ONE write job produced all three delivery files
+                  // (partitionBy(cut), staged CONCURRENTLY with the model
+                  // build above); the per-cut moves below just rename the
+                  // part files into the watch dir
+                  scala.concurrent.Await.result(partsWrite,
+                    scala.concurrent.duration.Duration(300, "s"))
+                  val parts = partsDir
                   cuts.indices.foreach { k =>
                     val d = parts.resolve(s"cut=$k")
                     if (java.nio.file.Files.isDirectory(d)) {
