@@ -27,6 +27,12 @@ summary = {}  # per-query verdicts, dumped to out_dir/summary.json
 dirs = set(d for d in os.listdir(out_dir)
            if os.path.isdir(os.path.join(out_dir, d)))
 names = sorted(dirs | set(oracle.keys()))
+# GRAFT_ORACLE_ONLY=q_a,q_b: spot-check a subset (pairs with Verify's
+# SPARK_GRAFT_ONLY, whose oracle_sql.json still lists every query)
+only = os.environ.get("GRAFT_ORACLE_ONLY")
+if only:
+    keep = set(x.strip() for x in only.split(","))
+    names = [n for n in names if n in keep]
 for name in names:
     files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
     if not files:

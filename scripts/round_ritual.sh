@@ -90,6 +90,34 @@ if [ "$FAST" != "fast" ]; then
     echo "testdata_27x missing — run graft.tools.ScaleUp first"
     gate "oracle 27x (no data)"
   fi
+  # 81x SPOT gate (r14 overflow audit): the exact-string, key-sum-growth
+  # and wrap-bounded sets — the columns whose int64 crossings the audit
+  # measured nearest — must stay hash-exact at the harness's largest
+  # corpus. Full list + rationale: OVERFLOW_r14.txt, README "Oracle-sum
+  # overflow audit".
+  OVERFLOW_SET="q_lang_corr_agg,q_lang_corr_flatmap,q_lang_corr_gate,\
+q_lang_corr_jbind,q_lang_corr_jsrc,q_lang_corr_legbind,\
+q_lang_corr_nonequi,q_lang_corr_nested,q_lang_corr_filter,\
+q_lang_corr_filter_big,q_lang_corr_zip,q_rollup,q_schema_evolution,\
+q_sql_funcs,q_csv_roundtrip,q_jsonl_roundtrip,q_orc_roundtrip,\
+q_word_ops,q_word_ops32,q_lang_bignum,q_lang_wide_sum,q_survey_rollup,\
+q_argmax_group,q_sort_word_unsigned"
+  if [ -d /root/repo/testdata_81x ]; then
+    if SPARK_GRAFT_CPUS=16 SPARK_GRAFT_ONLY="$OVERFLOW_SET" \
+         sbt -batch "runMain graft.Verify /root/repo/testdata_81x /tmp/ritual_v81x" \
+         >/dev/null 2>&1; then
+      line=$(GRAFT_ORACLE_ONLY="$OVERFLOW_SET" python3 \
+        scripts/oracle_check.py /root/repo/testdata_81x /tmp/ritual_v81x |
+        tail -1)
+      echo "81x spot: $line"
+      echo "$line" | grep -q "^PASS" || gate "oracle 81x spot"
+    else
+      gate "oracle 81x spot (Verify crashed)"
+    fi
+  else
+    echo "testdata_81x missing — run graft.tools.ScaleUp first"
+    gate "oracle 81x spot (no data)"
+  fi
 
   step "5/8 bench sf0.1"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \

@@ -32,10 +32,12 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, copiesS) = args
     val copies = copiesS.toInt
-    // stride 10^12 with ≤27 copies tops out at 2.7×10^13 — five decimal
-    // orders under int64; 27 is the second linearity point (9× → 27× gives
-    // a two-point growth-exponent fit, r13 directive 2)
-    require(copies >= 1 && copies <= 27, "copies in 1..27 (id stride headroom)")
+    // stride 10^12 with ≤81 copies tops out at 8.1×10^13 — five decimal
+    // orders under int64 for any INDIVIDUAL id. SUMS of shifted ids grow
+    // ~quadratically in copies and are exactly what the 81× corpus exists
+    // to stress (r14 overflow audit: the harness's third growth point and
+    // the empirical net under the oracle-sum bound sweep).
+    require(copies >= 1 && copies <= 81, "copies in 1..81 (id stride headroom)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -69,10 +71,16 @@ object ScaleUp {
             .withColumn("n_chars", length(col("text")).cast("long"))
         }
         if (t == "embeddings" && k > 0) {
+          // rotate by k MOD dim: a plain k-rotation goes negative-length
+          // once copies exceed the embedding dimension (dim 64 broke at
+          // the 81x corpus). Copies k and k+dim then share a rotation —
+          // acceptable: the >dim-copy corpora exist for the overflow /
+          // key-sum gates, none of which read embeddings.
           val n = size(col("embedding"))
+          val r = pmod(lit(k), n)
           d = d.withColumn("embedding", concat(
-            slice(col("embedding"), lit(k + 1), n - k),
-            slice(col("embedding"), lit(1), lit(k))))
+            slice(col("embedding"), r + 1, n - r),
+            slice(col("embedding"), lit(1), r)))
         }
         d
       }.reduce(_ unionByName _)
