@@ -393,6 +393,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"per-position aggregation must partial-aggregate map-side:\n$p")
   }
 
+  test("same-source flat-equi correlated aggregates merge into one groupBy") {
+    // q_lang_corr_jsrc: len(join) and sum(join) over the SAME lifted join
+    // source must share ONE exploded frame and ONE key-grouped aggregate
+    // (r14: the previous two distinct-outer join subtrees raced their
+    // broadcast materializations — nondeterministic job counts — and
+    // doubled the shuffle work). The merged plan shows both partials in
+    // the SAME HashAggregate, exactly one explode (Generate), and a
+    // single left join back onto the outer.
+    val p = plan("q_lang_corr_jsrc")
+    assert(!p.contains("CartesianProduct"), p)
+    val mergedAgg = p.linesIterator.exists(l =>
+      l.contains("partial_count") && l.contains("partial_sum"))
+    assert(mergedAgg,
+      s"count+sum must share one partial aggregate (merged groupBy):\n$p")
+    val explodes = p.linesIterator.count(_.trim.startsWith("+- Generate"))
+    assert(explodes <= 1, s"expected one shared explode, got $explodes:\n$p")
+  }
+
   test("correlated fold collects per-position arrays map-side, never cartesian") {
     // q_lang_corr_fold's array path: the correlated join keys on the equi
     // conjunct and collect_list partial-aggregates map-side
