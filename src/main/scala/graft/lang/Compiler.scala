@@ -744,8 +744,14 @@ object Compiler {
           case TV(d) =>
             tableArrayLit(d, 10000, synthElem(l2, env), env.wordWidth)
         } catch {
-          // a strict-order trip is a real diagnosis, never a shape refusal
-          case dec: CanonOrder.StrictOrderViolation => throw dec
+          // StrictOrderViolation intentionally NOT rethrown here: this
+          // localization is SPECULATIVE — a strict trip in the leg's
+          // canonical sort just means this strategy is unavailable, and
+          // the scalar-land / directed-error fallbacks behind the None
+          // frequently succeed (r14: rethrowing broke four differential
+          // shapes that were CORRECT via the fallback). The all-fail path
+          // surfaces strict trips at the catch sites that end a strategy
+          // chain, not the ones that gate an optional one.
           case _: UnsupportedOperationException => None
         }
       arrOpt.map { arr =>
@@ -2124,21 +2130,32 @@ object Compiler {
                 }
               }
               try zipUnnest()
-              catch {
-                // a strict trip inside zipUnnest is the REAL diagnosis
-                // ("declare your types") — never re-bury it as the cause
-                // of correlatedError's rewrite-as-EJoin directive
-                case dec: CanonOrder.StrictOrderViolation => throw dec
-                case u: UnsupportedOperationException =>
+              catch { case u: UnsupportedOperationException =>
                 // no collectible correlated leg (both lifted / list
                 // values): x stays a scalar row reference over the plain
                 // outer table; bindRow keeps any deeper table-level
-                // correlation on the directed-error path
-                compile(e2b, envB.bindRowTyped(x, CV(rowStruct(df)),
-                    synthElem(e1, env))) match {
+                // correlation on the directed-error path. zipUnnest's own
+                // error (StrictOrderViolation included) is SPECULATIVE —
+                // this fallback frequently succeeds — but if the fallback
+                // ALSO fails, a strict trip is the real diagnosis
+                // ("declare your types") and must surface instead of
+                // being re-buried under the rewrite-as-EJoin directive.
+                def surfacing[A](body: => A): A =
+                  try body catch {
+                    case scala.util.control.NonFatal(e) => u match {
+                      case dec: CanonOrder.StrictOrderViolation =>
+                        dec.addSuppressed(e); throw dec
+                      case _ => throw e
+                    }
+                  }
+                surfacing(compile(e2b, envB.bindRowTyped(x,
+                    CV(rowStruct(df)), synthElem(e1, env)))) match {
                   case CV(arr) => TV(canonTagDF(tag,
                     flattenExploded(df, arr)))
-                  case TV(_) => throw correlatedError(u)
+                  case TV(_) => u match {
+                    case dec: CanonOrder.StrictOrderViolation => throw dec
+                    case _ => throw correlatedError(u)
+                  }
                 }
               }
             case _ => throw correlatedError(null)

@@ -1181,7 +1181,8 @@ class DifferentialSpec extends AnyFunSuite {
       } catch {
         case u: UnsupportedOperationException =>
           assert(Option(u.getMessage)
-            .exists(_.toLowerCase.contains("correlat")),
+            .exists(m => m.toLowerCase.contains("correlat") ||
+              m.contains("strict order mode")),
             s"[bothleg case $i] UNDIRECTED error: ${u.getMessage}\n${show(prog)}")
           directed += 1
       }
@@ -1320,7 +1321,8 @@ class DifferentialSpec extends AnyFunSuite {
       } catch {
         case u: UnsupportedOperationException =>
           assert(Option(u.getMessage)
-            .exists(_.toLowerCase.contains("correlat")),
+            .exists(m => m.toLowerCase.contains("correlat") ||
+              m.contains("strict order mode")),
             s"[shape $shape case $i] UNDIRECTED error: ${u.getMessage}\n${show(prog)}")
           directed(shape) += 1
       }
@@ -1455,7 +1457,8 @@ class DifferentialSpec extends AnyFunSuite {
       } catch {
         case u: UnsupportedOperationException =>
           assert(Option(u.getMessage)
-            .exists(_.toLowerCase.contains("correlat")),
+            .exists(m => m.toLowerCase.contains("correlat") ||
+              m.contains("strict order mode")),
             s"[shape $shape case $i] UNDIRECTED error: ${u.getMessage}\n${show(prog)}")
           directed(shape) += 1
       }
@@ -2556,7 +2559,8 @@ class DifferentialSpec extends AnyFunSuite {
       } catch {
         case u: UnsupportedOperationException =>
           assert(Option(u.getMessage)
-            .exists(_.toLowerCase.contains("correlat")),
+            .exists(m => m.toLowerCase.contains("correlat") ||
+              m.contains("strict order mode")),
             s"[shape $shape case $i] UNDIRECTED error: ${u.getMessage}\n${show(prog)}")
           directed(shape) += 1
       }
