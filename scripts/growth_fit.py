@@ -1,22 +1,29 @@
 #!/usr/bin/env python3
-"""Two-scale-point growth-exponent fit (dev-harness only).
+"""N-scale-point growth-exponent fit (dev-harness only).
 
 One scale point cannot distinguish linear from quadratic-with-small-
-coefficient (r12 verdict, directive 2). Given three Bench JSON artifacts
-at 1x, 9x, and 27x data, fit each query's growth exponent two ways and
+coefficient (r12 verdict, directive 2). Given Bench JSON artifacts at
+increasing data scales, fit each query's growth exponent two ways and
 report the more pessimistic:
 
-  e_9_27 = ln(t27/t9) / ln(3)          (the tail slope -- fixed overheads
-                                        have amortized away by 9x, so this
-                                        is the honest asymptotic signal)
-  e_fit  = least-squares slope of ln(t) on ln(s) over all three points
+  e_tail = ln(t_last/t_prev) / ln(s_last/s_prev)
+           (the tail slope -- fixed overheads have amortized away at the
+            largest scales, so this is the honest asymptotic signal)
+  e_fit  = least-squares slope of ln(t) on ln(s) over ALL points
 
 A truly linear query shows e ~= 1 (sub-1 when constant costs remain);
 a quadratic one shows e ~= 2 regardless of how small its coefficient is.
 
-Usage: growth_fit.py <bench_1x.json> <bench_9x.json> <bench_27x.json>
-                     [threshold=1.2]
-Exit 1 if any query's max(e_9_27, e_fit) exceeds the threshold.
+Usage (new form, any number of points >= 2):
+  growth_fit.py --points 1:bench_1x.json 9:bench_9x.json 27:bench_27x.json \
+                [81:bench_81x.json ...] [threshold]
+Usage (legacy form, kept for committed-artifact replay):
+  growth_fit.py <bench_1x.json> <bench_9x.json> <bench_27x.json> [threshold]
+
+A query only contributes to the fit at the scales where it was benched
+(the 81x pass typically covers only the top slow queries); e_fit uses
+every point the query has, e_tail its last two. Exit 1 if any query's
+max(e_tail, e_fit) exceeds the threshold.
 """
 import json
 import math
@@ -34,38 +41,66 @@ def times(path):
     return out, d.get("value")
 
 
-t1, tot1 = times(sys.argv[1])
-t9, tot9 = times(sys.argv[2])
-t27, tot27 = times(sys.argv[3])
-thresh = float(sys.argv[4]) if len(sys.argv) > 4 else 1.2
+args = sys.argv[1:]
+if args and args[0] == "--points":
+    pts, thresh = [], 1.2
+    for a in args[1:]:
+        if ":" in a and not a.replace(".", "").isdigit():
+            s, p = a.split(":", 1)
+            pts.append((float(s), p))
+        else:
+            thresh = float(a)
+    pts.sort()
+else:  # legacy 1x/9x/27x positional form
+    pts = list(zip([1.0, 9.0, 27.0], args[:3]))
+    thresh = float(args[3]) if len(args) > 3 else 1.2
 
-scales = [1.0, 9.0, 27.0]
+if len(pts) < 2:
+    sys.exit("need at least two scale points")
+
+loaded = [(s, *times(p)) for s, p in pts]  # (scale, {q: t}, total)
+base = loaded[0][1]
+
 rows = []
-for q in sorted(set(t1) & set(t9) & set(t27)):
-    ts = [t1[q], t9[q], t27[q]]
-    e_tail = math.log(t27[q] / t9[q]) / math.log(3.0)
-    xs = [math.log(s) for s in scales]
-    ys = [math.log(t) for t in ts]
-    mx, my = sum(xs) / 3, sum(ys) / 3
+for q in sorted(base):
+    series = [(s, t[q]) for s, t, _ in loaded if q in t]
+    if len(series) < len(loaded[:3]):  # must cover the base 3 points
+        continue
+    (sp, tp), (sl, tl) = series[-2], series[-1]
+    e_tail = math.log(tl / tp) / math.log(sl / sp)
+    xs = [math.log(s) for s, _ in series]
+    ys = [math.log(t) for _, t in series]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
     e_fit = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / \
         sum((x - mx) ** 2 for x in xs)
-    rows.append((q, ts[0], ts[1], ts[2], e_tail, e_fit,
-                 max(e_tail, e_fit)))
+    rows.append((q, series, e_tail, e_fit, max(e_tail, e_fit)))
 
-rows.sort(key=lambda r: -r[6])
-print(f"{'query':34s} {'t_1x':>7s} {'t_9x':>7s} {'t_27x':>7s} "
-      f"{'e_9-27':>7s} {'e_fit':>6s}")
+rows.sort(key=lambda r: -r[4])
+hdr = " ".join(f"{'t_' + (str(int(s)) if s == int(s) else str(s)) + 'x':>8s}"
+               for s, _, _ in loaded)
+print(f"{'query':34s} {hdr} {'e_tail':>7s} {'e_fit':>6s}")
 bad = []
-for q, a, b, c, et, ef, em in rows:
+for q, series, et, ef, em in rows:
+    by_scale = dict(series)
+    cells = " ".join(
+        f"{by_scale[s]:8.2f}" if s in by_scale else f"{'-':>8s}"
+        for s, _, _ in loaded)
     mark = f" <-- exponent > {thresh}" if em > thresh else ""
-    print(f"{q:34s} {a:7.2f} {b:7.2f} {c:7.2f} {et:7.2f} {ef:6.2f}{mark}")
+    print(f"{q:34s} {cells} {et:7.2f} {ef:6.2f}{mark}")
     if em > thresh:
         bad.append(q)
 
-if all(isinstance(x, (int, float)) for x in (tot1, tot9, tot27)):
-    e_tot = math.log(tot27 / tot9) / math.log(3.0)
-    print(f"\ntotal: {tot1:.1f}s -> {tot9:.1f}s -> {tot27:.1f}s "
-          f"(tail exponent {e_tot:.2f})")
+totals = [(s, tot) for s, _, tot in loaded
+          if isinstance(tot, (int, float))]
+if len(totals) >= 2:
+    # totals are comparable only across artifacts covering the same query
+    # set; the tail pair may be a top-N subset, so report the base chain
+    full = [(s, tot) for (s, t, tot) in loaded if len(t) >= len(base) * 0.9]
+    if len(full) >= 2:
+        (sp, tp), (sl, tl) = full[-2], full[-1]
+        e_tot = math.log(tl / tp) / math.log(sl / sp)
+        chain = " -> ".join(f"{tot:.1f}s" for _, tot in full)
+        print(f"\ntotal: {chain} (tail exponent {e_tot:.2f})")
 print(f"{len(bad)}/{len(rows)} queries with fitted exponent > {thresh}"
       + (f": {', '.join(bad)}" if bad else ""))
 sys.exit(1 if bad else 0)

@@ -163,7 +163,7 @@ PY
     gate "9x bench (no data)"
   fi
 
-  step "7/8 27x bench (top slow queries) + growth-exponent fit"
+  step "7/8 27x + 81x bench (top slow queries) + growth-exponent fit"
   if [ -d /root/repo/testdata_27x ] && [ -f /tmp/ritual_bench_sf1.json ]; then
     TOP=$(python3 - <<'PY'
 import json
@@ -181,8 +181,43 @@ d = json.load(open('/tmp/ritual_bench_27x.json'))
 print('27x total (top-20)', d['value'], 'failed', d['failed'])
 sys.exit(1 if d['failed'] else 0)
 PY
-    if python3 scripts/growth_fit.py /tmp/ritual_bench_sf01.json \
-         /tmp/ritual_bench_sf1.json /tmp/ritual_bench_27x.json 1.2 \
+    [ -n "$ROUND" ] && cp /tmp/ritual_bench_27x.json \
+      "BENCH_r${ROUND}_27x.json"
+    # 81x: a FOURTH growth point for the top-10 heaviest queries — the
+    # tail slope 27x->81x is the closest the harness gets to the 100 TB
+    # asymptote (fixed costs are fully amortized; 2 reps suffice since
+    # only the median of multi-second runs feeds the fit)
+    GROWTH_POINTS="1:/tmp/ritual_bench_sf01.json 9:/tmp/ritual_bench_sf1.json 27:/tmp/ritual_bench_27x.json"
+    if [ -d /root/repo/testdata_81x ]; then
+      TOP10=$(python3 - <<'PY'
+import json
+d = json.load(open('/tmp/ritual_bench_sf1.json'))
+qs = sorted(d['queries'].items(), key=lambda kv: -kv[1])[:10]
+print(','.join(q for q, _ in qs))
+PY
+)
+      SPARK_GRAFT_SF_DIR=/root/repo/testdata_81x SPARK_GRAFT_ONLY="$TOP10" \
+        SPARK_GRAFT_REPS=2 \
+        SPARK_GRAFT_BENCH_OUT=/tmp/ritual_bench_81x.json \
+        sbt -batch "runMain graft.Bench" >/dev/null 2>&1 || true
+      if python3 - <<'PY'
+import json, sys
+d = json.load(open('/tmp/ritual_bench_81x.json'))
+print('81x total (top-10)', d['value'], 'failed', d['failed'])
+sys.exit(1 if d['failed'] else 0)
+PY
+      then
+        GROWTH_POINTS="$GROWTH_POINTS 81:/tmp/ritual_bench_81x.json"
+        [ -n "$ROUND" ] && cp /tmp/ritual_bench_81x.json \
+          "BENCH_r${ROUND}_81x.json"
+      else
+        gate "81x bench (failed queries)"
+      fi
+    else
+      echo "testdata_81x missing — 81x growth point skipped"
+      gate "81x growth point (no data)"
+    fi
+    if python3 scripts/growth_fit.py --points $GROWTH_POINTS 1.2 \
          > /tmp/ritual_growth.txt; then
       tail -3 /tmp/ritual_growth.txt
     else
