@@ -1286,6 +1286,56 @@ object Compiler {
           val aggDF = inner.agg(
             canonArr(collect_list(struct(vCol.as("v")))).as(aName))
           joined = joined.crossJoin(broadcast(aggDF))
+        } else if (keyPairs.nonEmpty && sp.mixed.isEmpty && !projRefsX &&
+            pe.flat.forall { case (_, fbody) =>
+              !Rewrites.freeVars(fbody).contains(x) }) {
+          // KEYED ARRAY COLLECTION (pure equi-correlation): collect each
+          // key's canonical array once — map-side partials, key-sized
+          // shuffle — and left-join the per-key arrays onto the outer.
+          // The distinct-outer theta-join path below re-shuffles on EVERY
+          // outer column and plants one distinct(outer) subtree per node,
+          // whose raced AQE stage reuse made bench job counts
+          // nondeterministic across reps (q_lang_corr_zip [11,12]); the
+          // keyed plan shuffles only the inner, keyed by the equi-keys —
+          // the plan a 1000-executor run wants.
+          val innerKeyCols = keyPairs.zipWithIndex.map { case ((_, (b, ie)), j) =>
+            asCV(compile(ie, env.bindRowTyped(b, CV(rowStruct(inner)),
+              coreT))).as(kName(j))
+          }
+          // per-inner-row wrapped element array: one element for a chain
+          // row, the flatmap body's whole array for a flat source (x-free
+          // by the guard above); flatten(collect_list) unifies the two
+          val rowArr = pe.flat match {
+            case Some((fb, fbody)) =>
+              val arr0 = asCV(compile(fbody,
+                env.bindRowTyped(fb, CV(rowStruct(inner)), coreT)))
+              val arr = pe.proj match {
+                case Some((pb, pv)) => transform(arr0, e =>
+                  asCV(compile(pv, env.bindTyped(pb, CV(e), flatT))))
+                case None => arr0
+              }
+              transform(arr, e => struct(e.as("v")))
+            case None =>
+              val vCol = pe.proj match {
+                case Some((pb, pv)) => asCV(compile(pv,
+                  env.bindRowTyped(pb, CV(rowStruct(inner)), projInT)))
+                case None => rowStruct(inner)
+              }
+              array(struct(vCol.as("v")))
+          }
+          val sel = inner.select(innerKeyCols :+ rowArr.as(vName): _*)
+          val aggDF = sel
+            .groupBy(keyPairs.indices.map(j => col(kName(j))): _*)
+            .agg(canonArr(flatten(collect_list(col(vName)))).as(aName))
+          val joinPred = keyPairs.zipWithIndex.map { case ((oe, _), j) =>
+            asCV(compile(oe, env.bindTyped(x, CV(outerRow), xT))) <=>
+              col(kName(j))
+          }.reduce(_ && _)
+          // unmatched outer rows read an EMPTY array (the distinct-outer
+          // path's collect_list-of-nothing), not a null
+          val emptyArr = array().cast(aggDF.schema(aName).dataType)
+          joined = joined.join(aggDF, joinPred, "left")
+            .withColumn(aName, coalesce(col(aName), emptyArr))
         } else {
           val collected = pe.flat match {
             case Some((fb, fbody)) =>
