@@ -147,19 +147,83 @@ object Compiler {
     * interpreter. Sound to replay because programs are pure — the
     * narrow run's partial effects live only in its discarded Env. */
   def autoWide[A](env: Env)(run: Env => A): A =
-    try run(env.copy(wideInt = false, bigInt = false))
-    catch {
+    try quietTierProbe(env.spark, "tint-tier-probe (narrow)") {
+      run(env.copy(wideInt = false, bigInt = false))
+    } catch {
       // the narrow tier's eager table-sum check sums in Decimal(38,0)
       // partials: a sum past 10^38 surfaces the DECIMAL marker directly
       // from tier 1 — skip the doomed wide tier and go straight to bignum
       case e: Throwable if isWideDecimalOverflow(e) =>
+        logTierEscalation("narrow -> bignum", e)
         run(env.copy(wideInt = false, bigInt = true))
       case e: Throwable if isTIntOverflow(e) =>
-        try run(env.copy(wideInt = true, bigInt = false))
-        catch { case e2: Throwable if isWideDecimalOverflow(e2) =>
+        logTierEscalation("narrow -> wide", e)
+        try quietTierProbe(env.spark, "tint-tier-probe (wide)") {
+          run(env.copy(wideInt = true, bigInt = false))
+        } catch { case e2: Throwable if isWideDecimalOverflow(e2) =>
+          logTierEscalation("wide -> bignum", e2)
           run(env.copy(wideInt = false, bigInt = true))
         }
     }
+
+  /** `autoWide` for TABLE-valued programs: `build` returns the program's
+    * result DataFrame; the tier MATERIALIZES it via cache + count so a
+    * narrow-tier overflow surfaces INSIDE the tier (the autoWide
+    * contract — an overflow after return is too late to re-tier) while
+    * the caller's consumers read the cached rows without recompute. The
+    * cache is dropped by the harnesses between queries/reps (Bench,
+    * Verify, JobTrace all clearCache), so every bench rep still pays the
+    * full plan cost; a failed attempt unpersists its own half-built
+    * cache before re-tiering. */
+  def autoWideTable(env: Env)(build: Env => DataFrame): DataFrame =
+    autoWide(env) { e =>
+      val df = build(e)
+      df.cache()
+      try { df.count(); df }
+      catch { case t: Throwable => df.unpersist(blocking = false); throw t }
+    }
+
+  private lazy val tierLog = org.slf4j.LoggerFactory.getLogger("graft.tint")
+
+  /** ONE visible line per tier escalation — the expected, by-design
+    * overflow retry used to spew `ERROR TaskSetManager` + full stack
+    * traces into every at-scale Verify log for a CAUGHT failure. */
+  private def logTierEscalation(hop: String, e: Throwable): Unit = {
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .flatMap(t => Option(t.getMessage)).toSeq.lastOption.getOrElse("")
+    tierLog.info(s"TInt tier escalation $hop (expected, re-running the " +
+      s"program on the wider mapping): ${msg.linesIterator.take(1).mkString}")
+  }
+
+  /** Run a SPECULATIVE tier attempt with the expected-failure log noise
+    * off: a directed overflow inside aborts ~2 jobs' worth of tasks, and
+    * TaskSetManager/Executor each print ERROR + a full stack trace for
+    * what is a caught, by-design retry. Probe jobs are tagged via the
+    * job description; a NON-overflow failure is logged once (loudly)
+    * before rethrowing, so a real task failure stays visible even though
+    * its per-task spew was suppressed. Levels restore on exit. */
+  private def quietTierProbe[A](spark: SparkSession, desc: String)(
+      body: => A): A = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val noisy = Seq("org.apache.spark.scheduler.TaskSetManager",
+      "org.apache.spark.executor.Executor")
+    val prev = noisy.map(n => n -> LogManager.getLogger(n).getLevel)
+    val sc = spark.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    noisy.foreach(n => Configurator.setLevel(n, Level.OFF))
+    sc.setJobDescription(desc)
+    try body
+    catch { case t: Throwable =>
+      if (!isTIntOverflow(t) && !isWideDecimalOverflow(t))
+        tierLog.warn(s"non-overflow failure inside $desc (task-level " +
+          s"logs were suppressed for the probe): $t")
+      throw t
+    } finally {
+      sc.setJobDescription(prevDesc)
+      prev.foreach { case (n, l) => Configurator.setLevel(n, l) }
+    }
+  }
 
   /** A TInt-producing Long column, re-encoded for the bignum tier (the
     * narrow and wide tiers both consume raw Longs — Spark coerces Long
@@ -167,6 +231,40 @@ object Compiler {
     * coercion, so every TInt PRODUCER must encode on the big tier). */
   private def intCol(c: Column, env: Env): Column =
     if (env.bigInt) BigIntOps.fromLong(c) else c
+
+  /** TInt ZERO at the env's tier — the sum default on no-match rows
+    * (Long coerces into Decimal implicitly, so narrow and wide share the
+    * Long literal; the big tier needs the canonical byte encoding). */
+  private def tintZero(env: Env): Column =
+    if (env.bigInt) lit(graft.functions.BigIntMath.ZERO_BYTES) else lit(0L)
+
+  /** Distributed TInt SUM at the env's tier. The NARROW tier sums in
+    * Decimal(38,0) partials and range-checks each group at read time,
+    * raising the DIRECTED TInt-overflow error (autoWide's re-tier signal)
+    * instead of ANSI's bare long-overflow — the same stance as the eager
+    * table-sum check in EACFold below, applied to the DECORRELATED
+    * per-key/per-outer aggregates so the corr family rides the tiers too
+    * (OVERFLOW_r14 measured q_lang_corr_nonequi.sum_below crossing int64
+    * at ~191x and ANSI-throwing; with this check the program re-tiers
+    * onto the exact Decimal(38,0) mapping instead). The wide tier sums
+    * its Decimal inputs plainly (ANSI raises the decimal marker past
+    * 10^38, which autoWide re-tiers onto bignum); the big tier sums
+    * canonical bytes map-side (BigIntSumAgg). */
+  private def tierSum(v: Column, env: Env): Column =
+    if (env.bigInt) BigIntOps.sumCol(v)
+    else if (env.wideInt) sum(v)
+    else {
+      val w = sum(v.cast(DecimalType(38, 0)))
+      val hi = lit(new java.math.BigDecimal(Long.MaxValue))
+      val lo = lit(new java.math.BigDecimal(Long.MinValue))
+      // CaseWhen evaluates branches lazily, so raise_error only fires on
+      // an out-of-range group; a null sum (unmatched left-join row) falls
+      // through both comparisons to the cast, which preserves the null
+      when(w > hi || w < lo, raise_error(concat(
+        lit("TInt overflow: correlated aggregate sum "), w.cast(StringType),
+        lit(" exceeds the 64-bit default mapping"))).cast(LongType))
+        .otherwise(w.cast(LongType))
+    }
 
   /** Best-effort type synthesis against the env's partial type knowledge —
     * None whenever a free variable or store table lacks a recorded type.
@@ -803,6 +901,32 @@ object Compiler {
     }, env2))
   }
 
+  /** Tier-aware read-back of a decorrelated aggregate column: count/sum
+    * default to the tier's zero on no-match, ACI folds stay null
+    * (None-on-empty); an outer-only gate empties the value per row;
+    * counts — computed as a plain Long on every tier — re-encode for the
+    * big tier's canonical-byte TInt representation. */
+  private def tierAggRead(node: Expr, aCol: Column, gate: Option[Column],
+      env: Env): Column = {
+    val isCount = node match {
+      case EACFold(AGCount, _) | EUnop(OLength, _) => true
+      case _ => false
+    }
+    val zero = if (isCount) lit(0L) else tintZero(env)
+    val base = node match {
+      case EACIFold(_, _) => aCol
+      case _ => coalesce(aCol, zero)
+    }
+    val gated = gate match {
+      case None => base
+      case Some(oc) => node match {
+        case EACIFold(_, _) => when(oc, base)
+        case _ => when(oc, base).otherwise(zero)
+      }
+    }
+    if (isCount) intCol(gated, env) else gated
+  }
+
   private def unnestAggsOnce(df: DataFrame, x: String, r: Expr,
       env0: Env, only: List[Expr],
       xT: Option[FType]): ((DataFrame, Env, Expr), String) = {
@@ -1007,7 +1131,12 @@ object Compiler {
           }
           val sig = inner.select(keyCols.toIndexedSeq: _*)
             .queryExecution.analyzed.canonicalized
-          Some((sig, (node, pe, sp, i, inner, coreT)))
+          // the OUTER key expressions are part of the merge identity too:
+          // the group shares ONE join predicate (built from the head
+          // node's outer sides), so same-inner-keys-different-outer-keys
+          // nodes must land in different groups (all nodes see the same
+          // binder x, so structural equality is alpha-exact here)
+          Some(((sig, sp.keyPairs.map(_._1)), (node, pe, sp, i, inner, coreT)))
         } catch { case dec: CanonOrder.StrictOrderViolation => throw dec
           case scala.util.control.NonFatal(_) => None }
       }
@@ -1058,7 +1187,7 @@ object Compiler {
         val aggCols = group.zipWithIndex.map { case ((node, _, _, _, _, _), k) =>
           val v = col(vN)(s"v$k")
           (node match {
-            case EACFold(AGSum, _) => sum(v)
+            case EACFold(AGSum, _) => tierSum(v, env)
             case EACFold(AGCount, _) | EUnop(OLength, _) => count(v)
             case EACIFold(AGMin, _) => min(v)
             case EACIFold(AGMax, _) => max(v)
@@ -1083,9 +1212,174 @@ object Compiler {
               case None => flatT
             }
           }
-          val base = node match {
-            case EACIFold(_, _) => col(aNameK(k))
-            case _ => coalesce(col(aNameK(k)), lit(0L))
+          val gate: Option[Column] = sp.outerOnly match {
+            case Nil => None
+            case os => Some(os.map(o =>
+              asCV(compile(o, env.bindTyped(x, CV(outerRow), xT))))
+              .reduce(_ && _))
+          }
+          val gated = tierAggRead(node, col(aNameK(k)), gate, env)
+          val scalarT: Option[FType] = node match {
+            case EACFold(AGSum, _) | EACFold(AGCount, _) |
+                 EUnop(OLength, _) => Some(TInt)
+            case EACIFold(_, _) => valT match {
+              case Some(TOption(_)) => None
+              case other => other.map(TOption(_))
+            }
+            case _ => None
+          }
+          val name = s"__cagg_${id}_$i"
+          extraBinds ::= ((name, CV(gated), scalarT))
+          r2 = Rewrites.foldExpr(r2)(e0 => if (e0 == node) EVar(name) else e0)
+        }
+      }
+    }
+
+    // MERGED KEYED RANGE COLLECTION (r14 directive 7): scalar aggregates
+    // whose correlation is equi keys PLUS outer-vs-inner OLess residues —
+    // the mixed-conjunct near-miss that used to force the distinct-outer
+    // join-then-reaggregate plan. The inner collects ONCE per
+    // (inner plan, key exprs, range exprs, outer keys) signature — each
+    // key's (values, range-exprs) elements in one ObjectHashAggregate
+    // (map-side partials, key-sized shuffle) — the per-key arrays
+    // left-join onto the outer, and every node's range predicate +
+    // aggregate evaluates MAP-SIDE per row. Sound because OLess is
+    // TInt-total and every tier's encoding is order-preserving (Long;
+    // Decimal(38,0); BigIntMath canonical bytes), so the raw `<` IS
+    // value_compare; the reference nested-loops the same product
+    // (Interpret.v:273-299). q_lang_corr_nonequi's three aggregates now
+    // cost one key shuffle + one join instead of three join-then-
+    // reaggregate products over the distinct outer.
+    locally {
+      def scalarAggNode(node: Expr): Boolean = node match {
+        case EACFold(_, _) | EACIFold(_, _) | EUnop(OLength, _) => true
+        case _ => false
+      }
+      // parse every mixed conjunct as outer-vs-inner under OLess:
+      // (outerExpr, innerBinder, innerExpr, outerIsLeft) — None if any
+      // conjunct has another shape (falls back to join-then-reaggregate)
+      def rangeConjs(sp: ConjSplit)
+          : Option[List[(Expr, String, Expr, Boolean)]] = {
+        val parsed = sp.mixed.map {
+          case (b, EBinop(OLess, a1, a2)) =>
+            val f1 = Rewrites.freeVars(a1); val f2 = Rewrites.freeVars(a2)
+            if (f1.contains(x) && !f1.contains(b) &&
+                f2.contains(b) && !f2.contains(x))
+              Some((a1, b, a2, true)) // outer < inner
+            else if (f2.contains(x) && !f2.contains(b) &&
+                f1.contains(b) && !f1.contains(x))
+              Some((a2, b, a1, false)) // inner < outer
+            else None
+          case _ => None
+        }
+        if (parsed.nonEmpty && parsed.forall(_.isDefined))
+          Some(parsed.flatten) else None
+      }
+      def synthW(e: Expr, extra: (String, Option[FType])*): Option[FType] =
+        try Some(TypeCheck.synthesize(e,
+          env.varTypes ++ xT.map(x -> _) ++
+            extra.collect { case (n, Some(t)) => n -> t },
+          env.storeTypes))
+        catch { case scala.util.control.NonFatal(_) => None }
+      val eligible = splits.zipWithIndex.filter { case ((node, pe, sp), i) =>
+        !mergedIdx(i) && scalarAggNode(node) && !takesArrayPath(node, pe) &&
+          sp.keyPairs.nonEmpty && sp.mixed.nonEmpty && pe.flat.isEmpty &&
+          rangeConjs(sp).isDefined &&
+          !pe.proj.exists(p => Rewrites.freeVars(p._2).contains(x))
+      }
+      val prepared = eligible.flatMap { case ((node, pe, sp), i) =>
+        try {
+          val coreT = synthElem(pe.core, env)
+          var inner = compile(pe.core, env) match {
+            case TV(d) => d
+            case cv @ CV(_) => toDF(cv, env)
+          }
+          sp.residual.reverse.foreach { case (b, p) =>
+            inner = inner.filter(asCV(compile(p,
+              env.bindRowTyped(b, CV(rowStruct(inner)), coreT))))
+          }
+          val rngs = rangeConjs(sp).get
+          val sigCols = (sp.keyPairs.zipWithIndex.map { case ((_, (b, ie)), j) =>
+            asCV(compile(ie, env.bindRowTyped(b, CV(rowStruct(inner)),
+              coreT))).as(s"__sigk$j")
+          } ++ rngs.zipWithIndex.map { case ((_, b, ie, _), m) =>
+            asCV(compile(ie, env.bindRowTyped(b, CV(rowStruct(inner)),
+              coreT))).as(s"__sigm$m")
+          }).toIndexedSeq
+          val sig = inner.select(sigCols: _*)
+            .queryExecution.analyzed.canonicalized
+          // the OUTER KEY exprs join the identity (the group shares one
+          // join predicate); outer RANGE sides and directions stay OUT —
+          // each node applies its own residue map-side, so nodes
+          // differing only there still share the collection
+          Some(((sig, sp.keyPairs.map(_._1)),
+            (node, pe, sp, i, inner, coreT, rngs)))
+        } catch { case dec: CanonOrder.StrictOrderViolation => throw dec
+          case scala.util.control.NonFatal(_) => None }
+      }
+      prepared.groupBy(_._1).values.toList.sortBy(_.head._2._4).foreach { g =>
+        val group = g.map(_._2)
+        val (_, _, sp0, i0, inner, coreT0, rngs0) = group.head
+        val kN = (j: Int) => s"__rk${id}_${i0}_$j"
+        val vN = s"__rv${id}_$i0"
+        val aN = s"__ragg${id}_$i0"
+        // per-node element value over ONE inner row (count nodes carry a
+        // constant — only the element's presence feeds size())
+        val nodeVals = group.map { case (node, pe, _, _, _, coreT, _) =>
+          node match {
+            case EACFold(AGCount, _) | EUnop(OLength, _) => lit(1L)
+            case _ => pe.proj match {
+              case Some((pb, pv)) => asCV(compile(pv,
+                env.bindRowTyped(pb, CV(rowStruct(inner)), coreT)))
+              case None => inner.col("value") // scalar-element table
+            }
+          }
+        }
+        val elem = struct((nodeVals.zipWithIndex.map { case (vc, k) =>
+          vc.as(s"v$k") } ++
+          rngs0.zipWithIndex.map { case ((_, b, ie, _), m) =>
+            asCV(compile(ie, env.bindRowTyped(b, CV(rowStruct(inner)),
+              coreT0))).as(s"m$m")
+          }).toIndexedSeq: _*)
+        val keyCols = sp0.keyPairs.zipWithIndex.map { case ((_, (b, ie)), j) =>
+          asCV(compile(ie, env.bindRowTyped(b, CV(rowStruct(inner)),
+            coreT0))).as(kN(j))
+        }
+        val sel = inner.select((keyCols :+ elem.as(vN)).toIndexedSeq: _*)
+        val aggDF = sel.groupBy(sp0.keyPairs.indices.map(j => col(kN(j))): _*)
+          .agg(collect_list(col(vN)).as(aN))
+        val joinPred = sp0.keyPairs.zipWithIndex.map { case ((oe, _), j) =>
+          asCV(compile(oe, env.bindTyped(x, CV(outerRow), xT))) <=> col(kN(j))
+        }.reduce(_ && _)
+        joined = joined.join(aggDF, joinPred, "left")
+        val emptyArr = array().cast(aggDF.schema(aN).dataType)
+        group.zipWithIndex.foreach { case ((node, pe, sp, i, _, _, rngs), k) =>
+          mergedIdx += i
+          val outerSides = rngs.map { case (oe, _, _, _) =>
+            asCV(compile(oe, env.bindTyped(x, CV(outerRow), xT))) }
+          val matched = filter(coalesce(col(aN), emptyArr), e =>
+            rngs.zipWithIndex.map { case ((_, _, _, outerLeft), m) =>
+              if (outerLeft) outerSides(m) < e(s"m$m")
+              else e(s"m$m") < outerSides(m)
+            }.reduce(_ && _))
+          val vals = transform(matched, e => e(s"v$k"))
+          val direct = node match {
+            case EACFold(AGCount, _) | EUnop(OLength, _) =>
+              size(matched).cast("long")
+            case EACFold(AGSum, _) =>
+              // the tier's scalar-land sum (same as the CV-level AGSum):
+              // narrow checkedAdd raises the DIRECTED overflow, so this
+              // path re-tiers under autoWide exactly like the others
+              if (env.bigInt) aggregate(vals,
+                lit(graft.functions.BigIntMath.ZERO_BYTES),
+                (a, v) => BigIntOps.add(a, v))
+              else if (env.wideInt) aggregate(vals,
+                lit(0).cast(DecimalType(38, 0)), (a, v) => a + v)
+              else aggregate(vals, lit(0L),
+                (a, v) => Fiat2.checkedAdd(a, v))
+            case EACIFold(AGMin, _) => array_min(vals)
+            case EACIFold(AGMax, _) => array_max(vals)
+            case _ => throw new IllegalStateException("non-agg in range merge")
           }
           val gate: Option[Column] = sp.outerOnly match {
             case Nil => None
@@ -1093,11 +1387,13 @@ object Compiler {
               asCV(compile(o, env.bindTyped(x, CV(outerRow), xT))))
               .reduce(_ && _))
           }
-          val gated = gate match {
-            case None => base
-            case Some(oc) => node match {
-              case EACIFold(_, _) => when(oc, base)
-              case _ => when(oc, base).otherwise(lit(0L))
+          val gated = tierAggRead(node, direct, gate, env)
+          val valT: Option[FType] = {
+            val coreT = synthElem(pe.core, env)
+            pe.proj match {
+              case Some((pb, pv)) => coreT.flatMap(bt =>
+                synthW(pv, pb -> Some(bt)))
+              case None => coreT
             }
           }
           val scalarT: Option[FType] = node match {
@@ -1181,7 +1477,7 @@ object Compiler {
         case _ => false
       }
       def aggOf(v: Column): Column = node match {
-        case EACFold(AGSum, _) => sum(v)
+        case EACFold(AGSum, _) => tierSum(v, env)
         case EACFold(AGCount, _) | EUnop(OLength, _) => count(v)
         case EACIFold(AGMin, _) => min(v)
         case EACIFold(AGMax, _) => max(v)
@@ -1377,20 +1673,21 @@ object Compiler {
           }
         }) else e0)
       } else {
+        // the value column shared by the scalar strategies below
+        def scalarValueCol: Column =
+          if (countOnly) lit(1L)
+          else pe.proj match {
+            case Some((pb, pv)) =>
+              asCV(compile(pv,
+                env.bindRowTyped(pb, CV(rowStruct(inner)), projInT)))
+            case None => inner.col("value") // scalar-element table
+          }
         if (untied) {
           // gate-only: aggregate the residual-filtered inner ONCE (a
           // global aggregation always yields exactly one row, empty input
           // included) and broadcast the one-row result onto every outer
           // row; the gate below turns it off per row
-          val valueCol =
-            if (countOnly) lit(1L)
-            else pe.proj match {
-              case Some((pb, pv)) =>
-                asCV(compile(pv,
-                  env.bindRowTyped(pb, CV(rowStruct(inner)), projInT)))
-              case None => inner.col("value") // scalar-element table
-            }
-          val aggDF = inner.select(valueCol.as(vName))
+          val aggDF = inner.select(scalarValueCol.as(vName))
             .agg(aggOf(col(vName)).as(aName))
           joined = joined.crossJoin(broadcast(aggDF))
         } else if (sp.mixed.isEmpty && !projRefsX && pe.flat.isEmpty) {
@@ -1401,15 +1698,7 @@ object Compiler {
             asCV(compile(ie, env.bindRowTyped(b, CV(rowStruct(inner)),
               coreT))).as(kName(j))
           }
-          val valueCol =
-            if (countOnly) lit(1L)
-            else pe.proj match {
-              case Some((pb, pv)) =>
-                asCV(compile(pv,
-                  env.bindRowTyped(pb, CV(rowStruct(inner)), projInT)))
-              case None => inner.col("value") // scalar-element table
-            }
-          val sel = inner.select(innerKeyCols :+ valueCol.as(vName): _*)
+          val sel = inner.select(innerKeyCols :+ scalarValueCol.as(vName): _*)
           val aggDF = sel.groupBy(keyPairs.indices.map(j => col(kName(j))): _*)
             .agg(aggOf(col(vName)).as(aName))
           val joinPred = keyPairs.zipWithIndex.map { case ((oe, _), j) =>
@@ -1447,17 +1736,7 @@ object Compiler {
               joinBack(perOuter(aggOf(vCol)))
           }
         }
-        val base = node match {
-          case EACIFold(_, _) => col(aName) // null-on-empty (ACI None)
-          case _ => coalesce(col(aName), lit(0L))
-        }
-        val gated = gateCol match {
-          case None => base
-          case Some(oc) => node match {
-            case EACIFold(_, _) => when(oc, base)
-            case _ => when(oc, base).otherwise(lit(0L))
-          }
-        }
+        val gated = tierAggRead(node, col(aName), gateCol, env)
         // the hoisted scalar's type: count/sum/length are TInt; ACI folds
         // carry the source value type, nullable (None on empty). When the
         // source value type is ITSELF an option, the aggregated column is

@@ -11,6 +11,19 @@ object LangQueries {
   import Lang._
   import Compiler._
 
+  /** A TInt STORE column at the tier's representation — autoWideTable's
+    * contract gives the tier ownership of the store: Long on the narrow
+    * tier, Decimal(38,0) on the wide one, canonical bytes on bignum. The
+    * corr-family queries build their stores through this so a narrow-tier
+    * sum overflow (the directed error from Compiler.tierSum /
+    * Fiat2.checkedAdd) re-runs the SAME program exactly on the wider
+    * mapping (OVERFLOW_r14: q_lang_corr_nonequi crossed int64 at ~191x
+    * and used to ANSI-throw there). */
+  private def tint(c: org.apache.spark.sql.Column, env: Env) =
+    if (env.bigInt) graft.functions.BigIntOps.fromLong(c.cast("long"))
+    else if (env.wideInt) c.cast("decimal(38,0)")
+    else c.cast("long")
+
   val queries: Seq[GraftQuery] = Seq(
 
     // Ex_Employee (fiat2/src/fiat2/Ex_Employee.v:23-27) as an AST program:
@@ -285,16 +298,16 @@ object LangQueries {
                 EBinop(OMod, EAccess(EVar("r2"), "s_suppkey"), EAtom(AInt(2))),
                 EAtom(AInt(0)))),
             "p2", EAccess(EVar("p2"), "s_suppkey"))))))
-      val env = Env(Map.empty, Map(
-        "nation" -> Tables.load(s, dir, "nation")
-          .select(col("n_nationkey").cast("long").as("n_nationkey"),
-            col("n_name")),
-        "supplier" -> Tables.load(s, dir, "supplier")
-          .select(col("s_suppkey").cast("long").as("s_suppkey"),
-            col("s_nationkey").cast("long").as("s_nationkey"))),
-        s)
-      compileProgram(prog, env).asInstanceOf[TV].df
-        .orderBy("nat")
+      Compiler.autoWideTable(Env(Map.empty, Map.empty, s)) { env0 =>
+        val env = env0.copy(store = Map(
+          "nation" -> Tables.load(s, dir, "nation")
+            .select(tint(col("n_nationkey"), env0).as("n_nationkey"),
+              col("n_name")),
+          "supplier" -> Tables.load(s, dir, "supplier")
+            .select(tint(col("s_suppkey"), env0).as("s_suppkey"),
+              tint(col("s_nationkey"), env0).as("s_nationkey"))))
+        compileProgram(prog, env).asInstanceOf[TV].df
+      }.orderBy("nat")
     },
 
     // CORRELATED AGGREGATE INSIDE A FILTER PREDICATE
@@ -327,16 +340,16 @@ object LangQueries {
           // (COUNT conjunct + SUM-parity conjunct) is what this query pins.
           EBinop(OLess, EAtom(AInt(0)), cnt),
           EBinop(OEq, EBinop(OMod, ksum, EAtom(AInt(2))), EAtom(AInt(0)))))
-      val env = Env(Map.empty, Map(
-        "nation" -> Tables.load(s, dir, "nation")
-          .select(col("n_nationkey").cast("long").as("n_nationkey"),
-            col("n_name")),
-        "supplier" -> Tables.load(s, dir, "supplier")
-          .select(col("s_suppkey").cast("long").as("s_suppkey"),
-            col("s_nationkey").cast("long").as("s_nationkey"))),
-        s)
-      compileProgram(prog, env).asInstanceOf[TV].df
-        .orderBy("n_nationkey")
+      Compiler.autoWideTable(Env(Map.empty, Map.empty, s)) { env0 =>
+        val env = env0.copy(store = Map(
+          "nation" -> Tables.load(s, dir, "nation")
+            .select(tint(col("n_nationkey"), env0).as("n_nationkey"),
+              col("n_name")),
+          "supplier" -> Tables.load(s, dir, "supplier")
+            .select(tint(col("s_suppkey"), env0).as("s_suppkey"),
+              tint(col("s_nationkey"), env0).as("s_nationkey"))))
+        compileProgram(prog, env).asInstanceOf[TV].df
+      }.orderBy("n_nationkey")
     },
 
     // CORRELATED AGGREGATES IN A FILTER PREDICATE, TABLE-SCALE OUTER
@@ -363,16 +376,16 @@ object LangQueries {
         EBinop(OAnd,
           EBinop(OLess, EAtom(AInt(0)), cnt),
           EBinop(OEq, EBinop(OMod, ksum, EAtom(AInt(3))), EAtom(AInt(0)))))
-      val env = Env(Map.empty, Map(
-        "supplier" -> Tables.load(s, dir, "supplier")
-          .select(col("s_suppkey").cast("long").as("s_suppkey"),
-            col("s_name")),
-        "lineitem" -> Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").cast("long").as("l_orderkey"),
-            col("l_suppkey").cast("long").as("l_suppkey"))),
-        s)
-      compileProgram(prog, env).asInstanceOf[TV].df
-        .orderBy("s_suppkey")
+      Compiler.autoWideTable(Env(Map.empty, Map.empty, s)) { env0 =>
+        val env = env0.copy(store = Map(
+          "supplier" -> Tables.load(s, dir, "supplier")
+            .select(tint(col("s_suppkey"), env0).as("s_suppkey"),
+              col("s_name")),
+          "lineitem" -> Tables.load(s, dir, "lineitem")
+            .select(tint(col("l_orderkey"), env0).as("l_orderkey"),
+              tint(col("l_suppkey"), env0).as("l_suppkey"))))
+        compileProgram(prog, env).asInstanceOf[TV].df
+      }.orderBy("s_suppkey")
     },
 
     // NON-EQUI CORRELATED AGGREGATES (join-then-reaggregate): each nation
@@ -419,15 +432,119 @@ object LangQueries {
         "supplier" -> TBag(TRecord.sorted("s_suppkey" -> TInt,
           "s_nationkey" -> TInt)))
       require(TypeCheck.synthesize(prog, Map.empty, storeT) == TBag(rowT))
-      val env = Env(Map.empty, Map(
-        "nation" -> Tables.load(s, dir, "nation")
-          .select(col("n_nationkey").cast("long").as("n_nationkey")),
-        "supplier" -> Tables.load(s, dir, "supplier")
-          .select(col("s_suppkey").cast("long").as("s_suppkey"),
-            col("s_nationkey").cast("long").as("s_nationkey"))),
-        s)
-      compileProgram(prog, env).asInstanceOf[TV].df
-        .orderBy("n_nationkey")
+      Compiler.autoWideTable(Env(Map.empty, Map.empty, s)) { env0 =>
+        val env = env0.copy(store = Map(
+          "nation" -> Tables.load(s, dir, "nation")
+            .select(tint(col("n_nationkey"), env0).as("n_nationkey")),
+          "supplier" -> Tables.load(s, dir, "supplier")
+            .select(tint(col("s_suppkey"), env0).as("s_suppkey"),
+              tint(col("s_nationkey"), env0).as("s_nationkey"))))
+        compileProgram(prog, env).asInstanceOf[TV].df
+      }.orderBy("n_nationkey")
+    },
+
+    // TIER-RECOVERY FIXTURE (r14 directive 3): a correlated per-key SUM
+    // whose VALUE crosses int64 at the BASE corpus — each element is
+    // 5×10^18 + s_suppkey (inside int64, so the per-element checked add
+    // passes), so any nation with ≥2 suppliers sums past 2^63. The narrow
+    // tier's Decimal-partial range check (Compiler.tierSum) raises the
+    // DIRECTED overflow and autoWideTable re-runs the program on the
+    // Decimal(38,0) mapping, which reproduces the reference's unbounded-Z
+    // value exactly (fiat2/src/fiat2/Value.v:12). The oracle replays the
+    // sum in DuckDB HUGEINT; both sides render as strings so the compare
+    // is representation-independent — this is the "recovery, not
+    // loudness" proof the overflow audit extrapolated to 191x.
+    GraftQuery.sql("q_lang_corr_widen",
+      """SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey,
+        |  CAST(COALESCE((SELECT SUM(CAST(5000000000000000000 AS HUGEINT)
+        |                            + s.s_suppkey)
+        |        FROM supplier s
+        |        WHERE s.s_nationkey = n.n_nationkey), 0) AS VARCHAR)
+        |    AS wide_sum
+        |FROM nation n ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val prog = EProj(LikeBag, ELoc("nation"), "n", ERecord(List(
+        "n_nationkey" -> EAccess(EVar("n"), "n_nationkey"),
+        "wide_sum" -> EUnop(OIntToString, EACFold(AGSum, EProj(LikeBag,
+          EFilter(LikeBag, ELoc("supplier"), "s0",
+            EBinop(OEq, EAccess(EVar("s0"), "s_nationkey"),
+              EAccess(EVar("n"), "n_nationkey"))),
+          "p0", EBinop(OPlus, EAtom(AInt(5000000000000000000L)),
+            EAccess(EVar("p0"), "s_suppkey"))))))))
+      Compiler.autoWideTable(Env(Map.empty, Map.empty, s)) { env0 =>
+        val env = env0.copy(store = Map(
+          "nation" -> Tables.load(s, dir, "nation")
+            .select(tint(col("n_nationkey"), env0).as("n_nationkey")),
+          "supplier" -> Tables.load(s, dir, "supplier")
+            .select(tint(col("s_suppkey"), env0).as("s_suppkey"),
+              tint(col("s_nationkey"), env0).as("s_nationkey"))))
+        // n_nationkey re-narrows to Long on every tier (its values are
+        // tiny) so the dumped schema matches the oracle's BIGINT
+        compileProgram(prog, env).asInstanceOf[TV].df
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("wide_sum"))
+      }.orderBy("n_nationkey")
+    },
+
+    // KEYED RANGE DECORRELATION PROBE (r14 directive 7): equi conjunct
+    // (parity) + a range residue whose OUTER side is a computed
+    // expression (2·n_nationkey) + an outer-only gate — the mixed-conjunct
+    // near-miss that used to fall back to the distinct-outer
+    // join-then-reaggregate. The engine now collects each key's
+    // (value, range-expr) elements once (key-sized shuffle), left-joins
+    // the per-key arrays onto nation, and evaluates the range predicate +
+    // sum/count/min MAP-SIDE per row (Compiler "KEYED RANGE COLLECTION";
+    // plan-guarded in PlanQualitySpec: no cartesian, no distinct-outer
+    // exchange).
+    GraftQuery.sql("q_lang_corr_rangekey",
+      """SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey,
+        |  CAST((SELECT COUNT(*) FROM supplier s
+        |        WHERE s.s_nationkey % 2 = n.n_nationkey % 2
+        |          AND s.s_suppkey < 2 * n.n_nationkey) AS BIGINT) AS cnt_rng,
+        |  CAST(CASE WHEN n.n_regionkey < 3 THEN
+        |        COALESCE((SELECT SUM(s.s_suppkey) FROM supplier s
+        |          WHERE s.s_nationkey % 2 = n.n_nationkey % 2
+        |            AND s.s_suppkey < 2 * n.n_nationkey), 0)
+        |       ELSE 0 END AS BIGINT) AS sum_rng,
+        |  CAST((SELECT MIN(s.s_suppkey) FROM supplier s
+        |        WHERE s.s_nationkey % 2 = n.n_nationkey % 2
+        |          AND s.s_suppkey < 2 * n.n_nationkey) AS BIGINT) AS min_rng
+        |FROM nation n ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      def f(b: String, c: String) = EAccess(EVar(b), c)
+      def corr(b: String, extra: Option[Expr]) = EFilter(LikeBag,
+        ELoc("supplier"), b,
+        extra.foldLeft[Expr](EBinop(OAnd,
+          EBinop(OEq,
+            EBinop(OMod, f(b, "s_nationkey"), EAtom(AInt(2))),
+            EBinop(OMod, f("n", "n_nationkey"), EAtom(AInt(2)))),
+          EBinop(OLess, f(b, "s_suppkey"),
+            EBinop(OTimes, EAtom(AInt(2)), f("n", "n_nationkey")))))(
+          (p, e) => EBinop(OAnd, p, e)))
+      val gate = EBinop(OLess, f("n", "n_regionkey"), EAtom(AInt(3)))
+      val prog = EProj(LikeBag, ELoc("nation"), "n", ERecord(List(
+        "n_nationkey" -> f("n", "n_nationkey"),
+        "cnt_rng" -> EUnop(OLength, corr("s0", None)),
+        "sum_rng" -> EACFold(AGSum, EProj(LikeBag,
+          corr("s1", Some(gate)), "p1", f("p1", "s_suppkey"))),
+        "min_rng" -> EACIFold(AGMin, EProj(LikeBag,
+          corr("s2", None), "p2", f("p2", "s_suppkey"))))))
+      val rowT = TRecord.sorted("n_nationkey" -> TInt, "cnt_rng" -> TInt,
+        "sum_rng" -> TInt, "min_rng" -> TOption(TInt))
+      val storeT = Map(
+        "nation" -> TBag(TRecord.sorted("n_nationkey" -> TInt,
+          "n_regionkey" -> TInt)),
+        "supplier" -> TBag(TRecord.sorted("s_suppkey" -> TInt,
+          "s_nationkey" -> TInt)))
+      require(TypeCheck.synthesize(prog, Map.empty, storeT) == TBag(rowT))
+      Compiler.autoWideTable(Env(Map.empty, Map.empty, s)) { env0 =>
+        val env = env0.copy(store = Map(
+          "nation" -> Tables.load(s, dir, "nation")
+            .select(tint(col("n_nationkey"), env0).as("n_nationkey"),
+              tint(col("n_regionkey"), env0).as("n_regionkey")),
+          "supplier" -> Tables.load(s, dir, "supplier")
+            .select(tint(col("s_suppkey"), env0).as("s_suppkey"),
+              tint(col("s_nationkey"), env0).as("s_nationkey"))))
+        compileProgram(prog, env).asInstanceOf[TV].df
+      }.orderBy("n_nationkey")
     },
 
     // AGGREGATES OVER CORRELATED FLATMAP SOURCES (round 10,
@@ -486,15 +603,15 @@ object LangQueries {
         "supplier" -> TBag(TRecord.sorted("s_suppkey" -> TInt,
           "s_nationkey" -> TInt)))
       require(TypeCheck.synthesize(prog, Map.empty, storeT) == TBag(rowT))
-      val env = Env(Map.empty, Map(
-        "nation" -> Tables.load(s, dir, "nation")
-          .select(col("n_nationkey").cast("long").as("n_nationkey")),
-        "supplier" -> Tables.load(s, dir, "supplier")
-          .select(col("s_suppkey").cast("long").as("s_suppkey"),
-            col("s_nationkey").cast("long").as("s_nationkey"))),
-        s)
-      compileProgram(prog, env).asInstanceOf[TV].df
-        .orderBy("n_nationkey")
+      Compiler.autoWideTable(Env(Map.empty, Map.empty, s)) { env0 =>
+        val env = env0.copy(store = Map(
+          "nation" -> Tables.load(s, dir, "nation")
+            .select(tint(col("n_nationkey"), env0).as("n_nationkey")),
+          "supplier" -> Tables.load(s, dir, "supplier")
+            .select(tint(col("s_suppkey"), env0).as("s_suppkey"),
+              tint(col("s_nationkey"), env0).as("s_nationkey"))))
+        compileProgram(prog, env).asInstanceOf[TV].df
+      }.orderBy("n_nationkey")
     },
 
     // CORRELATED TABLE FEEDING A NESTED FOLD (the per-position canonical-
@@ -632,13 +749,16 @@ object LangQueries {
       val prog = EProj(LikeBag, ELoc("nation"), "x", ERecord(List(
         "nat" -> f("x", "n_name"),
         "gsum" -> gsum, "gcnt" -> gcnt, "gmin" -> gmin)))
-      val env = Env(Map.empty, Map(
-        "nation" -> Tables.load(s, dir, "nation")
-          .select(col("n_nationkey").cast("long").as("n_nationkey"),
-            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey")),
-        "supplier" -> Tables.load(s, dir, "supplier")
-          .select(col("s_suppkey").cast("long").as("s_suppkey"))), s)
-      compileProgram(prog, env).asInstanceOf[TV].df.orderBy("nat")
+      Compiler.autoWideTable(Env(Map.empty, Map.empty, s)) { env0 =>
+        val env = env0.copy(store = Map(
+          "nation" -> Tables.load(s, dir, "nation")
+            .select(tint(col("n_nationkey"), env0).as("n_nationkey"),
+              col("n_name"),
+              tint(col("n_regionkey"), env0).as("n_regionkey")),
+          "supplier" -> Tables.load(s, dir, "supplier")
+            .select(tint(col("s_suppkey"), env0).as("s_suppkey"))))
+        compileProgram(prog, env).asInstanceOf[TV].df
+      }.orderBy("nat")
     },
 
     // AGGREGATES REFERENCING JOIN BINDERS (round 10 — the EJoin
@@ -673,17 +793,20 @@ object LangQueries {
         ERecord(List(
           "nat" -> f("n", "n_name"), "reg" -> f("r", "r_name"),
           "ns" -> ns, "rsum" -> rsum)))
-      val env = Env(Map.empty, Map(
-        "nation" -> Tables.load(s, dir, "nation")
-          .select(col("n_nationkey").cast("long").as("n_nationkey"),
-            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey")),
-        "region" -> Tables.load(s, dir, "region")
-          .select(col("r_regionkey").cast("long").as("r_regionkey"),
-            col("r_name")),
-        "supplier" -> Tables.load(s, dir, "supplier")
-          .select(col("s_suppkey").cast("long").as("s_suppkey"),
-            col("s_nationkey").cast("long").as("s_nationkey"))), s)
-      compileProgram(prog, env).asInstanceOf[TV].df.orderBy("nat")
+      Compiler.autoWideTable(Env(Map.empty, Map.empty, s)) { env0 =>
+        val env = env0.copy(store = Map(
+          "nation" -> Tables.load(s, dir, "nation")
+            .select(tint(col("n_nationkey"), env0).as("n_nationkey"),
+              col("n_name"),
+              tint(col("n_regionkey"), env0).as("n_regionkey")),
+          "region" -> Tables.load(s, dir, "region")
+            .select(tint(col("r_regionkey"), env0).as("r_regionkey"),
+              col("r_name")),
+          "supplier" -> Tables.load(s, dir, "supplier")
+            .select(tint(col("s_suppkey"), env0).as("s_suppkey"),
+              tint(col("s_nationkey"), env0).as("s_nationkey"))))
+        compileProgram(prog, env).asInstanceOf[TV].df
+      }.orderBy("nat")
     },
 
     // LEG-BINDER AGGREGATES UNDER A CORRELATED FLATMAP JOIN (round 10 —
@@ -726,18 +849,20 @@ object LangQueries {
             "reg" -> f("x", "r_name"),
             "n1" -> f("ja", "n_name"), "n2" -> f("jb", "n_name"),
             "s1" -> s1, "s2" -> s2))))
-      val env = Env(Map.empty, Map(
-        "region" -> Tables.load(s, dir, "region")
-          .select(col("r_regionkey").cast("long").as("r_regionkey"),
-            col("r_name")),
-        "nation" -> Tables.load(s, dir, "nation")
-          .select(col("n_nationkey").cast("long").as("n_nationkey"),
-            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey")),
-        "supplier" -> Tables.load(s, dir, "supplier")
-          .select(col("s_suppkey").cast("long").as("s_suppkey"),
-            col("s_nationkey").cast("long").as("s_nationkey"))), s)
-      compileProgram(prog, env).asInstanceOf[TV].df
-        .orderBy("reg", "n1", "n2")
+      Compiler.autoWideTable(Env(Map.empty, Map.empty, s)) { env0 =>
+        val env = env0.copy(store = Map(
+          "region" -> Tables.load(s, dir, "region")
+            .select(tint(col("r_regionkey"), env0).as("r_regionkey"),
+              col("r_name")),
+          "nation" -> Tables.load(s, dir, "nation")
+            .select(tint(col("n_nationkey"), env0).as("n_nationkey"),
+              col("n_name"),
+              tint(col("n_regionkey"), env0).as("n_regionkey")),
+          "supplier" -> Tables.load(s, dir, "supplier")
+            .select(tint(col("s_suppkey"), env0).as("s_suppkey"),
+              tint(col("s_nationkey"), env0).as("s_nationkey"))))
+        compileProgram(prog, env).asInstanceOf[TV].df
+      }.orderBy("reg", "n1", "n2")
     },
 
     // AGGREGATES OVER CORRELATED EJOIN SOURCES (round 10 —
@@ -781,17 +906,19 @@ object LangQueries {
         "region" -> TBag(TRecord.sorted("r_regionkey" -> TInt)),
         "supplier" -> TBag(TRecord.sorted(
           "s_suppkey" -> TInt, "s_nationkey" -> TInt)))
-      val env = Env(Map.empty, Map(
-        "nation" -> Tables.load(s, dir, "nation")
-          .select(col("n_nationkey").cast("long").as("n_nationkey"),
-            col("n_name")),
-        "region" -> Tables.load(s, dir, "region")
-          .select(col("r_regionkey").cast("long").as("r_regionkey")),
-        "supplier" -> Tables.load(s, dir, "supplier")
-          .select(col("s_suppkey").cast("long").as("s_suppkey"),
-            col("s_nationkey").cast("long").as("s_nationkey"))), s,
-        storeTypes = storeT)
-      compileProgram(prog, env).asInstanceOf[TV].df.orderBy("nat")
+      Compiler.autoWideTable(
+        Env(Map.empty, Map.empty, s, storeTypes = storeT)) { env0 =>
+        val env = env0.copy(store = Map(
+          "nation" -> Tables.load(s, dir, "nation")
+            .select(tint(col("n_nationkey"), env0).as("n_nationkey"),
+              col("n_name")),
+          "region" -> Tables.load(s, dir, "region")
+            .select(tint(col("r_regionkey"), env0).as("r_regionkey")),
+          "supplier" -> Tables.load(s, dir, "supplier")
+            .select(tint(col("s_suppkey"), env0).as("s_suppkey"),
+              tint(col("s_nationkey"), env0).as("s_nationkey"))))
+        compileProgram(prog, env).asInstanceOf[TV].df
+      }.orderBy("nat")
     },
 
     // DOUBLY-NESTED CORRELATED AGGREGATES (round 10 — iterating
@@ -829,16 +956,18 @@ object LangQueries {
         "customer" -> TBag(custT))
       require(TypeCheck.synthesize(prog, Map.empty, storeT) ==
         TBag(TRecord.sorted("nat" -> TString, "g" -> TInt)))
-      val env = Env(Map.empty, Map(
-        "nation" -> Tables.load(s, dir, "nation")
-          .select(col("n_nationkey").cast("long").as("n_nationkey"),
-            col("n_name")),
-        "supplier" -> Tables.load(s, dir, "supplier")
-          .select(col("s_suppkey").cast("long").as("s_suppkey"),
-            col("s_nationkey").cast("long").as("s_nationkey")),
-        "customer" -> Tables.load(s, dir, "customer")
-          .select(col("c_nationkey").cast("long").as("c_nationkey"))), s)
-      compileProgram(prog, env).asInstanceOf[TV].df.orderBy("nat")
+      Compiler.autoWideTable(Env(Map.empty, Map.empty, s)) { env0 =>
+        val env = env0.copy(store = Map(
+          "nation" -> Tables.load(s, dir, "nation")
+            .select(tint(col("n_nationkey"), env0).as("n_nationkey"),
+              col("n_name")),
+          "supplier" -> Tables.load(s, dir, "supplier")
+            .select(tint(col("s_suppkey"), env0).as("s_suppkey"),
+              tint(col("s_nationkey"), env0).as("s_nationkey")),
+          "customer" -> Tables.load(s, dir, "customer")
+            .select(tint(col("c_nationkey"), env0).as("c_nationkey"))))
+        compileProgram(prog, env).asInstanceOf[TV].df
+      }.orderBy("nat")
     },
 
     // CORRELATED ZIP-FLATMAP (Compiler.decorrelate's EFlatmap2-core path,
