@@ -26,11 +26,24 @@ import org.apache.spark.sql.functions._
   *    (rotated random vectors are near-orthogonal, so ANN/semantic-dedup
   *    candidate structure scales like fresh data).
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <copies>
+  * `--zipf` (r14 directive 4): every uniform corpus leaves the 100 TB
+  * killer unexercised — a power-law join/group key. With the flag, each
+  * copy REMAPS a zipf head of its fact rows onto a few hot keys:
+  * `lineitem.l_orderkey` (the salted-join / fact-fact join key) and
+  * `orders.o_custkey` (the groupBy key) send 8%/4%/2%/1% of rows to the
+  * copy's 4 smallest existing keys (successive halving = the s~1 zipf
+  * head; ~5k rows on one orderkey where uniform has ~4). Remapped keys
+  * stay WITHIN the copy's key range, so referential integrity holds and
+  * the DuckDB oracle recomputes the same skewed truth from the same
+  * files. The remap hash is the row's (copy-shifted) id columns —
+  * deterministic across regenerations.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <copies> [--zipf]
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, copiesS) = args
+    val (srcDir, outDir, copiesS) = (args(0), args(1), args(2))
+    val zipf = args.length > 3 && args(3) == "--zipf"
     val copies = copiesS.toInt
     // stride 10^12 with ≤81 copies tops out at 8.1×10^13 — five decimal
     // orders under int64 for any INDIVIDUAL id. SUMS of shifted ids grow
@@ -60,11 +73,35 @@ object ScaleUp {
       "events" -> Seq("event_id", "user_id"),
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
+    // --zipf: the 4 smallest base keys per skewed column become each
+    // copy's hot head (computed once from the SOURCE, shifted per copy)
+    val hotHeads: Map[(String, String), Seq[Long]] =
+      if (!zipf) Map.empty
+      else Seq(("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"))
+        .map { case (t, c, refT, refC) =>
+          (t, c) -> spark.read.parquet(s"$srcDir/$refT.parquet")
+            .select(col(refC).cast("long")).distinct()
+            .orderBy(col(refC)).limit(4).collect().map(_.getLong(0)).toSeq
+        }.toMap
+    // zipf head: 8%/4%/2%/1% of rows onto hot keys 1..4 (halving mass)
+    def zipfRemap(d: org.apache.spark.sql.DataFrame, c: String,
+        heads: Seq[Long], shift: Long, hashCols: Seq[String]) = {
+      val h = pmod(xxhash64(hashCols.map(col): _*), lit(1000L))
+      d.withColumn(c,
+        when(h < 80, lit(heads(0) + shift))
+          .when(h < 120, lit(heads(1) + shift))
+          .when(h < 140, lit(heads(2) + shift))
+          .when(h < 150, lit(heads(3) + shift))
+          .otherwise(col(c)))
+    }
     for ((t, cols) <- shifts) {
       val df = spark.read.parquet(s"$srcDir/$t.parquet")
       val out = (0 until copies).map { k =>
         var d = cols.foldLeft(df)((acc, c) =>
           acc.withColumn(c, col(c) + lit(k.toLong * stride)))
+        for (((ht, hc), heads) <- hotHeads if ht == t)
+          d = zipfRemap(d, hc, heads, k.toLong * stride, cols)
         if (t == "documents" && k > 0) {
           d = d.withColumn("text",
               regexp_replace(col("text"), "(\\S+)", s"$$1zq$k"))
