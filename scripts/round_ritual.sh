@@ -120,6 +120,12 @@ q_argmax_group,q_sort_word_unsigned"
   fi
 
   step "5/8 bench sf0.1"
+  # stale-artifact guard (r14 advice): every bench invocation below is
+  # `|| true`, so a crashed run must be detected as MISSING output — a
+  # leftover artifact from a previous round would otherwise pass the
+  # failed-queries check and feed prior-round timings into the fit
+  rm -f /tmp/ritual_bench_sf01.json /tmp/ritual_bench_sf1.json \
+    /tmp/ritual_bench_27x.json /tmp/ritual_bench_81x.json
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     SPARK_GRAFT_BENCH_OUT=/tmp/ritual_bench_sf01.json \
     sbt -batch "runMain graft.Bench" >/dev/null 2>&1 || true

@@ -8,9 +8,20 @@ import scala.collection.mutable.ArrayBuffer
   * nondeterminism to a specific duplicated/raced stage. Dev-only. */
 object JobTrace {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: JobTrace <query_name> [sfDir] [reps]\n" +
+          "  env: SPARK_GRAFT_CPUS, JOBTRACE_EXPLAIN=1, " +
+          "JOBTRACE_DRAIN_MS (listener-bus settle wait, default 1500)")
+      sys.exit(2)
+    }
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val reps = if (args.length > 2) args(2).toInt else 4
+    // the tool exists to count jobs ACCURATELY: on a loaded box the bus
+    // can lag past a fixed sleep, so settle until the count is stable
+    // for 3 polls (bounded by JOBTRACE_DRAIN_MS per poll window)
+    val drainMs = sys.env.getOrElse("JOBTRACE_DRAIN_MS", "1500").toLong
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -39,7 +50,15 @@ object JobTrace {
     for (r <- 1 to reps) {
       jobs.synchronized(jobs.clear())
       fn(spark, sfDir).count()
-      Thread.sleep(1500) // let the listener bus drain
+      // settle: wait until no new JobStart lands for 3 consecutive polls
+      var last = jobs.synchronized(jobs.size)
+      var stable = 0
+      var waited = 0L
+      while (stable < 3 && waited < drainMs * 4) {
+        Thread.sleep(drainMs / 3 max 100); waited += (drainMs / 3 max 100)
+        val now = jobs.synchronized(jobs.size)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
       val snap = jobs.synchronized(jobs.toVector)
       println(s"=== rep $r: ${snap.size} jobs")
       snap.foreach { case (id, d) => println(f"  job $id%4d  $d") }
