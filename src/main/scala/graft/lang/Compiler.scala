@@ -1060,6 +1060,30 @@ object Compiler {
       ConjSplit(keyPairs, residual, outerOnly, mixed)
     }
     val splits = peeled.map { case (node, pe) => (node, pe, splitConjuncts(pe)) }
+    // parse every mixed conjunct as outer-vs-inner under OLess:
+    // (outerExpr, innerBinder, innerExpr, outerIsLeft) — None if any
+    // conjunct has another shape. Shared by the merged keyed-range
+    // scalar path and the keyed-range ARRAY path below: OLess is
+    // TInt-total and every tier's encoding is order-preserving (Long;
+    // Decimal(38,0); BigIntMath canonical bytes), so a raw `<` on the
+    // collected expression values IS value_compare.
+    def rangeConjsOf(sp: ConjSplit)
+        : Option[List[(Expr, String, Expr, Boolean)]] = {
+      val parsed = sp.mixed.map {
+        case (b, EBinop(OLess, a1, a2)) =>
+          val f1 = Rewrites.freeVars(a1); val f2 = Rewrites.freeVars(a2)
+          if (f1.contains(x) && !f1.contains(b) &&
+              f2.contains(b) && !f2.contains(x))
+            Some((a1, b, a2, true)) // outer < inner
+          else if (f2.contains(x) && !f2.contains(b) &&
+              f1.contains(b) && !f1.contains(x))
+            Some((a2, b, a1, false)) // inner < outer
+          else None
+        case _ => None
+      }
+      if (parsed.nonEmpty && parsed.forall(_.isDefined))
+        Some(parsed.flatten) else None
+    }
     val id = latIds.incrementAndGet()
     val la = s"__caggl$id"
     val outerRow = qualifiedRow(df.columns, la)
@@ -1255,26 +1279,7 @@ object Compiler {
         case EACFold(_, _) | EACIFold(_, _) | EUnop(OLength, _) => true
         case _ => false
       }
-      // parse every mixed conjunct as outer-vs-inner under OLess:
-      // (outerExpr, innerBinder, innerExpr, outerIsLeft) — None if any
-      // conjunct has another shape (falls back to join-then-reaggregate)
-      def rangeConjs(sp: ConjSplit)
-          : Option[List[(Expr, String, Expr, Boolean)]] = {
-        val parsed = sp.mixed.map {
-          case (b, EBinop(OLess, a1, a2)) =>
-            val f1 = Rewrites.freeVars(a1); val f2 = Rewrites.freeVars(a2)
-            if (f1.contains(x) && !f1.contains(b) &&
-                f2.contains(b) && !f2.contains(x))
-              Some((a1, b, a2, true)) // outer < inner
-            else if (f2.contains(x) && !f2.contains(b) &&
-                f1.contains(b) && !f1.contains(x))
-              Some((a2, b, a1, false)) // inner < outer
-            else None
-          case _ => None
-        }
-        if (parsed.nonEmpty && parsed.forall(_.isDefined))
-          Some(parsed.flatten) else None
-      }
+      def rangeConjs(sp: ConjSplit) = rangeConjsOf(sp)
       def synthW(e: Expr, extra: (String, Option[FType])*): Option[FType] =
         try Some(TypeCheck.synthesize(e,
           env.varTypes ++ xT.map(x -> _) ++
@@ -1632,6 +1637,54 @@ object Compiler {
           val emptyArr = array().cast(aggDF.schema(aName).dataType)
           joined = joined.join(aggDF, joinPred, "left")
             .withColumn(aName, coalesce(col(aName), emptyArr))
+        } else if (keyPairs.nonEmpty && sp.mixed.nonEmpty && !projRefsX &&
+            pe.flat.isEmpty && rangeConjsOf(sp).isDefined) {
+          // KEYED RANGE ARRAY COLLECTION (r15, the ordered-consumer
+          // sibling of the merged keyed range scalar path): equi keys +
+          // outer-vs-inner OLess residues. Collect each key's
+          // (value, range-exprs) elements ONCE (map-side partials,
+          // key-sized shuffle), left-join the per-key arrays, evaluate
+          // the range predicate per element MAP-SIDE, and canonically
+          // sort the survivors per row — filter-then-sort yields exactly
+          // the distinct-outer path's sorted multiset without its
+          // per-node join-the-product plan (q_lang_corr_fold's shape).
+          val rngs = rangeConjsOf(sp).get
+          val innerKeyCols = keyPairs.zipWithIndex.map { case ((_, (b, ie)), j) =>
+            asCV(compile(ie, env.bindRowTyped(b, CV(rowStruct(inner)),
+              coreT))).as(kName(j))
+          }
+          val vCol = pe.proj match {
+            case Some((pb, pv)) => asCV(compile(pv,
+              env.bindRowTyped(pb, CV(rowStruct(inner)), projInT)))
+            case None => rowStruct(inner)
+          }
+          val elem = struct((vCol.as("v") +:
+            rngs.zipWithIndex.map { case ((_, b, ie, _), m) =>
+              asCV(compile(ie, env.bindRowTyped(b, CV(rowStruct(inner)),
+                coreT))).as(s"m$m")
+            }): _*)
+          val sel = inner.select(innerKeyCols :+ elem.as(vName): _*)
+          val aggDF = sel
+            .groupBy(keyPairs.indices.map(j => col(kName(j))): _*)
+            .agg(collect_list(col(vName)).as(aName))
+          val joinPred = keyPairs.zipWithIndex.map { case ((oe, _), j) =>
+            asCV(compile(oe, env.bindTyped(x, CV(outerRow), xT))) <=>
+              col(kName(j))
+          }.reduce(_ && _)
+          joined = joined.join(aggDF, joinPred, "left")
+          val outerSides = rngs.map { case (oe, _, _, _) =>
+            asCV(compile(oe, env.bindTyped(x, CV(outerRow), xT))) }
+          val emptyArr = array().cast(aggDF.schema(aName).dataType)
+          val matched = filter(coalesce(col(aName), emptyArr), e =>
+            rngs.zipWithIndex.map { case ((_, _, _, outerLeft), m) =>
+              if (outerLeft) outerSides(m) < e(s"m$m")
+              else e(s"m$m") < outerSides(m)
+            }.reduce(_ && _))
+          // strip the range fields back to the one-field wrapper, THEN
+          // canonical-sort — the shared read-back below expects the
+          // sorted wrapper array in aName
+          joined = joined.withColumn(aName,
+            canonArr(transform(matched, e => struct(e("v").as("v")))))
         } else {
           val collected = pe.flat match {
             case Some((fb, fbody)) =>

@@ -447,17 +447,20 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("correlated fold collects per-position arrays map-side, never cartesian") {
-    // q_lang_corr_fold's array path: the correlated join keys on the equi
-    // conjunct and collect_list partial-aggregates map-side
-    // (ObjectHashAggregate), so a hot outer row buffers per task, not per
-    // key occurrence.
+    // q_lang_corr_fold (r15: the keyed range ARRAY path): ONE collection
+    // keyed by the parity expression — map-side partials, key-sized
+    // shuffle — with the range residue and the canonical sort evaluated
+    // map-side after a single keyed join. No distinct-outer exchange, no
+    // per-outer product.
     val p = plan("q_lang_corr_fold")
     assert(!p.contains("CartesianProduct"),
       s"correlated fold planned a cartesian product:\n$p")
-    assert(p.contains("partial_collect_list"),
-      s"array collection must partial-aggregate map-side:\n$p")
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
-      s"expected a keyed join for the correlated fold:\n$p")
+    val collects = p.linesIterator.count(_.contains("partial_collect_list"))
+    assert(collects == 1,
+      s"expected ONE keyed collection, got $collects:\n$p")
+    val joins = p.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joins == 1, s"expected one keyed join, got $joins:\n$p")
   }
 
   test("generic-width word ops run inside whole-stage codegen") {
