@@ -98,7 +98,8 @@ if [ "$FAST" != "fast" ]; then
   OVERFLOW_SET="q_lang_corr_agg,q_lang_corr_flatmap,q_lang_corr_gate,\
 q_lang_corr_jbind,q_lang_corr_jsrc,q_lang_corr_legbind,\
 q_lang_corr_nonequi,q_lang_corr_nested,q_lang_corr_filter,\
-q_lang_corr_filter_big,q_lang_corr_zip,q_rollup,q_schema_evolution,\
+q_lang_corr_filter_big,q_lang_corr_zip,q_lang_corr_widen,\
+q_lang_corr_rangekey,q_rollup,q_schema_evolution,\
 q_sql_funcs,q_csv_roundtrip,q_jsonl_roundtrip,q_orc_roundtrip,\
 q_word_ops,q_word_ops32,q_lang_bignum,q_lang_wide_sum,q_survey_rollup,\
 q_argmax_group,q_sort_word_unsigned"
