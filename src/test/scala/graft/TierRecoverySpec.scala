@@ -100,8 +100,15 @@ class TierRecoverySpec extends AnyFunSuite {
         ERecord(List("sk" -> f("a0", "sk"))))),
       "b" -> EACFold(AGSum, pairJoin("alt", "c1", "a1", "b1",
         f("a1", "sk"))))))
+    // strict order mode requires type-directed sorts: declare the store
+    // types so the lifted join leg's canonical localization is typed
+    val storeT = Map(
+      "sup" -> TBag(TRecord.sorted("sk" -> TInt, "nk" -> TInt)),
+      "reg" -> TBag(TRecord.sorted("rk" -> TInt)),
+      "nat" -> TBag(TRecord.sorted("nkey" -> TInt, "alt" -> TInt)))
     val env = Env(Map.empty,
-      Map("sup" -> sup, "reg" -> reg, "nat" -> nat), spark)
+      Map("sup" -> sup, "reg" -> reg, "nat" -> nat), spark,
+      storeTypes = storeT)
     val got = compileProgram(prog, env).asInstanceOf[TV].df
       .collect().map(r => (r.getAs[Long]("nkey"),
         r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
