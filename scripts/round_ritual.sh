@@ -240,9 +240,16 @@ fi
 
 step "8/8 final gate (clean tree, tests ran against HEAD)"
 END_HEAD=$(git rev-parse HEAD)
-END_DIRTY=$(git status --porcelain | wc -l)
+# With ROUND set, steps 4-7 write the round's own artifacts into the
+# tree — expected output, not dirt, or a full run could never exit 0.
+# Everything ELSE still gates; the caller's next act must be the
+# blessing commit that adds exactly these files.
+ARTIFACT_RE='^zzz-no-artifacts$'
+[ -n "$ROUND" ] && ARTIFACT_RE="(CORRECTNESS_r${ROUND}_27x\.json|BENCH_r${ROUND}_(sf01|sf1|27x|81x)\.json|LINEARITY_r${ROUND}\.txt|GROWTH_r${ROUND}\.txt)$"
+END_DIRTY=$(git status --porcelain | grep -Evc " $ARTIFACT_RE" || true)
+ART_DIRTY=$(git status --porcelain | grep -Ec " $ARTIFACT_RE" || true)
 if [ "$END_DIRTY" -ne 0 ]; then
-  git status --porcelain | head -20
+  git status --porcelain | grep -Ev " $ARTIFACT_RE" | head -20
   gate "final gate (uncommitted changes — commit, then re-run the ritual)"
 elif [ "$END_HEAD" != "$START_HEAD" ] || [ "$START_DIRTY" -ne 0 ]; then
   echo "tree moved since step 1 (${START_HEAD:0:9} dirty=$START_DIRTY ->" \
@@ -254,6 +261,9 @@ else
   echo "HEAD ${END_HEAD:0:9} unchanged and clean — step-1 run WAS the" \
     "HEAD run"
 fi
+[ "${ART_DIRTY:-0}" -ne 0 ] &&
+  echo "round artifacts awaiting the blessing commit:" &&
+  git status --porcelain | grep -E " $ARTIFACT_RE"
 
 echo; echo "ritual exit: $status"
 exit $status
