@@ -7,7 +7,9 @@
 #   3. full oracle correctness sf0.01 (Verify + DuckDB compare)
 #   4. full oracle correctness sf0.1 AND on the 9x corpus (the scale
 #      gates — correctness at scale catches what bench alone cannot:
-#      silently wrong results don't fail a bench; r12 caught 3 this way)
+#      silently wrong results don't fail a bench; r12 caught 3 this way),
+#      plus 27x full, the 81x overflow spot set, and the zipf-skew spot
+#      set (salted join/groupBy families hash-exact on a hot-key corpus)
 #   5. bench sf0.1                    (committed as BENCH_r{N}_sf01.json)
 #   6. 9x scale bench + linearity     (committed as BENCH_r{N}_sf1.json +
 #                                      LINEARITY_r{N}.txt)
@@ -118,6 +120,33 @@ q_argmax_group,q_sort_word_unsigned"
   else
     echo "testdata_81x missing — run graft.tools.ScaleUp first"
     gate "oracle 81x spot (no data)"
+  fi
+  # skew SPOT gate (r15, r14 directive 4): the salted-join/groupBy
+  # families must stay hash-exact on the zipf-headed corpus — the one
+  # corpus where a broken skew mitigation changes ANSWERS (dropped or
+  # double-counted hot-key rows), not just timings.
+  SKEW_SET="q1_agg,q_agg_sum_count,q_bloom_join,q_family_2hop,\
+q_groupby_bags,q_salted_join"
+  if [ -d /root/repo/testdata_skew9x ]; then
+    if SPARK_GRAFT_CPUS=16 SPARK_GRAFT_ONLY="$SKEW_SET" \
+         sbt -batch "runMain graft.Verify /root/repo/testdata_skew9x /tmp/ritual_vskew" \
+         >/dev/null 2>&1; then
+      line=$(GRAFT_ORACLE_ONLY="$SKEW_SET" python3 \
+        scripts/oracle_check.py /root/repo/testdata_skew9x /tmp/ritual_vskew |
+        tail -1)
+      echo "skew spot: $line"
+      if echo "$line" | grep -q "^PASS"; then
+        [ -n "$ROUND" ] && [ -f /tmp/ritual_vskew/summary.json ] &&
+          cp /tmp/ritual_vskew/summary.json "CORRECTNESS_r${ROUND}_skew.json"
+      else
+        gate "oracle skew spot"
+      fi
+    else
+      gate "oracle skew spot (Verify crashed)"
+    fi
+  else
+    echo "testdata_skew9x missing — run ScaleUp --zipf first"
+    gate "oracle skew spot (no data)"
   fi
 
   step "5/8 bench sf0.1"
@@ -245,7 +274,7 @@ END_HEAD=$(git rev-parse HEAD)
 # Everything ELSE still gates; the caller's next act must be the
 # blessing commit that adds exactly these files.
 ARTIFACT_RE='^zzz-no-artifacts$'
-[ -n "$ROUND" ] && ARTIFACT_RE="(CORRECTNESS_r${ROUND}_27x\.json|BENCH_r${ROUND}_(sf01|sf1|27x|81x)\.json|LINEARITY_r${ROUND}\.txt|GROWTH_r${ROUND}\.txt)$"
+[ -n "$ROUND" ] && ARTIFACT_RE="(CORRECTNESS_r${ROUND}_(27x|skew)\.json|BENCH_r${ROUND}_(sf01|sf1|27x|81x)\.json|LINEARITY_r${ROUND}\.txt|GROWTH_r${ROUND}\.txt)$"
 END_DIRTY=$(git status --porcelain | grep -Evc " $ARTIFACT_RE" || true)
 ART_DIRTY=$(git status --porcelain | grep -Ec " $ARTIFACT_RE" || true)
 if [ "$END_DIRTY" -ne 0 ]; then
