@@ -21,18 +21,23 @@ import graft.functions.Fingerprints
   * extended to a composed pass with state).
   *
   * 100 TB shape: all per-arrival work is stateless map expressions (no
-  * stream-side joins or aggregations — the models ride the closure);
+  * stream-side joins or aggregations — the models ride ONE torrent
+  * broadcast, shipped once per executor rather than once per task);
   * dedup state is digest-keyed and grows with DISTINCT content, the same
-  * state any streaming dedup carries. The literal-map models are the
+  * state any streaming dedup carries. The broadcast models are the
   * bounded-artifact stance (tokenizer-vocabulary scale, like the
-  * ≤16-centroid codebooks); the cap guard turns an oversized vocabulary
-  * into a directed error instead of a driver OOM.
+  * ≤16-centroid codebooks): vocabulary grows far slower than the corpus
+  * (the 81x corpus has 75k bigrams), and a broadcast carries millions of
+  * entries without per-task serialization — the cap guard now only trips
+  * where the model stops being an artifact and becomes data (then the
+  * store-table batch scorer is the right tool), instead of at the old
+  * closure-friendly 65536 (which a 81x corpus exceeded; r15).
   */
 object StreamCurate {
 
   import graft.core.Text.toks
 
-  private val vocabCap = 65536
+  private val vocabCap = 1 << 22
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -100,8 +105,9 @@ object StreamCurate {
       def capped[A](rows: Seq[A], what: String): Seq[A] = {
         if (rows.size > vocabCap) throw new UnsupportedOperationException(
           s"$what model has ${rows.size} entries — past the $vocabCap " +
-            "literal-broadcast cap; ship it as a store table and use the " +
-            "batch scorer (q_pipeline_curate) instead")
+            "broadcast-model cap (no longer vocabulary-shaped); ship it " +
+            "as a store table and use the batch scorer " +
+            "(q_pipeline_curate) instead")
         rows
       }
       // batch artifacts --------------------------------------------------
@@ -176,6 +182,11 @@ object StreamCurate {
       val bgdM = tokModel.map(r => r._1 -> (r._3 - r._2)).toMap
       val cbM = model("b", "bigram").map(r => r._1 -> r._3).toMap
       val cpM = model("p", "prefix").map(r => r._1 -> r._3).toMap
+      // ship all four models as ONE torrent broadcast: once per executor,
+      // not once per task closure — at 81x the bigram model alone is 75k
+      // entries, and closure shipping would re-serialize it into every
+      // task of every micro-batch
+      val models = s.sparkContext.broadcast((tgtM, bgdM, cbM, cpM))
       mark("models", modelT0)
 
       // the arriving stream: three doc_id-range files delivered as
@@ -204,8 +215,8 @@ object StreamCurate {
         // (`element_at(typedlit(m), k)`) is a LINEAR key scan per gram
         // in codegen — quadratic once vocabulary grows with the corpus,
         // measured 30x wall at a 9x corpus with 9x vocabulary. The
-        // closure ships the same cap-guarded model maps the literal
-        // carried, as Scala HashMaps.
+        // cap-guarded model maps ride the `models` broadcast as Scala
+        // HashMaps (one executor-side copy, O(1) lookups).
         val mixOk = Fingerprints
           .md5Low64(concat(lit("tmp:"), $"doc_id".cast("string")))
           .bitwiseAND(0x7fffffffL) % 1000 <
@@ -214,16 +225,17 @@ object StreamCurate {
             $"t", mixOk.as("mix_keep"))
           .as[(String, Long, Seq[String], Boolean)]
           .map { case (digest, docId, toksArr, mix) =>
+            val (tgtB, bgdB, cbB, cpB) = models.value
             val n = toksArr.length
             var sumBg = 0L; var sumPre = 0L; var st = 0L; var sb = 0L
             var i = 0
             while (i < n) {
               val w = toksArr(i)
-              st += tgtM.getOrElse(w, 0L)
-              sb += bgdM.getOrElse(w, 0L)
+              st += tgtB.getOrElse(w, 0L)
+              sb += bgdB.getOrElse(w, 0L)
               if (i < n - 1) {
-                sumBg += cbM.getOrElse(w + " " + toksArr(i + 1), 0L)
-                sumPre += cpM.getOrElse(w, 0L)
+                sumBg += cbB.getOrElse(w + " " + toksArr(i + 1), 0L)
+                sumPre += cpB.getOrElse(w, 0L)
               }
               i += 1
             }
@@ -310,6 +322,10 @@ object StreamCurate {
           } finally {
             s.catalog.dropTempView(sink)
           }
+        // the eager localCheckpoint above already truncated the lineage
+        // that read the models — release the executor-side copies now
+        // (unpersist, not destroy: a re-fetch would still work)
+        models.unpersist(false)
         fromSink
           .select($"doc_id", $"dup", $"quality_ok", $"lm_ok", $"dsir_ok",
             $"mix_keep",
