@@ -25,9 +25,18 @@ object StageMetrics {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // GRAFT_ADVISORY_MB: override AQE's post-shuffle advisory partition
+    // size. The 64 MB default is sized on shuffle BYTES-ON-WIRE; the
+    // gram-exploding aggregates expand ~10x in memory, so AQE coalesces
+    // them back into spilling partitions no matter how high the static
+    // shuffle.partitions is set (why the r15 partition-knob probe showed
+    // no effect). Lets the spill-onset hypothesis be tested in isolation.
+    val advisory = sys.env.getOrElse("GRAFT_ADVISORY_MB", "64")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        s"${advisory}m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
