@@ -23,6 +23,9 @@
 # Scale corpora (regenerate once per data regeneration):
 #   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /root/repo/testdata_sf1 9"
 #   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /root/repo/testdata_27x 27"
+#   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /root/repo/testdata_81x 81"
+#   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /root/repo/testdata_skew9x 9 --zipf"
+#   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.01 /root/repo/testdata_docskew9x 9 --docskew"
 # Usage: scripts/round_ritual.sh [fast] [roundN]
 #   "fast" skips steps 4-7; roundN (e.g. 13) names the committed artifacts.
 set -uo pipefail
@@ -105,15 +108,26 @@ q_lang_corr_rangekey,q_rollup,q_schema_evolution,\
 q_sql_funcs,q_csv_roundtrip,q_jsonl_roundtrip,q_orc_roundtrip,\
 q_word_ops,q_word_ops32,q_lang_bignum,q_lang_wide_sum,q_survey_rollup,\
 q_argmax_group,q_sort_word_unsigned"
+  # r16 (r15 directive 2): the five queries whose RUNTIME bent on the
+  # 27x->81x leg join the 81x spot set — correctness proven at the scale
+  # where the perf anomaly lived.
+  TAIL_SET="q_pipeline_sink,q_pipeline_clean,q_pipeline_full,\
+q_dedup_clusters,q_dedup_ngram_jaccard"
+  SPOT81="$OVERFLOW_SET,$TAIL_SET"
   if [ -d /root/repo/testdata_81x ]; then
-    if SPARK_GRAFT_CPUS=16 SPARK_GRAFT_ONLY="$OVERFLOW_SET" \
+    if SPARK_GRAFT_CPUS=16 SPARK_GRAFT_ONLY="$SPOT81" \
          sbt -batch "runMain graft.Verify /root/repo/testdata_81x /tmp/ritual_v81x" \
          >/dev/null 2>&1; then
-      line=$(GRAFT_ORACLE_ONLY="$OVERFLOW_SET" python3 \
+      line=$(GRAFT_ORACLE_ONLY="$SPOT81" python3 \
         scripts/oracle_check.py /root/repo/testdata_81x /tmp/ritual_v81x |
         tail -1)
       echo "81x spot: $line"
-      echo "$line" | grep -q "^PASS" || gate "oracle 81x spot"
+      if echo "$line" | grep -q "^PASS"; then
+        [ -n "$ROUND" ] && [ -f /tmp/ritual_v81x/summary.json ] &&
+          cp /tmp/ritual_v81x/summary.json "CORRECTNESS_r${ROUND}_81x.json"
+      else
+        gate "oracle 81x spot"
+      fi
     else
       gate "oracle 81x spot (Verify crashed)"
     fi
@@ -147,6 +161,42 @@ q_groupby_bags,q_salted_join"
   else
     echo "testdata_skew9x missing — run ScaleUp --zipf first"
     gate "oracle skew spot (no data)"
+  fi
+  # doc-skew SPOT gate (r16, r15 directive 4): the text operators' own
+  # skew axis — a boilerplate shingle in half the docs (orders of
+  # magnitude past Dedup.maxShingleDocFreq) plus 20% bit-exact
+  # duplicates straddling it. The probe asserts the cap actually FIRED
+  # on this corpus; the oracle then proves capped answers stay exact
+  # (jaccardPairs' hot-membership recovery). Base is sf0.01: the DuckDB
+  # oracle replays the shingle join UNCAPPED, so the hot posting must
+  # stay small enough to enumerate.
+  DOCSKEW_SET="q_dedup_exact,q_dedup_ngram_jaccard,q_dedup_clusters,\
+q_dedup_minhash,q_substring_dup"
+  if [ -d /root/repo/testdata_docskew9x ]; then
+    probe=$(sbt -batch "runMain graft.tools.DocSkewProbe /root/repo/testdata_docskew9x" 2>/dev/null |
+      grep "docskew-probe" || true)
+    echo "${probe:-docskew probe produced no output}"
+    if ! echo "$probe" | grep -q "capped_postings=[1-9]"; then
+      gate "docskew probe (cap never fired)"
+    elif SPARK_GRAFT_CPUS=16 SPARK_GRAFT_ONLY="$DOCSKEW_SET" \
+         sbt -batch "runMain graft.Verify /root/repo/testdata_docskew9x /tmp/ritual_vdocskew" \
+         >/dev/null 2>&1; then
+      line=$(GRAFT_ORACLE_ONLY="$DOCSKEW_SET" python3 \
+        scripts/oracle_check.py /root/repo/testdata_docskew9x /tmp/ritual_vdocskew |
+        tail -1)
+      echo "docskew spot: $line"
+      if echo "$line" | grep -q "^PASS"; then
+        [ -n "$ROUND" ] && [ -f /tmp/ritual_vdocskew/summary.json ] &&
+          cp /tmp/ritual_vdocskew/summary.json "CORRECTNESS_r${ROUND}_docskew.json"
+      else
+        gate "oracle docskew spot"
+      fi
+    else
+      gate "oracle docskew spot (Verify crashed)"
+    fi
+  else
+    echo "testdata_docskew9x missing — run ScaleUp --docskew first"
+    gate "oracle docskew spot (no data)"
   fi
 
   step "5/8 bench sf0.1"
@@ -261,6 +311,22 @@ PY
       gate "growth fit (super-linear exponent)"
     fi
     [ -n "$ROUND" ] && cp /tmp/ritual_growth.txt "GROWTH_r${ROUND}.txt"
+    # per-stage attribution data for the doc-heavy tail (r16, r15
+    # directive 7): the next tail flag must arrive with its cpu/run, GC,
+    # spill, and per-stage execution attribution already committed —
+    # symptom AND evidence in one artifact.
+    METRICS_SET="q_pipeline_sink,q_pipeline_clean,q_pipeline_full,\
+q_dedup_clusters,q_dedup_ngram_jaccard"
+    : > /tmp/ritual_metrics.txt
+    for SCALE_DIR in /root/repo/testdata_27x /root/repo/testdata_81x; do
+      [ -d "$SCALE_DIR" ] || continue
+      sbt -batch "runMain graft.tools.StageMetrics $METRICS_SET $SCALE_DIR" \
+        2>/dev/null | grep -Ev "^\[info\]|^\[warn\]|^\[success" \
+        >> /tmp/ritual_metrics.txt ||
+        gate "stage metrics ($SCALE_DIR)"
+    done
+    grep -c "stage-metrics" /tmp/ritual_metrics.txt | sed 's/^/metrics queries captured: /'
+    [ -n "$ROUND" ] && cp /tmp/ritual_metrics.txt "METRICS_r${ROUND}.txt"
   else
     echo "testdata_27x missing — run graft.tools.ScaleUp first"
     gate "27x bench (no data)"
@@ -274,11 +340,15 @@ END_HEAD=$(git rev-parse HEAD)
 # Everything ELSE still gates; the caller's next act must be the
 # blessing commit that adds exactly these files.
 ARTIFACT_RE='^zzz-no-artifacts$'
-[ -n "$ROUND" ] && ARTIFACT_RE="(CORRECTNESS_r${ROUND}_(27x|skew)\.json|BENCH_r${ROUND}_(sf01|sf1|27x|81x)\.json|LINEARITY_r${ROUND}\.txt|GROWTH_r${ROUND}\.txt)$"
-END_DIRTY=$(git status --porcelain | grep -Evc " $ARTIFACT_RE" || true)
-ART_DIRTY=$(git status --porcelain | grep -Ec " $ARTIFACT_RE" || true)
+[ -n "$ROUND" ] && ARTIFACT_RE="(CORRECTNESS_r${ROUND}_(27x|skew|docskew|81x)\.json|BENCH_r${ROUND}_(sf01|sf1|27x|81x)\.json|LINEARITY_r${ROUND}\.txt|GROWTH_r${ROUND}\.txt|METRICS_r${ROUND}\.txt)$"
+# Only UNTRACKED ('??') round artifacts are exempt dirt: a MODIFIED
+# round artifact means committed evidence no longer matches this run
+# (a post-blessing re-run overwrote blessed numbers) and must gate
+# (r15 advice).
+END_DIRTY=$(git status --porcelain | grep -Evc "^\?\? .*$ARTIFACT_RE" || true)
+ART_DIRTY=$(git status --porcelain | grep -Ec "^\?\? .*$ARTIFACT_RE" || true)
 if [ "$END_DIRTY" -ne 0 ]; then
-  git status --porcelain | grep -Ev " $ARTIFACT_RE" | head -20
+  git status --porcelain | grep -Ev "^\?\? .*$ARTIFACT_RE" | head -20
   gate "final gate (uncommitted changes — commit, then re-run the ritual)"
 elif [ "$END_HEAD" != "$START_HEAD" ] || [ "$START_DIRTY" -ne 0 ]; then
   echo "tree moved since step 1 (${START_HEAD:0:9} dirty=$START_DIRTY ->" \
@@ -292,7 +362,7 @@ else
 fi
 [ "${ART_DIRTY:-0}" -ne 0 ] &&
   echo "round artifacts awaiting the blessing commit:" &&
-  git status --porcelain | grep -E " $ARTIFACT_RE"
+  git status --porcelain | grep -E "^\?\? .*$ARTIFACT_RE"
 
 echo; echo "ritual exit: $status"
 exit $status

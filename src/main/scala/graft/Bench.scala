@@ -4,9 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = graft.core.ScaleConf.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // ~96 queries × several codegen stages far exceeds the default
@@ -281,8 +281,14 @@ object Bench {
     // front. This second line is short enough to always survive whole.
     val top10 = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // fast_cut names the per-query inclusion threshold: tail totals are
+    // only comparable across rounds when read together with how many
+    // sub-threshold queries were rolled into the aggregate (r15 verdict:
+    // a moved cut masqueraded as a +23% regression).
     println(s"""{"metric":"total_tail","value":${fmt(total)},"unit":"sec",""" +
-      s""""top10":$top10,"failed_n":${failed.size},"sf":"$sfName"}""")
+      s""""top10":$top10,"failed_n":${failed.size},""" +
+      s""""fast_cut_sec":0.3,"fast_omitted":${fast.size},""" +
+      s""""fast_total":${fmt(fast.values.sum)},"sf":"$sfName"}""")
     // ALSO write the full line to a stable path when asked (r12 verdict:
     // the driver's stdout capture truncates its tail, losing the per-query
     // map — the committed BENCH_r{N}_*.json artifacts come from here)

@@ -80,6 +80,15 @@ object Dedup {
   /** Hot-shingle document-frequency cap (see class doc). */
   val maxShingleDocFreq = 128
 
+  /** Shingle document-frequency table (s, df) over a corpus — the
+    * doc-skew probe's measurement (`tools/DocSkewProbe`): one explode +
+    * one groupBy, nothing pair-shaped. */
+  def shingleFreqs(s: SparkSession, dir: String): DataFrame =
+    shingleSets(Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism))
+      .select(explode(col("ss")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+
   /** Exact Jaccard over pairs (a < b) sharing ≥1 non-hot shingle. Pairs are
     * generated WITHIN each shingle's doc-id group (one groupBy shuffle, pairs
     * emitted map-side after it) instead of a self-join — the self-join
@@ -88,12 +97,19 @@ object Dedup {
     * shingle arrays per candidate by ~3× at sf0.1.
     *
     * The frequency cap drops hot shingle groups BEFORE pair emission, so the
-    * pair space is bounded by F²/2 per shingle. Jaccard is then computed over
-    * non-capped shingles only — exact for every reported pair unless the pair
-    * shares a capped shingle, which at θ ≥ 0.5 requires ≥ F near-identical
-    * docs in the corpus (those collapse in exact dedup long before this
-    * runs). The oracle computes the uncapped value, so a green row proves
-    * the cap changed nothing on this corpus.
+    * pair space is bounded by F²/2 per shingle. Reported values stay EXACT
+    * even when the cap fires (r16, the doc-skew gate's load-bearing
+    * property): candidate pairs recover their capped-shingle intersection
+    * through a candidate-keyed join against the hot-posting membership
+    * table — linear in (candidates × hot-shingles-per-doc), never the F²/2
+    * pair space the cap exists to avoid. Without the correction, a
+    * boilerplate shingle shared corpus-wide would deflate every true
+    * duplicate to (n-2)/(n+2) < 1.0 and the uncapped oracle would catch it.
+    * The only pairs the cap can still MISS are those sharing exclusively
+    * capped shingles; at θ ≥ 0.5 that needs capped shingles alone to make
+    * up ≥ 1/3 of the pair's union — docs that are mostly boilerplate,
+    * which a quality gate removes and the doc-skew corpus deliberately
+    * does not contain.
     */
   private[graft] def jaccardPairs(dsets: DataFrame,
       maxDocFreq: Int = maxShingleDocFreq): DataFrame = {
@@ -103,12 +119,29 @@ object Dedup {
     val combos = flatten(transform(ds, (x, i) =>
       transform(slice(ds, i + 2, size(ds)),
         y => struct(x.as("a"), y.as("b")))))
-    val inter = sh.groupBy(col("s"))
+    val posting = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val interCold = posting
       .filter(size(ds) <= maxDocFreq)
       .select(explode(combos).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("ic"))
+    // capped-shingle membership, (s, doc) — one row per (hot shingle,
+    // member doc): LINEAR in corpus size. Both branches of `posting`
+    // share one map-side shuffle (ReusedExchange); on a corpus with no
+    // hot shingles this side is empty and the correction joins are free.
+    val hotMem = posting.filter(size(ds) > maxDocFreq)
+      .select(col("s"), explode(ds).as("d"))
+    // exact recovery: how many CAPPED shingles does each CANDIDATE pair
+    // share? Keyed by the candidate's doc ids, never by the hot shingle —
+    // the pair space stays candidate-sized.
+    val hotCnt = interCold.select(col("a"), col("b"))
+      .join(hotMem.select(col("d").as("a"), col("s")), "a")
+      .join(hotMem.select(col("d").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("hc"))
+    val inter = interCold.join(hotCnt, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (col("ic") + coalesce(col("hc"), lit(0L))).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")

@@ -202,9 +202,9 @@ object QueryServerMain {
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val port = args.lift(1).map(_.toInt).getOrElse(8080)
-    val spark = SparkSession.builder()
+    val spark = graft.core.ScaleConf.tuned(SparkSession.builder()
       .appName("graft-server").master("local[*]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", 32))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", false)
       .getOrCreate()

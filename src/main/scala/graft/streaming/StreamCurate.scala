@@ -102,14 +102,12 @@ object StreamCurate {
         val t0 = System.nanoTime(); val r = f; mark(label, t0); r
       }
 
-      def capped[A](rows: Seq[A], what: String): Seq[A] = {
-        if (rows.size > vocabCap) throw new UnsupportedOperationException(
-          s"$what model has ${rows.size} entries — past the $vocabCap " +
+      def capGuard(n: Long, what: String): Unit =
+        if (n > vocabCap) throw new UnsupportedOperationException(
+          s"$what model has $n entries — past the $vocabCap " +
             "broadcast-model cap (no longer vocabulary-shaped); ship it " +
             "as a store table and use the batch scorer " +
             "(q_pipeline_curate) instead")
-        rows
-      }
       // batch artifacts --------------------------------------------------
       // MATERIALIZE the token array as a column before any lambda indexes
       // it: `get(toks(text), i)` inside a higher-order function re-runs
@@ -162,7 +160,7 @@ object StreamCurate {
         val tc = col("t")
         def tagged(arr: org.apache.spark.sql.Column, kind: String) =
           transform(arr, g => struct(lit(kind).as("k"), g.as("g")))
-        docs.select(($"source" === "src0").as("is_t"),
+        val agg = docs.select(($"source" === "src0").as("is_t"),
             toks($"text").as("t"))
           .select($"is_t", explode(concat(
             tagged(tc, "t"), tagged(bigramsOf(tc), "b"),
@@ -170,18 +168,32 @@ object StreamCurate {
           .groupBy($"e.k".as("k"), $"e.g".as("g")).agg(
             sum(when($"is_t", 1L).otherwise(0L)).as("tgt"),
             count(lit(1)).as("c"))
-          .collect().toSeq
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-            r.getLong(3)))
+          .cache()
+        try {
+          // enforce the per-model cap BEFORE collect(): the cap exists to
+          // reject corpora whose vocabulary stopped being an artifact, and
+          // a guard that fires only after materializing multi-GB of rows
+          // driver-side would OOM before it threw (r15 advice). The count
+          // rides the cached aggregate, so the corpus pass still runs once.
+          agg.groupBy($"k").agg(count(lit(1)).as("n")).collect().foreach {
+            r =>
+              val what = r.getString(0) match {
+                case "t" => "DSIR"; case "b" => "bigram"; case _ => "prefix"
+              }
+              capGuard(r.getLong(1), what)
+          }
+          agg.collect().toSeq
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+              r.getLong(3)))
+        } finally { agg.unpersist(); () }
       }
-      def model(kind: String, what: String): Seq[(String, Long, Long)] =
-        capped(gramRows.collect { case (`kind`, g, tgt, c) => (g, tgt, c) },
-          what)
-      val tokModel = model("t", "DSIR")
+      def model(kind: String): Seq[(String, Long, Long)] =
+        gramRows.collect { case (`kind`, g, tgt, c) => (g, tgt, c) }
+      val tokModel = model("t")
       val tgtM = tokModel.map(r => r._1 -> r._2).toMap
       val bgdM = tokModel.map(r => r._1 -> (r._3 - r._2)).toMap
-      val cbM = model("b", "bigram").map(r => r._1 -> r._3).toMap
-      val cpM = model("p", "prefix").map(r => r._1 -> r._3).toMap
+      val cbM = model("b").map(r => r._1 -> r._3).toMap
+      val cpM = model("p").map(r => r._1 -> r._3).toMap
       // ship all four models as ONE torrent broadcast: once per executor,
       // not once per task closure — at 81x the bigram model alone is 75k
       // entries, and closure shipping would re-serialize it into every
@@ -322,10 +334,6 @@ object StreamCurate {
           } finally {
             s.catalog.dropTempView(sink)
           }
-        // the eager localCheckpoint above already truncated the lineage
-        // that read the models — release the executor-side copies now
-        // (unpersist, not destroy: a re-fetch would still work)
-        models.unpersist(false)
         fromSink
           .select($"doc_id", $"dup", $"quality_ok", $"lm_ok", $"dsir_ok",
             $"mix_keep",
@@ -333,6 +341,14 @@ object StreamCurate {
               $"mix_keep").as("keep"))
           .orderBy("doc_id")
       } finally {
+        // release the executor-side model copies on EVERY exit path — the
+        // eager localCheckpoint on the success path has already truncated
+        // the lineage that read them, and a failure path (stream error,
+        // write timeout) has no further use for them either. unpersist,
+        // not destroy: a re-fetch would still work. (r15 advice: a
+        // success-path-only unpersist left failure paths pinning the four
+        // LM model maps until the Broadcast handle was GC'd.)
+        models.unpersist(false)
         Tables.deleteTree(watchDir.toFile)
         Tables.deleteTree(stageDir.toFile)
       }

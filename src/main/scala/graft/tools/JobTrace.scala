@@ -22,9 +22,9 @@ object JobTrace {
     // can lag past a fixed sleep, so settle until the count is stable
     // for 3 polls (bounded by JOBTRACE_DRAIN_MS per poll window)
     val drainMs = sys.env.getOrElse("JOBTRACE_DRAIN_MS", "1500").toLong
-    val spark = SparkSession.builder()
+    val spark = graft.core.ScaleConf.tuned(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -38,12 +38,28 @@ import org.apache.spark.sql.functions._
   * files. The remap hash is the row's (copy-shifted) id columns —
   * deterministic across regenerations.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <copies> [--zipf]
+  * `--docskew` (r16, r15 directive 4): the TEXT operators' own skew axis
+  * — uniform corpora never make the hot-shingle frequency cap
+  * (`Dedup.maxShingleDocFreq`) fire, leaving the 100 TB text-skew killer
+  * unexercised. With the flag, `documents` gets (per copy, before the
+  * per-copy token salting so cross-copy disjointness is preserved):
+  *  - a fixed four-token boilerplate sentence appended to 50% of docs
+  *    (hash-chosen) — its two interior 3-gram shingles land in half the
+  *    copy's corpus, orders of magnitude past the cap;
+  *  - 20% exact duplicates: every doc_id ≡ 4 (mod 5) takes the full text
+  *    of its bucket head (doc_id - 4), AFTER boilerplate assignment, so
+  *    duplicate pairs are bit-exact AND straddle the hot shingles — the
+  *    configuration where an exactness-breaking cap deflates true
+  *    duplicates below Jaccard 1.0 and the uncapped oracle catches it.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> <copies>
+  *        [--zipf|--docskew]
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val (srcDir, outDir, copiesS) = (args(0), args(1), args(2))
     val zipf = args.length > 3 && args(3) == "--zipf"
+    val docskew = args.length > 3 && args(3) == "--docskew"
     val copies = copiesS.toInt
     // stride 10^12 with ≤81 copies tops out at 8.1×10^13 — five decimal
     // orders under int64 for any INDIVIDUAL id. SUMS of shifted ids grow
@@ -96,7 +112,25 @@ object ScaleUp {
           .otherwise(col(c)))
     }
     for ((t, cols) <- shifts) {
-      val df = spark.read.parquet(s"$srcDir/$t.parquet")
+      val raw = spark.read.parquet(s"$srcDir/$t.parquet")
+      val df = if (t == "documents" && docskew) {
+        // boilerplate first (so duplicates copy their template's FINAL
+        // text), then exact duplication by bucket-head join
+        val bp = raw.withColumn("text",
+          when(pmod(xxhash64(col("doc_id"), lit("bp")), lit(2)) === 0,
+            concat(col("text"), lit(" standard legal footer applies")))
+            .otherwise(col("text")))
+        val heads = bp.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 4).as("doc_id"),
+            col("text").as("head_text"))
+        bp.join(heads, Seq("doc_id"), "left")
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(5)) === 4 &&
+              col("head_text").isNotNull, col("head_text"))
+              .otherwise(col("text")))
+          .drop("head_text")
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      } else raw
       val out = (0 until copies).map { k =>
         var d = cols.foldLeft(df)((acc, c) =>
           acc.withColumn(c, col(c) + lit(k.toLong * stride)))

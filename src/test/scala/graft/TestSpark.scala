@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for all suites. */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val s = graft.core.ScaleConf.tuned(SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
       .config("spark.ui.enabled", "false")
