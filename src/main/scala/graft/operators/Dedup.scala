@@ -102,14 +102,22 @@ object Dedup {
     * property): candidate pairs recover their capped-shingle intersection
     * through a candidate-keyed join against the hot-posting membership
     * table — linear in (candidates × hot-shingles-per-doc), never the F²/2
-    * pair space the cap exists to avoid. Without the correction, a
-    * boilerplate shingle shared corpus-wide would deflate every true
-    * duplicate to (n-2)/(n+2) < 1.0 and the uncapped oracle would catch it.
-    * The only pairs the cap can still MISS are those sharing exclusively
-    * capped shingles; at θ ≥ 0.5 that needs capped shingles alone to make
-    * up ≥ 1/3 of the pair's union — docs that are mostly boilerplate,
-    * which a quality gate removes and the doc-skew corpus deliberately
-    * does not contain.
+    * pair space the cap exists to avoid, and never moving shingle ARRAYS
+    * per pair (an r16 attempt that re-intersected full sets per candidate
+    * moved TBs at 81x — the pre-threshold pair space is tens of millions
+    * of rows; everything per-pair must stay skinny longs). The posting
+    * table and the per-pair cold counts are each CACHED and materialized
+    * once before fan-out: their consumers (cold pairs, hot membership,
+    * the recovery join) otherwise re-derive the posting shuffle per
+    * subtree — measured 6 recomputations and 3.2x wall at 81x when left
+    * to exchange reuse. Without the recovery, a boilerplate shingle
+    * shared corpus-wide would deflate every true duplicate to
+    * (n-2)/(n+2) < 1.0 and the uncapped oracle would catch it. The only
+    * pairs the cap can MISS are those sharing exclusively capped
+    * shingles; at θ ≥ 0.5 that needs capped shingles alone to make up
+    * ≥ 1/3 of the pair's union — docs that are mostly boilerplate, which
+    * a quality gate removes and the doc-skew corpus deliberately does
+    * not contain.
     */
   private[graft] def jaccardPairs(dsets: DataFrame,
       maxDocFreq: Int = maxShingleDocFreq): DataFrame = {
@@ -119,22 +127,28 @@ object Dedup {
     val combos = flatten(transform(ds, (x, i) =>
       transform(slice(ds, i + 2, size(ds)),
         y => struct(x.as("a"), y.as("b")))))
+    // ONE posting pass, shared by the cold-pair and hot-membership
+    // consumers (cache + forced count: the cachedShingleSets convention —
+    // exchange reuse does NOT dedupe these subtrees, see class doc)
     val posting = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .cache()
+    posting.count()
+    // per-pair count of shared NON-capped shingles; consumed by both the
+    // hot-recovery join and the final assembly, so materialized once
     val interCold = posting
       .filter(size(ds) <= maxDocFreq)
       .select(explode(combos).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("ic"))
-    // capped-shingle membership, (s, doc) — one row per (hot shingle,
-    // member doc): LINEAR in corpus size. Both branches of `posting`
-    // share one map-side shuffle (ReusedExchange); on a corpus with no
-    // hot shingles this side is empty and the correction joins are free.
+      .cache()
+    interCold.count()
+    // capped-shingle membership, (s, doc) — LINEAR in corpus size
     val hotMem = posting.filter(size(ds) > maxDocFreq)
       .select(col("s"), explode(ds).as("d"))
     // exact recovery: how many CAPPED shingles does each CANDIDATE pair
     // share? Keyed by the candidate's doc ids, never by the hot shingle —
-    // the pair space stays candidate-sized.
+    // the pair space stays candidate-sized, the rows stay skinny.
     val hotCnt = interCold.select(col("a"), col("b"))
       .join(hotMem.select(col("d").as("a"), col("s")), "a")
       .join(hotMem.select(col("d").as("b"), col("s")), Seq("b", "s"))
