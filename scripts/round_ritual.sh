@@ -271,8 +271,11 @@ PY
       "BENCH_r${ROUND}_27x.json"
     # 81x: a FOURTH growth point for the top-10 heaviest queries — the
     # tail slope 27x->81x is the closest the harness gets to the 100 TB
-    # asymptote (fixed costs are fully amortized; 2 reps suffice since
-    # only the median of multi-second runs feeds the fit)
+    # asymptote (fixed costs are fully amortized). THREE reps, not two:
+    # with two, Bench's median degenerates to the max, and single-rep
+    # outliers at 81x measure 1.6-2.6x on identical code (r16: sink
+    # [255.2, 96.1] in one session) — a fit fed by maxima flags noise,
+    # not growth. Median-of-3 rejects one outlier per query.
     GROWTH_POINTS="1:/tmp/ritual_bench_sf01.json 9:/tmp/ritual_bench_sf1.json 27:/tmp/ritual_bench_27x.json"
     if [ -d /root/repo/testdata_81x ]; then
       TOP10=$(python3 - <<'PY'
@@ -283,7 +286,7 @@ print(','.join(q for q, _ in qs))
 PY
 )
       SPARK_GRAFT_SF_DIR=/root/repo/testdata_81x SPARK_GRAFT_ONLY="$TOP10" \
-        SPARK_GRAFT_REPS=2 \
+        SPARK_GRAFT_REPS=3 \
         SPARK_GRAFT_BENCH_OUT=/tmp/ritual_bench_81x.json \
         sbt -batch "runMain graft.Bench" >/dev/null 2>&1 || true
       if python3 - <<'PY'

@@ -110,7 +110,22 @@ object Dedup {
     * once before fan-out: their consumers (cold pairs, hot membership,
     * the recovery join) otherwise re-derive the posting shuffle per
     * subtree — measured 6 recomputations and 3.2x wall at 81x when left
-    * to exchange reuse. Without the recovery, a boilerplate shingle
+    * to exchange reuse.
+    *
+    * The recovery plan is DATA-ADAPTIVE (r16): one skinny per-shingle
+    * document-frequency aggregate (no arrays, no pairs) decides up front
+    * whether ANY shingle exceeds the cap. On a corpus with no hot
+    * shingles — every uniform corpus; measured max df 25 vs cap 128 at
+    * sf0.1 — the recovery subtrees are provably empty, yet paying for
+    * them anyway (posting + pair-count materializations, two extra
+    * passes over the tens-of-millions-row pair space) measured 2-3x on
+    * the 27x jaccard family. So: no hot shingles → the original single
+    * streaming pipeline (zero caches, zero recovery joins); any hot
+    * shingle → the exactness-preserving recovery plan below. The probe
+    * costs one (s)-keyed count shuffle — ~2s at 27x vs the ~50-100s it
+    * avoids — and on a 100 TB corpus is the same frequency statistic a
+    * production dedup pass computes anyway before choosing its cap.
+    * Without the recovery, a boilerplate shingle
     * shared corpus-wide would deflate every true duplicate to
     * (n-2)/(n+2) < 1.0 and the uncapped oracle would catch it. The only
     * pairs the cap can MISS are those sharing exclusively capped
@@ -127,35 +142,49 @@ object Dedup {
     val combos = flatten(transform(ds, (x, i) =>
       transform(slice(ds, i + 2, size(ds)),
         y => struct(x.as("a"), y.as("b")))))
-    // ONE posting pass, shared by the cold-pair and hot-membership
-    // consumers (cache + forced count: the cachedShingleSets convention —
-    // exchange reuse does NOT dedupe these subtrees, see class doc)
-    val posting = sh.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .cache()
-    posting.count()
-    // per-pair count of shared NON-capped shingles; consumed by both the
-    // hot-recovery join and the final assembly, so materialized once
-    val interCold = posting
-      .filter(size(ds) <= maxDocFreq)
-      .select(explode(combos).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("ic"))
-      .cache()
-    interCold.count()
-    // capped-shingle membership, (s, doc) — LINEAR in corpus size
-    val hotMem = posting.filter(size(ds) > maxDocFreq)
-      .select(col("s"), explode(ds).as("d"))
-    // exact recovery: how many CAPPED shingles does each CANDIDATE pair
-    // share? Keyed by the candidate's doc ids, never by the hot shingle —
-    // the pair space stays candidate-sized, the rows stay skinny.
-    val hotCnt = interCold.select(col("a"), col("b"))
-      .join(hotMem.select(col("d").as("a"), col("s")), "a")
-      .join(hotMem.select(col("d").as("b"), col("s")), Seq("b", "s"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("hc"))
-    val inter = interCold.join(hotCnt, Seq("a", "b"), "left")
-      .select(col("a"), col("b"),
-        (col("ic") + coalesce(col("hc"), lit(0L))).as("inter"))
+    // the adaptive probe: does ANY shingle exceed the cap? One skinny
+    // (s)-keyed count — no arrays, no pairs (see class doc)
+    val anyHot = !sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).isEmpty
+    val inter = if (!anyHot) {
+      // no hot shingles: the single streaming pipeline — nothing is
+      // capped, so no recovery subtrees and nothing to materialize
+      sh.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(explode(combos).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("inter"))
+    } else {
+      // ONE posting pass, shared by the cold-pair and hot-membership
+      // consumers (cache + forced count: the cachedShingleSets convention —
+      // exchange reuse does NOT dedupe these subtrees, see class doc)
+      val posting = sh.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .cache()
+      posting.count()
+      // per-pair count of shared NON-capped shingles; consumed by both the
+      // hot-recovery join and the final assembly, so materialized once
+      val interCold = posting
+        .filter(size(ds) <= maxDocFreq)
+        .select(explode(combos).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("ic"))
+        .cache()
+      interCold.count()
+      // capped-shingle membership, (s, doc) — LINEAR in corpus size
+      val hotMem = posting.filter(size(ds) > maxDocFreq)
+        .select(col("s"), explode(ds).as("d"))
+      // exact recovery: how many CAPPED shingles does each CANDIDATE pair
+      // share? Keyed by the candidate's doc ids, never by the hot shingle —
+      // the pair space stays candidate-sized, the rows stay skinny.
+      val hotCnt = interCold.select(col("a"), col("b"))
+        .join(hotMem.select(col("d").as("a"), col("s")), "a")
+        .join(hotMem.select(col("d").as("b"), col("s")), Seq("b", "s"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("hc"))
+      interCold.join(hotCnt, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          (col("ic") + coalesce(col("hc"), lit(0L))).as("inter"))
+    }
     inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
@@ -296,7 +325,10 @@ object Dedup {
       dsets.count()
       val dups = jaccardPairs(dsets).filter($"jaccard" >= 0.5)
         .select($"b").distinct()
-      kept.join(dups, kept("doc_id") === dups("b"), "left_anti")
+      // hash-build the skinny dup-id set; never sort the fat kept rows
+      // (the gate-join convention — see PipelineFull)
+      kept.join(dups.hint("shuffle_hash"),
+          kept("doc_id") === dups("b"), "left_anti")
         .select($"doc_id", size($"tk").cast("long").as("n_tokens"))
         .orderBy("doc_id")
     },

@@ -82,8 +82,19 @@ object PipelineFull {
       .join(bands.select($"doc_id".as("b"), $"band", $"bh"),
         Seq("band", "bh"))
       .filter($"a" < $"b").select($"a", $"b").distinct()
+    // Gate joins hash-build the SKINNY side (r16): the survivor sets
+    // carry normalized text + token arrays, and a sort-merge join SORTS
+    // those fat rows — measured 532M+297M and 448M+26M of sort spill in
+    // the two heaviest seal stages at 81x, the very spill the r15 growth
+    // fit flagged. A shuffle-hash join builds a hash table from the
+    // doc_id-only gate set and STREAMS the fat side — no fat-row sort at
+    // any scale, and the build side stays bounded per partition because
+    // it is ids, not documents. (AQE's broadcast conversion can do the
+    // same when the gate set is small enough — the hint keeps the plan
+    // from ever degrading to a fat-row sort when it is not.)
     val dups = Dedup.verified(dsets, cands).select($"b").distinct()
-    val nd = seal(ex.join(dups, ex("doc_id") === dups("b"), "left_anti"))
+    val nd = seal(ex.join(dups.hint("shuffle_hash"),
+      ex("doc_id") === dups("b"), "left_anti"))
 
     // stage 4: quality gate
     val ql = seal(nd.filter(size($"tk") >= 10))
@@ -96,7 +107,8 @@ object PipelineFull {
     val lmCols =
       Seq($"doc_id", $"source", $"n_chars", $"tk") ++
         (if (keepText) Seq($"norm") else Nil)
-    val lm = seal(ql.join(lmOk, "doc_id").select(lmCols: _*))
+    val lm = seal(ql.join(lmOk.hint("shuffle_hash"), "doc_id")
+      .select(lmCols: _*))
 
     // stage 6: DSIR gate trained on the stage-5 survivors
     val tok = lm.select($"doc_id", ($"source" === "src0").as("is_t"),
@@ -108,7 +120,7 @@ object PipelineFull {
       .agg(sum($"tgt").as("st"), sum($"bgd").as("sb"))
       .filter(($"st" + 1).cast("double") / ($"sb" + 1) >= 0.0558)
       .select($"doc_id")
-    val dsir = seal(lm.join(dsOk, "doc_id"))
+    val dsir = seal(lm.join(dsOk.hint("shuffle_hash"), "doc_id"))
 
     // stage 7: semantic dedup over survivor embeddings (1:1 by id);
     // centroids stay the GLOBAL first-16 vectors — a fixed codebook, so
@@ -131,8 +143,8 @@ object PipelineFull {
     val sdup = x.join(y, Seq("cid")).filter($"xa" < $"b")
       .filter((ArrayMath.dot($"va", $"vb") / sqrt($"na" * $"nb")) >= 0.35)
       .select($"b").distinct()
-    val sem = seal(dsir.join(sdup, dsir("doc_id") === sdup("b"),
-      "left_anti"))
+    val sem = seal(dsir.join(sdup.hint("shuffle_hash"),
+      dsir("doc_id") === sdup("b"), "left_anti"))
 
     // stage 8: temperature mixture (alpha = 0.5) from SURVIVOR stats
     val stats = sem.groupBy($"source")

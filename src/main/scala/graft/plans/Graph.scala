@@ -13,7 +13,16 @@ object Graph {
 
   /** Make an edge set symmetric: (a,b) ∪ (b,a). Columns: src, dst. */
   def symmetrize(edges: DataFrame): DataFrame = {
-    val e = edges.toDF("src", "dst")
+    // SEAL the directed edge set before the self-union: union's two legs
+    // are the SAME subtree, and Spark computes each leg independently
+    // (exchange reuse does not dedupe union branches under AQE) — when
+    // the edge list is distilled by an expensive pipeline (the near-dup
+    // pair space), the whole pipeline ran twice: measured ~2x on
+    // q_dedup_clusters vs q_dedup_ngram_jaccard at every corpus scale.
+    // An eager localCheckpoint materializes the (tiny) edge list once;
+    // both legs then read the checkpoint blocks. Lifetime is plan-tied
+    // (ContextCleaner), matching the lmScore gram-stream convention.
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 

@@ -16,11 +16,13 @@ import scala.collection.mutable.ArrayBuffer
   * `withThreadLocalCaptured`.
   *
   * This instrument attributed the r15 27x->81x tail (e_tail 1.27-1.35 on
-  * the five doc-heavy queries): ONE post-shuffle join stage per pipeline
-  * carried GB-scale sort spill because AQE's initialPartitionNum
-  * defaulted to the core count — see `core/ScaleConf` for the fix and
-  * the measured before/after. Promoted into the ritual (step 7) as the
-  * standing METRICS_r{N}.txt emitter.
+  * the five doc-heavy queries): the pipelines' gate-join seal stages
+  * carried GB-scale sort spill at 81x. It then also REFUTED the first
+  * fix attempt — AQE re-partitioning (`core/ScaleConf`) cleared the
+  * spill but cost ~1.7x task CPU in many-small-partition plans; the
+  * shipped fix is hash-build gate joins (`operators/PipelineFull`),
+  * which never sort the fat rows. Promoted into the ritual (step 7) as
+  * the standing METRICS_r{N}.txt emitter.
   */
 object StageMetrics {
   def main(args: Array[String]): Unit = {
@@ -35,21 +37,24 @@ object StageMetrics {
     require(unknown.isEmpty, s"unregistered queries: ${unknown.mkString(",")}")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Overrides of the ScaleConf defaults, for hypothesis isolation:
-    // GRAFT_ADVISORY_MB re-sizes AQE's advisory partition size;
+    // Optional knob overrides for hypothesis isolation (applied only when
+    // set, so the default measurement matches the session every main
+    // builds): GRAFT_ADVISORY_MB re-sizes AQE's advisory partition size;
     // GRAFT_INIT_PARTS re-sizes coalescePartitions.initialPartitionNum
-    // (set it to the core count to reproduce the pre-r16 frozen-
-    // partition behavior — AQE can only MERGE map-output buckets, so a
-    // low initial count pins post-shuffle partitioning at every scale).
-    val advisory = sys.env.getOrElse("GRAFT_ADVISORY_MB", "16")
-    val initParts = sys.env.getOrElse("GRAFT_INIT_PARTS", "512")
-    val spark = graft.core.ScaleConf.tuned(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        initParts)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        s"${advisory}m")
+    // (AQE can only MERGE map-output buckets, so a low initial count pins
+    // post-shuffle partitioning at every scale).
+    val knobs: Seq[(String, String)] =
+      sys.env.get("GRAFT_INIT_PARTS").map(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> _)
+        .toSeq ++
+      sys.env.get("GRAFT_ADVISORY_MB").map(mb =>
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> s"${mb}m")
+    val spark = knobs.foldLeft(
+      graft.core.ScaleConf.tuned(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))) {
+        case (bb, (k, v)) => bb.config(k, v)
+      }
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -68,4 +68,39 @@ class DedupCapSpec extends AnyFunSuite {
       assert(got.contains(p), s"pair $p (truth >= 0.5) missing from capped run")
     }
   }
+
+  test("no hot shingles -> the streaming plan, with zero cache subtrees") {
+    // the adaptive guard's other half (r16): on a corpus where the cap
+    // cannot fire, jaccardPairs must take the original single-pipeline
+    // plan — paying the recovery path's materializations anyway measured
+    // 2-3x on the 27x jaccard family (uniform corpora have max df 25 vs
+    // cap 128). InMemoryRelation in the plan means the recovery branch
+    // leaked into the cold case.
+    // the hot-path test above leaves its posting cache alive, and the
+    // CacheManager substitutes matching plan FRAGMENTS into new queries —
+    // clear it so this test sees the plan a fresh session (or a main,
+    // which clears caches between queries) would build
+    spark.sqlContext.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.jaccardPairs(dsets) // default cap 128 ≫ max df 9
+    assert(!out.queryExecution.optimizedPlan.toString
+        .contains("InMemoryRelation"),
+      "cold-corpus jaccardPairs must not cache recovery intermediates")
+    // values still exact vs brute force (the cold branch is the SAME
+    // aggregation, minus the provably-empty recovery subtrees)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sets = dsets.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got.get((1L, 2L)).contains(1.0))
+    got.foreach { case ((a, b), j) =>
+      val t = (sets(a) & sets(b)).size.toDouble /
+        (sets(a).size + sets(b).size - (sets(a) & sets(b)).size)
+      assert(math.abs(t - j) < 1e-12, s"pair ($a,$b) reported $j, truth $t")
+    }
+    // and the probe itself must not have left a persisted RDD behind
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      "cold-path jaccardPairs persisted an RDD")
+  }
 }
