@@ -26,6 +26,7 @@
 #   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /root/repo/testdata_81x 81"
 #   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /root/repo/testdata_skew9x 9 --zipf"
 #   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.01 /root/repo/testdata_docskew9x 9 --docskew"
+#   sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.01 /root/repo/testdata_docskew27x 27 --docskew"
 # Usage: scripts/round_ritual.sh [fast] [roundN]
 #   "fast" skips steps 4-7; roundN (e.g. 13) names the committed artifacts.
 set -uo pipefail
@@ -60,14 +61,31 @@ out=$(GRAFT_SWEEP=1 sbt -batch "testOnly graft.ExtendedSweepSpec" 2>&1 |
 echo "$out"
 echo "$out" | grep -q "failed 0" || gate "extended sweep"
 
-run_verify() { # run_verify <sfDir> <outDir> <label>
-  if ! sbt -batch "runMain graft.Verify $1 $2" >/dev/null 2>&1; then
+run_verify() { # run_verify <sfDir> <outDir> <label> [logFile]
+  # logFile (r17): capture the Verify run's output so scale legs can
+  # ASSERT which adaptive branch ran ([graft-dedup-cap] lines), not
+  # infer it — a probe-threshold bug would otherwise silently pessimize
+  # every scale leg (r16 directive 7)
+  local log="${4:-/dev/null}"
+  if ! sbt -batch "runMain graft.Verify $1 $2" >"$log" 2>&1; then
     gate "$3 (Verify crashed)"; return
   fi
   local line
   line=$(python3 scripts/oracle_check.py "$1" "$2" | tail -1)
   echo "$line"
   echo "$line" | grep -q "^PASS" || gate "$3"
+}
+
+# assert_cap_branch <logFile> <expected: streaming|recovery> <label>
+assert_cap_branch() {
+  local got
+  got=$(grep -o "path=[a-z]*" "$1" 2>/dev/null | sort -u | tr '\n' ' ')
+  echo "$3 dedup-cap branch: ${got:-none captured}"
+  if ! grep -q "graft-dedup-cap" "$1" 2>/dev/null; then
+    gate "$3 dedup-cap branch (no probe line captured)"
+  elif grep "graft-dedup-cap" "$1" | grep -qv "path=$2"; then
+    gate "$3 dedup-cap branch (expected only path=$2)"
+  fi
 }
 
 step "3/8 oracle correctness sf0.01"
@@ -88,7 +106,10 @@ if [ "$FAST" != "fast" ]; then
   # it is a gate, not a spot check. Full 199 queries against DuckDB.
   if [ -d /root/repo/testdata_27x ]; then
     SPARK_GRAFT_CPUS=16 run_verify /root/repo/testdata_27x /tmp/ritual_v27x \
-      "oracle 27x"
+      "oracle 27x" /tmp/ritual_v27x.log
+    # the uniform 27x corpus must take the ZERO-recovery streaming path —
+    # paying recovery anyway measured 2-3x on the jaccard family (r16)
+    assert_cap_branch /tmp/ritual_v27x.log streaming "27x"
     [ -n "$ROUND" ] && [ -f /tmp/ritual_v27x/summary.json ] &&
       cp /tmp/ritual_v27x/summary.json "CORRECTNESS_r${ROUND}_27x.json"
   else
@@ -180,7 +201,9 @@ q_dedup_minhash,q_substring_dup"
       gate "docskew probe (cap never fired)"
     elif SPARK_GRAFT_CPUS=16 SPARK_GRAFT_ONLY="$DOCSKEW_SET" \
          sbt -batch "runMain graft.Verify /root/repo/testdata_docskew9x /tmp/ritual_vdocskew" \
-         >/dev/null 2>&1; then
+         >/tmp/ritual_vdocskew.log 2>&1; then
+      # the hot corpus must take the exactness-preserving RECOVERY path
+      assert_cap_branch /tmp/ritual_vdocskew.log recovery "docskew9x"
       line=$(GRAFT_ORACLE_ONLY="$DOCSKEW_SET" python3 \
         scripts/oracle_check.py /root/repo/testdata_docskew9x /tmp/ritual_vdocskew |
         tail -1)
@@ -197,6 +220,54 @@ q_dedup_minhash,q_substring_dup"
   else
     echo "testdata_docskew9x missing — run ScaleUp --docskew first"
     gate "oracle docskew spot (no data)"
+  fi
+  # docskew 27x SCALE leg (r17, r16 directive 5): the adaptive recovery's
+  # materialization costs (posting + cold-pair checkpoints, the recovery
+  # joins) only show at volume — oracle the dedup family on the cap-firing
+  # corpus at 27 copies AND record its bench time. Base stays sf0.01: the
+  # DuckDB oracle replays the shingle join UNCAPPED, and per-copy token
+  # salting keeps each copy's hot posting (250 docs) enumerable.
+  if [ -d /root/repo/testdata_docskew27x ]; then
+    probe=$(sbt -batch "runMain graft.tools.DocSkewProbe /root/repo/testdata_docskew27x" 2>/dev/null |
+      grep "docskew-probe" || true)
+    echo "${probe:-docskew27x probe produced no output}"
+    if ! echo "$probe" | grep -q "capped_postings=[1-9]"; then
+      gate "docskew27x probe (cap never fired)"
+    elif SPARK_GRAFT_CPUS=16 SPARK_GRAFT_ONLY="$DOCSKEW_SET" \
+         sbt -batch "runMain graft.Verify /root/repo/testdata_docskew27x /tmp/ritual_vdocskew27" \
+         >/tmp/ritual_vdocskew27.log 2>&1; then
+      assert_cap_branch /tmp/ritual_vdocskew27.log recovery "docskew27x"
+      line=$(GRAFT_ORACLE_ONLY="$DOCSKEW_SET" python3 \
+        scripts/oracle_check.py /root/repo/testdata_docskew27x /tmp/ritual_vdocskew27 |
+        tail -1)
+      echo "docskew27x spot: $line"
+      if echo "$line" | grep -q "^PASS"; then
+        [ -n "$ROUND" ] && [ -f /tmp/ritual_vdocskew27/summary.json ] &&
+          cp /tmp/ritual_vdocskew27/summary.json \
+            "CORRECTNESS_r${ROUND}_docskew27x.json"
+      else
+        gate "oracle docskew27x spot"
+      fi
+      rm -f /tmp/ritual_bench_docskew27x.json
+      SPARK_GRAFT_SF_DIR=/root/repo/testdata_docskew27x \
+        SPARK_GRAFT_ONLY="$DOCSKEW_SET" \
+        SPARK_GRAFT_BENCH_OUT=/tmp/ritual_bench_docskew27x.json \
+        sbt -batch "runMain graft.Bench" >/dev/null 2>&1 || true
+      python3 - <<'PY' || gate "docskew27x bench"
+import json, sys
+d = json.load(open('/tmp/ritual_bench_docskew27x.json'))
+print('docskew27x bench total', d['value'], 'failed', d['failed'])
+sys.exit(1 if d['failed'] else 0)
+PY
+      [ -n "$ROUND" ] && [ -f /tmp/ritual_bench_docskew27x.json ] &&
+        cp /tmp/ritual_bench_docskew27x.json \
+          "BENCH_r${ROUND}_docskew27x.json"
+    else
+      gate "oracle docskew27x spot (Verify crashed)"
+    fi
+  else
+    echo "testdata_docskew27x missing — run ScaleUp --docskew (27) first"
+    gate "oracle docskew27x spot (no data)"
   fi
 
   step "5/8 bench sf0.1"
@@ -343,7 +414,7 @@ END_HEAD=$(git rev-parse HEAD)
 # Everything ELSE still gates; the caller's next act must be the
 # blessing commit that adds exactly these files.
 ARTIFACT_RE='^zzz-no-artifacts$'
-[ -n "$ROUND" ] && ARTIFACT_RE="(CORRECTNESS_r${ROUND}_(27x|skew|docskew|81x)\.json|BENCH_r${ROUND}_(sf01|sf1|27x|81x)\.json|LINEARITY_r${ROUND}\.txt|GROWTH_r${ROUND}\.txt|METRICS_r${ROUND}\.txt)$"
+[ -n "$ROUND" ] && ARTIFACT_RE="(CORRECTNESS_r${ROUND}_(27x|skew|docskew|docskew27x|81x)\.json|BENCH_r${ROUND}_(sf01|sf1|27x|81x|docskew27x)\.json|LINEARITY_r${ROUND}\.txt|GROWTH_r${ROUND}\.txt|METRICS_r${ROUND}\.txt)$"
 # Only UNTRACKED ('??') round artifacts are exempt dirt: a MODIFIED
 # round artifact means committed evidence no longer matches this run
 # (a post-blessing re-run overwrote blessed numbers) and must gate

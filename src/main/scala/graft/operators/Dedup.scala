@@ -143,9 +143,21 @@ object Dedup {
       transform(slice(ds, i + 2, size(ds)),
         y => struct(x.as("a"), y.as("b")))))
     // the adaptive probe: does ANY shingle exceed the cap? One skinny
-    // (s)-keyed count — no arrays, no pairs (see class doc)
+    // (s)-keyed count — no arrays, no pairs (see class doc). NB the probe
+    // runs EAGERLY here while the returned frame is lazy: callers must
+    // pass a materialized/cached (or otherwise deterministic) dsets so
+    // the probe and the executed plan see the same data — an uncached
+    // non-deterministic input could cross the cap between probe and
+    // execution and silently deflate Jaccard values. All in-repo callers
+    // cache/seal dsets first (cachedShingleSets / PipelineFull).
     val anyHot = !sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).isEmpty
+    // branch visibility (r17, r16 directive 7): the adaptive choice is
+    // load-bearing for both perf (uniform corpora must skip recovery) and
+    // exactness (capped corpora must take it) — surface which path ran so
+    // the ritual's scale legs can assert the branch, not infer it
+    System.err.println(s"[graft-dedup-cap] maxDf=$maxDocFreq " +
+      s"path=${if (anyHot) "recovery" else "streaming"}")
     val inter = if (!anyHot) {
       // no hot shingles: the single streaming pipeline — nothing is
       // capped, so no recovery subtrees and nothing to materialize
@@ -156,12 +168,15 @@ object Dedup {
         .agg(count(lit(1)).as("inter"))
     } else {
       // ONE posting pass, shared by the cold-pair and hot-membership
-      // consumers (cache + forced count: the cachedShingleSets convention —
-      // exchange reuse does NOT dedupe these subtrees, see class doc)
+      // consumers. Eager localCheckpoint, not cache() (r17): same
+      // materialize-once effect (exchange reuse does NOT dedupe these
+      // subtrees, see class doc), but lifetime is plan-tied via the
+      // ContextCleaner instead of entering the CacheManager — a cached
+      // fragment here was being substituted into UNRELATED later queries'
+      // plans (and forced test suites to clearCache() session-wide).
       val posting = sh.groupBy(col("s"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .cache()
-      posting.count()
+        .localCheckpoint(true)
       // per-pair count of shared NON-capped shingles; consumed by both the
       // hot-recovery join and the final assembly, so materialized once
       val interCold = posting
@@ -169,8 +184,7 @@ object Dedup {
         .select(explode(combos).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("ic"))
-        .cache()
-      interCold.count()
+        .localCheckpoint(true)
       // capped-shingle membership, (s, doc) — LINEAR in corpus size
       val hotMem = posting.filter(size(ds) > maxDocFreq)
         .select(col("s"), explode(ds).as("d"))

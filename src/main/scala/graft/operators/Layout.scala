@@ -77,12 +77,21 @@ object Layout {
     // output bins of ~target size by chunking the cumulative size in
     // manifest order — exactly what a compaction job computes before its
     // bin-per-task rewrite (documents stand in as the manifest; n_chars as
-    // file size; target 25000). The single-partition window is CORRECT at
-    // scale here because it runs over the MANIFEST, not the data: 100 TB at
-    // 1 GB/file is 10^5 manifest rows — driver-trivial — while the rewrite
-    // itself is one task per bin. bin = starting-offset / target keeps
+    // file size; target 25000). bin = starting-offset / target keeps
     // every bin ≤ target + one file, never splits a file, and is exact
     // integer math in both engines.
+    //
+    // The global prefix sum is DISTRIBUTED (r17, was a single-partition
+    // window): range-partition by doc_id, take per-range totals (one tiny
+    // aggregate, ≤ #partitions rows — the bounded collect), turn them into
+    // exclusive cumulative offsets on the driver, and add each range's
+    // offset to its in-partition running sum (a window PARTITIONED by the
+    // pinned range id — never one partition carrying the whole input). The
+    // classic two-phase scan: exact at 10^8+ manifest rows, identical
+    // result at any partition count because ranges of doc_id are
+    // contiguous. The range ids are sealed (localCheckpoint) so the
+    // totals pass and the cumsum pass see the SAME partitioning even if
+    // range sampling would re-draw.
     GraftQuery.sql("q_compaction_bins",
       """WITH m AS (SELECT doc_id, n_chars,
         |        SUM(n_chars) OVER (ORDER BY doc_id
@@ -93,11 +102,22 @@ object Layout {
         |FROM m GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      Tables.load(s, dir, "documents")
+      val parts = math.max(2, s.sparkContext.defaultParallelism)
+      val m = Tables.load(s, dir, "documents")
         .select($"doc_id", $"n_chars")
-        .withColumn("cum", sum($"n_chars").over(
-          Window.orderBy($"doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .repartitionByRange(parts, $"doc_id")
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
+      val totals = m.groupBy($"pid").agg(sum($"n_chars").as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      // exclusive prefix over the pid-ordered range totals: offset of
+      // range k = sum of all lower ranges' totals
+      val offByPid: Map[Int, Long] = totals.map(_._1).zip(
+        totals.map(_._2).scanLeft(0L)(_ + _).init).toMap
+      m.withColumn("cum",
+          sum($"n_chars").over(Window.partitionBy($"pid").orderBy($"doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            + coalesce(element_at(typedlit(offByPid), $"pid"), lit(0L)))
         .groupBy(floor(($"cum" - $"n_chars") / 25000).as("bin"))
         .agg(count(lit(1)).as("n_files"),
           sum($"n_chars").cast("long").as("bytes"))

@@ -27,7 +27,7 @@ import graft.functions.{ArrayMath, Fingerprints}
   * Scale shape: stages never multiply each other's data movement — each
   * stage is its own bounded plan (digest window / shingle groupBy +
   * banded bucket join / gram-keyed and token-keyed train joins /
-  * cid-keyed pair space / source-keyed rates / shard-partitioned packing
+  * (cid, sign-bucket)-keyed pair space / source-keyed rates / shard-partitioned packing
   * window), stitched by doc_id-keyed semi-joins on cached survivor sets.
   * The per-stage digest is one ordinary aggregate with map-side partials.
   * Plan-guarded in PlanQualitySpec (no cartesian products; survivor sets
@@ -37,6 +37,28 @@ object PipelineFull {
 
   /** Order-insensitive digest — the shared audit-row convention. */
   private def idsSum(tag: Column): Column = Fingerprints.idsSum(tag)
+
+  /** Sub-bucket mask for the semantic-dedup pair space: 2^p - 1 with
+    * p = clamp(floor(log2(n / 2048)), 0, 16) — 0 below 4096 survivors
+    * (exhaustive within each of the 16 centroid cells), then one more
+    * sign-projection bit per doubling, keeping ~2048 vectors per
+    * (cid, sub) cell. Pure integer arithmetic (mirrored as an integer
+    * CASE chain in the oracle SQL) — a float log2 at the boundary could
+    * round differently across engines and flip every bucket. */
+  private[operators] def semSubMask(n: Long): Long =
+    if (n < 4096L) 0L
+    else {
+      val p = math.min(16, 63 - java.lang.Long.numberOfLeadingZeros(n / 2048L))
+      (1L << p) - 1L
+    }
+
+  /** The oracle's replay of [[semSubMask]]: an integer CASE chain over the
+    * survivor count `n` (largest matching power wins). */
+  private val semSubMaskSql: String = {
+    val whens = (16 to 1 by -1).map(k =>
+      s"WHEN n >= ${2048L * (1L << k)} THEN ${(1L << k) - 1}").mkString(" ")
+    s"CASE $whens ELSE 0 END"
+  }
 
   /** The sealed survivor sets of cascade stages 1-8 — shared by the
     * attrition query (`q_pipeline_full`, which measures every stage) and
@@ -89,9 +111,15 @@ object PipelineFull {
     // fit flagged. A shuffle-hash join builds a hash table from the
     // doc_id-only gate set and STREAMS the fat side — no fat-row sort at
     // any scale, and the build side stays bounded per partition because
-    // it is ids, not documents. (AQE's broadcast conversion can do the
-    // same when the gate set is small enough — the hint keeps the plan
-    // from ever degrading to a fat-row sort when it is not.)
+    // it is ids, not documents. NB the hint takes precedence over
+    // size-based broadcast selection (hinted strategies are consulted
+    // before createJoinWithoutHint, including during AQE re-optimization),
+    // so a tiny gate set pays one extra shuffle of the fat side that a
+    // broadcast join would have skipped — accepted: at the scales where
+    // this pipeline's cost lives the gate sets are NOT reliably
+    // broadcast-small, and the hint is what guarantees the fat side can
+    // never be sorted (measured: the 27x trio improved 0.89-0.92x under
+    // the hint; sf0.01/sf0.1 within noise).
     val dups = Dedup.verified(dsets, cands).select($"b").distinct()
     val nd = seal(ex.join(dups.hint("shuffle_hash"),
       ex("doc_id") === dups("b"), "left_anti"))
@@ -110,37 +138,73 @@ object PipelineFull {
     val lm = seal(ql.join(lmOk.hint("shuffle_hash"), "doc_id")
       .select(lmCols: _*))
 
-    // stage 6: DSIR gate trained on the stage-5 survivors
+    // stage 6: DSIR gate trained on the stage-5 survivors. The threshold
+    // is CORPUS-RELATIVE (r17): keep docs whose smoothed target/background
+    // affinity exceeds the corpus-wide token-mass ratio ΣT/ΣB. An absolute
+    // threshold (0.0558, tuned at sf0.01) annihilated every corpus whose
+    // count statistics differed — at sf0.1 the per-doc ratio distribution
+    // concentrates below it and the gate kept 0 of 3153 docs, which made
+    // every downstream stage (and its scale evidence) vacuous. The pivot
+    // is the exact integer-sum ratio (SUM of int64 per-doc sums — order-
+    // free, ~1.9e11 at 81x, eight orders under int64), so both engines
+    // compute bit-identical doubles and the comparison cannot drift.
     val tok = lm.select($"doc_id", ($"source" === "src0").as("is_t"),
       explode($"tk").as("w"))
     val model = tok.groupBy("w").agg(
       sum(when($"is_t", 1L).otherwise(0L)).as("tgt"),
       sum(when($"is_t", 0L).otherwise(1L)).as("bgd"))
-    val dsOk = tok.join(model, "w").groupBy($"doc_id")
-      .agg(sum($"tgt").as("st"), sum($"bgd").as("sb"))
-      .filter(($"st" + 1).cast("double") / ($"sb" + 1) >= 0.0558)
+    // sealed: consumed by both the pivot aggregate and the gate filter
+    val dscore = seal(tok.join(model, "w").groupBy($"doc_id")
+      .agg(sum($"tgt").as("st"), sum($"bgd").as("sb")))
+    val dpiv = dscore.agg(sum($"st").as("gt"), sum($"sb").as("gb"))
+    val dsOk = dscore.crossJoin(broadcast(dpiv))
+      .filter(($"st" + 1).cast("double") / ($"sb" + 1) >=
+        $"gt".cast("double") / $"gb")
       .select($"doc_id")
     val dsir = seal(lm.join(dsOk.hint("shuffle_hash"), "doc_id"))
 
     // stage 7: semantic dedup over survivor embeddings (1:1 by id);
     // centroids stay the GLOBAL first-16 vectors — a fixed codebook, so
-    // cluster geometry does not drift with upstream attrition
+    // cluster geometry does not drift with upstream attrition.
+    //
+    // SUB-BUCKETED pair space (r17): with the DSIR gate no longer
+    // annihilating at scale, the within-cid pair space is live — and 16
+    // fixed cells over n survivors is O(n²/16), the quadratic this stage
+    // was masking. Each vector therefore also gets a sign-projection
+    // signature (bit i = dot(v, centroid_i) >= 0 — 16 deterministic
+    // hyperplanes, no extra data) and pairs are compared only within
+    // (cid, signature & mask). The mask width grows stepwise with the
+    // MEASURED survivor count (semSubMask: p = floor(log2(n/2048)),
+    // integer-exact in both engines — no transcendental at the boundary),
+    // so small corpora stay exhaustive-within-cid while large ones keep
+    // ~2k vectors per cell — pair work stays ~linear at any scale.
+    // Identical embeddings share every sign bit, so exact semantic
+    // duplicates are caught at every mask width; banding limits recall
+    // only for middling-cosine pairs, the standard LSH trade (the MinHash
+    // stage's stance, applied to the embedding space).
     val se = Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val cents = se.filter($"vec_id" < 16).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    val sen = se.join(dsir.select($"doc_id"),
+    // sealed: the pair join consumes it from BOTH sides, and the measured
+    // count sizes the sub-bucket mask
+    val sen = seal(se.join(dsir.select($"doc_id").hint("shuffle_hash"),
         se("vec_id") === dsir("doc_id"), "left_semi")
       .withColumn("n2", ArrayMath.dot($"v", $"v"))
       .withColumn("cid", array_min(array(cents.map { case (cid, cv) =>
         struct(ArrayMath.l2sq($"v", typedlit(cv)).as("d"),
           lit(cid).as("cid")) }: _*))("cid"))
-    val x = sen.select($"cid", $"vec_id".as("xa"), $"v".as("va"),
+      .withColumn("sig", cents.zipWithIndex.map { case ((_, cv), i) =>
+        when(ArrayMath.dot($"v", typedlit(cv)) >= 0, lit(1L << i))
+          .otherwise(lit(0L)) }.reduce(_ + _)))
+    val mask = semSubMask(sen.count())
+    val senb = sen.withColumn("sub", $"sig".bitwiseAND(lit(mask)))
+    val x = senb.select($"cid", $"sub", $"vec_id".as("xa"), $"v".as("va"),
       $"n2".as("na"))
-    val y = sen.select($"cid", $"vec_id".as("b"), $"v".as("vb"),
+    val y = senb.select($"cid", $"sub", $"vec_id".as("b"), $"v".as("vb"),
       $"n2".as("nb"))
-    val sdup = x.join(y, Seq("cid")).filter($"xa" < $"b")
+    val sdup = x.join(y, Seq("cid", "sub")).filter($"xa" < $"b")
       .filter((ArrayMath.dot($"va", $"vb") / sqrt($"na" * $"nb")) >= 0.35)
       .select($"b").distinct()
     val sem = seal(dsir.join(sdup.hint("shuffle_hash"),
@@ -163,7 +227,10 @@ object PipelineFull {
   }
 
   /** DuckDB CTE chain replaying cascade stages 1-8 (ends at `mx`, the
-    * final survivor set) — shared verbatim by both oracles. */
+    * final survivor set) — shared verbatim by both oracles. The
+    * GRAFT_SEM_MASK placeholder is substituted with [[semSubMaskSql]]
+    * after stripMargin (a mid-literal splice would escape stripMargin's
+    * scope and leave raw margins in the first half of the chain). */
   private val dagCtes: String =
     """nm AS MATERIALIZED (SELECT doc_id, source, n_chars,
         |    nfc_normalize(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
@@ -203,8 +270,10 @@ object PipelineFull {
         |  FROM dtk GROUP BY w),
         |dsc AS MATERIALIZED (SELECT dtk.doc_id, SUM(dmd.tgt) AS st, SUM(dmd.bgd) AS sb
         |  FROM dtk JOIN dmd USING (w) GROUP BY dtk.doc_id),
-        |dsir AS MATERIALIZED (SELECT lm.* FROM lm JOIN dsc USING (doc_id)
-        |  WHERE CAST(st + 1 AS DOUBLE) / (sb + 1) >= 0.0558),
+        |dpv AS MATERIALIZED (SELECT CAST(SUM(st) AS DOUBLE)
+        |    / CAST(SUM(sb) AS DOUBLE) AS gr FROM dsc),
+        |dsir AS MATERIALIZED (SELECT lm.* FROM lm JOIN dsc USING (doc_id), dpv
+        |  WHERE CAST(st + 1 AS DOUBLE) / (sb + 1) >= dpv.gr),
         |se AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
         |    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |sen AS MATERIALIZED (SELECT vec_id, v, list_reduce(list_transform(v, x -> x * x),
@@ -214,15 +283,25 @@ object PipelineFull {
         |sd AS MATERIALIZED (SELECT sen.vec_id, sc0.cid,
         |    list_reduce(list_transform(range(1, len(sen.v) + 1),
         |      i -> (sen.v[i] - sc0.cv[i]) * (sen.v[i] - sc0.cv[i])),
-        |      (a, b) -> a + b) AS d
+        |      (a, b) -> a + b) AS d,
+        |    list_reduce(list_transform(list_zip(sen.v, sc0.cv),
+        |      z -> z[1] * z[2]), (a, b) -> a + b) AS dp
         |  FROM sen, sc0),
         |sa AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
         |    OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM sd)
         |  WHERE rn = 1),
-        |sm AS MATERIALIZED (SELECT sen.vec_id, sen.v, sen.n2, sa.cid
-        |  FROM sen JOIN sa USING (vec_id)),
+        |scr AS MATERIALIZED (SELECT cid,
+        |    CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS r FROM sc0),
+        |sbt AS MATERIALIZED (SELECT sd.vec_id, CAST(SUM(CASE WHEN sd.dp >= 0
+        |      THEN (CAST(1 AS BIGINT) << scr.r) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM sd JOIN scr USING (cid) GROUP BY sd.vec_id),
+        |smk AS MATERIALIZED (SELECT CAST(GRAFT_SEM_MASK AS BIGINT) AS mask
+        |  FROM (SELECT COUNT(*) AS n FROM sen)),
+        |sm AS MATERIALIZED (SELECT sen.vec_id, sen.v, sen.n2, sa.cid,
+        |    (sbt.sig & smk.mask) AS sub
+        |  FROM sen JOIN sa USING (vec_id) JOIN sbt USING (vec_id), smk),
         |sdup AS MATERIALIZED (SELECT DISTINCT y.vec_id AS b FROM sm x JOIN sm y
-        |  ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  ON x.cid = y.cid AND x.sub = y.sub AND x.vec_id < y.vec_id
         |  WHERE list_reduce(list_transform(list_zip(x.v, y.v),
         |      z -> z[1] * z[2]), (u, w) -> u + w) / sqrt(x.n2 * y.n2) >= 0.35),
         |sem AS MATERIALIZED (SELECT * FROM dsir WHERE doc_id NOT IN (SELECT b FROM sdup)),
@@ -234,6 +313,7 @@ object PipelineFull {
         |mx AS MATERIALIZED (SELECT sem.* FROM sem JOIN mr USING (source)
         |  WHERE (md5_number_lower('tmp:' || CAST(doc_id AS VARCHAR))
         |    & 2147483647) % 1000 < mr.rate)""".stripMargin
+      .replace("GRAFT_SEM_MASK", semSubMaskSql)
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery.sql("q_pipeline_full",

@@ -11,7 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Make an edge set symmetric: (a,b) ∪ (b,a). Columns: src, dst. */
+  /** Make an edge set symmetric: (a,b) ∪ (b,a). Columns: src, dst.
+    *
+    * SIZE CONTRACT: the input is EAGERLY materialized (localCheckpoint)
+    * before the self-union — correct and cheap for the edge lists this
+    * library produces (near-dup pair graphs, orders of magnitude smaller
+    * than their corpus), but a caller passing a corpus-scale edge table
+    * pins it into executor block storage with lineage truncated
+    * (unrecoverable on executor loss on a real cluster). For such inputs,
+    * symmetrize the raw frame inline instead and accept the double
+    * computation, or checkpoint to reliable storage first. */
   def symmetrize(edges: DataFrame): DataFrame = {
     // SEAL the directed edge set before the self-union: union's two legs
     // are the SAME subtree, and Spark computes each leg independently

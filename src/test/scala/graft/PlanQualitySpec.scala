@@ -665,6 +665,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(sealedReads >= 8,
       s"only $sealedReads stage plans read sealed survivor sets — " +
         s"stages are re-deriving upstream lineage")
+    // r17 (r16 directive 6): the doc_id gate joins must never sort the
+    // fat (text/token-array) side. Every gate is hinted shuffle_hash; a
+    // Spark upgrade or a dropped hint silently degrading them to
+    // sort-merge re-opens the r15 scale-killer (532M+297M of fat-row sort
+    // spill measured at 81x). Two assertions: no anti/semi gate is a
+    // SortMergeJoin, and the hinted gates actually materialize as
+    // ShuffledHashJoin across the stage plans.
+    ps.foreach { p =>
+      p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+        assert(!l.contains("LeftAnti") && !l.contains("LeftSemi"),
+          s"a doc_id gate join degraded to SortMergeJoin:\n$p")
+      }
+    }
+    val shj =
+      ps.map(_.linesIterator.count(_.contains("ShuffledHashJoin"))).sum
+    assert(shj >= 5,
+      s"expected the 5 hinted gate joins (nd/lm/dsir/sen/sem) to appear " +
+        s"as ShuffledHashJoin in the stage plans, saw $shj")
+  }
+
+  test("q_pipeline_clean gate join hash-builds the dup-id set, never sort-merge on the fat side") {
+    // the cleaned-corpus anti-join carries the full text/token rows on
+    // its streamed side; the r16 fix pins it to a shuffle-hash build of
+    // the skinny dup-id set (broadcast also acceptable at tiny SF) — a
+    // sort-merge here re-introduces the fat-row sort at scale
+    val p = plan("q_pipeline_clean")
+    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+      assert(!l.contains("LeftAnti"),
+        s"the dup-id gate degraded to SortMergeJoin:\n$p")
+    }
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"no hash gate join in the clean plan:\n$p")
   }
 
   test("q_corpus_diff joins snapshots keyed on doc_id, never a product") {

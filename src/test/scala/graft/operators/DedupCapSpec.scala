@@ -76,11 +76,9 @@ class DedupCapSpec extends AnyFunSuite {
     // 2-3x on the 27x jaccard family (uniform corpora have max df 25 vs
     // cap 128). InMemoryRelation in the plan means the recovery branch
     // leaked into the cold case.
-    // the hot-path test above leaves its posting cache alive, and the
-    // CacheManager substitutes matching plan FRAGMENTS into new queries —
-    // clear it so this test sees the plan a fresh session (or a main,
-    // which clears caches between queries) would build
-    spark.sqlContext.clearCache()
+    // (the hot path materializes via localCheckpoint, which never enters
+    // the CacheManager — so no session-wide clearCache is needed here,
+    // and other suites' cached fixtures survive parallel execution)
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = Dedup.jaccardPairs(dsets) // default cap 128 ≫ max df 9
     assert(!out.queryExecution.optimizedPlan.toString
