@@ -396,30 +396,29 @@ object TextAnalysis {
       def emptyOut = tk.limit(0).select($"doc_id",
         lit(0L).as("n0"), lit(0L).as("n2"),
         lit("").as("merge1"), lit("").as("merge2"), lit("").as("fp"))
+      val (merges, rounds) = trainMerges(tk, 2)
       try {
-        topPair(tk) match {
-          case None => emptyOut
-          case Some((a1, b1)) =>
-            val r1 = tk.select($"doc_id", mergeOnce($"t", a1, b1).as("t"))
-              .cache()
-            try {
-              topPair(r1) match {
-                case None => emptyOut
-                case Some((a2, b2)) =>
-                  val r2 =
-                    r1.select($"doc_id", mergeOnce($"t", a2, b2).as("t"))
-                  tk.select($"doc_id", size($"t").cast("long").as("n0"))
-                    .join(r2.select($"doc_id",
-                      size($"t").cast("long").as("n2"),
-                      md5(concat_ws(" ", $"t")).as("fp")), "doc_id")
-                    .select($"doc_id", $"n0", $"n2",
-                      lit(a1 + "_" + b1).as("merge1"),
-                      lit(a2 + "_" + b2).as("merge2"), $"fp")
-                    .orderBy("doc_id")
-              }
-            } finally r1.unpersist(blocking = false)
+        merges match {
+          case List((a1, b1), (a2, b2)) =>
+            // before/after counts + fingerprint in ONE map-side pass: the
+            // fully merged stream is bpeApply over the SAME row's tokens
+            // (expression-identical to the per-round rewrites, the
+            // TextMergeSpec-pinned identity), so the former tk-vs-r2
+            // self-join — a shuffle of every token array — is a
+            // projection (r17; measured 6.46→4.03 s at 27x)
+            val r2t = bpeApply($"t", List((a1, b1), (a2, b2)))
+            tk.select($"doc_id", size($"t").cast("long").as("n0"),
+                size(r2t).cast("long").as("n2"),
+                lit(a1 + "_" + b1).as("merge1"),
+                lit(a2 + "_" + b2).as("merge2"),
+                md5(concat_ws(" ", r2t)).as("fp"))
+              .orderBy("doc_id")
+          case _ => emptyOut
         }
-      } finally tk.unpersist(blocking = false)
+      } finally {
+        rounds.foreach(_.unpersist(blocking = false))
+        tk.unpersist(blocking = false)
+      }
     },
 
     // BPE ENCODE — the APPLY side of tokenizer training (q_bpe_merges is
@@ -463,10 +462,19 @@ object TextAnalysis {
   ) :+ bpeDecodeQuery
 
   /** Train up to `k` BPE merge rounds over a cached token table —
-    * shared by q_bpe_encode and q_bpe_decode so both always train the
-    * SAME merge table. Returns the (possibly short, if the corpus
-    * exhausts) ordered merges plus the cached per-round intermediates
-    * for the caller's finally-unpersist. */
+    * shared by q_bpe_merges, q_bpe_encode and q_bpe_decode so all always
+    * train the SAME merge table. Returns the (possibly short, if the
+    * corpus exhausts) ordered merges plus the cached per-round
+    * intermediates for the caller's finally-unpersist.
+    *
+    * MEASURED (r17): a fused variant that re-derived round k's stream as
+    * `bpeApply(t, merges-so-far)` from the base tokens — no per-round
+    * cache at all — was built and REFUTED at both bench scales: the
+    * Σk re-applications cost more CPU than the cached-array reads save
+    * (sf0.1: encode 3.51→4.18 s, decode 3.47→3.93 s; 27x: encode
+    * 13.45→16.95 s, decode 15.04→16.02 s; medians, back-to-back legs).
+    * Per-round caching stays. The fusion DID win where the round count
+    * is 2 and it also deletes a join — see q_bpe_merges' output pass. */
   private def trainMerges(tk: org.apache.spark.sql.DataFrame, k: Int)
       : (List[(String, String)], List[org.apache.spark.sql.DataFrame]) = {
     import tk.sparkSession.implicits._

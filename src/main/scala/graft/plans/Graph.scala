@@ -59,8 +59,17 @@ object Graph {
     withDeg.count() // materialize once; iterations reuse the cached join
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
+    nodes.count() // force before fan-out: every iteration's rebuild join
+    // reads it, and AQE submits independent stages concurrently — an
+    // unmaterialized cache would be recomputed per consumer
+    // LAZY checkpoints (r17): the plan is still truncated per iteration
+    // (O(1) plan depth at any iters), but the blocks are written when the
+    // FINAL action first computes them instead of by an eager job per
+    // iteration — one job executes the whole loop instead of iters+1
+    // materialization jobs (each rank_k feeds exactly one rank_{k+1}, so
+    // nothing is recomputed; eagerness bought no reuse, only jobs).
     var rank = nodes.select(col("node"), lit(scale).as("rank"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contribs = withDeg
         .join(rank, withDeg("src") === rank("node"))
@@ -71,7 +80,7 @@ object Graph {
         .select(col("node"), (lit(scale * 15 / 100) +
           call_function("div", lit(85L) * coalesce(col("inn"), lit(0L)),
             lit(100L))).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     rank
   }

@@ -608,6 +608,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"hot-gram join not keyed on the gram:\n$p")
   }
 
+  test("q_bpe_merges emits counts + fingerprint in one map pass: no join, no rewrite caches") {
+    // r17: the before/after audit used to self-join the original stream
+    // against the round-2 rewrite (a shuffle of every token array) and
+    // cache each round's rewritten corpus; both are gone — the merged
+    // stream is re-derived map-side (bpeApply) in the SAME projection as
+    // the original row, so the plan must be join-free and cache-free
+    val p = plan("q_bpe_merges")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"merges audit joins instead of re-deriving the stream map-side:\n$p")
+    assert(!p.contains("InMemoryRelation"),
+      s"a training-round cache leaked into the merges plan:\n$p")
+  }
+
   test("BPE encode applies the merge table map-side: no join in the encode plan") {
     // training runs its own bounded jobs (pair shuffle + 1-row argmax per
     // round) BEFORE this plan exists; the returned ENCODE plan must fold

@@ -47,4 +47,26 @@ class TextMergeSpec extends AnyFunSuite {
         s"id=$id t=${t.mkString("[", " ", "]")}")
     }
   }
+
+  test("bpeApply prefix == iterated mergeOnce (the fused-training identity)") {
+    // r17: trainMerges derives round k's stream as bpeApply(t, merges so
+    // far) instead of caching each round's rewrite — every merge decision
+    // (any aggregate over the stream) is unchanged iff the re-derived
+    // arrays are element-identical to the iterated rewrites. Merge pairs
+    // include tokens PRODUCED by earlier merges (a_b), the case where an
+    // ordering bug would show.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    val cases = Vector.tabulate(60) { i =>
+      (i.toLong, Vector.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val merges = List(("a", "b"), ("a_b", "c"), ("b", "a"), ("d", "a_b_c"))
+    val got = cases.toDF("id", "t")
+      .select($"id", TextAnalysis.bpeApply($"t", merges).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    cases.foreach { case (id, t) =>
+      val ref = merges.foldLeft(t) { case (s, (a, b)) => refMerge(s, a, b) }
+      assert(got(id) == ref, s"id=$id t=${t.mkString("[", " ", "]")}")
+    }
+  }
 }
