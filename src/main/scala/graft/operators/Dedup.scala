@@ -152,18 +152,56 @@ object Dedup {
     // cache/seal dsets first (cachedShingleSets / PipelineFull).
     val anyHot = !sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq).isEmpty
+    // Scale-adaptive partitioning for the two pair-space exchanges (r17,
+    // guide §2.2/§2.5): the posting groupBy and the (a,b) pair aggregate
+    // each hold per-partition state LINEAR in the corpus, so the fixed
+    // core-count partitioning spills once the corpus outgrows it —
+    // measured 10 GB (pair emission) + 8.9 GB (pair aggregate) at 81x in
+    // 4 partitions, the e_tail 1.25-1.28 bend in GROWTH_r17. Deriving the
+    // count from the materialized shingle-set size (exact: all callers
+    // cache-and-count dsets) keeps per-partition state flat at any scale;
+    // the defaultParallelism clamp leaves sf0.1/sf0.01 plans unchanged.
+    // The explicit repartition before each groupBy replaces (not adds to)
+    // the exchange the aggregate would have planned: same shuffle count,
+    // chosen width — but it also costs the map-side PARTIAL pair
+    // aggregate (raw pairs cross the exchange), so it engages only past
+    // the measured spill onset (AdaptiveParts.widthPastOnset: the 27x A/B
+    // showed the partial-agg plan faster while per-partition state is
+    // ~67 MB; at ~200 MB/partition it spills 10+9 GB and widening wins).
+    // Below the onset every plan — including sf0.1/sf0.01 — is
+    // byte-identical to the pre-r17 shape.
+    val s = dsets.sparkSession
+    val dsetsBytes = graft.core.AdaptiveParts.planBytes(dsets)
+    val widenTo = graft.core.AdaptiveParts.widthPastOnset(s, dsetsBytes)
+    def widened(df: DataFrame, keys: Column*): DataFrame =
+      widenTo.fold(df)(n => df.repartition(n, keys: _*))
+    // The sizes joins hash-build the skinny (doc_id, n) side and STREAM
+    // the pair list (the r16 gate-join convention): a sort-merge join
+    // there sorts the full candidate-pair list per partition —
+    // corpus-linear state in a fixed-width exchange, the same spill
+    // shape as the aggregates, and removing it loses nothing (no partial
+    // aggregate at stake) — so it engages at the lower forBytes
+    // threshold. A hint overrides the planner's broadcast selection
+    // (hinted strategies are consulted first), so at small scale — where
+    // an automatic broadcast of sizes is the better plan — it stays off.
+    val hintJoins = graft.core.AdaptiveParts.forBytes(s, dsetsBytes) >
+      s.sparkContext.defaultParallelism
+    def sized(df: DataFrame): DataFrame =
+      if (hintJoins) df.hint("shuffle_hash") else df
     // branch visibility (r17, r16 directive 7): the adaptive choice is
     // load-bearing for both perf (uniform corpora must skip recovery) and
     // exactness (capped corpora must take it) — surface which path ran so
     // the ritual's scale legs can assert the branch, not infer it
     System.err.println(s"[graft-dedup-cap] maxDf=$maxDocFreq " +
-      s"path=${if (anyHot) "recovery" else "streaming"}")
+      s"path=${if (anyHot) "recovery" else "streaming"} " +
+      s"widen=${widenTo.getOrElse(0)} hint=$hintJoins")
     val inter = if (!anyHot) {
       // no hot shingles: the single streaming pipeline — nothing is
       // capped, so no recovery subtrees and nothing to materialize
-      sh.groupBy(col("s"))
+      widened(widened(sh, col("s"))
+        .groupBy(col("s"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .select(explode(combos).as("p"))
+        .select(explode(combos).as("p")), col("p.a"), col("p.b"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("inter"))
     } else {
@@ -174,14 +212,15 @@ object Dedup {
       // ContextCleaner instead of entering the CacheManager — a cached
       // fragment here was being substituted into UNRELATED later queries'
       // plans (and forced test suites to clearCache() session-wide).
-      val posting = sh.groupBy(col("s"))
+      val posting = widened(sh, col("s"))
+        .groupBy(col("s"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .localCheckpoint(true)
       // per-pair count of shared NON-capped shingles; consumed by both the
       // hot-recovery join and the final assembly, so materialized once
-      val interCold = posting
+      val interCold = widened(posting
         .filter(size(ds) <= maxDocFreq)
-        .select(explode(combos).as("p"))
+        .select(explode(combos).as("p")), col("p.a"), col("p.b"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("ic"))
         .localCheckpoint(true)
@@ -200,8 +239,8 @@ object Dedup {
           (col("ic") + coalesce(col("hc"), lit(0L))).as("inter"))
     }
     inter
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .join(sized(sizes.select(col("doc_id").as("a"), col("n").as("na"))), "a")
+      .join(sized(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), "b")
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))

@@ -1,0 +1,53 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The scale-adaptive partition derivation (r17): the jaccard pair
+  * exchanges and the salted join derive their width from input bytes, so
+  * per-partition state stays flat at any scale — but below the local
+  * parallelism the derivation must be a NO-OP, keeping every small-scale
+  * plan (and the bench at sf0.1/sf0.01) byte-identical to the pre-r17
+  * shape.
+  */
+class AdaptivePartsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("forBytes clamps small inputs to the local parallelism") {
+    val dp = spark.sparkContext.defaultParallelism
+    assert(AdaptiveParts.forBytes(spark, BigInt(0)) == dp)
+    assert(AdaptiveParts.forBytes(spark, BigInt(1) << 20) == dp)
+    // exactly one target unit still rounds within the clamp at local dp
+    assert(AdaptiveParts.forBytes(spark,
+      BigInt(AdaptiveParts.targetBytesPerPartition)) == math.max(dp, 2))
+  }
+
+  test("forBytes grows linearly with input and caps at 512") {
+    val t = AdaptiveParts.targetBytesPerPartition
+    assert(AdaptiveParts.forBytes(spark, BigInt(t) * 100) == 101)
+    assert(AdaptiveParts.forBytes(spark, BigInt(t) * 100000) == 512)
+    // the 81x harness derivation: 833 MB of cached shingle sets -> 25
+    assert(AdaptiveParts.forBytes(spark, BigInt(833014088L)) == 25)
+  }
+
+  test("below the widen threshold jaccardPairs keeps the un-repartitioned plan") {
+    val docs = Seq(
+      1L -> "aaa bbb ccc ddd eee",
+      2L -> "aaa bbb ccc ddd eee",
+      3L -> "fff ggg hhh iii jjj").toDF("doc_id", "text")
+    val dsets = graft.operators.Dedup.shingleSets(docs).cache()
+    dsets.count()
+    try {
+      val plan = graft.operators.Dedup.jaccardPairs(dsets)
+        .queryExecution.executedPlan.toString
+      // tiny input derives below defaultParallelism: no explicit
+      // repartition exchange (REPARTITION_BY_NUM origin) and no forced
+      // hash-join hint may appear — the pre-r17 plan, byte-identical
+      assert(!plan.contains("REPARTITION_BY_NUM"),
+        s"small-scale jaccard plan gained a repartition:\n$plan")
+      assert(!plan.contains("ShuffledHashJoin"),
+        s"small-scale jaccard plan gained a forced hash join:\n$plan")
+    } finally dsets.unpersist(blocking = false)
+  }
+}
