@@ -389,8 +389,14 @@ PY
     # directive 7): the next tail flag must arrive with its cpu/run, GC,
     # spill, and per-stage execution attribution already committed —
     # symptom AND evidence in one artifact.
+    # r18 (r17 verdict directives 1/6/7): q_salted_join joins the set (the
+    # third still-superlinear query AdaptiveParts targets), q_substring_dup
+    # (heaviest untouched linear query — needs attributed stages before any
+    # change), q_bpe_encode (the per-round training caches must be shown to
+    # spill or not at 81x, not extrapolated from sf0.1).
     METRICS_SET="q_pipeline_sink,q_pipeline_clean,q_pipeline_full,\
-q_dedup_clusters,q_dedup_ngram_jaccard"
+q_dedup_clusters,q_dedup_ngram_jaccard,q_salted_join,q_substring_dup,\
+q_bpe_encode"
     : > /tmp/ritual_metrics.txt
     for SCALE_DIR in /root/repo/testdata_27x /root/repo/testdata_81x; do
       [ -d "$SCALE_DIR" ] || continue

@@ -276,19 +276,41 @@ object Bench {
       s""""sf":"$sfName"}"""
     println(jsonLine)
     // Compact trailer AFTER the full line: the driver keeps only the tail
-    // of stdout, and on a long JSON line that tail retains the line's END
-    // (jobs/failed) while losing "value" and the per-query seconds at the
-    // front. This second line is short enough to always survive whole.
+    // of stdout (measured window: 2000 chars), and on a long JSON line
+    // that tail retains the line's END (jobs/failed) while losing "value"
+    // and the per-query seconds at the front. This second line is short
+    // enough to always survive whole.
     val top10 = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Per-query seconds IN the surviving trailer (r17 verdict directive
+    // 2: PERF_r*.json.per_query has been empty for two rounds because
+    // only this trailer survives the driver's 2000-char stdout-tail
+    // window). Entries are added largest-first under a byte budget that
+    // keeps the WHOLE line + the post-bench sbt epilogue inside that
+    // window; "pq_omitted" counts what didn't fit so a partial map is
+    // explicit. Additions-only: every pre-existing trailer field is
+    // unchanged, so cross-round trailer comparison stays valid.
+    val pqBudget = 1150
+    val pqParts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pqLen = 0
+    var pqOmitted = 0
+    results.toSeq.filter(_._2 >= 0).sortBy(-_._2).foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v)
+      if (pqLen + e.length + 1 <= pqBudget) { pqParts += e; pqLen += e.length + 1 }
+      else pqOmitted += 1
+    }
+    val pqJson = pqParts.mkString("{", ",", "}")
     // fast_cut names the per-query inclusion threshold: tail totals are
     // only comparable across rounds when read together with how many
     // sub-threshold queries were rolled into the aggregate (r15 verdict:
     // a moved cut masqueraded as a +23% regression).
+    wallMark("total", wall0) // before the trailer: stderr after the final
+    // JSON line would eat tail-window bytes the per-query map needs
     println(s"""{"metric":"total_tail","value":${fmt(total)},"unit":"sec",""" +
       s""""top10":$top10,"failed_n":${failed.size},""" +
       s""""fast_cut_sec":0.3,"fast_omitted":${fast.size},""" +
-      s""""fast_total":${fmt(fast.values.sum)},"sf":"$sfName"}""")
+      s""""fast_total":${fmt(fast.values.sum)},""" +
+      s""""queries":$pqJson,"pq_omitted":$pqOmitted,"sf":"$sfName"}""")
     // ALSO write the full line to a stable path when asked (r12 verdict:
     // the driver's stdout capture truncates its tail, losing the per-query
     // map — the committed BENCH_r{N}_*.json artifacts come from here)
@@ -296,7 +318,6 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    wallMark("total", wall0)
     spark.stop()
   }
 

@@ -176,25 +176,39 @@ object Dedup {
     def widened(df: DataFrame, keys: Column*): DataFrame =
       widenTo.fold(df)(n => df.repartition(n, keys: _*))
     // The sizes joins hash-build the skinny (doc_id, n) side and STREAM
-    // the pair list (the r16 gate-join convention): a sort-merge join
-    // there sorts the full candidate-pair list per partition —
-    // corpus-linear state in a fixed-width exchange, the same spill
-    // shape as the aggregates, and removing it loses nothing (no partial
-    // aggregate at stake) — so it engages at the lower forBytes
-    // threshold. A hint overrides the planner's broadcast selection
-    // (hinted strategies are consulted first), so at small scale — where
-    // an automatic broadcast of sizes is the better plan — it stays off.
-    val hintJoins = graft.core.AdaptiveParts.forBytes(s, dsetsBytes) >
-      s.sparkContext.defaultParallelism
+    // the pair list (the r16 gate-join convention). Strategy choice (r17
+    // verdict directive 5; guide §3.1 "pick the strategy deliberately"):
+    // while the build side FITS a broadcast, broadcasting it shuffles
+    // nothing at all — any shuffled join moves the whole candidate-pair
+    // list — so the shuffle_hash hint must not engage there (the old
+    // `forBytes > defaultParallelism` gate overrode the broadcast from
+    // 27x up). The planner cannot make this call itself past sf0.1: its
+    // projection estimate for `sizes` scales the CACHED ARRAY bytes of
+    // dsets into the skinny (doc_id, n) rows (~460 MB claimed at 81x
+    // where the truth is ~12 bytes/row), so it stops auto-broadcasting
+    // exactly where the broadcast matters most. Every caller seals/caches
+    // dsets first, so the EXACT row count is a cheap cached scan; 48
+    // bytes/row conservatively covers the broadcast hash-relation
+    // overhead. Past the threshold (a genuinely large doc population)
+    // the build side hash-builds per partition instead — never a
+    // sort-merge, which would sort the corpus-linear pair list in a
+    // fixed-width exchange (the spill shape the aggregates just escaped).
+    val bcRaw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val bcThreshold =
+      if (bcRaw.trim.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(bcRaw)
+    val sizesBytes = BigInt(dsets.count()) * 48
+    val sizesFitBroadcast = bcThreshold >= 0 && sizesBytes <= BigInt(bcThreshold)
     def sized(df: DataFrame): DataFrame =
-      if (hintJoins) df.hint("shuffle_hash") else df
+      if (sizesFitBroadcast) df.hint("broadcast") else df.hint("shuffle_hash")
     // branch visibility (r17, r16 directive 7): the adaptive choice is
     // load-bearing for both perf (uniform corpora must skip recovery) and
     // exactness (capped corpora must take it) — surface which path ran so
     // the ritual's scale legs can assert the branch, not infer it
     System.err.println(s"[graft-dedup-cap] maxDf=$maxDocFreq " +
       s"path=${if (anyHot) "recovery" else "streaming"} " +
-      s"widen=${widenTo.getOrElse(0)} hint=$hintJoins")
+      s"widen=${widenTo.getOrElse(0)} " +
+      s"hint=${if (sizesFitBroadcast) "broadcast" else "shuffle_hash"}")
     val inter = if (!anyHot) {
       // no hot shingles: the single streaming pipeline — nothing is
       // capped, so no recovery subtrees and nothing to materialize

@@ -68,6 +68,63 @@ class JobCountSpec extends AnyFunSuite {
     "q_lang_corr_zip", "q_lang_corr_join", "q_lang_corr_widen",
     "q_lang_corr_rangekey", "q_stream_curate")
 
+  /** r17 verdict directive 8: the pagerank lazy-checkpoint win is a
+    * JOB-count property (one executing job for the whole loop), invisible
+    * to plan dumps — an eager-checkpoint regression (or a Spark upgrade
+    * changing localCheckpoint semantics) would be silent. Pin it as
+    * iteration-count INVARIANCE: with lazy per-iteration checkpoints the
+    * loop contributes zero jobs until the final action, so tripling the
+    * iteration count must not change the job count; an eager regression
+    * adds one materialization job per iteration and fails loudly here. */
+  test("pagerank loop submits no per-iteration materialization jobs") {
+    listenerInstalled
+    import spark.implicits._
+    // AQE OFF for this measurement only: under AQE, building each
+    // iteration's checkpoint RDD (queryExecution.toRdd) eagerly
+    // materializes that iteration's shuffle query stages — a constant 3
+    // jobs/iteration that exists in BOTH the lazy and eager shapes and
+    // would drown the signal. With AQE off, a lazy localCheckpoint
+    // contributes ZERO jobs at loop-build time (the final action runs
+    // the whole lineage as one multi-stage job), so the job count is
+    // invariant in the iteration count; an eager-checkpoint regression
+    // adds one materialization job per iteration and fails loudly.
+    val edges = (0L until 60L)
+      .map(i => (i % 12, (i * 7 + 3) % 12)).toDF("src", "dst")
+    def jobsAt(iters: Int): Int = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      settle()
+      val j0 = jobCounter.get()
+      graft.plans.Graph.pageRank(edges, iters).count()
+      settle()
+      val jobs = jobCounter.get() - j0
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      jobs
+    }
+    // auto-broadcast also OFF: each iteration's rebuild join otherwise
+    // broadcasts its (tiny, stats-known) contribs side, and the
+    // BroadcastExchange executes as one job per iteration inside the
+    // final action — again identical in both shapes, again drowning the
+    // signal this guard exists to see.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAqe = spark.conf.get(aqeKey)
+    val prevBc = spark.conf.get(bcKey)
+    val (j4, j12) = try {
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(bcKey, "-1")
+      (jobsAt(4), jobsAt(12))
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      spark.conf.set(bcKey, prevBc)
+    }
+    assert(j4 == j12,
+      s"pageRank scheduled $j4 jobs at 4 iterations but $j12 at 12 — " +
+        "per-iteration jobs are back (eager checkpoint regression?)")
+  }
+
   family.foreach { name =>
     test(s"$name job count is identical across reps") {
       val r1 = jobsOf(name)
