@@ -558,20 +558,46 @@ object Dedup {
       val t = col("tk")
       val idx = when(size(t) >= 8, sequence(lit(0), size(t) - 8))
         .otherwise(array().cast("array<int>"))
+      // ONE g-keyed exchange feeds BOTH consumers (r18; guide §2.4
+      // "two operations keyed the same way can share one exchange").
+      // The r17 shape computed the window stream twice — the dup
+      // aggregate scanned+exploded the corpus on its own subtree, then
+      // BROADCAST the full duplicated-window string set so the join-back
+      // side could avoid a second g-shuffle (27x StageMetrics: 25s + 14s
+      // task CPU for the two builds of the same windows; the broadcast
+      // is also corpus-growing — a memory hazard no real cluster should
+      // carry). Repartitioning the exploded stream by g ONCE lets the
+      // ndocs aggregate consume it partition-local AND lets the
+      // join-back reuse the very same shuffle (ReuseExchange collapses
+      // the two identical exchanges), so the corpus is scanned, split,
+      // and windowed exactly once and nothing is broadcast.
       val win = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", toks($"text").as("tk"))
         .select($"doc_id", explode(array_distinct(transform(idx, i =>
           concat_ws(" ", (0 until 8).map(k => get(t, i + lit(k))): _*))))
           .as("g"))
+        .repartition(col("g"))
       // (doc_id, g) pairs are distinct per doc, so count(*) per g = number
-      // of docs carrying the window. Partial-aggregated map-side; only
-      // genuinely duplicated windows flow into the join-back.
+      // of docs carrying the window — computed WITHOUT re-shuffling (the
+      // stream is already g-partitioned; count state per key is O(1), so
+      // a hot boilerplate window costs nothing — the WindowExec failure
+      // mode this family originally replaced stays replaced). The
+      // discarded min(doc_id) exists ONLY to keep doc_id in this
+      // branch's input: without it the column pruner specializes this
+      // subtree to (g) alone, the two exchanges stop being canonically
+      // identical, and ReuseExchange cannot collapse them — putting the
+      // second corpus scan + window build right back (plan-guarded).
       val dup = win.groupBy($"g")
-        .agg(count(lit(1)).as("ndocs"))
+        .agg(count(lit(1)).as("ndocs"), min($"doc_id").as("_prune_guard"))
         .filter($"ndocs" >= 2)
         .select($"g", lit(1).as("isdup"))
-      win.join(dup, Seq("g"), "left")
+      // shuffle_hash: build the (small) duplicated-window side per
+      // partition and STREAM the window rows — a sort-merge here would
+      // sort the full corpus-linear window stream (the spill shape the
+      // gate joins exist to avoid), and a broadcast would re-introduce
+      // the corpus-growing relation this rewrite removes.
+      win.join(dup.hint("shuffle_hash"), Seq("g"), "left")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_windows"),
           count($"isdup").as("n_dup"))
